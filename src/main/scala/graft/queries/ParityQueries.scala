@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Derive, Stats}
+import graft.read.Dashboard
+
+/** One oracle-checked query: Spark implementation + equivalent DuckDB
+  * ANSI SQL over the same parquet tables. `oracle = None` → the driver
+  * records a weaker rows-only check (non-SQL-expressible ops only).
+  * `bench = true` marks the headline queries Bench runs at sf0.1.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false,
+)
+
+/** The reference parity surface (SURVEY.md §2) parameterized over the
+  * driver's TPC-H-ish corpus (FIXTURES.md §4 mapping): census bucketing
+  * over `lineitem.l_quantity` / `customer.c_acctbal` /
+  * `orders.o_totalprice`, global stats + z-score anomalies over
+  * `events.value`, time/argmax/top-k read-side shapes over `events`.
+  *
+  * Determinism rules shared by every entry (driver hash-compare):
+  * aggregate doubles rounded — 6 dp for avg/pct, 2 dp for large sums —
+  * identically on both sides; every query totally ordered; count/sum
+  * integer outputs pinned to BIGINT on the DuckDB side.
+  */
+object ParityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.table(s, dir, name)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----- A1: global no-group multi-aggregate (spark_streaming.py:78-87)
+    QueryDef(
+      "a1_global_stats",
+      (s, d) => {
+        val stats = Stats.globalStats(t(s, d, "lineitem"),
+          "l_quantity" -> "qty", "l_extendedprice" -> "price", "l_discount" -> "disc")
+        stats.select(stats.columns.map(c => round(col(c), 6).as(c)): _*)
+      },
+      Some("""SELECT round(avg(l_quantity),6) AS avg_qty, round(stddev_samp(l_quantity),6) AS stddev_qty,
+             |round(CAST(min(l_quantity) AS DOUBLE),6) AS min_qty, round(CAST(max(l_quantity) AS DOUBLE),6) AS max_qty,
+             |round(avg(l_extendedprice),6) AS avg_price, round(stddev_samp(l_extendedprice),6) AS stddev_price,
+             |round(CAST(min(l_extendedprice) AS DOUBLE),6) AS min_price, round(CAST(max(l_extendedprice) AS DOUBLE),6) AS max_price,
+             |round(avg(l_discount),6) AS avg_disc, round(stddev_samp(l_discount),6) AS stddev_disc,
+             |round(CAST(min(l_discount) AS DOUBLE),6) AS min_disc, round(CAST(max(l_discount) AS DOUBLE),6) AS max_disc
+             |FROM lineitem""".stripMargin),
+      bench = true),
+
+    // ----- P2+A3: 5-way CASE bucketing + single-key count (spark_streaming.py:51-56,131)
+    QueryDef(
+      "p2_age_group_dist",
+      (s, d) => t(s, d, "lineitem")
+        .select(Derive.ageGroup(col("l_quantity")).as("age_group"))
+        .groupBy("age_group").agg(count(lit(1)).as("cnt"))
+        .orderBy("age_group"),
+      Some("""SELECT CASE WHEN l_quantity < 18 THEN 'Under 18' WHEN l_quantity < 30 THEN '18-29'
+             |WHEN l_quantity < 45 THEN '30-44' WHEN l_quantity < 65 THEN '45-64' ELSE '65+' END AS age_group,
+             |count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY age_group""".stripMargin)),
+
+    // ----- P3+A2: binary CASE + count (spark_streaming.py:57-59,94)
+    QueryDef(
+      "p3_income_dist",
+      (s, d) => t(s, d, "orders")
+        .select(Derive.highLow(col("o_totalprice"), 250000).as("income_category"))
+        .groupBy("income_category").agg(count(lit(1)).as("cnt"))
+        .orderBy("income_category"),
+      Some("""SELECT CASE WHEN o_totalprice > 250000 THEN 'High Income (>50K)' ELSE 'Low Income (<=50K)' END
+             |AS income_category, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY income_category""".stripMargin)),
+
+    // ----- P4+A6: 3-way CASE with mixed < / <= boundaries (spark_streaming.py:60-63,166)
+    QueryDef(
+      "p4_work_hours_dist",
+      (s, d) => t(s, d, "lineitem")
+        .select(Derive.workHoursCategory(col("l_quantity")).as("work_hours_category"))
+        .groupBy("work_hours_category").agg(count(lit(1)).as("cnt"))
+        .orderBy("work_hours_category"),
+      Some("""SELECT CASE WHEN l_quantity < 20 THEN 'Part-time' WHEN l_quantity <= 40 THEN 'Full-time'
+             |ELSE 'Overtime' END AS work_hours_category, count(*) AS cnt
+             |FROM lineitem GROUP BY 1 ORDER BY work_hours_category""".stripMargin)),
+
+    // ----- P5: 5-way CASE, `<0` before `==0` (spark_streaming.py:64-69)
+    QueryDef(
+      "p5_capital_category_dist",
+      (s, d) => t(s, d, "customer")
+        .select(Derive.capitalIncomeCategory(col("c_acctbal")).as("balance_category"))
+        .groupBy("balance_category").agg(count(lit(1)).as("cnt"))
+        .orderBy("balance_category"),
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'Loss' WHEN c_acctbal = 0 THEN 'Break-even'
+             |WHEN c_acctbal < 5000 THEN 'Low Gain' WHEN c_acctbal < 20000 THEN 'Medium Gain'
+             |ELSE 'High Gain' END AS balance_category, count(*) AS cnt
+             |FROM customer GROUP BY 1 ORDER BY balance_category""".stripMargin)),
+
+    // ----- A4/A5: two-key count (spark_streaming.py:142,154)
+    QueryDef(
+      "a4_two_key_count",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+             |GROUP BY 1,2 ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ----- A7: multi-aggregate by key (spark_streaming.py:177-181)
+    QueryDef(
+      "a7_group_multi_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(avg("l_quantity"), 6).as("avg_qty"),
+             round(avg("l_extendedprice"), 6).as("avg_price"),
+             count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(avg(l_quantity),6) AS avg_qty,
+             |round(avg(l_extendedprice),6) AS avg_price, count(*) AS cnt
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- W1+P6+F1-F3: two-pass z-score outlier detection (spark_streaming.py:106-115)
+    QueryDef(
+      "w1_zscore_outliers",
+      (s, d) => Stats.zScoreOutliers(t(s, d, "events"), "value")
+        .select(col("event_id"), col("value"),
+                round(col("value_z_score"), 6).as("value_z_score"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, value,
+             |round(abs((value - (SELECT avg(value) FROM events)) / (SELECT stddev_samp(value) FROM events)),6) AS value_z_score
+             |FROM events
+             |WHERE abs((value - (SELECT avg(value) FROM events)) / (SELECT stddev_samp(value) FROM events)) > 3
+             |ORDER BY event_id""".stripMargin),
+      bench = true),
+
+    // ----- F1: SQL-string predicate filter (spark_streaming.py:110)
+    QueryDef(
+      "f1_sql_predicate",
+      (s, d) => t(s, d, "events")
+        .filter("value > 450")
+        .select("event_id", "value")
+        .orderBy("event_id"),
+      Some("SELECT event_id, value FROM events WHERE value > 450 ORDER BY event_id")),
+
+    // ----- A8: snapshot re-aggregation — sum of per-(key,day) counts (dashboard.py:274,310,346)
+    QueryDef(
+      "a8_snapshot_reagg",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type").agg(sum("c").as("total"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(sum(c) AS BIGINT) AS total FROM
+             |(SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1,2)
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ----- A11/O3: top-k by measure with pinned tie-break (dashboard.py:313,412)
+    QueryDef(
+      "a11_topk_groups",
+      (s, d) => Dashboard.topK(t(s, d, "part"), Seq("p_brand"),
+          round(sum(col("p_retailprice")), 2), 10),
+      Some("""SELECT p_brand, round(sum(p_retailprice),2) AS total FROM part
+             |GROUP BY 1 ORDER BY total DESC, p_brand LIMIT 10""".stripMargin)),
+
+    // ----- W3: latest row per group via ranking window (dashboard.py:408-409)
+    QueryDef(
+      "w3_latest_per_group",
+      (s, d) => Dashboard.latestPerGroup(t(s, d, "events"), Seq("user_id"), "ts", "event_id")
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, ts, value FROM
+             |(SELECT user_id, event_id, ts, value,
+             | row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      bench = true),
+
+    // ----- J1: the reference's join-back argmax shape (dashboard.py:408-409)
+    QueryDef(
+      "j1_argmax_join_back",
+      (s, d) => Dashboard.argmaxJoinBack(t(s, d, "events"), "user_id", "ts")
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("user_id", "event_id"),
+      Some("""SELECT e.user_id, e.event_id, e.ts, e.value FROM events e
+             |JOIN (SELECT user_id, max(ts) AS ts FROM events GROUP BY 1) m
+             |ON e.user_id = m.user_id AND e.ts = m.ts
+             |ORDER BY e.user_id, e.event_id""".stripMargin)),
+
+    // ----- W4/O1: global latest snapshot, top-1 (dashboard.py:150-152)
+    QueryDef(
+      "o1_latest_snapshot",
+      (s, d) => Dashboard.latest(t(s, d, "events"), "ts", "event_id")
+        .select("event_id", "ts", "event_type", "value"),
+      Some("""SELECT event_id, ts, event_type, value FROM events
+             |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin)),
+
+    // ----- O2: time-series ascending sort (dashboard.py:195)
+    QueryDef(
+      "o2_sort_timeseries",
+      (s, d) => t(s, d, "events")
+        .select("event_id", "ts", "value")
+        .orderBy("ts", "event_id"),
+      Some("SELECT event_id, ts, value FROM events ORDER BY ts, event_id")),
+
+    // ----- O4: categorical custom sort via rank column (dashboard.py:277-279)
+    QueryDef(
+      "o4_categorical_sort",
+      (s, d) => t(s, d, "lineitem")
+        .select(Derive.ageGroup(col("l_quantity")).as("age_group"))
+        .groupBy("age_group").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", Derive.ageGroupRank(col("age_group")))
+        .orderBy("rk"),
+      Some("""SELECT age_group, cnt, CASE age_group WHEN 'Under 18' THEN 0 WHEN '18-29' THEN 1
+             |WHEN '30-44' THEN 2 WHEN '45-64' THEN 3 WHEN '65+' THEN 4 ELSE 5 END AS rk FROM
+             |(SELECT CASE WHEN l_quantity < 18 THEN 'Under 18' WHEN l_quantity < 30 THEN '18-29'
+             | WHEN l_quantity < 45 THEN '30-44' WHEN l_quantity < 65 THEN '45-64' ELSE '65+' END AS age_group,
+             | count(*) AS cnt FROM lineitem GROUP BY 1)
+             |ORDER BY rk""".stripMargin)),
+
+    // ----- F4: trailing time-range predicate (dashboard.py:473-480)
+    QueryDef(
+      "f4_time_range",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        Dashboard.timeRange(ev, "ts", lit(maxTs), Some(30))
+          .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS cnt FROM events
+             |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ----- F5: membership filter against computed top-k set (dashboard.py:313-314)
+    QueryDef(
+      "f5_membership_topk",
+      (s, d) => Dashboard.filterToTopK(t(s, d, "documents"), "lang", count(lit(1)), 3)
+        .groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "source"),
+      Some("""SELECT d.lang, d.source, count(*) AS cnt FROM documents d
+             |WHERE d.lang IN (SELECT lang FROM
+             |  (SELECT lang, count(*) AS c FROM documents GROUP BY 1 ORDER BY c DESC, lang LIMIT 3))
+             |GROUP BY 1,2 ORDER BY lang, source""".stripMargin)),
+
+    // ----- F6: equality filter slice (dashboard.py:357,370)
+    QueryDef(
+      "f6_equality_filter",
+      (s, d) => t(s, d, "documents")
+        .filter(col("lang") === "en")
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS cnt FROM documents WHERE lang = 'en'
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ----- W2/P10: percent-of-group window (dashboard.py:349-350)
+    QueryDef(
+      "w2_percent_of_group",
+      (s, d) => {
+        val g = t(s, d, "customer")
+          .select(col("c_mktsegment"),
+                  Derive.capitalIncomeCategory(col("c_acctbal")).as("balance_category"))
+          .groupBy("c_mktsegment", "balance_category").agg(count(lit(1)).as("cnt"))
+        g.withColumn("pct", round(Dashboard.percentOfGroup(g, "c_mktsegment", "cnt"), 6))
+          .orderBy("c_mktsegment", "balance_category")
+      },
+      Some("""SELECT c_mktsegment, balance_category, cnt,
+             |round(cnt / sum(cnt) OVER (PARTITION BY c_mktsegment) * 100, 6) AS pct FROM
+             |(SELECT c_mktsegment, CASE WHEN c_acctbal < 0 THEN 'Loss' WHEN c_acctbal = 0 THEN 'Break-even'
+             |  WHEN c_acctbal < 5000 THEN 'Low Gain' WHEN c_acctbal < 20000 THEN 'Medium Gain'
+             |  ELSE 'High Gain' END AS balance_category, count(*) AS cnt FROM customer GROUP BY 1,2)
+             |ORDER BY c_mktsegment, balance_category""".stripMargin)),
+
+    // ----- P8: pivoted wide counts (the Mongo dynamic-key shape, spark_streaming.py:94-96)
+    QueryDef(
+      "p8_pivot_wide_counts",
+      (s, d) => t(s, d, "orders")
+        .agg(sum(when(col("o_totalprice") > 250000, 1).otherwise(0)).as("count_high_income"),
+             sum(when(col("o_totalprice") <= 250000, 1).otherwise(0)).as("count_low_income")),
+      Some("""SELECT CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS count_high_income,
+             |CAST(sum(CASE WHEN o_totalprice <= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS count_low_income
+             |FROM orders""".stripMargin)),
+
+    // ----- P9: epoch↔datetime conversion (spark_streaming.py:90,128; dashboard.py:201,447)
+    QueryDef(
+      "p9_epoch_roundtrip",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"), unix_millis(col("ts")).as("epoch_ms"),
+                timestamp_millis(unix_millis(col("ts"))).as("ts_roundtrip"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, epoch_ms(ts) AS epoch_ms,
+             |make_timestamp(epoch_ms(ts) * 1000) AS ts_roundtrip
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ----- Engine join surface beyond J1: broadcast 3-way dim join (SURVEY §2.7 note)
+    QueryDef(
+      "join_3way_region_rollup",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), round(avg("c_acctbal"), 6).as("avg_bal"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS cnt, round(avg(c_acctbal),6) AS avg_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY r_name""".stripMargin),
+      bench = true),
+
+    // ----- Headline: TPC-H Q1-style pricing summary over lineitem
+    QueryDef(
+      "q1_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity),2) AS sum_qty,
+             |round(sum(l_extendedprice),2) AS sum_base_price,
+             |round(sum(l_extendedprice * (1 - l_discount)),2) AS sum_disc_price,
+             |round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),2) AS sum_charge,
+             |round(avg(l_quantity),6) AS avg_qty,
+             |round(avg(l_extendedprice),6) AS avg_price,
+             |round(avg(l_discount),6) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem GROUP BY 1,2 ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    // ----- Headline: fact-fact join + top-k revenue per order
+    QueryDef(
+      "q3_top_order_revenue",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        t(s, d, "orders")
+          .join(rev, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"), col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_orderpriority, revenue FROM orders
+             |JOIN (SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)),2) AS revenue
+             |      FROM lineitem GROUP BY 1) ON o_orderkey = l_orderkey
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      bench = true),
+  )
+}

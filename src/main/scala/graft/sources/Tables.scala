@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the test corpus (TESTDATA.md).
+  *
+  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+  * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+  * We read nanos as raw longs (`spark.sql.legacy.parquet.nanosAsLong`)
+  * and convert to Spark's microsecond TimestampType in the plan —
+  * a codegen'd integer division, no UDF, precision loss only below 1 µs.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}
