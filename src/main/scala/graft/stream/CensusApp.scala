@@ -1,0 +1,42 @@
+package graft.stream
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sink.ParquetSnapshotSink
+
+/** Demo entry point — the reference's full deployment shape
+  * (simulator → file-stream engine → snapshot tables), minus the
+  * Dash UI (out of scope, SURVEY §7.5). Run the simulator main in a
+  * second process to feed `inputDir`.
+  *
+  * T6/T7: graceful SIGINT shutdown + blocking await
+  * (spark_streaming.py:213-224).
+  */
+object CensusApp {
+  def main(args: Array[String]): Unit = {
+    val inputDir = args.lift(0).getOrElse("/tmp/graft_stream_input")
+    val sinkDir = args.lift(1).getOrElse("/tmp/graft_sink")
+    val ckptDir = args.lift(2).getOrElse("/tmp/graft_ckpt")
+    val fused = args.lift(3).contains("fused")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-census-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pipeline = new Pipeline(new ParquetSnapshotSink(sinkDir),
+      PipelineConfig(fused = fused))
+    val queries = pipeline.start(spark, inputDir, ckptDir)
+
+    sys.addShutdownHook {
+      queries.foreach(q => if (q.isActive) q.stop())
+      spark.stop()
+    }
+    queries.foreach(_.awaitTermination())
+  }
+}
