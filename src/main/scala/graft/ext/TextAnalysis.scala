@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines: token
+  * stats, quality scoring, heuristic language ID, fingerprinting.
+  *
+  * Every function is pure `Column` arithmetic (whole-stage codegen, no
+  * UDFs) and has an exact ANSI-SQL mirror used by the DuckDB oracle —
+  * so each op is both scale-friendly and hash-verifiable.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space corpus contract). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Count of tokens equal to `word` — `size(filter(...))`, mirrored by
+    * DuckDB `len(list_filter(...))`.
+    */
+  def wordCount(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === word))
+
+  /** Average token length in characters, derived without re-scanning:
+    * (chars − separators) / tokens.
+    */
+  def avgTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text) - (n - lit(1))) / n
+  }
+
+  /** Composite quality score in [0,1]: length saturation + lexical
+    * diversity + stopword-presence signal. Mirrors FIXTURES' quality
+    * heuristics; the exact op order is pinned for oracle parity.
+    */
+  val qualityStopwords: Seq[String] = Seq("the", "a", "and", "of")
+
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val diversity = distinctTokenCount(text) / n
+    val stopHits = qualityStopwords.map(wordCount(text, _)).reduce(_ + _).cast("double")
+    val stopRatio = stopHits / n
+    round(
+      least(n / 50.0, lit(1.0)) * 0.5 + diversity * 0.3
+        + least(stopRatio * 5.0, lit(1.0)) * 0.2, 6)
+  }
+
+  /** Heuristic n-gram/stopword language ID: count stopword hits per
+    * language, predict the argmax with a fixed preference order on
+    * ties. Returns the predicted language code.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "les", "des", "et"),
+  )
+
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> words.map(wordCount(text, _)).reduce(_ + _)
+    }
+    // argmax with first-listed language winning ties (deterministic)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the text — identical hex in DuckDB. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** SQL mirrors (DuckDB dialect) for the oracle. */
+  object Sql {
+    val tokenCount = "len(string_split(text, ' '))"
+    val distinctTokenCount = "len(list_distinct(string_split(text, ' ')))"
+    def wordCount(word: String): String =
+      s"len(list_filter(string_split(text, ' '), t -> t = '$word'))"
+
+    def qualityScore: String = {
+      val n = s"CAST($tokenCount AS DOUBLE)"
+      val stopHits = TextAnalysis.qualityStopwords.map(wordCount).mkString(" + ")
+      s"round(least($n / 50.0, 1.0) * 0.5 + ($distinctTokenCount / $n) * 0.3" +
+        s" + least((CAST($stopHits AS DOUBLE) / $n) * 5.0, 1.0) * 0.2, 6)"
+    }
+
+    def langId: String = {
+      val scores = TextAnalysis.langStopwords.map { case (lang, words) =>
+        lang -> words.map(wordCount).mkString(" + ")
+      }
+      val best = scores.map(_._2).map(s => s"($s)")
+        .reduce((a, b) => s"greatest($a, $b)")
+      scores.foldRight("'und'") { case ((lang, score), acc) =>
+        s"CASE WHEN ($score) = $best AND $best > 0 THEN '$lang' ELSE $acc END"
+      }
+    }
+  }
+}
