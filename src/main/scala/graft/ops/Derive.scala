@@ -38,9 +38,9 @@ object Derive {
     * (spark_streaming.py:60-63).
     */
   def workHoursCategory(hours: Column): Column =
-    when(hours < 20, "Part-time")
-      .when(hours <= 40, "Full-time")
-      .otherwise("Overtime")
+    when(hours < 20, "Part-time (<20)")
+      .when(hours <= 40, "Full-time (20-40)")
+      .otherwise("Overtime (>40)")
 
   /** P5 — 5-way capital-income bucketing; `<0` tested before `==0`
     * (spark_streaming.py:64-69).

@@ -81,8 +81,8 @@ object ParityQueries {
         .select(Derive.workHoursCategory(col("l_quantity")).as("work_hours_category"))
         .groupBy("work_hours_category").agg(count(lit(1)).as("cnt"))
         .orderBy("work_hours_category"),
-      Some("""SELECT CASE WHEN l_quantity < 20 THEN 'Part-time' WHEN l_quantity <= 40 THEN 'Full-time'
-             |ELSE 'Overtime' END AS work_hours_category, count(*) AS cnt
+      Some("""SELECT CASE WHEN l_quantity < 20 THEN 'Part-time (<20)' WHEN l_quantity <= 40 THEN 'Full-time (20-40)'
+             |ELSE 'Overtime (>40)' END AS work_hours_category, count(*) AS cnt
              |FROM lineitem GROUP BY 1 ORDER BY work_hours_category""".stripMargin)),
 
     // ----- P5: 5-way CASE, `<0` before `==0` (spark_streaming.py:64-69)

@@ -44,13 +44,14 @@ object Dashboard {
 
   /** J1 — the reference's join-back argmax shape (dashboard.py:408-409):
     * inner equi-join of the full table against per-group max(ts). Keeps
-    * ALL rows tied at the max, exactly like pd.merge. The right side is
-    * an aggregate of the left → broadcast it (small at any group
-    * cardinality that fits a dashboard).
+    * ALL rows tied at the max, exactly like pd.merge. No broadcast hint:
+    * the right side has one row per group, and group cardinality is
+    * unbounded at scale — AQE picks broadcast-vs-shuffle from the
+    * measured size at runtime, which is the only safe choice at 100 TB.
     */
   def argmaxJoinBack(df: DataFrame, group: String, tsCol: String): DataFrame = {
     val latest = df.groupBy(col(group)).agg(max(col(tsCol)).as(tsCol))
-    df.join(broadcast(latest), Seq(group, tsCol), "inner")
+    df.join(latest, Seq(group, tsCol), "inner")
   }
 
   /** W2/P10 — percent of group total (dashboard.py:349-350):

@@ -8,9 +8,12 @@ import org.apache.spark.sql.types.LongType
   *
   * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
   * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-  * We read nanos as raw longs (`spark.sql.legacy.parquet.nanosAsLong`)
-  * and convert to Spark's microsecond TimestampType in the plan —
-  * a codegen'd integer division, no UDF, precision loss only below 1 µs.
+  * Sessions built via [[graft.Sessions]] set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (never
+  * mutated here — a loader flipping session conf is a cross-query
+  * surprise); the nanos arrive as raw longs and convert to Spark's
+  * microsecond TimestampType in-plan — a codegen'd integer division,
+  * no UDF, precision loss only below 1 µs.
   */
 object Tables {
 
@@ -20,7 +23,6 @@ object Tables {
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -19,15 +19,8 @@ object CensusApp {
     val ckptDir = args.lift(2).getOrElse("/tmp/graft_ckpt")
     val fused = args.lift(3).contains("fused")
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-census-pipeline")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "*"), "graft-census-pipeline")
 
     val pipeline = new Pipeline(new ParquetSnapshotSink(sinkDir),
       PipelineConfig(fused = fused))

@@ -11,7 +11,6 @@ import graft.sink.SnapshotSink
 /** Streaming pipeline configuration.
   *
   * @param zThreshold     z-score anomaly cut (reference `> 3`, spark_streaming.py:110)
-  * @param highThreshold  not used by census parity (income is the binary label)
   * @param trigger        micro-batch trigger (reference 10 s, spark_streaming.py:203,209)
   * @param fused          false = two concurrent queries like the reference (T4,
   *                       source read twice); true = one query fanning out all 8

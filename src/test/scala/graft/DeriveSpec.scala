@@ -27,9 +27,9 @@ class DeriveSpec extends SparkSpec {
 
   test("work_hours boundaries — mixed <20 then <=40 (19/20/40/41)") {
     val b = bucket(Seq(19, 20, 40, 41), Derive.workHoursCategory)
-    assert(b(19) == "Part-time")
-    assert(b(20) == "Full-time" && b(40) == "Full-time")
-    assert(b(41) == "Overtime")
+    assert(b(19) == "Part-time (<20)")
+    assert(b(20) == "Full-time (20-40)" && b(40) == "Full-time (20-40)")
+    assert(b(41) == "Overtime (>40)")
   }
 
   test("capital_income boundaries — <0 before ==0 (-1/0/1/4999/5000/19999/20000)") {
