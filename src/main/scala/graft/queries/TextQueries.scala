@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextAnalysis}
+
+/** Text-analysis + exact-dedup query surface over `documents`
+  * (the north-star LLM-pipeline operators; round-1 verdict items 1-2).
+  *
+  * Every op is pure `Column` arithmetic from [[TextAnalysis]] /
+  * [[Dedup]] with an exact DuckDB mirror — whole-stage codegen on the
+  * Spark side, hash-verifiable on the oracle side.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    graft.sources.Tables.table(s, d, "documents")
+
+  import TextAnalysis.{Sql => TS}
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----- token statistics per source (token counting brief item)
+    QueryDef(
+      "tx1_token_stats",
+      (s, d) => docs(s, d)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("ntok"),
+          TextAnalysis.distinctTokenCount(col("text")).as("ndis"),
+          TextAnalysis.avgTokenLen(col("text")).as("atl"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("ntok"), 6).as("avg_tokens"),
+             round(avg("ndis"), 6).as("avg_distinct_tokens"),
+             round(avg("atl"), 6).as("avg_token_len"))
+        .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_docs,
+              |round(avg(${TS.tokenCount}),6) AS avg_tokens,
+              |round(avg(${TS.distinctTokenCount}),6) AS avg_distinct_tokens,
+              |round(avg((length(text) - (${TS.tokenCount} - 1)) / ${TS.tokenCount}),6) AS avg_token_len
+              |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ----- quality-score decile histogram (quality scoring brief item)
+    QueryDef(
+      "tx2_quality_hist",
+      (s, d) => docs(s, d)
+        .select(floor(TextAnalysis.qualityScore(col("text")) * 10).cast("long").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("cnt"))
+        .orderBy("decile"),
+      Some(s"""SELECT CAST(floor(${TS.qualityScore} * 10) AS BIGINT) AS decile, count(*) AS cnt
+              |FROM documents GROUP BY 1 ORDER BY decile""".stripMargin)),
+
+    // ----- language-ID confusion counts (language-ID brief item)
+    QueryDef(
+      "tx3_lang_confusion",
+      (s, d) => docs(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "pred"),
+      Some(s"""SELECT lang, ${TS.langId} AS pred, count(*) AS cnt
+              |FROM documents GROUP BY 1,2 ORDER BY lang, pred""".stripMargin)),
+
+    // ----- md5 document fingerprints (fingerprinting brief item)
+    QueryDef(
+      "tx4_fingerprint_sample",
+      (s, d) => docs(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS fp FROM documents
+             |WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)),
+
+    // ----- exact-dedup summary over a deliberately doubled corpus
+    // (the test corpus has no native dups; UNION ALL with itself makes
+    // every doc a dup pair so the counts are non-trivial)
+    QueryDef(
+      "dedup_exact_summary",
+      (s, d) => {
+        val base = docs(s, d)
+        Dedup.exactSummary(base.unionAll(base), TextAnalysis.fingerprint(col("text")))
+      },
+      Some("""SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_unique,
+             |CAST(sum(c) - count(*) AS BIGINT) AS n_dup_rows FROM
+             |(SELECT md5(text) AS fp, count(*) AS c FROM
+             |  (SELECT text FROM documents UNION ALL SELECT text FROM documents)
+             | GROUP BY 1)""".stripMargin)),
+
+    // ----- exact keep-first dedup: doubled corpus collapses back to 500
+    QueryDef(
+      "dedup_exact_keep_first",
+      (s, d) => {
+        val base = docs(s, d)
+        Dedup.exactKeepFirst(base.unionAll(base),
+            Seq(TextAnalysis.fingerprint(col("text"))), Seq(col("doc_id")))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM
+             |(SELECT doc_id, lang, source,
+             |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM
+             |  (SELECT * FROM documents UNION ALL SELECT * FROM documents))
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ----- HLL++ distinct estimate — sketch impls differ across
+    // engines, so no SQL mirror; driver records a rows-only check and
+    // TextAnalysisSpec asserts the estimate lands within the rsd bound.
+    QueryDef(
+      "dedup_approx_distinct",
+      (s, d) => Dedup.approxDistinct(docs(s, d), col("text")),
+      None),
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextAnalysis}
+
+/** Unit coverage for the text-analysis and exact-dedup operators
+  * (TextQueries surface). Oracle parity is covered by the driver gate;
+  * these pin the semantics on hand-checkable inputs.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    Seq(text).toDF("text").select(c(col("text"))).head()
+
+  test("tokenCount / distinctTokenCount / wordCount on a known sentence") {
+    val t = "the cat and the hat"
+    assert(one(t, TextAnalysis.tokenCount).getInt(0) == 5)
+    assert(one(t, TextAnalysis.distinctTokenCount).getInt(0) == 4)
+    assert(one(t, TextAnalysis.wordCount(_, "the")).getInt(0) == 2)
+    assert(one(t, TextAnalysis.wordCount(_, "dog")).getInt(0) == 0)
+  }
+
+  test("avgTokenLen: (chars - separators) / tokens") {
+    // "ab cde" -> 5 letter chars / 2 tokens = 2.5
+    assert(one("ab cde", TextAnalysis.avgTokenLen).getDouble(0) == 2.5)
+  }
+
+  test("qualityScore stays in [0,1] and rewards diverse stopword-bearing text") {
+    val rich = ("the quick brown fox jumps over a lazy dog of unusual size and " +
+      "temperament walking along the river bank at dawn with great care and poise " +
+      "under a pale sky of drifting clouds while birds sing softly in the trees")
+    val poor = "x x x x x"
+    val rs = one(rich, TextAnalysis.qualityScore).getDouble(0)
+    val ps = one(poor, TextAnalysis.qualityScore).getDouble(0)
+    assert(rs >= 0.0 && rs <= 1.0 && ps >= 0.0 && ps <= 1.0)
+    assert(rs > ps)
+  }
+
+  test("langId predicts by stopword hits with deterministic tie order") {
+    assert(one("the cat sat on a mat of straw and wool", TextAnalysis.langId).getString(0) == "en")
+    assert(one("el gato y la casa de madera", TextAnalysis.langId).getString(0) == "es")
+    assert(one("der hund und die katze", TextAnalysis.langId).getString(0) == "de")
+    assert(one("xyzzy qwerty plugh", TextAnalysis.langId).getString(0) == "und")
+  }
+
+  test("fingerprint is md5 hex") {
+    assert(one("abc", TextAnalysis.fingerprint).getString(0)
+      == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("exactKeepFirst keeps the smallest-order row per key") {
+    val df = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"))
+      .toDF("id", "key", "payload")
+    val kept = Dedup.exactKeepFirst(df, Seq(col("key")), Seq(col("id")))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(kept.toSeq == Seq((1L, "x"), (3L, "z")))
+  }
+
+  test("exactSummary counts rows / uniques / dups") {
+    val df = Seq("a", "a", "b", "c", "c", "c").toDF("text")
+    val r = Dedup.exactSummary(df, col("text")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 3L, 3L)))
+  }
+
+  test("approxDistinct lands within the rsd bound on distinct-heavy input") {
+    val df = (1 to 2000).map(i => s"doc-$i").toDF("text")
+    val r = Dedup.approxDistinct(df, col("text"), rsd = 0.02).head()
+    val est = r.getLong(0)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.1)
+    assert(r.getLong(1) == 2000L)
+  }
+}
