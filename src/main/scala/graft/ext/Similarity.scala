@@ -1,0 +1,122 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * All vector math is built from the higher-order functions `zip_with` /
+  * `aggregate` — pure Catalyst expressions, no UDFs, codegen-friendly
+  * (SURVEY §7.3). Elements are cast float→double (exact) before
+  * multiplication so both engines compute identical IEEE sequences; the
+  * DuckDB oracle mirrors the same op order
+  * (`list_dot_product` + `sqrt(..)*sqrt(..)`).
+  *
+  * Scale design (100 TB):
+  *  - Brute-force top-k broadcasts the (small, bounded) PROBE set and
+  *    streams the big vector table — one pass, no shuffle of the
+  *    corpus. Correctness baseline and still the right plan when the
+  *    probe set is tiny.
+  *  - All-pairs similarity is never materialized; the near-dup scale
+  *    path is banded random-hyperplane LSH: L independent tables of
+  *    `nbits` sign-bits each, explode to (table, bucket) keys, shuffle
+  *    ONCE on the bucket key, and only compare within buckets. Bucket
+  *    sizes concentrate near corpus/2^nbits, so the quadratic blowup is
+  *    confined to buckets; skewed buckets are handled by AQE skew-join
+  *    splitting.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns in double precision —
+    * sequential left fold, matching DuckDB `list_dot_product`.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity: dot / (norm(a) * norm(b)) — op order pinned for
+    * oracle parity (NOT sqrt(n2a*n2b), which differs in the last ulp).
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each probe row, the k nearest
+    * vectors from `corpus`. The probe side is explicitly broadcast —
+    * bounded-small by construction (it is the user's query set), unlike
+    * the corpus, which streams map-side with no shuffle. Ranking is on
+    * the 6-dp-rounded score with an id tie-break so ordering is
+    * deterministic across engines and runs.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .join(broadcast(probes), col(idCol) =!= col(probeIdCol))
+      .withColumn("cos", round(cosine(col(probeVecCol), col(vecCol)), 6))
+    val w = Window.partitionBy(probeIdCol).orderBy(col("cos").desc, col(idCol))
+    // rank cast to long: DuckDB row_number() is BIGINT and the oracle
+    // hash-compare is schema-sensitive
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(probeIdCol), col(idCol), col("cos"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- LSH
+
+  /** Deterministic Gaussian hyperplanes: `tables` independent LSH
+    * tables, each `nbits` planes of dimension `dim`. Seeded — plan
+    * constants, identical on every run/executor.
+    */
+  def hyperplanes(dim: Int, nbits: Int, tables: Int, seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    val rnd = new Random(seed)
+    Seq.fill(tables)(Seq.fill(nbits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Sign-bit bucket id of `vec` for one table's planes:
+    * bit_j = (vec · plane_j >= 0), bucket = Σ bit_j << j.
+    * Plane constants are embedded as array literals — pure codegen'd
+    * column arithmetic, evaluated map-side.
+    */
+  def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, j) =>
+      val planeCol = array(plane.map(lit(_)): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Explode each row into `tables` (table_id, bucket) keys — the
+    * banded-LSH index. Rows sharing a (table_id, bucket) key in ANY
+    * table become candidate pairs; one shuffle on the composite key.
+    */
+  def lshIndex(df: DataFrame, vecCol: String,
+      planes: Seq[Seq[Array[Double]]]): DataFrame = {
+    val buckets = array(planes.zipWithIndex.map { case (tablePlanes, t) =>
+      struct(lit(t).as("table_id"), bucketId(col(vecCol), tablePlanes).as("bucket"))
+    }: _*)
+    df.withColumn("__tb", explode(buckets))
+      .withColumn("table_id", col("__tb.table_id"))
+      .withColumn("bucket", col("__tb.bucket"))
+      .drop("__tb")
+  }
+
+  /** Candidate pairs (a < b) that share at least one LSH bucket —
+    * distinct'd so multi-table collisions emit once. This is the
+    * sub-quadratic near-dup path: compare-within-bucket, never
+    * all-pairs.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Array[Double]]]): DataFrame = {
+    val idx = lshIndex(df, vecCol, planes).select(col(idCol), col("table_id"), col("bucket"))
+    val a = idx.select(col(idCol).as("a_id"), col("table_id"), col("bucket"))
+    val b = idx.select(col(idCol).as("b_id"), col("table_id"), col("bucket"))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** Similarity-search query surface over `embeddings` (64-dim float
+  * vectors; round-1 verdict item "similarity search").
+  *
+  * Oracle mirrors pin the exact op order of [[Similarity.cosine]]
+  * (`list_dot_product` / `sqrt(..)*sqrt(..)`), and every ranking is on
+  * the 6-dp-rounded score with an id tie-break, so hash-compare is
+  * stable across engines. LSH queries have no SQL mirror (the seeded
+  * hyperplane constants live in the plan) → rows-only check; their
+  * semantics are locked by SimilaritySpec instead.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    graft.sources.Tables.table(s, d, "embeddings")
+
+  /** DuckDB cosine with the same op order as Similarity.cosine. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a.embedding::DOUBLE[], $a.embedding::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b.embedding::DOUBLE[], $b.embedding::DOUBLE[])))"
+
+  private val Dim = 64
+  private val NBits = 8
+  private val NTables = 4
+  private lazy val planes = Similarity.hyperplanes(Dim, NBits, NTables)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----- brute-force cosine top-k for a bounded probe set (baseline)
+    QueryDef(
+      "sim1_topk_bruteforce",
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        Similarity.bruteForceTopK(e, probes, 5)
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""SELECT probe_id, vec_id, cos, rk FROM (
+              |  SELECT probe_id, vec_id, cos,
+              |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+              |  FROM (SELECT p.vec_id AS probe_id, e.vec_id,
+              |          round(${cosSql("p", "e")}, 6) AS cos
+              |        FROM embeddings e JOIN embeddings p
+              |          ON p.vec_id < 5 AND e.vec_id <> p.vec_id))
+              |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin),
+      bench = true),
+
+    // ----- vector-norm stats per label (aggregate + sqrt over arrays)
+    QueryDef(
+      "sim2_norm_stats",
+      (s, d) => emb(s, d)
+        .select(col("label"), Similarity.norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+             round(avg("nrm"), 6).as("avg_norm"),
+             round(min("nrm"), 6).as("min_norm"),
+             round(max("nrm"), 6).as("max_norm"))
+        .orderBy("label"),
+      Some("""SELECT label, count(*) AS cnt,
+             |round(avg(nrm),6) AS avg_norm, round(min(nrm),6) AS min_norm,
+             |round(max(nrm),6) AS max_norm FROM
+             |(SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+             | FROM embeddings)
+             |GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // ----- embedding-cosine near-dup pairs, exact all-pairs baseline.
+    // Correct at verify scale; the 100 TB path is sim4's LSH bucketing
+    // (compare-within-bucket), never this nested-loop join.
+    QueryDef(
+      "dedup_embedding_near",
+      (s, d) => {
+        val e = emb(s, d)
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos",
+            round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6))
+          .filter(col("cos") > 0.45)
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cos"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""SELECT a_id, b_id, cos FROM
+              |(SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(${cosSql("a", "b")}, 6) AS cos
+              | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+              |WHERE cos > 0.45 ORDER BY a_id, b_id""".stripMargin)),
+
+    // ----- LSH bucket histogram: the index the scale path shuffles on.
+    // Seeded hyperplane constants are plan literals → no SQL mirror.
+    QueryDef(
+      "sim3_lsh_bucket_profile",
+      (s, d) => Similarity.lshIndex(emb(s, d), "embedding", planes)
+        .groupBy("table_id", "bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("table_id", "bucket"),
+      None),
+
+    // ----- LSH-bucketed top-k: candidates share a bucket in ≥1 table,
+    // then exact cosine re-rank. The sub-quadratic ANN path.
+    QueryDef(
+      "sim4_lsh_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val probeIdx = Similarity.lshIndex(probes, "probe_vec", planes)
+          .select("probe_id", "table_id", "bucket")
+        val corpusIdx = Similarity.lshIndex(e.select("vec_id", "embedding"), "embedding", planes)
+          .select("vec_id", "table_id", "bucket")
+        val candidates = probeIdx.join(corpusIdx, Seq("table_id", "bucket"))
+          .filter(col("probe_id") =!= col("vec_id"))
+          .select("probe_id", "vec_id").distinct()
+        val scored = candidates
+          .join(probes, Seq("probe_id"))
+          .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .withColumn("cos",
+            round(Similarity.cosine(col("probe_vec"), col("embedding")), 6))
+        val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
+          .select("probe_id", "vec_id", "cos", "rk")
+          .orderBy("probe_id", "rk")
+      },
+      None),
+  )
+}

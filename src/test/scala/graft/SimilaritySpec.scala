@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** Semantics of the vector-similarity operators, including the LSH
+  * properties the rows-only queries rely on: identical vectors always
+  * collide; near-duplicates collide in at least one table with high
+  * probability; LSH candidate generation recovers the near-dup pairs
+  * that the exact all-pairs baseline finds.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val planes = Similarity.hyperplanes(dim = 8, nbits = 6, tables = 5)
+
+  test("dot / norm / cosine on hand-checkable vectors") {
+    val df = Seq((Array(1f, 2f, 2f), Array(2f, 0f, 0f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.norm(col("a")),
+      Similarity.cosine(col("a"), col("b"))).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1, of orthogonal vectors is 0") {
+    val df = Seq((Array(1f, 1f), Array(1f, 1f), Array(1f, -1f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k nearest with deterministic ranking") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val probes = Seq((100L, Array(1f, 0f))).toDF("probe_id", "probe_vec")
+    val got = Similarity.bruteForceTopK(corpus, probes, 2)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((0L, 1), (1L, 2)))
+  }
+
+  test("identical vectors land in the same bucket in every table") {
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq((0L, v), (1L, v.clone())).toDF("vec_id", "embedding")
+    val idx = Similarity.lshIndex(df, "embedding", planes)
+      .select("vec_id", "table_id", "bucket").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+    val byVec = idx.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byVec(0L) == byVec(1L))
+    assert(byVec(0L).size == 5)
+  }
+
+  test("LSH candidates recover near-dup pairs (recall on clustered data)") {
+    // 10 base vectors, each with a tiny-noise near-duplicate (cos>0.99)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 10).flatMap { i =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val near = base.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, near))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshCandidatePairs(df, "vec_id", "embedding", planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = (0 until 10).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val recall = truePairs.count(pairs.contains).toDouble / truePairs.size
+    assert(recall >= 0.9, s"recall $recall, candidates ${pairs.size}")
+    // and it is sub-quadratic: far fewer candidates than all 190 pairs
+    assert(pairs.size < 100, s"candidate set ${pairs.size} ~ all-pairs")
+  }
+}
