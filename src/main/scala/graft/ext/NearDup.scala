@@ -1,0 +1,146 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection: n-gram shingling, MinHash (banded),
+  * SimHash, and set-Jaccard — all pure higher-order-function `Column`
+  * arithmetic with exact DuckDB mirrors (no UDFs, codegen'd).
+  *
+  * The cross-engine hash contract: every hash is a polynomial rolling
+  * hash over character codepoints in BIGINT arithmetic
+  * (`acc*31 + code (mod 1e9+7)`), so Spark and the DuckDB oracle
+  * compute bit-identical signatures — MinHash/SimHash correctness is
+  * hash-verified end-to-end, not just rows-only.
+  *
+  * Scale design (100 TB): near-dup is NEVER all-pairs. MinHash
+  * candidates come from exploding each doc into (band, band-signature)
+  * keys and shuffling once on that key — compare-within-bucket, the
+  * same shape as Similarity's hyperplane LSH. Signature width trades
+  * recall for candidate volume: r=2 rows/band × b=8 bands catches
+  * j=0.5 pairs w.p. ~0.94 and j≈0 pairs w.p. ~0.
+  */
+object NearDup {
+
+  /** Modulus for all polynomial hashing (< 2^30, so 16 simhash-style
+    * bit tests and a*h+b (< 2^60) stay inside BIGINT).
+    */
+  val P: Long = 1000000007L
+
+  /** Polynomial codepoint hash of a string column — the cross-engine
+    * primitive. Empty chars are filtered: Spark's `split(s, "")` keeps
+    * a trailing "" (Java split semantics) where DuckDB's does not.
+    */
+  def charHash(s: Column, seed: Long = 7L): Column =
+    aggregate(
+      filter(split(s, ""), ch => length(ch) >= 1),
+      lit(seed),
+      (acc, ch) => (acc * 31 + ascii(ch)) % P)
+
+  /** Distinct k-token shingles of a token array; empty below k tokens
+    * (guarded — Spark `sequence` would count DOWN for n < k).
+    */
+  def shingles(tokens: Column, k: Int = 3): Column =
+    when(size(tokens) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(tokens) - (k - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document shingle hash set: text → tokens → k-shingles → hash. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    transform(shingles(TextAnalysis.tokens(text), k), sh => charHash(sh))
+
+  /** Set Jaccard of two (distinct-element) array columns:
+    * |A∩B| / (|A| + |B| − |A∩B|), in double.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  // ------------------------------------------------------------ MinHash
+
+  /** Seeded universal-hash parameters (a, b) for the MinHash family
+    * h_i(x) = (a_i·x + b_i) mod P — plan constants, mirrored verbatim
+    * into the oracle SQL by [[Sql.minhashCols]].
+    */
+  def minhashParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new Random(seed)
+    Seq.fill(k)((1 + math.abs(rnd.nextLong()) % (P - 1), math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signature columns m0..m(k-1) over a hash-set column. */
+  def minhashSignature(hashes: Column, params: Seq[(Long, Long)]): Seq[Column] =
+    params.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % P)).as(s"m$i")
+    }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** SimHash over a hash-set column: bit b of the output is the
+    * majority vote of bit b across the element hashes
+    * (2·|set-bit hashes| > |hashes|). `bits` ≤ 30 (hash space is < 2^30).
+    */
+  def simhash(hashes: Column, bits: Int = 30): Column =
+    (0 until bits).map { b =>
+      when(lit(2) * size(filter(hashes, h => shiftright(h, b) % 2 === 1)) > size(hashes),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  // ------------------------------------------------- DuckDB SQL mirrors
+
+  /** DuckDB mirrors, generated from the SAME constants as the Spark
+    * plans so the two engines stay in lock-step by construction.
+    * All take the shingle-hash-set SQL fragment as input.
+    */
+  object Sql {
+    /** Distinct k-shingle set over a `toks` list column (mirror of
+      * [[NearDup.shingles]]; empty below k tokens because `range`'s
+      * upper bound collapses).
+      */
+    def shingleSet(k: Int = 3): String =
+      "list_distinct([array_to_string(toks[i:i+" + (k - 1) +
+        "],' ') for i in range(1, len(toks)-" + (k - 2) + ")])"
+
+    /** Hash set over a shingle-set column `s`. */
+    def hashSet: String = s"list_transform(s, sh -> ${charHashSql("sh")})"
+
+    def charHashSql(v: String, seed: Long = 7L): String =
+      s"list_reduce(list_prepend($seed::BIGINT, " +
+        s"list_transform(string_split($v,''), c -> ascii(c)::BIGINT)), " +
+        s"(acc,x) -> (acc*31+x) % $P)"
+
+    /** `m0 .. m(k-1)` minhash columns over a hash-list column `hs`. */
+    def minhashCols(params: Seq[(Long, Long)]): String =
+      params.zipWithIndex.map { case ((a, b), i) =>
+        s"list_aggregate(list_transform(hs, h -> (($a*h+$b) % $P)), 'min') AS m$i"
+      }.mkString(", ")
+
+    /** Banded equality predicate between aliases `a` and `b` (r rows
+      * per band): OR over bands of AND over the band's signature cols.
+      */
+    def bandEq(k: Int, r: Int): String =
+      (0 until k / r).map { j =>
+        (0 until r).map(o => s"a.m${j * r + o} = b.m${j * r + o}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+
+    /** SimHash value over a hash-list column `hs`. */
+    def simhashSql(bits: Int = 30): String =
+      (0 until bits).map { b =>
+        s"(CASE WHEN 2*len(list_filter(hs, h -> (h // ${1L << b}) % 2 = 1)) > len(hs) " +
+          s"THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString("(", " + ", ")")
+
+    def jaccardSql(a: String, b: String): String =
+      s"len(list_intersect($a, $b))::DOUBLE / " +
+        s"(len($a) + len($b) - len(list_intersect($a, $b)))"
+  }
+}

@@ -41,8 +41,8 @@ class SimilaritySpec extends SparkSpec {
       (2L, Array(0f, 1f)), (3L, Array(-1f, 0f))).toDF("vec_id", "embedding")
     val probes = Seq((100L, Array(1f, 0f))).toDF("probe_id", "probe_vec")
     val got = Similarity.bruteForceTopK(corpus, probes, 2)
-      .orderBy("rk").collect().map(r => (r.getLong(1), r.getInt(3)))
-    assert(got.toSeq == Seq((0L, 1), (1L, 2)))
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 1L), (1L, 2L)))
   }
 
   test("identical vectors land in the same bucket in every table") {
