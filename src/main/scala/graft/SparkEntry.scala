@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, ParityQueries, QueryDef, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, ParityQueries, QueryDef, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{DedupQueries, ParityQueries, QueryDef, SimilarityQueries, 
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    ParityQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++ DedupQueries.all
+    ParityQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      DedupQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
