@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EventQueries, ParityQueries, QueryDef, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, MultimodalQueries, ParityQueries, QueryDef, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def registry: Seq[QueryDef] =
     ParityQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      DedupQueries.all ++ EventQueries.all
+      DedupQueries.all ++ EventQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

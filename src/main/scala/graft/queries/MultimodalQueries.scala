@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+
+/** Multimodal-column query surface (brief item: binary content +
+  * typed metadata). The media fixture derives from `documents` (utf-8
+  * bytes); the plumbing is byte-agnostic.
+  */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, d: String): DataFrame =
+    Multimodal.fromDocuments(graft.sources.Tables.table(s, d, "documents"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----- binary-column metadata: byte length + content prefix,
+    // grouped by media kind (oracle: DuckDB blob functions)
+    QueryDef(
+      "m1_binary_meta",
+      (s, d) => media(s, d)
+        .select(col("media_id"), col("kind"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          lower(hex(substring(col("content"), 1, 4))).as("prefix_hex"))
+        .filter(col("media_id") < 50)
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, 'text/' || lang AS kind,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |lower(hex(encode(substr(text, 1, 4)))) AS prefix_hex
+             |FROM documents WHERE doc_id < 50 ORDER BY media_id""".stripMargin)),
+
+    // ----- distributed decode/feature extraction via mapPartitions
+    // (deterministic stub decoder — no codecs in this container; the
+    // engine-side batch shape is the thing under test). Histogram math
+    // is not SQL-mirrorable → rows-only check + MultimodalSpec.
+    QueryDef(
+      "m2_media_features",
+      (s, d) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(s, graft.sources.Tables.table(s, d, "documents")))
+        feats.toDF()
+          .select(col("media_id"), col("kind"), col("n_bytes"),
+            col("sha1_hex"), col("width"), col("height"),
+            round(element_at(col("byte_histogram"), 7), 6).as("hist_bin6"))
+          .orderBy("media_id")
+      },
+      None),
+  )
+}

@@ -279,6 +279,20 @@ object ParityQueries {
              |CAST(sum(CASE WHEN o_totalprice <= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS count_low_income
              |FROM orders""".stripMargin)),
 
+    // ----- A9+F7: pct-high-income derivation over the wide summary
+    // shape, behind the column-existence guard (dashboard.py:167-170,207)
+    QueryDef(
+      "a9_pct_high_income",
+      (s, d) => Dashboard.withIncomePct(
+        t(s, d, "orders")
+          .agg(sum(when(col("o_totalprice") > 250000, 1).otherwise(0)).as("count_high_income"),
+               sum(when(col("o_totalprice") <= 250000, 1).otherwise(0)).as("count_low_income"))),
+      Some("""SELECT count_high_income, count_low_income,
+             |round(count_high_income / (count_high_income + count_low_income) * 100, 6) AS pct_high_income
+             |FROM (SELECT CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS count_high_income,
+             |      CAST(sum(CASE WHEN o_totalprice <= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS count_low_income
+             |      FROM orders)""".stripMargin)),
+
     // ----- P9: epoch↔datetime conversion (spark_streaming.py:90,128; dashboard.py:201,447)
     QueryDef(
       "p9_epoch_roundtrip",

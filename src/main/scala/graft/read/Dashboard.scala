@@ -77,6 +77,27 @@ object Dashboard {
       case None    => df
     }
 
+  /** F7 — column-existence guard (dashboard.py:207,218,229,450): the
+    * reference tolerates schema drift in its schemaless sink. Our sink
+    * schema is fixed, but the guard is kept for parity and used by
+    * [[withIncomePct]].
+    */
+  def hasColumns(df: DataFrame, names: String*): Boolean =
+    names.forall(df.columns.contains)
+
+  /** A9 — income-percentage derivation over the wide summary shape
+    * (dashboard.py:167-170): pct = high / (high + low) * 100, guarded
+    * on column existence (F7) — absent columns → input unchanged,
+    * matching the reference's silent skip.
+    */
+  def withIncomePct(df: DataFrame,
+      highCol: String = "count_high_income",
+      lowCol: String = "count_low_income"): DataFrame =
+    if (hasColumns(df, highCol, lowCol))
+      df.withColumn("pct_high_income",
+        round(col(highCol) / (col(highCol) + col(lowCol)) * 100, 6))
+    else df
+
   /** F5 — membership filter against a computed top-k key set
     * (dashboard.py:313-314), as a broadcast left-semi join so the
     * key set never collects to the driver.

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{MediaFile, Multimodal}
+import graft.read.Dashboard
+import graft.sink.{ParquetSnapshotSink, SinkReset}
+
+/** Multimodal plumbing (schema, mapPartitions batch shape, stub
+  * decoder determinism), the S6 sink-reset lifecycle, and the F7/A9
+  * guard+pct read-side ops.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fromDocuments builds binary content + typed metadata") {
+    val docs = Seq((1L, "hello world", "en", "srcA", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Multimodal.fromDocuments(docs)
+    val r = m.head()
+    assert(m.schema("content").dataType.typeName == "binary")
+    assert(r.getAs[Long]("media_id") == 1L)
+    assert(r.getAs[String]("kind") == "text/en")
+    assert(new String(r.getAs[Array[Byte]]("content"), "UTF-8") == "hello world")
+    assert(r.getAs[Map[String, String]]("meta") == Map("source" -> "srcA", "lang" -> "en"))
+  }
+
+  test("extractFeatures runs distributed and is deterministic") {
+    val media = Seq(
+      MediaFile(1L, "text/en", "hello world".getBytes("UTF-8"), Map.empty),
+      MediaFile(2L, "text/en", Array.emptyByteArray, Map.empty)).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f1 = out(0)
+    assert(f1.n_bytes == 11L)
+    // known sha1 of "hello world"
+    assert(f1.sha1_hex == "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed")
+    // stub decoder: dims from the first two bytes ('h'=104, 'e'=101)
+    assert((f1.width, f1.height) == (105, 102))
+    assert(math.abs(f1.byte_histogram.sum - 1.0) < 1e-12)
+    val f2 = out(1)
+    assert(f2.n_bytes == 0L && (f2.width, f2.height) == ((0, 0)))
+    assert(f2.byte_histogram.sum == 0.0)
+  }
+
+  test("SinkReset truncates and recreates all 8 sink tables (S6)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_reset").toString
+    val sink = new ParquetSnapshotSink(root)
+    val df = Seq(("A", 1L)).toDF("k", "count").withColumn("timestamp", lit(1700000000.0))
+    sink.write("age_group_distribution", df)
+    sink.write("work_hours", df)
+    assert(sink.read(spark, "age_group_distribution").count() == 1)
+
+    val removed = SinkReset.reset(root)
+    assert(removed.keySet == SinkReset.tables.toSet)
+    assert(removed("age_group_distribution") > 0 && removed("work_hours") > 0)
+    assert(removed("anomalies") == 0)
+    SinkReset.tables.foreach { t =>
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, t)))
+      assert(new java.io.File(s"$root/$t").list().isEmpty)
+    }
+  }
+
+  test("withIncomePct derives pct when columns exist, is a no-op otherwise (F7+A9)") {
+    val ok = Seq((3L, 1L)).toDF("count_high_income", "count_low_income")
+    val got = Dashboard.withIncomePct(ok).head().getAs[Double]("pct_high_income")
+    assert(got == 75.0)
+    val missing = Seq((3L, 1L)).toDF("a", "b")
+    assert(Dashboard.withIncomePct(missing).columns.toSeq == Seq("a", "b"))
+  }
+}
