@@ -30,9 +30,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two float-array columns in double precision —
-    * sequential left fold, matching DuckDB `list_dot_product`.
+    * sequential left-to-right sum, matching DuckDB `list_dot_product`.
+    * Dispatches to the native codegen'd [[graft.functions.FloatVecDot]]
+    * (registered by GraftExtensions; bit-identical to [[dotHof]],
+    * ~an order of magnitude faster since higher-order functions are
+    * interpreted per-element).
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("vec_dot_f", a, b)
+
+  /** Built-ins-only dot product (`zip_with` + `aggregate`) — the
+    * portable formulation; kept as the semantic reference that
+    * FloatVecDotSpec checks the native expression against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -85,8 +95,10 @@ object Similarity {
     */
   def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, j) =>
+      // dotHof: planes are double literals (projection precision),
+      // outside vec_dot_f's strict float×float signature
       val planeCol = array(plane.map(lit(_)): _*)
-      when(dot(vec, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotHof(vec, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Explode each row into `tables` (table_id, bucket) keys — the

@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions registering graft's native Catalyst functions —
+  * the official extension point (`spark.sql.extensions=
+  * graft.functions.GraftExtensions`, set by [[graft.Sessions]]), so the
+  * functions resolve by name (`call_function("vec_dot_f", ...)` or SQL)
+  * on any executor without driver-side registry mutation.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      new FunctionIdentifier("vec_dot_f"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot_f"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "vec_dot_f expects exactly 2 arguments")
+        FloatVecDot(children.head, children(1))
+      }))
+  }
+}

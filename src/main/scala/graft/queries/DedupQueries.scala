@@ -27,11 +27,21 @@ object DedupQueries {
   private val MaxHamming = 3
   private lazy val mhParams = NearDup.minhashParams(MinhashK)
 
-  /** doc_id + distinct shingle set `s` + shingle-hash set `hs`. */
+  /** doc_id + distinct shingle set `s` + shingle-hash set `hs`.
+    *
+    * Cached: shingling+hashing is the expensive stage (higher-order
+    * fns are interpreted, not codegen'd) and every dedup query's plan
+    * references it from several branches (signature build + both
+    * join-back sides). Materializing the signature table once is the
+    * standard dedup-pipeline design at any scale; `cache()` keys on
+    * the analyzed plan, so the three dedup queries and repeated runs
+    * share a single entry instead of recomputing per branch.
+    */
   private def hashed(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
         NearDup.shingles(TextAnalysis.tokens(col("text")), ShingleK).as("s"))
       .withColumn("hs", transform(col("s"), sh => NearDup.charHash(sh)))
+      .cache()
 
   /** Shared oracle CTE prefix: toks → shingle set s → hash set hs. */
   private val SqlBase =

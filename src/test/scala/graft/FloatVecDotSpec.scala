@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** The native codegen'd vec_dot_f expression must be bit-identical to
+  * the built-ins-only zip_with+aggregate formulation — that equality is
+  * what lets the similarity queries swap in the fast path without
+  * touching the DuckDB oracle.
+  */
+class FloatVecDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot == HOF dot bit-for-bit on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextGaussian().toFloat),
+      Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        Similarity.dot(col("a"), col("b")).as("fast"),
+        Similarity.dotHof(col("a"), col("b")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(","))
+  }
+
+  test("resolves via SQL too (registered through GraftExtensions)") {
+    val got = Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+      .selectExpr("vec_dot_f(a, b)").head().getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("null on length mismatch, null-intolerant on null input") {
+    val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    assert(df.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
+    val withNull = df.select(lit(null).cast("array<float>").as("a"), col("b"))
+    assert(withNull.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("participates in whole-stage codegen") {
+    // non-foldable input (range-derived) so the projection survives
+    // constant folding and lands inside a codegen stage
+    val df = spark.range(8)
+      .select(
+        array((col("id") + 1).cast("float"), (col("id") + 2).cast("float")).as("a"),
+        array((col("id") * 2).cast("float"), (col("id") * 3).cast("float")).as("b"))
+      .select(Similarity.dot(col("a"), col("b")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l => l.contains("*") && l.contains("vec_dot_f")), plan)
+    assert(df.collect().length == 8)
+  }
+}
