@@ -48,4 +48,18 @@ object Dedup {
   def approxDistinct(df: DataFrame, fingerprint: Column, rsd: Double = 0.05): DataFrame =
     df.agg(approx_count_distinct(fingerprint, rsd).as("approx_unique"),
            count(lit(1)).as("n_rows"))
+
+  /** Streaming exact dedup: keep the first arrival per fingerprint on
+    * an unbounded stream. `dropDuplicatesWithinWatermark` bounds the
+    * dedup state to the watermark horizon — the only way stateful
+    * dedup survives an unbounded 100 TB/day stream (unbounded-state
+    * `dropDuplicates` would OOM; beyond-horizon re-arrivals are
+    * accepted as the documented tradeoff).
+    */
+  def streamingExactDedup(stream: DataFrame, fingerprint: Column,
+      tsCol: String, watermarkDelay: String): DataFrame =
+    stream.withColumn("__fp", fingerprint)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 }

@@ -100,6 +100,21 @@ object SimilarityQueries {
         .orderBy("table_id", "bucket"),
       None),
 
+    // ----- IVF top-k: data-adaptive k-means cells, probe the nearest
+    // nprobe cells, exact re-rank. k-means is seeded; cell layout is
+    // model-dependent → rows-only check, recall locked by IvfSpec.
+    QueryDef(
+      "sim5_ivf_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        val centroids = graft.ext.IvfIndex.fit(e, "embedding", nlist = 16)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        graft.ext.IvfIndex.topK(e, probes, centroids, k = 5, nprobe = 4)
+          .orderBy("probe_id", "rk")
+      },
+      None),
+
     // ----- LSH-bucketed top-k: candidates share a bucket in ≥1 table,
     // then exact cosine re-rank. The sub-quadratic ANN path.
     QueryDef(

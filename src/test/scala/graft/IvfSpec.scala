@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.IvfIndex
+
+/** IVF index semantics: assignment is a true argmin, probing covers
+  * the nearest cells, and IVF top-k recalls the brute-force neighbors
+  * on clustered data (the regime IVF exists for).
+  */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 well-separated clusters of 12 vectors each in 8-d
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(5)
+    val centers = Seq.tabulate(4)(c => Array.tabulate(8)(j => if (j == c * 2) 10f else 0f))
+    (0 until 48).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("assign maps each vector to a cell shared with its cluster-mates") {
+    val centroids = IvfIndex.fit(clustered, "embedding", nlist = 4, seed = 1L)
+    assert(centroids.length == 4 && centroids.head.length == 8)
+    val cells = clustered
+      .withColumn("cell", IvfIndex.assign(col("embedding"), centroids))
+      .withColumn("cluster", col("vec_id") % 4)
+      .groupBy("cluster").agg(countDistinct("cell").as("ncells"))
+      .collect().map(_.getLong(1))
+    // well-separated clusters: every true cluster lands in ONE cell
+    assert(cells.forall(_ == 1L), cells.mkString(","))
+  }
+
+  test("probeCells returns nprobe distinct nearest cells") {
+    val centroids = IvfIndex.fit(clustered, "embedding", nlist = 4, seed = 1L)
+    val cells = clustered.limit(1)
+      .select(IvfIndex.probeCells(col("embedding"), centroids, 3))
+      .head().getSeq[Int](0)
+    assert(cells.length == 3 && cells.distinct.length == 3)
+  }
+
+  test("IVF top-k matches brute force on clustered data (nprobe=2)") {
+    val centroids = IvfIndex.fit(clustered, "embedding", nlist = 4, seed = 1L)
+    val probes = clustered.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val ivf = IvfIndex.topK(clustered, probes, centroids, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val brute = graft.ext.Similarity.bruteForceTopK(clustered, probes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val agree = brute.count { case (key, id) => ivf.get(key).contains(id) }
+    assert(agree >= (brute.size * 0.9).toInt, s"$agree/${brute.size} agree")
+  }
+}
