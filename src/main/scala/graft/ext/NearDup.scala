@@ -94,6 +94,22 @@ object NearDup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** Bit-band decomposition of a simhash value: `nBands` contiguous
+    * bit slices as (band, band_value) structs. Pigeonhole guarantee:
+    * two signatures within hamming distance `nBands - 1` share at
+    * least one INTACT band — so a join on band equality is an EXACT
+    * (no recall loss) sub-quadratic candidate generator for
+    * `hamming <= nBands - 1`, the same explode-shuffle-join shape as
+    * MinHash banding.
+    */
+  def simhashBands(sh: Column, bits: Int, nBands: Int): Column =
+    array((0 until nBands).map { b =>
+      val lo = b * bits / nBands
+      val width = (b + 1) * bits / nBands - lo
+      struct(lit(b).as("band"),
+        (shiftright(sh, lo) % lit(1L << width)).as("bv"))
+    }: _*)
+
   // ------------------------------------------------- DuckDB SQL mirrors
 
   /** DuckDB mirrors, generated from the SAME constants as the Spark

@@ -91,16 +91,27 @@ object DedupQueries {
       bench = true),
 
     // ----- SimHash: 30-bit majority signature, pairs within hamming 3.
-    // Exact pair join here (oracle-checkable); the scale path buckets
-    // on bit-band prefixes exactly like MinHash bands.
+    // Sub-quadratic AND exact: candidates come from a join on
+    // MaxHamming+1 bit-bands — by pigeonhole every qualifying pair
+    // shares an intact band, so banding loses nothing and the oracle
+    // (which joins all-pairs in SQL) must produce identical rows.
     QueryDef(
       "dedup_simhash_pairs",
       (s, d) => {
         val base = hashed(docs(s, d))
           .withColumn("sh", NearDup.simhash(col("hs"), SimhashBits))
-        val a = base.select(col("doc_id").as("a_id"), col("s").as("s_a"), col("sh").as("sh_a"))
-        val b = base.select(col("doc_id").as("b_id"), col("s").as("s_b"), col("sh").as("sh_b"))
-        a.join(b, col("a_id") < col("b_id"))
+        val idx = base.select(col("doc_id"),
+            explode(NearDup.simhashBands(col("sh"), SimhashBits, MaxHamming + 1)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val cand = idx.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+          .join(idx.select(col("doc_id").as("b_id"), col("band"), col("bv")),
+            Seq("band", "bv"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val side = base.select(col("doc_id"), col("s"), col("sh"))
+        cand
+          .join(side.select(col("doc_id").as("a_id"), col("s").as("s_a"), col("sh").as("sh_a")), Seq("a_id"))
+          .join(side.select(col("doc_id").as("b_id"), col("s").as("s_b"), col("sh").as("sh_b")), Seq("b_id"))
           .withColumn("hd", NearDup.hamming(col("sh_a"), col("sh_b")))
           .filter(col("hd") <= MaxHamming)
           .select(col("a_id"), col("b_id"), col("hd"),

@@ -66,6 +66,22 @@ class NearDupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: signatures within hamming h share a band among h+1 bands (pigeonhole)") {
+    val prop = Prop.forAll(Gen.chooseNum(0L, (1L << 30) - 1), Gen.listOfN(3, Gen.chooseNum(0, 29))) {
+      (sig: Long, flips: List[Int]) =>
+        val other = flips.distinct.foldLeft(sig)((s, b) => s ^ (1L << b))
+        val df = Seq((sig, other)).toDF("a", "b")
+        val bands = df.select(
+          NearDup.simhashBands(col("a"), 30, 4).as("ba"),
+          NearDup.simhashBands(col("b"), 30, 4).as("bb")).head()
+        val ba = bands.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getInt(0), r.getLong(1)))
+        val bb = bands.getSeq[org.apache.spark.sql.Row](1).map(r => (r.getInt(0), r.getLong(1)))
+        ba.intersect(bb).nonEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("simhash: identical inputs → distance 0; near inputs → small distance") {
     def shOf(t: String): Long =
       Seq(t).toDF("text")
