@@ -29,11 +29,24 @@ object NearDup {
     */
   val P: Long = 1000000007L
 
+  /** Default fold seed for [[charHash]]. */
+  val Seed: Long = 7L
+
   /** Polynomial codepoint hash of a string column — the cross-engine
-    * primitive. Empty chars are filtered: Spark's `split(s, "")` keeps
-    * a trailing "" (Java split semantics) where DuckDB's does not.
+    * primitive. Dispatches to the native codegen'd
+    * [[graft.functions.PolyHash]] for the standard seed (one compiled
+    * loop per string vs one interpreted lambda per character);
+    * non-default seeds use the built-ins path.
     */
-  def charHash(s: Column, seed: Long = 7L): Column =
+  def charHash(s: Column, seed: Long = Seed): Column =
+    if (seed == Seed) call_function("poly_hash", s) else charHashHof(s, seed)
+
+  /** Built-ins-only formulation — the semantic reference NearDupSpec
+    * checks the native expression against. Empty chars are filtered:
+    * Spark's `split(s, "")` keeps a trailing "" (Java split semantics)
+    * where DuckDB's does not.
+    */
+  def charHashHof(s: Column, seed: Long = Seed): Column =
     aggregate(
       filter(split(s, ""), ch => length(ch) >= 1),
       lit(seed),

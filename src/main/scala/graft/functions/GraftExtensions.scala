@@ -19,5 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "vec_dot_f expects exactly 2 arguments")
         FloatVecDot(children.head, children(1))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "poly_hash expects exactly 1 argument")
+        PolyHash(children.head, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
+      }))
   }
 }

@@ -28,6 +28,18 @@ class NearDupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("native poly_hash == HOF charHash on ASCII and BMP unicode") {
+    val rnd = new scala.util.Random(3)
+    val ascii = Seq.fill(50)(rnd.alphanumeric.take(rnd.nextInt(30) + 1).mkString)
+    val bmp = Seq("héllo wörld", "日本語のテキスト", "русский текст", "", "mixed 中文 text")
+    val df = (ascii ++ bmp).toDF("t")
+    val diff = df.select(
+        NearDup.charHash(col("t")).as("fast"),
+        NearDup.charHashHof(col("t")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(","))
+  }
+
   test("shingles: distinct k-grams, empty below k tokens") {
     def sh(t: String) = Seq(t).toDF("t")
       .select(NearDup.shingles(split(col("t"), " "), 3)).head().getSeq[String](0)
