@@ -49,6 +49,51 @@ object EventQueries {
              |FROM events GROUP BY 1 ORDER BY ws""".stripMargin),
       bench = true),
 
+    // ----- sliding event-time window (2 h window, 1 h slide): each
+    // event lands in two windows; oracle = union of the two aligned
+    // time_buckets
+    QueryDef(
+      "t_sliding_window",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        // count/min/max: order-independent aggregates — a sliding
+        // window duplicates every row, and summation-order float drift
+        // on avg crossed the rounding boundary between engines
+        .agg(count(lit(1)).as("cnt"),
+             round(min("value"), 6).as("min_value"),
+             round(max("value"), 6).as("max_value"))
+        .select(col("window.start").as("ws"), col("cnt"),
+          col("min_value"), col("max_value"))
+        .orderBy("ws"),
+      Some("""SELECT ws, count(*) AS cnt, round(min(value),6) AS min_value,
+             |round(max(value),6) AS max_value FROM (
+             |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, value FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR AS ws, value FROM events)
+             |GROUP BY 1 ORDER BY ws""".stripMargin)),
+
+    // ----- as-of join: every event joined to the latest preceding
+    // (inclusive) click of the same user — DuckDB's native ASOF JOIN
+    // is the oracle; Spark side is graft.ops.AsofJoin's single-shuffle
+    // union+window composition
+    QueryDef(
+      "j2_asof_last_click",
+      (s, d) => {
+        val ev = events(s, d).select("event_id", "user_id", "ts", "value")
+        val clicks = events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.ops.AsofJoin.asofBackward(ev, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
+          .filter(col("asof_value").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_value").as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, l.ts, r.value AS click_value
+             |FROM events l ASOF JOIN
+             |  (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     // ----- session window per user (6 h gap; session ends gap after
     // the last event). Oracle = classic gaps-and-islands SQL: a new
     // island starts when the inter-event gap is >= the session gap —

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsofJoin
+
+/** As-of join semantics on hand-checkable data: backward-inclusive
+  * match, per-key isolation, null when nothing precedes, latest wins
+  * among multiple candidates.
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("backward-inclusive per-key as-of semantics") {
+    val left = Seq(
+      ("u1", t(0), 100L), // before any right row → null
+      ("u1", t(5), 101L), // exactly at right ts 5 → inclusive match
+      ("u1", t(9), 102L), // between 5 and 10 → still 5
+      ("u1", t(12), 103L), // after 10 → 10 (latest wins)
+      ("u2", t(12), 104L)) // other key: only u2's right rows count
+      .toDF("k", "ts", "event_id")
+    val right = Seq(
+      ("u1", t(5), 5.0), ("u1", t(10), 10.0), ("u2", t(3), 3.0))
+      .toDF("k", "ts", "v")
+
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(out.toSeq == Seq(
+      100L -> None, 101L -> Some(5.0), 102L -> Some(5.0),
+      103L -> Some(10.0), 104L -> Some(3.0)))
+  }
+
+  test("all left columns survive and payload is prefixed") {
+    val left = Seq(("u1", t(1), "payload")).toDF("k", "ts", "data")
+    val right = Seq(("u1", t(0), 7.0)).toDF("k", "ts", "v")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+    assert(out.columns.toSeq == Seq("k", "ts", "data", "asof_v"))
+    val r = out.head()
+    assert(r.getString(2) == "payload" && r.getDouble(3) == 7.0)
+  }
+}
