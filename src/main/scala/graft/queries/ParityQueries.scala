@@ -319,6 +319,40 @@ object ParityQueries {
              |GROUP BY 1 ORDER BY r_name""".stripMargin),
       bench = true),
 
+    // ----- A12 (extension): exact linear-interpolation quantiles per
+    // group (DuckDB quantile_cont mirror). The approx_percentile
+    // t-digest path is the 100 TB variant (sketch impls differ across
+    // engines → no oracle; see StatsSpec).
+    QueryDef(
+      "a12_quantiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 6).as("p25"),
+          round(element_at(col("q"), 2), 6).as("p50"),
+          round(element_at(col("q"), 3), 6).as("p75"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25),6) AS p25,
+             |round(quantile_cont(l_quantity, 0.5),6) AS p50,
+             |round(quantile_cont(l_quantity, 0.75),6) AS p75
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- A13 (extension): ROLLUP grouping sets (subtotals coalesced
+    // to 'ALL' so null-vs-null hash compare is unambiguous)
+    QueryDef(
+      "a13_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |count(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
     // ----- Headline: TPC-H Q1-style pricing summary over lineitem
     QueryDef(
       "q1_pricing_summary",
@@ -345,6 +379,21 @@ object ParityQueries {
              |count(*) AS count_order
              |FROM lineitem GROUP BY 1,2 ORDER BY l_returnflag, l_linestatus""".stripMargin),
       bench = true),
+
+    // ----- SQL entry point: the same engine surface through
+    // spark.sql over registered corpus views (TPC-H Q6 shape —
+    // filters reach the scan through the SQL parser path too)
+    QueryDef(
+      "sql_q6_discount_revenue",
+      (s, d) => {
+        graft.sources.Tables.registerViews(s, d)
+        s.sql("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+                |FROM lineitem
+                |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin)
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin)),
 
     // ----- Headline: fact-fact join + top-k revenue per order
     QueryDef(

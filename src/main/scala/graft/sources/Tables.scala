@@ -28,4 +28,17 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** All corpus table names (TESTDATA.md). */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every corpus table as a temp view, making the whole
+    * surface reachable through `spark.sql` — the engine's SQL entry
+    * point (same lineage as the DataFrame loaders, so events gets the
+    * identical nanos conversion).
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -35,6 +35,18 @@ class StatsSpec extends SparkSpec {
     assert(Stats.zScoreOutliers(df, "v").isEmpty)
   }
 
+  test("approx_percentile tracks exact percentile within tolerance") {
+    // the t-digest sketch is the 100 TB quantile path (a12's exact
+    // percentile needs the full sorted group); no oracle possible
+    // (engine sketches differ) so the contract is pinned here
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val row = df.agg(
+      expr("percentile(v, 0.5)"),
+      expr("approx_percentile(v, 0.5, 1000)")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx $approx vs exact $exact")
+  }
+
   test("single row (stddev undefined) yields no anomalies") {
     val df = Seq(5.0).toDF("v")
     assert(Stats.zScoreOutliers(df, "v").isEmpty)
