@@ -92,7 +92,8 @@ object EventQueries {
              |FROM events l ASOF JOIN
              |  (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
-             |ORDER BY l.event_id""".stripMargin)),
+             |ORDER BY l.event_id""".stripMargin),
+      bench = true),
 
     // ----- session window per user (6 h gap; session ends gap after
     // the last event). Oracle = classic gaps-and-islands SQL: a new
