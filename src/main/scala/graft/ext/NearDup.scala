@@ -95,9 +95,18 @@ object NearDup {
 
   /** SimHash over a hash-set column: bit b of the output is the
     * majority vote of bit b across the element hashes
-    * (2·|set-bit hashes| > |hashes|). `bits` ≤ 30 (hash space is < 2^30).
+    * (2·|set-bit hashes| > |hashes|). `bits` ≤ 30 (hash space is
+    * < 2^30). Dispatches to the native single-pass
+    * [[graft.functions.SimhashBits]] (the HOF version re-scans the
+    * array `bits` times, interpreted).
     */
   def simhash(hashes: Column, bits: Int = 30): Column =
+    call_function("simhash_bits", hashes, lit(bits))
+
+  /** Built-ins-only formulation — the semantic reference NearDupSpec
+    * checks the native expression against.
+    */
+  def simhashHof(hashes: Column, bits: Int = 30): Column =
     (0 until bits).map { b =>
       when(lit(2) * size(filter(hashes, h => shiftright(h, b) % 2 === 1)) > size(hashes),
         lit(1L << b)).otherwise(lit(0L))

@@ -26,5 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "poly_hash expects exactly 1 argument")
         PolyHash(children.head, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "simhash_bits expects (array, bits)")
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"simhash_bits bits argument must be an integer literal, got $other")
+        }
+        SimhashBits(children.head, bits)
+      }))
   }
 }

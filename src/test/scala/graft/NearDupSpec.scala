@@ -78,6 +78,17 @@ class NearDupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("native simhash_bits == HOF simhash on random hash sets") {
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.fill(100)(Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong(1L << 30)))
+    val df = rows.toDF("hs")
+    val diff = df.select(
+        NearDup.simhash(col("hs"), 30).as("fast"),
+        NearDup.simhashHof(col("hs"), 30).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(","))
+  }
+
   test("property: signatures within hamming h share a band among h+1 bands (pigeonhole)") {
     val prop = Prop.forAll(Gen.chooseNum(0L, (1L << 30) - 1), Gen.listOfN(3, Gen.chooseNum(0, 29))) {
       (sig: Long, flips: List[Int]) =>
