@@ -74,9 +74,32 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the text — identical hex in DuckDB. */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** BPE-ish regex tokenization (brief: "token counting — whitespace +
+    * a BPE-ish regex"): alpha runs, digit runs, and single
+    * non-alphanumeric marks as separate tokens. The pattern uses only
+    * character classes so Java (Spark) and RE2 (DuckDB) agree.
+    */
+  val regexTokenPattern: String = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit(regexTokenPattern), lit(0))
+
+  def regexTokenCount(text: Column): Column = size(regexTokens(text))
+
+  /** Count of punctuation/symbol tokens (the punct-ratio quality
+    * signal): regex tokens that contain no alphanumeric character.
+    */
+  def punctTokenCount(text: Column): Column =
+    size(filter(regexTokens(text), t => t.rlike("^[^a-zA-Z0-9]")))
+
   /** SQL mirrors (DuckDB dialect) for the oracle. */
   object Sql {
     val tokenCount = "len(string_split(text, ' '))"
+    val regexTokenCount =
+      s"len(regexp_extract_all(text, '${TextAnalysis.regexTokenPattern}'))"
+    val punctTokenCount =
+      s"len(list_filter(regexp_extract_all(text, '${TextAnalysis.regexTokenPattern}'), " +
+        "t -> regexp_matches(t, '^[^a-zA-Z0-9]')))"
     val distinctTokenCount = "len(list_distinct(string_split(text, ' ')))"
     def wordCount(word: String): String =
       s"len(list_filter(string_split(text, ' '), t -> t = '$word'))"

@@ -71,6 +71,45 @@ object TextQueries {
       Some("""SELECT doc_id, md5(text) AS fp FROM documents
              |WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)),
 
+    // ----- BPE-ish regex tokenization stats (brief: token counting —
+    // whitespace AND regex; punct ratio is the quality signal)
+    QueryDef(
+      "tx5_regex_token_stats",
+      (s, d) => docs(s, d)
+        .select(col("source"),
+          TextAnalysis.regexTokenCount(col("text")).as("rtok"),
+          TextAnalysis.punctTokenCount(col("text")).as("ptok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("rtok"), 6).as("avg_regex_tokens"),
+             round(avg("ptok"), 6).as("avg_punct_tokens"))
+        .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_docs,
+              |round(avg(${TS.regexTokenCount}),6) AS avg_regex_tokens,
+              |round(avg(${TS.punctTokenCount}),6) AS avg_punct_tokens
+              |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ----- set operations (INTERSECT / EXCEPT / UNION ALL)
+    QueryDef(
+      "set_ops_customer_orders",
+      (s, d) => {
+        val custs = graft.sources.Tables.table(s, d, "customer").select(col("c_custkey").as("k"))
+        val buyers = graft.sources.Tables.table(s, d, "orders").select(col("o_custkey").as("k"))
+        val withOrders = custs.intersect(buyers)
+          .agg(count(lit(1)).as("cnt")).withColumn("segment", lit("with_orders"))
+        val withoutOrders = custs.except(buyers)
+          .agg(count(lit(1)).as("cnt")).withColumn("segment", lit("without_orders"))
+        withOrders.unionAll(withoutOrders)
+          .select("segment", "cnt").orderBy("segment")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'with_orders' AS segment, count(*) AS cnt FROM
+             |  (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+             |UNION ALL
+             |SELECT 'without_orders' AS segment, count(*) AS cnt FROM
+             |  (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders))
+             |ORDER BY segment""".stripMargin)),
+
     // ----- exact-dedup summary over a deliberately doubled corpus
     // (the test corpus has no native dups; UNION ALL with itself makes
     // every doc a dup pair so the counts are non-trivial)
