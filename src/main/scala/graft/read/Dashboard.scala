@@ -67,9 +67,11 @@ object Dashboard {
     df.orderBy(col(tsCol).desc, col(tieBreak).desc).limit(1)
 
   /** F4 — time-range predicate (dashboard.py:473-480): rows within the
-    * trailing `minutes` of `asOf`; None = 'all' (no filter). Pushed down
-    * to the parquet scan; with date-partitioned sink tables this prunes
-    * partitions.
+    * trailing `minutes` of `asOf`; None = 'all' (no filter). Pushed
+    * down to the parquet scan as a row filter. NOTE: on the
+    * date-partitioned snapshot sink, partition PRUNING needs the
+    * batch_date bound too — use `ParquetSnapshotSink.readSince` as the
+    * source (SinkPruningSpec shows the difference).
     */
   def timeRange(df: DataFrame, tsCol: String, asOf: Column, minutes: Option[Int]): DataFrame =
     minutes match {

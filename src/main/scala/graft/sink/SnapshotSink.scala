@@ -37,6 +37,19 @@ final class ParquetSnapshotSink(root: String) extends SnapshotSink {
 
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$root/$table").drop("batch_date")
+
+  /** Time-bounded read that actually prunes: the dashboard's F4
+    * predicate is on the `timestamp` double, which alone would scan
+    * every partition — the equivalent `batch_date` bound is what the
+    * scan can prune on (PartitionFilters; SinkPruningSpec asserts it).
+    * `minEpochSeconds`'s own filter stays too, for sub-day precision.
+    */
+  def readSince(spark: SparkSession, table: String, minEpochSeconds: Double): DataFrame =
+    spark.read.parquet(s"$root/$table")
+      .filter(col("batch_date") >=
+        to_date(timestamp_seconds(lit(math.floor(minEpochSeconds).toLong))))
+      .filter(col("timestamp") >= minEpochSeconds)
+      .drop("batch_date")
 }
 
 /** In-memory sink for deterministic tests — buffers rows per table on
