@@ -89,6 +89,20 @@ object TextQueries {
               |round(avg(${TS.punctTokenCount}),6) AS avg_punct_tokens
               |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
 
+    // ----- vocabulary building: explode tokens → corpus-wide term
+    // frequencies, top-k with pinned tie-break (the vocab/frequency
+    // table an LLM tokenizer pipeline starts from)
+    QueryDef(
+      "tx6_vocab_topk",
+      (s, d) => docs(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(10),
+      Some("""SELECT token, count(*) AS freq FROM
+             |(SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY 1 ORDER BY freq DESC, token LIMIT 10""".stripMargin)),
+
     // ----- set operations (INTERSECT / EXCEPT / UNION ALL)
     QueryDef(
       "set_ops_customer_orders",
