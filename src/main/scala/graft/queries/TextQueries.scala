@@ -103,6 +103,56 @@ object TextQueries {
              |(SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |GROUP BY 1 ORDER BY freq DESC, token LIMIT 10""".stripMargin)),
 
+    // ----- the real pivot() API over a closed value set (P8's
+    // dynamic-wide-count shape as a first-class relational op)
+    QueryDef(
+      "p8b_pivot_api",
+      (s, d) => docs(s, d)
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("source"),
+      Some("""SELECT source,
+             |CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             |CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+             |CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+             |CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+             |CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+             |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ----- unpivot/melt: the inverse reshape (wide → long), mirrored
+    // by a UNION ALL oracle
+    QueryDef(
+      "p8c_unpivot_api",
+      (s, d) => docs(s, d)
+        .groupBy("source")
+        .agg(sum(when(col("lang") === "en", 1).otherwise(0)).as("en"),
+             sum(when(col("lang") === "de", 1).otherwise(0)).as("de"))
+        .unpivot(Array(col("source")), Array(col("en"), col("de")), "lang", "cnt")
+        .orderBy("source", "lang"),
+      Some("""SELECT source, lang, cnt FROM (
+             |  SELECT source, 'en' AS lang,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+             |  FROM documents GROUP BY source
+             |  UNION ALL
+             |  SELECT source, 'de' AS lang,
+             |    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+             |  FROM documents GROUP BY source)
+             |ORDER BY source, lang""".stripMargin)),
+
+    // ----- map-typed metadata access (the multimodal meta map as a
+    // query surface: element_at over map<string,string>)
+    QueryDef(
+      "m3_meta_map_access",
+      (s, d) => graft.ext.Multimodal.fromDocuments(docs(s, d))
+        .select(element_at(col("meta"), "lang").as("meta_lang"),
+                element_at(col("meta"), "source").as("meta_source"))
+        .groupBy("meta_lang", "meta_source").agg(count(lit(1)).as("cnt"))
+        .orderBy("meta_lang", "meta_source"),
+      Some("""SELECT lang AS meta_lang, source AS meta_source, count(*) AS cnt
+             |FROM documents GROUP BY 1,2 ORDER BY meta_lang, meta_source""".stripMargin)),
+
     // ----- set operations (INTERSECT / EXCEPT / UNION ALL)
     QueryDef(
       "set_ops_customer_orders",
