@@ -98,4 +98,50 @@ object Multimodal {
     import spark.implicits._
     fromDocuments(docs).as[MediaFile]
   }
+
+  /** STUB resize — stands in for an image scaler (no codecs in this
+    * container): deterministic byte subsampling to `targetBytes`
+    * (every ceil(n/target)-th byte). A real implementation swaps the
+    * body; the distributed shape (mapPartitions over typed rows,
+    * metadata updated alongside content) is what the engine owns.
+    */
+  def resizeStub(content: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (content.length <= targetBytes) content
+    else {
+      val step = math.ceil(content.length.toDouble / targetBytes).toInt
+      content.indices.collect { case i if i % step == 0 => content(i) }.toArray
+    }
+
+  /** STUB frame sampling — stands in for video frame extraction:
+    * content is treated as `nFrames` equal-length frames; every
+    * `stride`-th frame index is selected and its byte slice returned.
+    * The index arithmetic and slice plumbing are real; only the
+    * "decode" (slicing instead of an actual demuxer) is fake.
+    */
+  def frameSample(content: Array[Byte], nFrames: Int, stride: Int): Seq[(Int, Array[Byte])] = {
+    if (nFrames <= 0 || content.isEmpty) Seq.empty
+    else {
+      val frameLen = math.max(1, content.length / nFrames)
+      (0 until nFrames by stride).map { idx =>
+        val from = idx * frameLen
+        val until = math.min(content.length, from + frameLen)
+        idx -> content.slice(from, math.max(from, until))
+      }
+    }
+  }
+
+  /** Distributed resize + frame-sample pass (one fused mapPartitions,
+    * the per-partition-setup batch shape as extractFeatures).
+    */
+  def transcode(media: Dataset[MediaFile], targetBytes: Int,
+      nFrames: Int, stride: Int): Dataset[(Long, Int, Int, Int)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val resized = resizeStub(m.content, targetBytes)
+        val frames = frameSample(m.content, nFrames, stride)
+        (m.media_id, resized.length, frames.length, frames.map(_._2.length).sum)
+      }
+    }
+  }
 }

@@ -61,15 +61,19 @@ object TextQueries {
       Some(s"""SELECT lang, ${TS.langId} AS pred, count(*) AS cnt
               |FROM documents GROUP BY 1,2 ORDER BY lang, pred""".stripMargin)),
 
-    // ----- md5 document fingerprints (fingerprinting brief item)
+    // ----- document fingerprints: md5 plus the rolling polynomial
+    // hash (same primitive the shingle signatures use)
     QueryDef(
       "tx4_fingerprint_sample",
       (s, d) => docs(s, d)
         .filter(col("doc_id") < 50)
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          graft.ext.NearDup.charHash(col("text")).as("fp_roll"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, md5(text) AS fp FROM documents
-             |WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)),
+      Some(s"""SELECT doc_id, md5(text) AS fp,
+              |${graft.ext.NearDup.Sql.charHashSql("text")} AS fp_roll
+              |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)),
 
     // ----- BPE-ish regex tokenization stats (brief: token counting —
     // whitespace AND regex; punct ratio is the quality signal)

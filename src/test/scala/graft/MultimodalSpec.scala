@@ -42,6 +42,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f2.byte_histogram.sum == 0.0)
   }
 
+  test("resizeStub and frameSample are deterministic with exact shapes") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val resized = Multimodal.resizeStub(bytes, 25)
+    assert(resized.length == 25 && resized(1) == 4.toByte) // every 4th byte
+    assert(Multimodal.resizeStub(bytes, 200).sameElements(bytes))
+
+    val frames = Multimodal.frameSample(bytes, nFrames = 10, stride = 3)
+    assert(frames.map(_._1) == Seq(0, 3, 6, 9))
+    assert(frames.forall(_._2.length == 10)) // 100 bytes / 10 frames
+    assert(frames.head._2.head == 0.toByte && frames(1)._2.head == 30.toByte)
+    assert(Multimodal.frameSample(Array.emptyByteArray, 10, 3).isEmpty)
+  }
+
+  test("transcode runs the fused resize+frame pass distributed") {
+    val media = Seq(
+      MediaFile(1L, "video/fake", (0 until 100).map(_.toByte).toArray, Map.empty))
+      .toDS()
+    val out = Multimodal.transcode(media, targetBytes = 25, nFrames = 10, stride = 3).head()
+    assert(out == ((1L, 25, 4, 40)))
+  }
+
   test("SinkReset truncates and recreates all 8 sink tables (S6)") {
     val root = java.nio.file.Files.createTempDirectory("graft_reset").toString
     val sink = new ParquetSnapshotSink(root)
