@@ -34,6 +34,10 @@ object Bench {
 
     val names = SparkEntry.benchQueries
     names.foreach(run) // warm-up: JIT/codegen cost lands outside the measured run
+    // drop DATA caches the warm-up populated (e.g. the dedup signature
+    // table) so measured times include every stage a cold run pays;
+    // JVM/codegen warmth is retained, which is what warm-up is for
+    spark.catalog.clearCache()
     val results = names.map(n => n -> run(n))
 
     def esc(s: String): String =

@@ -24,7 +24,9 @@ object Sessions {
     val shufflePartitions =
       if (cpus == "*") Runtime.getRuntime.availableProcessors.toString else cpus
     val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // SPARK_MASTER lets the deployment entry points (CensusApp)
+      // target a real cluster; everything else defaults to local[N]
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName(app)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")

@@ -3,7 +3,6 @@ package graft.ext
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index — the clustering-based alternative to
@@ -75,9 +74,6 @@ object IvfIndex {
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col(probeIdCol) =!= col(idCol))
       .withColumn("cos", round(Similarity.cosine(col(probeVecCol), col(vecCol)), 6))
-    val w = Window.partitionBy(probeIdCol).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col(probeIdCol), col(idCol), col("cos"), col("rk"))
+    Similarity.rankTopK(scored, k, probeIdCol, idCol)
   }
 }

@@ -65,13 +65,23 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       probeIdCol: String = "probe_id", probeVecCol: String = "probe_vec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = corpus
       .join(broadcast(probes), col(idCol) =!= col(probeIdCol))
       .withColumn("cos", round(cosine(col(probeVecCol), col(vecCol)), 6))
+    rankTopK(scored, k, probeIdCol, idCol)
+  }
+
+  /** The shared top-k re-rank contract (brute-force, LSH, and IVF all
+    * emit it): rank per probe on the 6-dp-rounded score with an id
+    * tie-break, keep k, project (probe, id, cos, rk). `rk` cast to
+    * long: DuckDB `row_number()` is BIGINT and the oracle hash-compare
+    * is schema-sensitive. Spark plans the window as
+    * WindowGroupLimit partial/final — map-side top-k, no skew funnel.
+    */
+  def rankTopK(scored: DataFrame, k: Int,
+      probeIdCol: String = "probe_id", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(probeIdCol).orderBy(col("cos").desc, col(idCol))
-    // rank cast to long: DuckDB row_number() is BIGINT and the oracle
-    // hash-compare is schema-sensitive
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col(probeIdCol), col(idCol), col("cos"), col("rk"))

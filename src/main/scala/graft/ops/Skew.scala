@@ -65,7 +65,10 @@ object Skew {
   def saltedCountDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
       buckets: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
-    df.withColumn("__salt", salt(buckets, Some(col(valueCol))))
+    // SQL count(DISTINCT x) ignores NULLs — drop them up front or the
+    // two-stage count would count NULL as a distinct value
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__salt", salt(buckets, Some(col(valueCol))))
       .groupBy(keyCols ++ Seq(col("__salt"), col(valueCol)): _*)
       .agg(lit(1).as("__one"))
       .groupBy(keyCols: _*)

@@ -26,9 +26,12 @@ object MultimodalQueries {
           lower(hex(substring(col("content"), 1, 4))).as("prefix_hex"))
         .filter(col("media_id") < 50)
         .orderBy("media_id"),
+      // prefix is BYTE-sliced on both sides (substr(hex(blob),1,8) =
+      // first 4 bytes) — a character-sliced oracle would diverge on
+      // any multibyte text
       Some("""SELECT doc_id AS media_id, 'text/' || lang AS kind,
              |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |lower(hex(encode(substr(text, 1, 4)))) AS prefix_hex
+             |lower(substr(hex(encode(text)), 1, 8)) AS prefix_hex
              |FROM documents WHERE doc_id < 50 ORDER BY media_id""".stripMargin)),
 
     // ----- distributed decode/feature extraction via mapPartitions

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.Similarity
@@ -135,10 +134,7 @@ object SimilarityQueries {
           .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
           .withColumn("cos",
             round(Similarity.cosine(col("probe_vec"), col("embedding")), 6))
-        val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-        scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
-          .select("probe_id", "vec_id", "cos", "rk")
-          .orderBy("probe_id", "rk")
+        Similarity.rankTopK(scored, 5).orderBy("probe_id", "rk")
       },
       None),
   )

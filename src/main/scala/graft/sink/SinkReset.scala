@@ -26,8 +26,11 @@ object SinkReset {
       val dir = Paths.get(root, name)
       val removed = if (Files.exists(dir)) {
         var count = 0L
-        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach { p => if (Files.isRegularFile(p)) count += 1; Files.delete(p) }
+        val walk = Files.walk(dir)
+        try
+          walk.sorted(Comparator.reverseOrder[Path]())
+            .forEach { p => if (Files.isRegularFile(p)) count += 1; Files.delete(p) }
+        finally walk.close() // Files.walk holds directory handles open
         count
       } else 0L
       Files.createDirectories(dir)

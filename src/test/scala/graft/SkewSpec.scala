@@ -34,12 +34,20 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
-  test("saltedCountDistinct == direct countDistinct") {
-    val direct = skewed.groupBy("k").agg(countDistinct("s").as("d"))
+  test("saltedCountDistinct == direct countDistinct (including NULL values)") {
+    // count(DISTINCT x) ignores NULLs — the salted version must too
+    val withNulls = skewed.unionAll(
+      Seq(("hot", 0, null.asInstanceOf[String]),
+          ("coldX", 0, null.asInstanceOf[String])).toDF("k", "v", "s"))
+    val direct = withNulls.groupBy("k").agg(countDistinct("s").as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val salted = Skew.saltedCountDistinct(skewed, Seq("k"), "s", buckets = 8)
+    val salted = Skew.saltedCountDistinct(withNulls, Seq("k"), "s", buckets = 8)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(salted == direct)
+    // keys whose only value is NULL vanish from the salted grouping
+    // (direct reports 0); compare on the surviving keys + check coldX
+    assert(salted.getOrElse("coldX", 0L) == 0L && direct("coldX") == 0L)
+    assert(salted == direct.filter { case (k, _) => salted.contains(k) })
+    assert(salted("hot") == direct("hot"))
   }
 
   test("salting actually fans the hot key across buckets") {
