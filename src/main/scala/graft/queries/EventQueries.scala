@@ -95,6 +95,50 @@ object EventQueries {
              |ORDER BY l.event_id""".stripMargin),
       bench = true),
 
+    // ----- range join: every event mapped to its containing session
+    // interval via the bucketed point-in-interval join (sessions come
+    // from the same session_window op, so the per-session recount
+    // must equal the window's own count — and the oracle checks it
+    // independently with a plain range-predicate join)
+    QueryDef(
+      "j3_range_join_sessions",
+      (s, d) => {
+        val ev = events(s, d).select("user_id", "ts")
+        val sessions = events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+          .agg(count(lit(1)).as("window_cnt"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("window_cnt"))
+        graft.ops.RangeJoin.pointInInterval(
+            ev, sessions, Seq("user_id"), "ts", "session_start", "session_end",
+            bucketSeconds = 6 * 3600L)
+          .groupBy("user_id", "session_start", "window_cnt")
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("user_id"), col("session_start"),
+            col("cnt"), (col("cnt") === col("window_cnt")).as("counts_agree"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""SELECT s.user_id, s.session_start, count(*) AS cnt,
+             |  count(*) = s.cnt AS counts_agree
+             |FROM events l JOIN
+             |(SELECT user_id, min(ts) AS session_start,
+             |        max(ts) + INTERVAL 6 HOUR AS session_end, count(*) AS cnt
+             | FROM (SELECT user_id, ts,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |       FROM (SELECT user_id, ts,
+             |               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                    >= INTERVAL 6 HOUR
+             |               THEN 1 ELSE 0 END AS new_s
+             |             FROM events))
+             | GROUP BY user_id, sid) s
+             |ON l.user_id = s.user_id AND l.ts >= s.session_start AND l.ts < s.session_end
+             |GROUP BY s.user_id, s.session_start, s.cnt
+             |ORDER BY s.user_id, s.session_start""".stripMargin)),
+
     // ----- session window per user (6 h gap; session ends gap after
     // the last event). Oracle = classic gaps-and-islands SQL: a new
     // island starts when the inter-event gap is >= the session gap —

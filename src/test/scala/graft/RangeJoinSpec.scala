@@ -1,0 +1,41 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.RangeJoin
+
+/** Bucketed point-in-interval join semantics: start-inclusive,
+  * end-exclusive, per-key isolation, inner drop for uncovered points,
+  * and correctness across bucket boundaries (interval spanning
+  * multiple buckets; point and interval start in different buckets).
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+
+  test("containment semantics across bucket boundaries") {
+    val points = Seq(
+      ("u1", t(0), 1L),   // == start → included
+      ("u1", t(59), 2L),  // inside, later bucket than start (60s buckets)
+      ("u1", t(90), 3L),  // == end → excluded
+      ("u1", t(200), 4L), // outside all intervals → dropped
+      ("u2", t(10), 5L))  // other key, interval only on u1 → dropped
+      .toDF("k", "ts", "pid")
+    val intervals = Seq(("u1", t(0), t(90), "s1")).toDF("k", "s", "e", "sid")
+
+    val out = RangeJoin.pointInInterval(points, intervals,
+        Seq("k"), "ts", "s", "e", bucketSeconds = 60L)
+      .select("pid", "sid").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(out.toSeq == Seq((1L, "s1"), (2L, "s1")))
+  }
+
+  test("a point matches exactly one interval (no bucket-duplicate rows)") {
+    val points = Seq(("u1", t(30), 1L)).toDF("k", "ts", "pid")
+    // interval spans 4 buckets at 60s width; the point must appear once
+    val intervals = Seq(("u1", t(0), t(240), "wide")).toDF("k", "s", "e", "sid")
+    val out = RangeJoin.pointInInterval(points, intervals,
+      Seq("k"), "ts", "s", "e", bucketSeconds = 60L)
+    assert(out.count() == 1)
+  }
+}
