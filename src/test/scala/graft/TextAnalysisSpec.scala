@@ -64,6 +64,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 3L, 3L)))
   }
 
+  test("count-min sketch token frequencies track exact counts (sketch surface)") {
+    // the constant-memory frequency sketch for 100 TB vocab triage:
+    // mergeable across partitions, overestimates only
+    val tokens = (Seq.fill(500)("the") ++ Seq.fill(100)("spark") ++
+      (1 to 400).map(i => s"rare$i")).toDF("token")
+    val bytes = tokens
+      .select(expr("count_min_sketch(token, 0.0001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(sketch.estimateCount("the") >= 500 && sketch.estimateCount("the") <= 520)
+    assert(sketch.estimateCount("spark") >= 100 && sketch.estimateCount("spark") <= 120)
+    assert(sketch.estimateCount("absent") <= 20)
+  }
+
   test("approxDistinct lands within the rsd bound on distinct-heavy input") {
     val df = (1 to 2000).map(i => s"doc-$i").toDF("text")
     val r = Dedup.approxDistinct(df, col("text"), rsd = 0.02).head()
