@@ -38,6 +38,11 @@ object Sessions {
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate() silently ignores every builder config — including
+    // spark.sql.extensions — when a session already exists in this JVM;
+    // re-register the native functions on whatever session came back so
+    // similarity/dedup queries can never hit undefined-function errors
+    graft.functions.GraftFunctions.ensureRegistered(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }

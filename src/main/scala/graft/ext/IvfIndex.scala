@@ -38,10 +38,12 @@ object IvfIndex {
     * (|v|² is rank-invariant but kept so distances are true squared L2).
     */
   private def cellEntries(vec: Column, centroids: Seq[Array[Double]]): Seq[Column] = {
-    val vNorm2 = Similarity.dotHof(vec, vec)
+    // both dots native codegen'd: vec_dot_f for |v|², vec_dot_fd for
+    // the centroid-literal projections (round-2 verdict item 5 — the
+    // HOF fallback ran nlist interpreted 64-element dots per row here)
+    val vNorm2 = Similarity.dot(vec, vec)
     centroids.zipWithIndex.map { case (c, i) =>
-      val cCol = array(c.map(lit(_)): _*)
-      val dist2 = vNorm2 - lit(2.0) * Similarity.dotHof(vec, cCol) + lit(c.map(x => x * x).sum)
+      val dist2 = vNorm2 - lit(2.0) * Similarity.dotLit(vec, c) + lit(c.map(x => x * x).sum)
       struct(dist2.as("dist"), lit(i).as("cell"))
     }
   }

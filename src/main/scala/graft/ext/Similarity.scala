@@ -48,6 +48,16 @@ object Similarity {
       lit(0.0),
       (acc, v) => acc + v)
 
+  /** Dot product of a float-vector column with a double-array plan
+    * literal (LSH planes, IVF centroids) — the native codegen'd
+    * [[graft.functions.FloatDoubleVecDot]]. vec_dot_f's strict
+    * float×float signature can't take double literals, and the HOF
+    * fallback ran interpreted on the map-side hot path (round-2
+    * verdict item 5).
+    */
+  def dotLit(vec: Column, constants: Array[Double]): Column =
+    call_function("vec_dot_fd", vec, array(constants.map(lit(_)): _*))
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity: dot / (norm(a) * norm(b)) — op order pinned for
@@ -105,10 +115,7 @@ object Similarity {
     */
   def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, j) =>
-      // dotHof: planes are double literals (projection precision),
-      // outside vec_dot_f's strict float×float signature
-      val planeCol = array(plane.map(lit(_)): _*)
-      when(dotHof(vec, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotLit(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Explode each row into `tables` (table_id, bucket) keys — the

@@ -1,8 +1,64 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** The graft native-function registry, shared by the extension class
+  * (fresh sessions) and [[ensureRegistered]] (sessions that already
+  * existed when `getOrCreate()` ran — builder configs, including
+  * `spark.sql.extensions`, are silently ignored for those).
+  */
+object GraftFunctions {
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      new FunctionIdentifier("vec_dot_f"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot_f"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot_f expects exactly 2 arguments")
+        FloatVecDot(children.head, children(1))
+      }),
+    (
+      new FunctionIdentifier("vec_dot_fd"),
+      new ExpressionInfo(classOf[FloatDoubleVecDot].getName, "vec_dot_fd"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot_fd expects exactly 2 arguments")
+        FloatDoubleVecDot(children.head, children(1))
+      }),
+    (
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "poly_hash expects exactly 1 argument")
+        PolyHash(children.head, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
+      }),
+    (
+      new FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "simhash_bits expects (array, bits)")
+        val bits = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"simhash_bits bits argument must be an integer literal, got $other")
+        }
+        SimhashBits(children.head, bits)
+      }),
+  )
+
+  /** Register every graft function on `s` if absent. Needed because
+    * `SparkSession.builder.getOrCreate()` ignores `spark.sql.extensions`
+    * when a session already exists in the JVM — without this, a caller
+    * that built any other session first would get undefined-function
+    * errors from every similarity/dedup query.
+    */
+  def ensureRegistered(s: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      if (!s.sessionState.functionRegistry.functionExists(ident))
+        s.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the official extension point (`spark.sql.extensions=
@@ -11,32 +67,6 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * on any executor without driver-side registry mutation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit = {
-    extensions.injectFunction((
-      new FunctionIdentifier("vec_dot_f"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot_f"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2, "vec_dot_f expects exactly 2 arguments")
-        FloatVecDot(children.head, children(1))
-      }))
-    extensions.injectFunction((
-      new FunctionIdentifier("poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 1, "poly_hash expects exactly 1 argument")
-        PolyHash(children.head, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
-      }))
-    extensions.injectFunction((
-      new FunctionIdentifier("simhash_bits"),
-      new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2, "simhash_bits expects (array, bits)")
-        val bits = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"simhash_bits bits argument must be an integer literal, got $other")
-        }
-        SimhashBits(children.head, bits)
-      }))
-  }
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(extensions.injectFunction)
 }

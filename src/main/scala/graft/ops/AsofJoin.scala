@@ -11,11 +11,22 @@ import org.apache.spark.sql.functions._
   *
   * Composition instead of a custom physical operator (preference (a)
   * of the escalation ladder): tag both sides, UNION, and take
-  * `last(payload, ignoreNulls)` over a per-key window ordered by
+  * `last(marker, ignoreNulls)` over a per-key window ordered by
   * (ts, side) with an unbounded-preceding frame, then keep the left
-  * rows. Cost is ONE hash shuffle on the key plus a per-partition
-  * sort — linear, scale-safe, and skew-tolerant under AQE — versus a
-  * naive range join whose per-key cross product is quadratic.
+  * rows. The marker is a non-null STRUCT wrapping the payload columns,
+  * not the payload itself — so the latest matched right row wins even
+  * when its payload value is NULL (DuckDB ASOF JOIN returns the matched
+  * row's NULL; filling the raw payload would skip it and carry an older
+  * row's value forward). Cost is ONE hash shuffle on the key plus a
+  * per-partition sort — linear and scale-safe — versus a naive range
+  * join whose per-key cross product is quadratic.
+  *
+  * Hot-key caveat: AQE splits skewed JOIN partitions, not skewed
+  * WINDOW partitions — a pathologically hot key still funnels its
+  * whole history through one task's sort. Mitigation at that extreme:
+  * pre-split the key range (e.g. bucket by time epoch and as-of join
+  * within each bucket, seeding each bucket with the previous bucket's
+  * last right row) or pre-bucket both sides on (key, coarse-time).
   *
   * Right rows sort before left rows at equal timestamps, so the match
   * is backward-INCLUSIVE (r.ts <= l.ts), the same contract as DuckDB's
@@ -33,27 +44,32 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
-    val outPayload = payload.map(prefix + _)
+    // non-null marker struct: presence = "a right row exists at-or-before",
+    // independent of whether its payload values are NULL
+    val markerType = StructType(
+      payload.map(p => StructField(p, right.schema(p).dataType, nullable = true)))
 
     val taggedRight = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(prefix + p)): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__m"): _*)
     val taggedLeft = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(prefix + p)): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(markerType).as("__m"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = outPayload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__m").getField(p).as(prefix + p)): _*)
   }
 }

@@ -23,6 +23,15 @@ object RangeJoin {
     * no interval are dropped. Output: all point columns + all interval
     * columns (start/end included).
     *
+    * Malformed intervals (`end <= start`) produce no buckets and are
+    * dropped — unguarded, Spark's `sequence` would count DOWN for an
+    * inverted range and emit spurious rows (and a corrupt `end << start`
+    * could allocate a huge descending array). Fan-out bound: `sequence`
+    * hard-fails past its array-size cap, and long before that a large
+    * per-interval bucket count multiplies the shuffle — size
+    * `bucketSeconds` near the typical interval length so covered
+    * buckets per interval stay small (1-2 for well-sized buckets).
+    *
     * @param bucketSeconds time-bucket width for the equi-join key
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame, keys: Seq[String],
@@ -31,11 +40,14 @@ object RangeJoin {
     val stepMicros = bucketSeconds * 1000000L
     val p = points.withColumn("__bucket",
       floor(unix_micros(col(tsCol)) / stepMicros))
-    // end is exclusive → last covered bucket is floor((end-1µs)/step)
+    // end is exclusive → last covered bucket is floor((end-1µs)/step);
+    // empty/inverted intervals explode an empty array (row dropped)
     val iv = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(unix_micros(col(startCol)) / stepMicros),
-        floor((unix_micros(col(endCol)) - 1) / stepMicros))))
+      explode(when(col(endCol) > col(startCol),
+        sequence(
+          floor(unix_micros(col(startCol)) / stepMicros),
+          floor((unix_micros(col(endCol)) - 1) / stepMicros)))
+        .otherwise(array().cast("array<long>"))))
     p.join(iv, keys :+ "__bucket")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")

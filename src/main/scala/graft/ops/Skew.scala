@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * Join-side skew is deliberately NOT hand-salted here: AQE's
   * skew-join splitting (enabled in [[graft.Sessions]]) replans
   * oversized partitions at runtime from measured sizes, which beats
-  * static salting for joins.
+  * static salting for joins. AqeSkewJoinSpec demonstrates the split
+  * firing (`skew=true` in the final adaptive plan) on a skewed join.
   */
 object Skew {
 
@@ -65,13 +66,15 @@ object Skew {
   def saltedCountDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
       buckets: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
-    // SQL count(DISTINCT x) ignores NULLs — drop them up front or the
-    // two-stage count would count NULL as a distinct value
-    df.filter(col(valueCol).isNotNull)
-      .withColumn("__salt", salt(buckets, Some(col(valueCol))))
+    // NULL values are kept through stage 1 (they collapse to one group
+    // per key — hash(NULL) is a constant salt) and excluded only by the
+    // stage-2 `count(valueCol)`: SQL count(DISTINCT x) ignores NULLs but
+    // still RETURNS the key with 0 when every value is NULL — filtering
+    // NULL rows up front would drop those keys from the output entirely
+    df.withColumn("__salt", salt(buckets, Some(col(valueCol))))
       .groupBy(keyCols ++ Seq(col("__salt"), col(valueCol)): _*)
       .agg(lit(1).as("__one"))
       .groupBy(keyCols: _*)
-      .agg(count(lit(1)).as(s"distinct_$valueCol"))
+      .agg(count(col(valueCol)).as(s"distinct_$valueCol"))
   }
 }

@@ -36,6 +36,21 @@ class AsofJoinSpec extends SparkSpec {
       103L -> Some(10.0), 104L -> Some(3.0)))
   }
 
+  test("a matched right row with NULL payload wins (not carried over)") {
+    // DuckDB ASOF JOIN returns the matched row's NULL — filling the raw
+    // payload with last(ignoreNulls) would skip it and wrongly carry the
+    // older row's 5.0 forward
+    val left = Seq(("u1", t(12), 1L)).toDF("k", "ts", "event_id")
+    val right = Seq(
+      ("u1", t(5), Some(5.0)),
+      ("u1", t(10), None: Option[Double])) // the true as-of match, NULL payload
+      .toDF("k", "ts", "v")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .head()
+    assert(out.isNullAt(out.fieldIndex("asof_v")),
+      s"expected matched-row NULL, got $out")
+  }
+
   test("all left columns survive and payload is prefixed") {
     val left = Seq(("u1", t(1), "payload")).toDF("k", "ts", "data")
     val right = Seq(("u1", t(0), 7.0)).toDF("k", "ts", "v")

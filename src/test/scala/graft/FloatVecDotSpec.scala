@@ -31,6 +31,28 @@ class FloatVecDotSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("vec_dot_fd (float×double-literal) == HOF dot bit-for-bit") {
+    val rnd = new scala.util.Random(12)
+    val planes = Array.fill(64)(rnd.nextGaussian())
+    val planeCol = array(planes.map(lit(_)): _*)
+    val df = Seq.fill(200)(Array.fill(64)(rnd.nextGaussian().toFloat)).toDF("a")
+    val diff = df.select(
+        Similarity.dotLit(col("a"), planes).as("fast"),
+        Similarity.dotHof(col("a"), planeCol).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(","))
+  }
+
+  test("vec_dot_fd participates in whole-stage codegen") {
+    val planes = Array(1.5, -2.5)
+    val df = spark.range(8)
+      .select(array((col("id") + 1).cast("float"), (col("id") + 2).cast("float")).as("a"))
+      .select(Similarity.dotLit(col("a"), planes).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*") && l.contains("vec_dot_fd")), plan)
+    assert(df.collect().length == 8)
+  }
+
   test("null on length mismatch, null-intolerant on null input") {
     val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
     assert(df.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))

@@ -30,6 +30,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "s1"), (2L, "s1")))
   }
 
+  test("inverted/empty intervals produce no matches (no descending sequence)") {
+    // unguarded, sequence(floor(start), floor(end-1µs)) counts DOWN for
+    // end <= start and emits spurious bucket rows
+    val points = Seq(("u1", t(30), 1L)).toDF("k", "ts", "pid")
+    val intervals = Seq(
+      ("u1", t(90), t(0), "inverted"), // end << start
+      ("u1", t(30), t(30), "empty"))   // end == start
+      .toDF("k", "s", "e", "sid")
+    val out = RangeJoin.pointInInterval(points, intervals,
+      Seq("k"), "ts", "s", "e", bucketSeconds = 60L)
+    assert(out.isEmpty, out.collect().mkString(","))
+  }
+
   test("a point matches exactly one interval (no bucket-duplicate rows)") {
     val points = Seq(("u1", t(30), 1L)).toDF("k", "ts", "pid")
     // interval spans 4 buckets at 60s width; the point must appear once

@@ -43,11 +43,10 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val salted = Skew.saltedCountDistinct(withNulls, Seq("k"), "s", buckets = 8)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // keys whose only value is NULL vanish from the salted grouping
-    // (direct reports 0); compare on the surviving keys + check coldX
-    assert(salted.getOrElse("coldX", 0L) == 0L && direct("coldX") == 0L)
-    assert(salted == direct.filter { case (k, _) => salted.contains(k) })
-    assert(salted("hot") == direct("hot"))
+    // strict equality: keys whose only value is NULL must appear with 0,
+    // exactly as count(DISTINCT) reports them
+    assert(direct("coldX") == 0L)
+    assert(salted == direct)
   }
 
   test("salting actually fans the hot key across buckets") {
