@@ -148,4 +148,39 @@ object Similarity {
       .select("a_id", "b_id")
       .distinct()
   }
+
+  // ------------------------------------------------- DuckDB SQL mirrors
+
+  /** DuckDB mirrors generated from the SAME seeded plane constants as
+    * the Spark plans (the [[graft.ext.NearDup.Sql.minhashCols]] trick),
+    * so LSH queries are hash-verified, not rows-only. Scala's
+    * `Double.toString` is the shortest representation that round-trips,
+    * DuckDB's parser recovers the identical IEEE double, and
+    * `list_dot_product` over DOUBLE[] sums left-to-right exactly like
+    * vec_dot_fd — so every sign decision, and therefore every bucket id,
+    * matches bit-for-bit across engines.
+    */
+  object Sql {
+    /** Mirror of [[bucketId]]: sign-bit bucket of `vecExpr` (a DOUBLE[]
+      * SQL expression) for one table's planes.
+      */
+    def bucketSql(vecExpr: String, planes: Seq[Array[Double]]): String =
+      planes.zipWithIndex.map { case (plane, j) =>
+        val lits = plane.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($vecExpr, $lits::DOUBLE[]) >= 0 " +
+          s"THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString("(", " + ", ")")
+
+    /** `b0 .. b(T-1)` bucket columns, one per LSH table. */
+    def bucketCols(vecExpr: String, planes: Seq[Seq[Array[Double]]]): String =
+      planes.zipWithIndex.map { case (tablePlanes, t) =>
+        s"${bucketSql(vecExpr, tablePlanes)} AS b$t"
+      }.mkString(", ")
+
+    /** Bucket-equality predicate between aliases `a` and `b`: collide
+      * in at least one table (mirror of the candidate join).
+      */
+    def anyBucketEq(a: String, b: String, tables: Int): String =
+      (0 until tables).map(t => s"$a.b$t = $b.b$t").mkString(" OR ")
+  }
 }

@@ -11,9 +11,12 @@ import graft.ext.Similarity
   * Oracle mirrors pin the exact op order of [[Similarity.cosine]]
   * (`list_dot_product` / `sqrt(..)*sqrt(..)`), and every ranking is on
   * the 6-dp-rounded score with an id tie-break, so hash-compare is
-  * stable across engines. LSH queries have no SQL mirror (the seeded
-  * hyperplane constants live in the plan) → rows-only check; their
-  * semantics are locked by SimilaritySpec instead.
+  * stable across engines. LSH queries mirror the seeded hyperplane
+  * constants into the SQL as double literals ([[Similarity.Sql]], the
+  * same trick NearDup.Sql.minhashCols uses for MinHash params) — so
+  * sim3/sim4 are hash-verified too. Only IVF (whose centroids come
+  * from an iterative MLlib k-means fit, not a closed-form constant)
+  * stays rows-only, recall-locked by IvfSpec.
   */
 object SimilarityQueries {
 
@@ -30,6 +33,24 @@ object SimilarityQueries {
   private val NBits = 8
   private val NTables = 4
   private lazy val planes = Similarity.hyperplanes(Dim, NBits, NTables)
+
+  /** Shared oracle CTE: per-vector LSH bucket ids b0..b3 (plane
+    * constants as SQL literals — bit-identical sign decisions).
+    */
+  private lazy val SigSql =
+    s"""WITH sig AS (SELECT vec_id,
+       |  ${Similarity.Sql.bucketCols("embedding::DOUBLE[]", planes)}
+       |FROM embeddings)""".stripMargin
+
+  /** Near-dup candidate planes: at this fixture's threshold (0.45 —
+    * planted pairs sit barely above the random-pair background, see
+    * dedup_embedding_near) recall-1.0 demands heavy OR-amplification:
+    * 80 tables × 4 bits puts the per-pair miss probability at
+    * (1 − p_bit(0.45)^4)^80 ≈ 2e-7 (p_bit = 1 − arccos(0.45)/π ≈ 0.65).
+    */
+  private val NearDupBits = 4
+  private val NearDupTables = 80
+  private lazy val nearDupPlanes = Similarity.hyperplanes(Dim, NearDupBits, NearDupTables)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -71,18 +92,31 @@ object SimilarityQueries {
              | FROM embeddings)
              |GROUP BY 1 ORDER BY label""".stripMargin)),
 
-    // ----- embedding-cosine near-dup pairs, exact all-pairs baseline.
-    // Correct at verify scale; the 100 TB path is sim4's LSH bucketing
-    // (compare-within-bucket), never this nested-loop join.
+    // ----- embedding-cosine near-dup pairs. Candidates from banded
+    // hyperplane LSH (shuffled equi-join on (table, bucket) keys — no
+    // nested-loop/cartesian anywhere in the plan), then exact cosine
+    // re-check. The ORACLE is still the all-pairs SQL, so any recall
+    // loss in the candidate generator fails the hash — recall 1.0 is
+    // verified, not assumed. Honest scale note: this fixture's 0.45
+    // threshold sits just above the random-pair background, so the
+    // amplification needed for recall 1.0 (80×4-bit tables) collides
+    // most pairs and the exact re-check stays ~quadratic in WORK; the
+    // win over the old BroadcastNestedLoopJoin is plan SHAPE — hash
+    // shuffles that distribute and AQE-split instead of one task
+    // scanning a broadcast corpus. At production near-dup thresholds
+    // (cos ≥ 0.7, p_bit ≈ 0.75) the same operator prunes to a few
+    // percent of pairs with a handful of tables.
     QueryDef(
       "dedup_embedding_near",
       (s, d) => {
         val e = emb(s, d)
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos",
-            round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6))
+        val cand = Similarity.lshCandidatePairs(e, "vec_id", "embedding", nearDupPlanes)
+        cand
+          .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), Seq("a_id"))
+          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb")), Seq("b_id"))
+          .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
           .filter(col("cos") > 0.45)
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cos"))
+          .select(col("a_id"), col("b_id"), col("cos"))
           .orderBy("a_id", "b_id")
       },
       Some(s"""SELECT a_id, b_id, cos FROM
@@ -91,13 +125,18 @@ object SimilarityQueries {
               |WHERE cos > 0.45 ORDER BY a_id, b_id""".stripMargin)),
 
     // ----- LSH bucket histogram: the index the scale path shuffles on.
-    // Seeded hyperplane constants are plan literals → no SQL mirror.
+    // Hash-verified — the seeded plane constants are mirrored into the
+    // SQL as double literals (Similarity.Sql).
     QueryDef(
       "sim3_lsh_bucket_profile",
       (s, d) => Similarity.lshIndex(emb(s, d), "embedding", planes)
         .groupBy("table_id", "bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("table_id", "bucket"),
-      None),
+      Some(s"""$SigSql,
+              |x AS (${(0 until NTables).map(t =>
+                s"SELECT $t AS table_id, b$t AS bucket FROM sig").mkString(" UNION ALL ")})
+              |SELECT table_id, bucket, count(*) AS cnt FROM x
+              |GROUP BY 1, 2 ORDER BY table_id, bucket""".stripMargin)),
 
     // ----- IVF top-k: data-adaptive k-means cells, probe the nearest
     // nprobe cells, exact re-rank. k-means is seeded; cell layout is
@@ -116,6 +155,9 @@ object SimilarityQueries {
 
     // ----- LSH-bucketed top-k: candidates share a bucket in ≥1 table,
     // then exact cosine re-rank. The sub-quadratic ANN path.
+    // Hash-verified via the mirrored plane constants: the oracle
+    // reproduces the exact candidate set (bucket collision in ≥1
+    // table), so ANN recall behavior itself is pinned cross-engine.
     QueryDef(
       "sim4_lsh_topk",
       (s, d) => {
@@ -136,6 +178,21 @@ object SimilarityQueries {
             round(Similarity.cosine(col("probe_vec"), col("embedding")), 6))
         Similarity.rankTopK(scored, 5).orderBy("probe_id", "rk")
       },
-      None),
+      Some(s"""$SigSql,
+              |cand AS (
+              |  SELECT DISTINCT p.vec_id AS probe_id, s.vec_id
+              |  FROM sig p JOIN sig s
+              |    ON p.vec_id < 5 AND s.vec_id <> p.vec_id
+              |   AND (${Similarity.Sql.anyBucketEq("p", "s", NTables)})),
+              |scored AS (
+              |  SELECT c.probe_id, c.vec_id, round(${cosSql("pe", "e")}, 6) AS cos
+              |  FROM cand c
+              |  JOIN embeddings pe ON pe.vec_id = c.probe_id
+              |  JOIN embeddings e ON e.vec_id = c.vec_id)
+              |SELECT probe_id, vec_id, cos, rk FROM (
+              |  SELECT probe_id, vec_id, cos,
+              |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+              |  FROM scored)
+              |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)),
   )
 }

@@ -73,4 +73,13 @@ class SimilaritySpec extends SparkSpec {
     // and it is sub-quadratic: far fewer candidates than all 190 pairs
     assert(pairs.size < 100, s"candidate set ${pairs.size} ~ all-pairs")
   }
+
+  test("dedup_embedding_near plans no nested-loop join (round-2 verdict item 1)") {
+    // plan-shape assertion on the registered query itself: candidates
+    // must come from the LSH equi-join, never a cartesian
+    val df = SparkEntry.queries("dedup_embedding_near")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop join in plan:\n$plan")
+  }
 }
