@@ -11,6 +11,16 @@ import java.nio.file.{Files, Paths}
   * executes distributed (unlike `count()`, which lets Catalyst drop
   * projections) and nothing funnels to the driver.
   *
+  * Measurement discipline (round-2 verdict item 4):
+  *  - one un-timed warm-up pass over every query (JIT/codegen warmth);
+  *  - then SPARK_GRAFT_BENCH_N (default 3) timed samples per query,
+  *    with `spark.catalog.clearCache()` before EVERY sample — so each
+  *    query pays its own full cold-data cost, and the shared dedup
+  *    signature cache can never smear one query's build cost into
+  *    another's number (round-2 advice item 5);
+  *  - reported per-query value = median of the samples (upper median
+  *    for even n), total = sum of medians.
+  *
   * Failures are NOT swallowed (round-1 verdict): a query that throws is
   * reported with an `"err"` entry and a null time, never a rosy
   * near-zero duration.
@@ -20,6 +30,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val spark = Sessions.local(cpus, "graft-bench")
 
     def run(name: String): Either[String, Double] =
@@ -32,13 +43,19 @@ object Bench {
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
     val names = SparkEntry.benchQueries
-    names.foreach(run) // warm-up: JIT/codegen cost lands outside the measured run
-    // drop DATA caches the warm-up populated (e.g. the dedup signature
-    // table) so measured times include every stage a cold run pays;
-    // JVM/codegen warmth is retained, which is what warm-up is for
-    spark.catalog.clearCache()
-    val results = names.map(n => n -> run(n))
+    names.foreach(run) // warm-up: JIT/codegen cost lands outside the measured runs
+    val results = names.map { name =>
+      val samples = (1 to nSamples).map { _ =>
+        spark.catalog.clearCache() // every sample starts data-cold
+        run(name)
+      }
+      val ok = samples.collect { case Right(t) => t }
+      name -> (if (ok.nonEmpty) Right(median(ok))
+               else Left(samples.collectFirst { case Left(e) => e }.get))
+    }
 
     def esc(s: String): String =
       s.flatMap {
@@ -53,7 +70,7 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","failed":${errs.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","n":$nSamples,"stat":"median","failed":${errs.size}}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()

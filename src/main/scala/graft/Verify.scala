@@ -16,6 +16,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // registry sweep done — drop the shared dedup signature cache so a
+    // long-lived session doesn't accumulate entries
+    graft.queries.DedupQueries.releaseSignatureCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1,6 +1,10 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -33,11 +37,14 @@ final case class MediaFeatures(
   * partition, iterator-streamed rows, nothing driver-side.
   *
   * ==Stub boundary==
-  * This container has no image/audio codecs, so [[decodeDimensions]]
-  * is a clearly-marked DETERMINISTIC STUB (dimensions derived from the
-  * leading bytes). Swapping in a real decoder (e.g. `javax.imageio`)
-  * changes ONLY that function; the engine-side contract — schema,
-  * partition-local batching, feature row shape — is real and tested.
+  * Image decode is REAL: `javax.imageio` ships with the JDK
+  * (PNG/JPEG/BMP/GIF), so rows whose `kind` starts with `image/` get
+  * true decoded dimensions in [[decodeDimensions]]. Audio/video have no codecs in
+  * this container, so their dimension decode (and [[resizeStub]] /
+  * [[frameSample]]'s codec step) remains a clearly-marked
+  * DETERMINISTIC STUB — swapping in a real demuxer changes only those
+  * functions; the engine-side contract — schema, partition-local
+  * batching, feature row shape — is real and tested either way.
   */
 object Multimodal {
 
@@ -52,14 +59,46 @@ object Multimodal {
       col("text").cast("binary").as("content"),
       map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
 
-  /** STUB decoder — stands in for an image/audio codec (none in this
-    * container). Deterministic: "dimensions" are derived from the
-    * first two content bytes, so tests and reruns are stable.
+  /** Dimension decode. Image content (`kind` starting `image/`) is
+    * decoded for REAL with the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF)
+    * — unreadable image bytes report (0, 0). Every other kind falls
+    * through to the deterministic stub (audio/video codecs are absent
+    * in this container):
+    * "dimensions" derived from the first two content bytes, so tests
+    * and reruns are stable.
     */
-  def decodeDimensions(content: Array[Byte]): (Int, Int) = {
-    val w = if (content.isEmpty) 0 else (content(0) & 0xff) + 1
-    val h = if (content.length < 2) 0 else (content(1) & 0xff) + 1
-    (w, h)
+  def decodeDimensions(kind: String, content: Array[Byte]): (Int, Int) =
+    if (kind.startsWith("image/")) {
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (img == null) (0, 0) else (img.getWidth, img.getHeight)
+    } else {
+      val w = if (content.isEmpty) 0 else (content(0) & 0xff) + 1
+      val h = if (content.length < 2) 0 else (content(1) & 0xff) + 1
+      (w, h)
+    }
+
+  /** Deterministic synthetic PNG (real, decodable bytes — the image
+    * fixture generator): w×h RGB with pixel colors derived from
+    * (seed, x, y). Encoded with the JDK PNG writer, so generation runs
+    * distributed inside map partitions like any other transform.
+    */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = seed * 1103515245L + x * 12345L + y * 1013904223L
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** 16-bin normalized byte-value histogram — a real, lib-free feature
@@ -86,7 +125,7 @@ object Multimodal {
       rows.map { m =>
         digest.reset()
         val sha = digest.digest(m.content).map(b => f"$b%02x").mkString
-        val (w, h) = decodeDimensions(m.content)
+        val (w, h) = decodeDimensions(m.kind, m.content)
         MediaFeatures(m.media_id, m.kind, m.content.length.toLong, sha, w, h,
           byteHistogram(m.content))
       }
@@ -97,6 +136,24 @@ object Multimodal {
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
     fromDocuments(docs).as[MediaFile]
+  }
+
+  /** Mixed-modality media fixture: every 5th document becomes a REAL
+    * PNG (deterministic [[syntheticPng]], dimensions derived from the
+    * id), the rest stay text bytes. PNG encoding happens inside the
+    * map — distributed, never driver-side — exactly where a production
+    * pipeline would transcode.
+    */
+  def mediaWithImages(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, docs).map { m =>
+      if (m.media_id % 5 == 0) {
+        val w = 3 + (m.media_id % 14).toInt
+        val h = 5 + (m.media_id % 9).toInt
+        m.copy(kind = "image/png", content = syntheticPng(m.media_id, w, h),
+          meta = m.meta + ("codec" -> "png"))
+      } else m
+    }
   }
 
   /** STUB resize — stands in for an image scaler (no codecs in this

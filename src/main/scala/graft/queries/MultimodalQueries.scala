@@ -34,15 +34,17 @@ object MultimodalQueries {
              |lower(substr(hex(encode(text)), 1, 8)) AS prefix_hex
              |FROM documents WHERE doc_id < 50 ORDER BY media_id""".stripMargin)),
 
-    // ----- distributed decode/feature extraction via mapPartitions
-    // (deterministic stub decoder — no codecs in this container; the
-    // engine-side batch shape is the thing under test). Histogram math
-    // is not SQL-mirrorable → rows-only check + MultimodalSpec.
+    // ----- distributed decode/feature extraction via mapPartitions.
+    // Every 5th row is a REAL synthetic PNG decoded with javax.imageio
+    // (true width/height); text rows use the deterministic stub dims
+    // (audio/video codecs stay stubbed — absent in this container).
+    // Histogram math / PNG encoder bytes are not SQL-mirrorable →
+    // rows-only check + MultimodalSpec.
     QueryDef(
       "m2_media_features",
       (s, d) => {
         val feats = Multimodal.extractFeatures(
-          Multimodal.mediaFromDocuments(s, graft.sources.Tables.table(s, d, "documents")))
+          Multimodal.mediaWithImages(s, graft.sources.Tables.table(s, d, "documents")))
         feats.toDF()
           .select(col("media_id"), col("kind"), col("n_bytes"),
             col("sha1_hex"), col("width"), col("height"),

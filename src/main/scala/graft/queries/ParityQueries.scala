@@ -338,6 +338,23 @@ object ParityQueries {
              |round(quantile_cont(l_quantity, 0.75),6) AS p75
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // ----- A12b (extension): t-digest approx quantiles — the
+    // REGISTERED sketch path for 100 TB quantiles (constant-memory,
+    // mergeable partials; a12's exact percentile buffers every value
+    // per group). Sketch internals differ across engines →
+    // rows-only check; StatsSpec bounds the error vs the exact path.
+    QueryDef(
+      "a12b_tdigest_quantiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).cast("double").as("p25"),
+          element_at(col("q"), 2).cast("double").as("p50"),
+          element_at(col("q"), 3).cast("double").as("p75"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ----- A13 (extension): ROLLUP grouping sets (subtotals coalesced
     // to 'ALL' so null-vs-null hash compare is unambiguous)
     QueryDef(

@@ -216,5 +216,38 @@ object TextQueries {
       "dedup_approx_distinct",
       (s, d) => Dedup.approxDistinct(docs(s, d), col("text")),
       None),
+
+    // ----- count-min-sketch token frequency — the registered sketch
+    // surface (round-2 verdict item 8). The sketch is mergeable
+    // constant-memory state built distributed over exploded tokens;
+    // only the finished ~KB sketch crosses to the driver (the X1
+    // bounded-collect pattern) to answer point lookups for a fixed
+    // probe vocabulary. Sketch internals differ across engines → no
+    // SQL mirror, but the output carries CMS's defining invariant
+    // (overestimate-only: over_est >= 0, exact for absent tokens) so
+    // the dump is checkable; TextAnalysisSpec bounds the error.
+    QueryDef(
+      "sketch_cms_token_freq",
+      (s, d) => {
+        import s.implicits._
+        val toks = docs(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val bytes = toks
+          .agg(expr("count_min_sketch(token, 0.0001d, 0.99d, 42)"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        val probes = Seq("join", "hash", "scan", "spark", "table", "query",
+          "data", "absent_token_xyz")
+        val est = probes.map(p => (p, cms.estimateCount(p))).toDF("token", "est_cnt")
+        val exact = toks.filter(col("token").isin(probes: _*))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        est.join(exact, Seq("token"), "left")
+          .select(col("token"), col("est_cnt"),
+            coalesce(col("cnt"), lit(0L)).as("exact_cnt"),
+            (col("est_cnt") - coalesce(col("cnt"), lit(0L))).as("over_est"))
+          .orderBy("token")
+      },
+      None),
   )
 }

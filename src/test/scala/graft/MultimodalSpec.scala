@@ -42,6 +42,26 @@ class MultimodalSpec extends SparkSpec {
     assert(f2.byte_histogram.sum == 0.0)
   }
 
+  test("image/png content is decoded for REAL via javax.imageio (3x5 PNG)") {
+    val bytes = Multimodal.syntheticPng(seed = 99L, w = 3, h = 5)
+    // PNG magic: real encoded bytes, not a fake
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    assert(Multimodal.decodeDimensions("image/png", bytes) == ((3, 5)))
+    // unreadable image bytes → (0,0), never the text stub's byte-derived dims
+    assert(Multimodal.decodeDimensions("image/png", "nonsense".getBytes) == ((0, 0)))
+  }
+
+  test("mediaWithImages: PNG rows decode their true dimensions distributed") {
+    val docs = (0L until 10L).map(i => (i, s"doc $i body", "en", "srcA", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(Multimodal.mediaWithImages(spark, docs))
+      .collect().sortBy(_.media_id)
+    val png = feats.filter(_.kind == "image/png").map(f => (f.media_id, f.width, f.height))
+    // ids 0 and 5; dims derived from id: (3 + id%14, 5 + id%9)
+    assert(png.toSeq == Seq((0L, 3, 5), (5L, 8, 10)))
+    assert(feats.count(_.kind == "text/en") == 8)
+  }
+
   test("resizeStub and frameSample are deterministic with exact shapes") {
     val bytes = (0 until 100).map(_.toByte).toArray
     val resized = Multimodal.resizeStub(bytes, 25)
