@@ -66,6 +66,23 @@ object NearDup {
   def shingleHashes(text: Column, k: Int = 3): Column =
     transform(shingles(TextAnalysis.tokens(text), k), sh => charHash(sh))
 
+  /** Distinct shingle-hash set straight from a token array — the
+    * native one-pass [[graft.functions.ShingleHashSet]] (no shingle
+    * strings materialized, no interpreted per-element lambdas). The
+    * signature-build stage of every near-dup query dispatches here;
+    * [[shingleHashSetHof]] is the semantic reference.
+    */
+  def shingleHashSet(tokens: Column, k: Int = 3): Column =
+    call_function("shingle_hash_set", tokens, lit(k))
+
+  /** Built-ins-only formulation — the reference NearDupSpec checks the
+    * native expression against (distinct shingle strings → hash →
+    * distinct hashes; identical to the native set up to P-collisions,
+    * which the DuckDB mirror reproduces exactly).
+    */
+  def shingleHashSetHof(tokens: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(tokens, k), sh => charHash(sh)))
+
   /** Set Jaccard of two (distinct-element) array columns:
     * |A∩B| / (|A| + |B| − |A∩B|), in double.
     */

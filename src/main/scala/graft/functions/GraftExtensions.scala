@@ -34,6 +34,18 @@ object GraftFunctions {
         PolyHash(children.head, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
       }),
     (
+      new FunctionIdentifier("shingle_hash_set"),
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingle_hash_set expects (tokens, k)")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash_set k argument must be an integer literal, got $other")
+        }
+        ShingleHashSet(children.head, k, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
+      }),
+    (
       new FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) => {

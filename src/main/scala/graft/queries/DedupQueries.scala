@@ -27,23 +27,28 @@ object DedupQueries {
   private val MaxHamming = 3
   private lazy val mhParams = NearDup.minhashParams(MinhashK)
 
-  /** doc_id + distinct shingle set `s` + shingle-hash set `hs`.
+  /** doc_id + distinct shingle-hash set `hs` — the whole signature
+    * build as one native codegen'd pass
+    * ([[graft.functions.ShingleHashSet]]; shingle strings are never
+    * materialized, which profiled as ~56% of dedup_minhash wall time).
+    * All downstream similarity (MinHash, SimHash bands, exact Jaccard
+    * re-check) operates on the hash set — standard MinHash practice,
+    * and exact cross-engine because the oracle computes the identical
+    * distinct-hash set (collisions included, P ≈ 1e9+7 makes them
+    * ~1e-9 per pair).
     *
-    * Cached: shingling+hashing is the expensive stage (higher-order
-    * fns are interpreted, not codegen'd) and every dedup query's plan
-    * references it from several branches (signature build + both
-    * join-back sides). Materializing the signature table once is the
-    * standard dedup-pipeline design at any scale; `cache()` keys on
-    * the analyzed plan, so the three dedup queries and repeated runs
-    * share a single entry instead of recomputing per branch. Handles
-    * are tracked so [[releaseSignatureCache]] can drop them — without
-    * it a long-lived session would accumulate entries until someone
-    * called a global `clearCache()` (round-2 verdict item 9).
+    * Cached: every dedup query's plan references the signatures from
+    * several branches (signature build + both join-back sides).
+    * Materializing once is the standard dedup-pipeline design at any
+    * scale; `cache()` keys on the analyzed plan, so the three dedup
+    * queries and repeated runs share a single entry. Handles are
+    * tracked so [[releaseSignatureCache]] can drop them — without it a
+    * long-lived session would accumulate entries until someone called
+    * a global `clearCache()` (round-2 verdict item 9).
     */
   private def hashed(df: DataFrame): DataFrame = {
     val cached = df.select(col("doc_id"),
-        NearDup.shingles(TextAnalysis.tokens(col("text")), ShingleK).as("s"))
-      .withColumn("hs", transform(col("s"), sh => NearDup.charHash(sh)))
+        NearDup.shingleHashSet(TextAnalysis.tokens(col("text")), ShingleK).as("hs"))
       .cache()
     handles.synchronized { handles += cached }
     cached
@@ -60,11 +65,14 @@ object DedupQueries {
     handles.clear()
   }
 
-  /** Shared oracle CTE prefix: toks → shingle set s → hash set hs. */
+  /** Shared oracle CTE prefix: toks → shingle set s → DISTINCT hash
+    * set hs (the exact mirror of the native shingle_hash_set — dedup
+    * on hashes, so even a P-collision merges identically cross-engine).
+    */
   private val SqlBase =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sets AS (SELECT doc_id, ${NearDup.Sql.shingleSet(ShingleK)} AS s FROM t),
-       |h AS (SELECT doc_id, s, ${NearDup.Sql.hashSet} AS hs FROM sets)""".stripMargin
+       |h AS (SELECT doc_id, list_distinct(${NearDup.Sql.hashSet}) AS hs FROM sets)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -90,18 +98,18 @@ object DedupQueries {
             Seq("band", "h1", "h2"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
-        val sets = base.select(col("doc_id"), col("s"))
+        val sets = base.select(col("doc_id"), col("hs"))
         cand
-          .join(sets.select(col("doc_id").as("a_id"), col("s").as("s_a")), Seq("a_id"))
-          .join(sets.select(col("doc_id").as("b_id"), col("s").as("s_b")), Seq("b_id"))
+          .join(sets.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), Seq("a_id"))
+          .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), Seq("b_id"))
           .select(col("a_id"), col("b_id"),
-            round(NearDup.jaccard(col("s_a"), col("s_b")), 6).as("jac"))
+            round(NearDup.jaccard(col("hs_a"), col("hs_b")), 6).as("jac"))
           .orderBy("a_id", "b_id")
       },
       Some(s"""$SqlBase,
-              |sig AS (SELECT doc_id, s, ${NearDup.Sql.minhashCols(mhParams)} FROM h)
+              |sig AS (SELECT doc_id, hs, ${NearDup.Sql.minhashCols(mhParams)} FROM h)
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-              |  round(${NearDup.Sql.jaccardSql("a.s", "b.s")}, 6) AS jac
+              |  round(${NearDup.Sql.jaccardSql("a.hs", "b.hs")}, 6) AS jac
               |FROM sig a JOIN sig b
               |  ON a.doc_id < b.doc_id AND (${NearDup.Sql.bandEq(MinhashK, BandR)})
               |ORDER BY a_id, b_id""".stripMargin),
@@ -125,21 +133,21 @@ object DedupQueries {
             Seq("band", "bv"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
-        val side = base.select(col("doc_id"), col("s"), col("sh"))
+        val side = base.select(col("doc_id"), col("hs"), col("sh"))
         cand
-          .join(side.select(col("doc_id").as("a_id"), col("s").as("s_a"), col("sh").as("sh_a")), Seq("a_id"))
-          .join(side.select(col("doc_id").as("b_id"), col("s").as("s_b"), col("sh").as("sh_b")), Seq("b_id"))
+          .join(side.select(col("doc_id").as("a_id"), col("hs").as("hs_a"), col("sh").as("sh_a")), Seq("a_id"))
+          .join(side.select(col("doc_id").as("b_id"), col("hs").as("hs_b"), col("sh").as("sh_b")), Seq("b_id"))
           .withColumn("hd", NearDup.hamming(col("sh_a"), col("sh_b")))
           .filter(col("hd") <= MaxHamming)
           .select(col("a_id"), col("b_id"), col("hd"),
-            round(NearDup.jaccard(col("s_a"), col("s_b")), 6).as("jac"))
+            round(NearDup.jaccard(col("hs_a"), col("hs_b")), 6).as("jac"))
           .orderBy("a_id", "b_id")
       },
       Some(s"""$SqlBase,
-              |sim AS (SELECT doc_id, s, ${NearDup.Sql.simhashSql(SimhashBits)} AS sh FROM h)
+              |sim AS (SELECT doc_id, hs, ${NearDup.Sql.simhashSql(SimhashBits)} AS sh FROM h)
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hd,
-              |  round(${NearDup.Sql.jaccardSql("a.s", "b.s")}, 6) AS jac
+              |  round(${NearDup.Sql.jaccardSql("a.hs", "b.hs")}, 6) AS jac
               |FROM sim a JOIN sim b
               |  ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= $MaxHamming
               |ORDER BY a_id, b_id""".stripMargin)),
@@ -149,21 +157,21 @@ object DedupQueries {
     QueryDef(
       "dedup_ngram_jaccard",
       (s, d) => {
-        val base = hashed(docs(s, d)).select("doc_id", "s")
+        val base = hashed(docs(s, d))
         val probes = base.filter(col("doc_id") < 100)
-          .select(col("doc_id").as("a_id"), col("s").as("s_a"))
-        base.select(col("doc_id").as("b_id"), col("s").as("s_b"))
+          .select(col("doc_id").as("a_id"), col("hs").as("hs_a"))
+        base.select(col("doc_id").as("b_id"), col("hs").as("hs_b"))
           .join(broadcast(probes), col("a_id") =!= col("b_id"))
-          .withColumn("jac", round(NearDup.jaccard(col("s_a"), col("s_b")), 6))
+          .withColumn("jac", round(NearDup.jaccard(col("hs_a"), col("hs_b")), 6))
           .filter(col("jac") >= 0.3)
           .select("a_id", "b_id", "jac")
           .orderBy("a_id", "b_id")
       },
       Some(s"""$SqlBase
               |SELECT p.doc_id AS a_id, q.doc_id AS b_id,
-              |  round(${NearDup.Sql.jaccardSql("p.s", "q.s")}, 6) AS jac
+              |  round(${NearDup.Sql.jaccardSql("p.hs", "q.hs")}, 6) AS jac
               |FROM h p JOIN h q ON p.doc_id < 100 AND q.doc_id <> p.doc_id
-              |WHERE round(${NearDup.Sql.jaccardSql("p.s", "q.s")}, 6) >= 0.3
+              |WHERE round(${NearDup.Sql.jaccardSql("p.hs", "q.hs")}, 6) >= 0.3
               |ORDER BY a_id, b_id""".stripMargin)),
   )
 }

@@ -40,6 +40,31 @@ class NearDupSpec extends SparkSpec {
     assert(diff.isEmpty, diff.collect().take(3).mkString(","))
   }
 
+  test("native shingle_hash_set == composed HOF formulation (incl. n<k and dup shingles)") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b", // duplicate shingles → dedup must agree
+      "one two",         // fewer than k tokens → empty set
+      "",                // empty text
+      "naïve café über résumé straße naïve café über") // BMP unicode
+    val df = texts.toDF("text")
+    val toks = split(col("text"), " ")
+    val diff = df.select(
+        NearDup.shingleHashSet(toks, 3).as("fast"),
+        NearDup.shingleHashSetHof(toks, 3).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, diff.collect().mkString(","))
+  }
+
+  test("shingle_hash_set participates in whole-stage codegen") {
+    val df = spark.range(4)
+      .select(split(concat(lit("a b c d e f"), col("id").cast("string")), " ").as("toks"))
+      .select(NearDup.shingleHashSet(col("toks"), 3).as("hs"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*") && l.contains("shingle_hash_set")), plan)
+    assert(df.collect().length == 4)
+  }
+
   test("shingles: distinct k-grams, empty below k tokens") {
     def sh(t: String) = Seq(t).toDF("t")
       .select(NearDup.shingles(split(col("t"), " "), 3)).head().getSeq[String](0)
