@@ -74,6 +74,18 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the text — identical hex in DuckDB. */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Deterministic content-hash bucket in [0, buckets) — the
+    * cross-engine split/sampling primitive (polynomial code-point hash
+    * of the text, mod buckets). Content-keyed, so the assignment
+    * survives re-sharding, re-ingestion, and id reassignment — the
+    * reproducibility property a train/holdout split or a sampled eval
+    * slice must have in a long-lived 100 TB pipeline (`rand()` is not
+    * reproducible and `row_number` is partition-order-dependent).
+    * charHash is non-negative, so plain `%` suffices.
+    */
+  def hashBucket(text: Column, buckets: Int): Column =
+    NearDup.charHash(text) % buckets
+
   /** BPE-ish regex tokenization (brief: "token counting — whitespace +
     * a BPE-ish regex"): alpha runs, digit runs, and single
     * non-alphanumeric marks as separate tokens. The pattern uses only
@@ -121,5 +133,9 @@ object TextAnalysis {
         s"CASE WHEN ($score) = $best AND $best > 0 THEN '$lang' ELSE $acc END"
       }
     }
+
+    /** Mirror of [[TextAnalysis.hashBucket]] over the `text` column. */
+    def hashBucket(buckets: Int): String =
+      s"(${graft.ext.NearDup.Sql.charHashSql("text")}) % $buckets"
   }
 }
