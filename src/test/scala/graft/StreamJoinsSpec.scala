@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.stream.StreamJoins
+
+/** Stream-stream interval-join semantics: in-window clicks attach to
+  * their impression, out-of-window clicks do not, and the left-outer
+  * variant emits the unmatched impression with nulls only after the
+  * watermark proves no future match can arrive (the state-eviction
+  * contract).
+  */
+class StreamJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("inner interval join attributes clicks within the window") {
+    val imps = MemoryStream[(Long, Timestamp)](spark)
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val joined = StreamJoins.intervalJoin(
+      imps.toDF().toDF("ad_id", "imp_ts"), "ad_id", "imp_ts",
+      clicks.toDF().toDF("click_ad", "click_ts"), "click_ad", "click_ts",
+      within = "10 minutes", watermarkDelay = "5 minutes")
+
+    val query = joined.writeStream
+      .format("memory").queryName("attribution_inner")
+      .outputMode("append").start()
+
+    imps.addData(Seq((1L, ts(0)), (2L, ts(0))))
+    clicks.addData(Seq(
+      (1L, ts(5)),   // within 10 min of ad 1's impression → match
+      (1L, ts(25)),  // 25 min later → outside window, no match
+      (2L, ts(11)))) // 11 min later → outside window, no match
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("attribution_inner")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3).toString))
+    assert(out.toSeq == Seq((1L, 1L, "2024-01-01 10:05:00.0")))
+  }
+
+  test("leftOuter emits unmatched impressions with nulls after the watermark passes") {
+    val imps = MemoryStream[(Long, Timestamp)](spark)
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val joined = StreamJoins.intervalJoin(
+      imps.toDF().toDF("ad_id", "imp_ts"), "ad_id", "imp_ts",
+      clicks.toDF().toDF("click_ad", "click_ts"), "click_ad", "click_ts",
+      within = "10 minutes", watermarkDelay = "5 minutes",
+      joinType = "leftOuter")
+
+    val query = joined.writeStream
+      .format("memory").queryName("attribution_outer")
+      .outputMode("append").start()
+
+    imps.addData(Seq((1L, ts(0)), (2L, ts(0))))
+    clicks.addData(Seq((1L, ts(5))))
+    query.processAllAvailable()
+    // push BOTH watermarks far past ad 2's match horizon
+    // (imp_ts + 10 min window + 5 min delay = 10:15) so the unmatched
+    // impression finalizes and emits with a null click
+    imps.addData(Seq((99L, ts(50))))
+    clicks.addData(Seq((99L, ts(50))))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("attribution_outer")
+      .filter("ad_id IN (1, 2)")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(1L -> Some(1L), 2L -> None))
+  }
+}
