@@ -65,6 +65,16 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalize a float-vector column into `array<double>` — the
+    * embedding-prep transform (on normalized vectors cosine degenerates
+    * to a plain dot product, so a pre-normalized corpus halves every
+    * downstream re-rank's arithmetic and storage-side norm lookups).
+    */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
   /** Brute-force cosine top-k: for each probe row, the k nearest
     * vectors from `corpus`. The probe side is explicitly broadcast —
     * bounded-small by construction (it is the user's query set), unlike

@@ -370,6 +370,35 @@ object ParityQueries {
              |count(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // ----- A14 (extension): CUBE grouping sets (all four subtotal
+    // combinations; same null-coalescing discipline as a13_rollup)
+    QueryDef(
+      "a14_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |count(*) AS cnt, round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // ----- E27 behind the oracle gate: two-stage salted aggregation
+    // must be value-identical to a direct GROUP BY (the salt only
+    // changes shuffle fan-out) — DuckDB computes the direct form, so
+    // the hash-compare proves the equivalence on real data
+    QueryDef(
+      "skew_salted_count",
+      (s, d) => graft.ops.Skew.saltedCount(
+          t(s, d, "events"), Seq("event_type"), buckets = 16,
+          saltFrom = Some(col("event_id")))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS count FROM events
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // ----- Headline: TPC-H Q1-style pricing summary over lineitem
     QueryDef(
       "q1_pricing_summary",

@@ -124,6 +124,33 @@ object SimilarityQueries {
               | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
               |WHERE cos > 0.45 ORDER BY a_id, b_id""".stripMargin)),
 
+    // ----- L2 normalization: re-derived norms must be 1 and component
+    // stats survive the transform — the embedding-prep op, verified
+    // with the same pinned dot-product op order (dotHof on the double
+    // vectors == DuckDB list_dot_product)
+    QueryDef(
+      "sim6_l2_normalize",
+      (s, d) => emb(s, d)
+        .select(col("label"), Similarity.l2Normalize(col("embedding")).as("nv"))
+        .select(col("label"),
+          round(sqrt(Similarity.dotHof(col("nv"), col("nv"))), 6).as("renorm"),
+          round(element_at(col("nv"), 1), 6).as("c1"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+             round(avg("renorm"), 6).as("avg_renorm"),
+             round(avg("c1"), 6).as("avg_c1"))
+        .orderBy("label"),
+      Some("""SELECT label, count(*) AS cnt,
+             |round(avg(renorm), 6) AS avg_renorm, round(avg(c1), 6) AS avg_c1 FROM
+             |(SELECT label,
+             |   round(sqrt(list_dot_product(nv, nv)), 6) AS renorm,
+             |   round(nv[1], 6) AS c1 FROM
+             | (SELECT label,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+             |  FROM embeddings))
+             |GROUP BY 1 ORDER BY label""".stripMargin)),
+
     // ----- LSH bucket histogram: the index the scale path shuffles on.
     // Hash-verified — the seeded plane constants are mirrored into the
     // SQL as double literals (Similarity.Sql).
