@@ -35,6 +35,30 @@ object EventQueries {
              |(SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ----- W5 (extension): lag/lead offset window functions — per-user
+    // inter-event gap and next-value delta, the sessionization /
+    // time-series-diff primitive the W1-W4 surface didn't yet cover.
+    // One hash shuffle on user_id + per-partition sort, same scale
+    // shape as the as-of join.
+    QueryDef(
+      "w5_lag_lead_delta",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("next_val", lead(col("value"), 1).over(w))
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"),
+            round(col("next_val") - col("value"), 6).as("val_delta"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  (epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) AS gap_us,
+             |  round(lead(value, 1) OVER w - value, 6) AS val_delta
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
     // ----- tumbling event-time window (1 h): the batch shape of the
     // streaming window aggregation (stream.EventTimeWindows)
     QueryDef(

@@ -295,6 +295,30 @@ object TextQueries {
               |  round(avg(q), 6) AS avg_quality
               |FROM dedup GROUP BY 1 ORDER BY lang_pred""".stripMargin)),
 
+    // ----- canonicalization-aware dedup: normalize (collapse runs of
+    // spaces, trim, case-fold) BEFORE fingerprinting — the curation op
+    // that catches re-crawled near-identical copies exact dedup misses.
+    // The ingest plants noisy variants ('  '+UPPER(text)+' ') so the
+    // raw fingerprints all differ while canonical fingerprints collapse
+    // back to the clean corpus — both counts oracle-verified.
+    QueryDef(
+      "tx7_canonical_dedup",
+      (s, d) => {
+        val base = docs(s, d).select("doc_id", "text")
+        val noisy = base.select(col("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+        val canon = lower(trim(regexp_replace(col("text"), " +", " ")))
+        base.unionAll(noisy)
+          .agg(count(lit(1)).as("n_rows"),
+               countDistinct(md5(col("text"))).as("uniq_raw"),
+               countDistinct(md5(canon)).as("uniq_canonical"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |count(DISTINCT md5(text)) AS uniq_raw,
+             |count(DISTINCT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))) AS uniq_canonical
+             |FROM (SELECT text FROM documents
+             |      UNION ALL SELECT '  ' || upper(text) || ' ' FROM documents)""".stripMargin)),
+
     // ----- count-min-sketch token frequency — the registered sketch
     // surface (round-2 verdict item 8). The sketch is mergeable
     // constant-memory state built distributed over exploded tokens;
