@@ -102,11 +102,22 @@ object NearDup {
     Seq.fill(k)((1 + math.abs(rnd.nextLong()) % (P - 1), math.abs(rnd.nextLong()) % P))
   }
 
-  /** MinHash signature columns m0..m(k-1) over a hash-set column. */
+  /** MinHash signature columns m0..m(k-1) over a hash-set column — the
+    * composed reference formulation (k interpreted array scans;
+    * NearDupSpec checks [[minhashSigs]] against it).
+    */
   def minhashSignature(hashes: Column, params: Seq[(Long, Long)]): Seq[Column] =
     params.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(hashes, h => (lit(a) * h + lit(b)) % P)).as(s"m$i")
     }
+
+  /** Native one-pass k-permutation MinHash signature array
+    * ([[graft.functions.MinhashSigs]]; params derived from
+    * [[minhashParams]]`(k)` with the default seed, exactly what the
+    * DuckDB mirror embeds).
+    */
+  def minhashSigs(hashes: Column, k: Int): Column =
+    call_function("minhash_sigs", hashes, lit(k))
 
   // ------------------------------------------------------------ SimHash
 

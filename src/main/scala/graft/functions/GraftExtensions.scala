@@ -34,6 +34,20 @@ object GraftFunctions {
         PolyHash(children.head, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
       }),
     (
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_sigs expects (hashes, k)")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs k argument must be an integer literal, got $other")
+        }
+        val params = graft.ext.NearDup.minhashParams(k)
+        MinhashSigs(children.head,
+          params.map(_._1).toArray, params.map(_._2).toArray, graft.ext.NearDup.P)
+      }),
+    (
       new FunctionIdentifier("shingle_hash_set"),
       new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
       (children: Seq[Expression]) => {

@@ -84,11 +84,16 @@ object DedupQueries {
       "dedup_minhash_pairs",
       (s, d) => {
         val base = hashed(docs(s, d))
-        val sig = base.select(
-          (col("doc_id") +: NearDup.minhashSignature(col("hs"), mhParams)): _*)
+        // native one-pass signature array (k running minimums) instead
+        // of k array_min(transform(...)) scans; `get` is 0-indexed and
+        // null out-of-bounds (empty sets band to null = no candidates,
+        // matching array_min-of-empty in the composed form)
+        val sig = base.select(col("doc_id"),
+          NearDup.minhashSigs(col("hs"), MinhashK).as("ms"))
         val bandArr = array((0 until NumBands).map { j =>
           struct(lit(j).as("band"),
-            col(s"m${j * BandR}").as("h1"), col(s"m${j * BandR + 1}").as("h2"))
+            get(col("ms"), lit(j * BandR)).as("h1"),
+            get(col("ms"), lit(j * BandR + 1)).as("h2"))
         }: _*)
         val idx = sig.select(col("doc_id"), explode(bandArr).as("tb"))
           .select(col("doc_id"), col("tb.band").as("band"),

@@ -65,6 +65,25 @@ class NearDupSpec extends SparkSpec {
     assert(df.collect().length == 4)
   }
 
+  test("native minhash_sigs == composed array_min(transform) signature") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away",
+      "an entirely different document with other words in it here now",
+      "one two") // < k tokens → empty hash set → empty signature
+      .toDF("text")
+      .select(NearDup.shingleHashSet(split(col("text"), " "), 3).as("hs"))
+    val composed = df.select(NearDup.minhashSignature(col("hs"), params): _*)
+      .collect().map(_.toSeq.map(Option(_).map(_.asInstanceOf[Long])))
+    val native = df.select(NearDup.minhashSigs(col("hs"), 16).as("ms"))
+      .collect().map(_.getSeq[Long](0))
+    // non-empty rows: identical k-vectors; empty row: empty native array
+    // vs all-null composed columns (both band to null → no candidates)
+    composed.zip(native).foreach {
+      case (c, n) if c.forall(_.isDefined) => assert(c.map(_.get) == n)
+      case (c, n) => assert(c.forall(_.isEmpty) && n.isEmpty)
+    }
+  }
+
   test("shingles: distinct k-grams, empty below k tokens") {
     def sh(t: String) = Seq(t).toDF("t")
       .select(NearDup.shingles(split(col("t"), " "), 3)).head().getSeq[String](0)
