@@ -155,7 +155,8 @@ object DedupQueries {
               |  round(${NearDup.Sql.jaccardSql("a.hs", "b.hs")}, 6) AS jac
               |FROM sim a JOIN sim b
               |  ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= $MaxHamming
-              |ORDER BY a_id, b_id""".stripMargin)),
+              |ORDER BY a_id, b_id""".stripMargin),
+      bench = true),
 
     // ----- direct n-gram Jaccard for a bounded probe set vs the corpus
     // (probe side broadcast; correctness baseline for the LSH paths)

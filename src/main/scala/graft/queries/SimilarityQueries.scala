@@ -220,6 +220,7 @@ object SimilarityQueries {
               |  SELECT probe_id, vec_id, cos,
               |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
               |  FROM scored)
-              |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)),
+              |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin),
+      bench = true),
   )
 }

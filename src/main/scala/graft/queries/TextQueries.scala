@@ -293,7 +293,8 @@ object TextQueries {
               |SELECT lang_pred, count(*) AS kept_docs,
               |  CAST(sum(${TS.tokenCount}) AS BIGINT) AS total_tokens,
               |  round(avg(q), 6) AS avg_quality
-              |FROM dedup GROUP BY 1 ORDER BY lang_pred""".stripMargin)),
+              |FROM dedup GROUP BY 1 ORDER BY lang_pred""".stripMargin),
+      bench = true),
 
     // ----- canonicalization-aware dedup: normalize (collapse runs of
     // spaces, trim, case-fold) BEFORE fingerprinting — the curation op
