@@ -23,7 +23,19 @@ object TextAnalysis {
     * DuckDB `len(list_filter(...))`.
     */
   def wordCount(text: Column, word: String): Column =
-    size(filter(tokens(text), t => t === word))
+    wordCountIn(tokens(text), word)
+
+  def wordCountIn(toks: Column, word: String): Column =
+    size(filter(toks, t => t === word))
+
+  /** Per-word occurrence counts for a fixed word list — the native
+    * one-pass [[graft.functions.TokenFreqs]] (the composed form costs
+    * one interpreted filter scan per word; the enrichment path counted
+    * 20 words per document). Values identical to [[wordCountIn]] per
+    * word (spec-asserted), so oracle mirrors are untouched.
+    */
+  def wordFreqs(toks: Column, words: Seq[String]): Column =
+    call_function("token_freqs", toks, array(words.map(lit(_)): _*))
 
   /** Average token length in characters, derived without re-scanning:
     * (chars − separators) / tokens.
@@ -39,10 +51,21 @@ object TextAnalysis {
     */
   val qualityStopwords: Seq[String] = Seq("the", "a", "and", "of")
 
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text).cast("double")
-    val diversity = distinctTokenCount(text) / n
-    val stopHits = qualityStopwords.map(wordCount(text, _)).reduce(_ + _).cast("double")
+  def qualityScore(text: Column): Column = qualityScoreTokens(tokens(text))
+
+  /** Token-array variant: callers enriching several signals from one
+    * document should tokenize ONCE and feed every scorer the array —
+    * the text variants re-split per component call, and Catalyst's
+    * CollapseProject deliberately refuses to inline a non-cheap alias
+    * used more than once, so a materialized token column really is
+    * computed once per row.
+    */
+  def qualityScoreTokens(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)) / n
+    val freqs = wordFreqs(toks, qualityStopwords)
+    val stopHits = qualityStopwords.indices
+      .map(i => get(freqs, lit(i))).reduce(_ + _).cast("double")
     val stopRatio = stopHits / n
     round(
       least(n / 50.0, lit(1.0)) * 0.5 + diversity * 0.3
@@ -60,9 +83,19 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "et"),
   )
 
-  def langId(text: Column): Column = {
-    val scores = langStopwords.map { case (lang, words) =>
-      lang -> words.map(wordCount(text, _)).reduce(_ + _)
+  def langId(text: Column): Column = langIdTokens(tokens(text))
+
+  /** Token-array variant of [[langId]] (see [[qualityScoreTokens]]):
+    * ONE native pass counts all 16 language-marker words, then the
+    * argmax is plain codegen'd arithmetic over the counts array.
+    */
+  def langIdTokens(toks: Column): Column = {
+    val allWords = langStopwords.flatMap(_._2)
+    val freqs = wordFreqs(toks, allWords)
+    val offsets = langStopwords.map(_._2.length).scanLeft(0)(_ + _)
+    val scores = langStopwords.zipWithIndex.map { case ((lang, words), li) =>
+      lang -> words.indices
+        .map(i => get(freqs, lit(offsets(li) + i))).reduce(_ + _)
     }
     // argmax with first-listed language winning ties (deterministic)
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))

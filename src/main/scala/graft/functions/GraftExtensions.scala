@@ -34,6 +34,19 @@ object GraftFunctions {
         PolyHash(children.head, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
       }),
     (
+      new FunctionIdentifier("token_freqs"),
+      new ExpressionInfo(classOf[TokenFreqs].getName, "token_freqs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "token_freqs expects (tokens, words)")
+        require(children(1).foldable,
+          "token_freqs words argument must be a foldable array literal")
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val words = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString).toArray
+        TokenFreqs(children.head, words)
+      }),
+    (
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
       (children: Seq[Expression]) => {

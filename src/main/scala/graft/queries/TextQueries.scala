@@ -271,9 +271,12 @@ object TextQueries {
       (s, d) => {
         val base = docs(s, d)
         val ingest = base.unionAll(base)
+        // tokenize once; quality + lang-ID both read the token array
         val enriched = ingest
-          .withColumn("q", TextAnalysis.qualityScore(col("text")))
-          .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
+          .withColumn("q", TextAnalysis.qualityScoreTokens(col("__toks")))
+          .withColumn("lang_pred", TextAnalysis.langIdTokens(col("__toks")))
+          .drop("__toks")
         val gated = enriched.filter(col("q") >= 0.5)
         val deduped = Dedup.exactKeepFirst(gated,
           Seq(TextAnalysis.fingerprint(col("text"))), Seq(col("doc_id")))

@@ -22,6 +22,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(t, TextAnalysis.wordCount(_, "dog")).getInt(0) == 0)
   }
 
+  test("native token_freqs == per-word composed filter counts") {
+    val words = Seq("the", "a", "and", "of")
+    val texts = Seq(
+      "the cat and the hat of a cat",
+      "no stopwords here whatsoever",
+      "") // empty text → split yields [""] → zero matches
+    val df = texts.toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+    val diff = df.select(
+        TextAnalysis.wordFreqs(col("toks"), words).as("fast"),
+        array(words.map(w => TextAnalysis.wordCountIn(col("toks"), w).cast("long")): _*).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, diff.collect().mkString(","))
+  }
+
   test("avgTokenLen: (chars - separators) / tokens") {
     // "ab cde" -> 5 letter chars / 2 tokens = 2.5
     assert(one("ab cde", TextAnalysis.avgTokenLen).getDouble(0) == 2.5)
