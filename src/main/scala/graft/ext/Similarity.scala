@@ -71,8 +71,12 @@ object Similarity {
     * downstream re-rank's arithmetic and storage-side norm lookups).
     */
   def l2Normalize(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => x.cast("double") / n)
+    // the divisor rides in via zip_with + array_repeat so norm(a) is
+    // evaluated ONCE per row — a plain transform lambda re-evaluates
+    // its captured expression per ELEMENT (O(d²) per row for a dot
+    // under a transform); values are identical either way
+    val repeated = array_repeat(norm(a), size(a))
+    zip_with(a, repeated, (x, nn) => x.cast("double") / nn)
   }
 
   /** Brute-force cosine top-k: for each probe row, the k nearest

@@ -63,10 +63,13 @@ object ShingleHashSet {
   def compute(tokens: ArrayData, k: Int, seed: Long, mod: Long): ArrayData = {
     val n = tokens.numElements()
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    // null elements → empty string; the input contract is a split()
+    // token array (containsNull = false), this only prevents an NPE on
+    // out-of-contract input
     val strs = new Array[String](n)
     var i = 0
     while (i < n) {
-      strs(i) = tokens.getUTF8String(i).toString
+      strs(i) = if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString
       i += 1
     }
     // LinkedHashSet: dedup preserving first-occurrence order, the same

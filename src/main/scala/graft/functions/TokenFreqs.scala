@@ -43,8 +43,12 @@ case class TokenFreqs(child: Expression, words: Array[String])
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val idx = index.get(tokens.getUTF8String(i))
-      if (idx != null) counts(idx) += 1
+      // null elements can't match any word (split() never yields them,
+      // but the type check admits containsNull arrays — don't NPE)
+      if (!tokens.isNullAt(i)) {
+        val idx = index.get(tokens.getUTF8String(i))
+        if (idx != null) counts(idx) += 1
+      }
       i += 1
     }
     new GenericArrayData(counts)

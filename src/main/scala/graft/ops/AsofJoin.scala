@@ -46,6 +46,10 @@ object AsofJoin {
       prefix: String = "asof_"): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    require(!payload.exists(p => leftCols.contains(prefix + p)),
+      s"asof payload prefix '$prefix' collides with a left column; pass a different prefix")
+    require(!leftCols.exists(Set("__ts", "__side", "__m")),
+      "left columns may not use the reserved names __ts/__side/__m")
     // non-null marker struct: presence = "a right row exists at-or-before",
     // independent of whether its payload values are NULL
     val markerType = StructType(
