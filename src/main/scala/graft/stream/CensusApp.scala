@@ -13,6 +13,18 @@ import graft.sink.ParquetSnapshotSink
   * (spark_streaming.py:213-224).
   */
 object CensusApp {
+
+  /** T6 — the graceful-shutdown body (extracted from the SIGINT hook so
+    * it is testable): stop every still-active query, then the session.
+    * Idempotent — a second invocation (hook + explicit call) is a
+    * no-op on already-stopped queries.
+    */
+  def shutdown(queries: Seq[org.apache.spark.sql.streaming.StreamingQuery],
+      stopSession: () => Unit): Unit = {
+    queries.foreach(q => if (q.isActive) q.stop())
+    stopSession()
+  }
+
   def main(args: Array[String]): Unit = {
     val inputDir = args.lift(0).getOrElse("/tmp/graft_stream_input")
     val sinkDir = args.lift(1).getOrElse("/tmp/graft_sink")
@@ -26,10 +38,7 @@ object CensusApp {
       PipelineConfig(fused = fused))
     val queries = pipeline.start(spark, inputDir, ckptDir)
 
-    sys.addShutdownHook {
-      queries.foreach(q => if (q.isActive) q.stop())
-      spark.stop()
-    }
+    sys.addShutdownHook(shutdown(queries, () => spark.stop()))
     queries.foreach(_.awaitTermination())
   }
 }

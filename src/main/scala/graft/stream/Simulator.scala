@@ -122,20 +122,38 @@ object Simulator {
     else { Files.createDirectories(Paths.get(dir)); () }
   }
 
-  /** Demo loop (G3): tick every `tickMillis`, stop at `totalRows`. */
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/graft_stream_input")
-    val cfg = Config()
+  /** G3 — the tick/stop loop, with the clock and sleep injectable so
+    * the loop itself is testable (SimulatorSpec) without wall-clock
+    * sleeps. Returns the total rows written. The tick counter feeds the
+    * batch filename, so same-second ticks can't collide on
+    * `batch_{ts}_{n}.csv` (the reference relies on its 10 s sleep to
+    * avoid that).
+    */
+  def runLoop(dir: String, cfg: Config,
+      sleep: Long => Unit = Thread.sleep,
+      clock: () => Long = () => System.currentTimeMillis() / 1000): Int = {
     cleanDir(dir)
     val seedRows = generateSeed(2000, cfg.seed)
     val rng = new Random(cfg.seed)
     var count = 0
+    var tick = 0
     while (count < cfg.totalRows) {
       val batch = sampleBatch(seedRows, rng, cfg)
-      writeBatchCsv(batch, dir, System.currentTimeMillis() / 1000)
+      writeBatchCsv(batch, dir, clock() * 1000 + tick)
       count += batch.length
+      tick += 1
       println(s"[simulator] wrote ${batch.length} rows ($count/${cfg.totalRows})")
-      Thread.sleep(cfg.tickMillis)
+      sleep(cfg.tickMillis)
     }
+    count
+  }
+
+  /** Demo loop entry point (G3): tick every `tickMillis`, stop at
+    * `totalRows`.
+    */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_stream_input")
+    runLoop(dir, Config())
+    ()
   }
 }
