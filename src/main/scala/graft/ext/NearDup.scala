@@ -140,6 +140,29 @@ object NearDup {
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Rehash parameter pairs for the wide (60-bit) simhash — fixed
+    * seeded constants, mirrored verbatim into the oracle SQL.
+    */
+  val simhashRehashParams: Seq[(Long, Long)] = minhashParams(2, seed = 43L)
+
+  /** 60-bit SimHash: two independent 30-bit majority signatures over
+    * rehashes of the shingle hashes, concatenated
+    * ([[graft.functions.SimhashWide]]). The scale-correct signature for
+    * banded near-dup: band capacity is `2^(bits/(maxHamming+1))`, so
+    * 30 bits with hamming ≤ 3 collapses to 128 bucket values (~10⁴-doc
+    * ceiling, measured); 60 bits gives 4 bands × 15 bits.
+    */
+  def simhashWide(hashes: Column): Column =
+    call_function("simhash_wide", hashes)
+
+  /** Built-ins-only wide-simhash reference for the spec: simhash of
+    * each rehash stream, second shifted up 30 bits.
+    */
+  def simhashWideHof(hashes: Column): Column =
+    simhashRehashParams.zipWithIndex.map { case ((a, b), k) =>
+      simhashHof(transform(hashes, h => (lit(a) * h + lit(b)) % P), 30) * lit(1L << (30 * k))
+    }.reduce(_ + _)
+
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
@@ -203,6 +226,17 @@ object NearDup {
       (0 until bits).map { b =>
         s"(CASE WHEN 2*len(list_filter(hs, h -> (h // ${1L << b}) % 2 = 1)) > len(hs) " +
           s"THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString("(", " + ", ")")
+
+    /** Wide (60-bit) SimHash over `hs` — mirror of
+      * [[NearDup.simhashWide]] with the same rehash literals.
+      */
+    def simhashWideSql: String =
+      NearDup.simhashRehashParams.zipWithIndex.map { case ((a, b), k) =>
+        (0 until 30).map { bit =>
+          s"(CASE WHEN 2*len(list_filter(hs, h -> ((($a*h+$b) % ${NearDup.P}) // ${1L << bit}) % 2 = 1)) > len(hs) " +
+            s"THEN ${1L << (30 * k + bit)}::BIGINT ELSE 0::BIGINT END)"
+        }.mkString("(", " + ", ")")
       }.mkString("(", " + ", ")")
 
     def jaccardSql(a: String, b: String): String =

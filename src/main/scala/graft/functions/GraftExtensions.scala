@@ -73,6 +73,16 @@ object GraftFunctions {
         ShingleHashSet(children.head, k, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
       }),
     (
+      new FunctionIdentifier("simhash_wide"),
+      new ExpressionInfo(classOf[SimhashWide].getName, "simhash_wide"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash_wide expects (hashes)")
+        val params = graft.ext.NearDup.simhashRehashParams
+        SimhashWide(children.head,
+          params.map(_._1).toArray, params.map(_._2).toArray,
+          bitsPer = 30, graft.ext.NearDup.P)
+      }),
+    (
       new FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) => {

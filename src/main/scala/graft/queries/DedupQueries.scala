@@ -23,7 +23,7 @@ object DedupQueries {
   private val MinhashK = 16
   private val BandR = 2
   private val NumBands = MinhashK / BandR
-  private val SimhashBits = 30
+  private val SimhashBits = 60 // 2×30-bit rehash signatures (simhash_wide)
   private val MaxHamming = 3
   private lazy val mhParams = NearDup.minhashParams(MinhashK)
 
@@ -120,16 +120,22 @@ object DedupQueries {
               |ORDER BY a_id, b_id""".stripMargin),
       bench = true),
 
-    // ----- SimHash: 30-bit majority signature, pairs within hamming 3.
-    // Sub-quadratic AND exact: candidates come from a join on
-    // MaxHamming+1 bit-bands — by pigeonhole every qualifying pair
-    // shares an intact band, so banding loses nothing and the oracle
-    // (which joins all-pairs in SQL) must produce identical rows.
+    // ----- SimHash: 60-bit majority signature (2×30-bit rehashes —
+    // simhash_wide), pairs within hamming 3. Sub-quadratic AND exact:
+    // candidates come from a join on MaxHamming+1 bit-bands — by
+    // pigeonhole every qualifying pair shares an intact band, so
+    // banding loses nothing and the oracle (which joins all-pairs in
+    // SQL) must produce identical rows. Width is the scale lever:
+    // 4 bands × 15 bits = 32k bucket values per band (a 30-bit
+    // signature collapsed past ~10⁴ docs — measured 58 s at 40 k);
+    // the fixed absolute hamming-3 contract at growing width is the
+    // Manku-style near-exact dedup design. Tunable-threshold near-dup
+    // belongs to MinHash banding above.
     QueryDef(
       "dedup_simhash_pairs",
       (s, d) => {
         val base = hashed(docs(s, d))
-          .withColumn("sh", NearDup.simhash(col("hs"), SimhashBits))
+          .withColumn("sh", NearDup.simhashWide(col("hs")))
         val idx = base.select(col("doc_id"),
             explode(NearDup.simhashBands(col("sh"), SimhashBits, MaxHamming + 1)).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
@@ -149,7 +155,7 @@ object DedupQueries {
           .orderBy("a_id", "b_id")
       },
       Some(s"""$SqlBase,
-              |sim AS (SELECT doc_id, hs, ${NearDup.Sql.simhashSql(SimhashBits)} AS sh FROM h)
+              |sim AS (SELECT doc_id, hs, ${NearDup.Sql.simhashWideSql} AS sh FROM h)
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hd,
               |  round(${NearDup.Sql.jaccardSql("a.hs", "b.hs")}, 6) AS jac

@@ -133,6 +133,18 @@ class NearDupSpec extends SparkSpec {
     assert(diff.isEmpty, diff.collect().take(3).mkString(","))
   }
 
+  test("native simhash_wide == composed 2x30-bit rehash formulation") {
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(50)(Array.fill(rnd.nextInt(40) + 1)(
+        math.abs(rnd.nextLong()) % NearDup.P))
+      .toDF("hs")
+    val diff = df.select(
+        NearDup.simhashWide(col("hs")).as("fast"),
+        NearDup.simhashWideHof(col("hs")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(","))
+  }
+
   test("property: signatures within hamming h share a band among h+1 bands (pigeonhole)") {
     val prop = Prop.forAll(Gen.chooseNum(0L, (1L << 30) - 1), Gen.listOfN(3, Gen.chooseNum(0, 29))) {
       (sig: Long, flips: List[Int]) =>
