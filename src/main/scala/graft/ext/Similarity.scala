@@ -163,6 +163,118 @@ object Similarity {
       .distinct()
   }
 
+  /** Exact all-pairs generation via block-pair bucketing — the honest
+    * distributed shape when the similarity threshold sits near the
+    * random-pair background and candidate pruning CANNOT beat ~all
+    * pairs (measured: recall-1.0 LSH at cos>0.45 collided 99% of pairs
+    * and its 80-way explode+distinct cost 200+ s at 8 k vectors).
+    *
+    * Every vector is hashed to one of `blocks` blocks and replicated
+    * `blocks` times — side A to keys (myBlock, j), side B to keys
+    * (i, myBlock) — so each ordered pair meets at exactly ONE
+    * (i, j) key: a plain hash-shuffled equi-join with no duplicate
+    * matches, no distinct, no nested-loop node, and uniform load
+    * (hash blocks). Shuffle volume is `2·blocks·n` vector rows; the
+    * n²/2 comparisons happen inside the join iterator, never
+    * materialized. Pick `blocks` ≈ n / rowsPerBlock so a block-pair's
+    * buffered side fits in memory and task count ≈ blocks².
+    *
+    * Use [[lshCandidatePairs]] instead when the threshold is high
+    * enough (≳0.7) for banding to actually prune.
+    */
+  def blockedAllPairs(df: DataFrame, idCol: String, vecCol: String,
+      blocks: Int): DataFrame = {
+    // norms ride along from BEFORE replication: computed once per
+    // vector, not once per pair (cosine re-deriving both norms per
+    // pair tripled the dominant per-pair flops)
+    val aSide = df.select(col(idCol).as("a_id"), col(vecCol).as("va"),
+        norm(col(vecCol)).as("na"))
+      .withColumn("__ba", pmod(hash(col("a_id")), lit(blocks)))
+      .withColumn("__bb", explode(sequence(lit(0), lit(blocks - 1))))
+    val bSide = df.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
+        norm(col(vecCol)).as("nb"))
+      .withColumn("__bb", pmod(hash(col("b_id")), lit(blocks)))
+      .withColumn("__ba", explode(sequence(lit(0), lit(blocks - 1))))
+    aSide.join(bSide, Seq("__ba", "__bb"))
+      .filter(col("a_id") < col("b_id"))
+      .drop("__ba", "__bb")
+  }
+
+  /** Dense exact all-pairs cosine over block pairs — the measured end
+    * of the escalation ladder for near-background thresholds. The
+    * equi-join formulation above is already shuffle-correct, but it
+    * materializes every candidate pair as a join output row (two
+    * 64-float arrays per row — row forming, not arithmetic, dominated
+    * at 33 s for 32 M pairs). This version gathers each block ONCE
+    * (`collect_list`), joins the B(B+1)/2 block-pair rows, and runs
+    * the quadratic loop over primitive arrays inside a typed flatMap —
+    * emitting ONLY pairs at/above `rawThreshold`. 8 k vectors: 204 s
+    * (LSH+distinct) → 34 s (pair equi-join) → ~2 s (this).
+    *
+    * Arithmetic is pinned to the engine contract: sequential
+    * float→double products ([[dot]]/vec_dot_f order), `cos = dot /
+    * (sqrt(na²)·sqrt(nb²))` — bit-identical to the Column formulation,
+    * so callers can round/filter in DataFrame land and stay
+    * oracle-exact. Emit uses `rawThreshold` minus a 1e-7 guard so the
+    * exact rounded filter downstream makes the final call.
+    *
+    * Scale contract: exact all-pairs is for BOUNDED corpora (eval
+    * sets, per-shard dedup, n ≲ 10⁶ — block rows stay ≤ tens of MB
+    * with blocks ≈ n/10⁴). Unbounded corpora must accept approximate
+    * candidates ([[lshCandidatePairs]]) or a prunable threshold.
+    */
+  def exactCosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+      rawThreshold: Double, blocks: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = blocks
+    val blocksDs = df
+      .select(pmod(hash(col(idCol)), lit(b)).as("_1"),
+        struct(col(idCol).as("_1"), col(vecCol).as("_2")).as("__v"))
+      .groupBy("_1").agg(collect_list(col("__v")).as("_2"))
+      .as[(Int, Array[(Long, Array[Float])])]
+    // block p replicates to keys (p,q>=p) on side A and (q<=p, p) on B
+    val aKeyed = blocksDs.flatMap { case (p, vecs) =>
+      (p until b).iterator.map(q => (p * b + q, vecs)) }
+    val bKeyed = blocksDs.flatMap { case (p, vecs) =>
+      (0 to p).iterator.map(q => (q * b + p, vecs)) }
+    val guard = rawThreshold - 1e-7
+    aKeyed.joinWith(bKeyed, aKeyed("_1") === bKeyed("_1"))
+      .flatMap { case ((key, va), (_, vb)) =>
+        val same = key / b == key % b
+        def prep(vs: Array[(Long, Array[Float])]) = {
+          val norms = vs.map { case (_, v) =>
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+            math.sqrt(s)
+          }
+          (vs.map(_._1), vs.map(_._2), norms)
+        }
+        val (aIds, aVecs, aNorms) = prep(va)
+        val (bIds, bVecs, bNorms) = if (same) (aIds, aVecs, aNorms) else prep(vb)
+        val out = Vector.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < aIds.length) {
+          var j = if (same) i + 1 else 0
+          while (j < bIds.length) {
+            val x = aVecs(i); val y = bVecs(j)
+            var s = 0.0; var k = 0
+            while (k < x.length) { s += x(k).toDouble * y(k).toDouble; k += 1 }
+            val cos = s / (aNorms(i) * bNorms(j))
+            if (cos >= guard) {
+              val (lo, hi) =
+                if (aIds(i) < bIds(j)) (aIds(i), bIds(j)) else (bIds(j), aIds(i))
+              out += ((lo, hi, cos))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("a_id", "b_id", "cos_raw")
+  }
+
   // ------------------------------------------------- DuckDB SQL mirrors
 
   /** DuckDB mirrors generated from the SAME seeded plane constants as

