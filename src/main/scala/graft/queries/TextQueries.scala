@@ -323,6 +323,39 @@ object TextQueries {
              |FROM (SELECT text FROM documents
              |      UNION ALL SELECT '  ' || upper(text) || ' ' FROM documents)""".stripMargin)),
 
+    // ----- sequence packing (concat-and-chunk): assign documents to
+    // fixed-size context windows by running token count, per source —
+    // the pretraining batch-prep step. Deterministic contiguous
+    // packing: doc d lands in bin floor(cum_tokens_before(d) / L); a
+    // doc may straddle a boundary (the concat-and-chunk contract —
+    // bins fill to >= L, overflow flows into the next). One window
+    // (cumsum) + one aggregation; at scale the bin id becomes a write
+    // partition column.
+    QueryDef(
+      "pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val L = 2048
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, d)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+          .withColumn("bin",
+            floor((sum(col("ntok")).over(w) - col("ntok")).cast("double") / L).cast("long"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("bin_tokens"))
+          .orderBy("source", "bin")
+      },
+      Some(s"""SELECT source, bin, count(*) AS n_docs,
+              |CAST(sum(ntok) AS BIGINT) AS bin_tokens FROM
+              |(SELECT source, doc_id, ntok,
+              |  CAST(floor(CAST(sum(ntok) OVER w - ntok AS DOUBLE) / 2048) AS BIGINT) AS bin
+              | FROM (SELECT source, doc_id, ${TS.tokenCount} AS ntok FROM documents)
+              | WINDOW w AS (PARTITION BY source ORDER BY doc_id
+              |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
+
     // ----- count-min-sketch token frequency — the registered sketch
     // surface (round-2 verdict item 8). The sketch is mergeable
     // constant-memory state built distributed over exploded tokens;
