@@ -323,6 +323,40 @@ object TextQueries {
              |FROM (SELECT text FROM documents
              |      UNION ALL SELECT '  ' || upper(text) || ' ' FROM documents)""".stripMargin)),
 
+    // ----- weighted mixture sampling: per-source admission rates
+    // (epoch-mixture construction — upsample rare/high-quality
+    // sources, downsample bulk crawl) via the same deterministic
+    // content-hash primitive as split/sample. Rates are a plan-side
+    // map; admission = hash bucket < rate·1000, so the sample is
+    // reproducible and composes with the split (independent hash uses
+    // MUST use distinct salts — here the rate bucket space (1000)
+    // differs from the split's (100), and at 100 TB you'd salt the
+    // hash input per decision instead).
+    QueryDef(
+      "mixture_weighted",
+      (s, d) => {
+        // tiered demo weights: src0-src4 keep all, src5-src9 half,
+        // the rest 10%
+        val rate = when(col("source").isin((0 to 4).map("src" + _): _*), 1.0)
+          .when(col("source").isin((5 to 9).map("src" + _): _*), 0.5)
+          .otherwise(0.1)
+        docs(s, d)
+          .withColumn("__keep",
+            TextAnalysis.hashBucket(col("text"), 1000) < (rate * 1000).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               count(when(col("__keep"), 1)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source, count(*) AS n_docs,
+              |count(*) FILTER (keep) AS n_kept FROM
+              |(SELECT source, ${TS.hashBucket(1000)} <
+              |   CAST((CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1.0
+              |              WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+              |              ELSE 0.1 END) * 1000 AS BIGINT) AS keep
+              | FROM documents)
+              |GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // ----- sequence packing (concat-and-chunk): assign documents to
     // fixed-size context windows by running token count, per source —
     // the pretraining batch-prep step. Deterministic contiguous
