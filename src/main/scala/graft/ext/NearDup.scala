@@ -91,6 +91,15 @@ object NearDup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Native merge-walk Jaccard over SORTED distinct long arrays
+    * ([[graft.functions.JaccardSorted]]) — `array_intersect` builds a
+    * hash set per PAIR; sorting once per document at signature build
+    * amortizes to a linear merge per pair. Values identical to
+    * [[jaccard]] (order-invariant; spec-asserted).
+    */
+  def jaccardSorted(a: Column, b: Column): Column =
+    call_function("jaccard_sorted", a, b)
+
   // ------------------------------------------------------------ MinHash
 
   /** Seeded universal-hash parameters (a, b) for the MinHash family

@@ -34,6 +34,13 @@ object GraftFunctions {
         PolyHash(children.head, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
       }),
     (
+      new FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaccard_sorted expects exactly 2 arguments")
+        JaccardSorted(children.head, children(1))
+      }),
+    (
       new FunctionIdentifier("token_freqs"),
       new ExpressionInfo(classOf[TokenFreqs].getName, "token_freqs"),
       (children: Seq[Expression]) => {

@@ -92,6 +92,19 @@ class NearDupSpec extends SparkSpec {
     assert(sh("a b").isEmpty)
   }
 
+  test("native jaccard_sorted == array_intersect jaccard on random sets") {
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(100)((
+      rnd.shuffle((1L to 200L).toList).take(rnd.nextInt(40) + 1).toArray,
+      rnd.shuffle((1L to 200L).toList).take(rnd.nextInt(40) + 1).toArray))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        NearDup.jaccardSorted(array_sort(col("a")), array_sort(col("b"))).as("fast"),
+        NearDup.jaccard(col("a"), col("b")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(","))
+  }
+
   test("jaccard on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     assert(df.select(NearDup.jaccard(col("x"), col("y"))).head().getDouble(0) == 0.5)
