@@ -56,7 +56,7 @@ object Similarity {
     * verdict item 5).
     */
   def dotLit(vec: Column, constants: Array[Double]): Column =
-    call_function("vec_dot_fd", vec, array(constants.map(lit(_)): _*))
+    call_function("vec_dot_fd", vec, array(constants.toIndexedSeq.map(lit(_)): _*))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

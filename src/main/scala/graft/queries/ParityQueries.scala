@@ -42,7 +42,7 @@ object ParityQueries {
       (s, d) => {
         val stats = Stats.globalStats(t(s, d, "lineitem"),
           "l_quantity" -> "qty", "l_extendedprice" -> "price", "l_discount" -> "disc")
-        stats.select(stats.columns.map(c => round(col(c), 6).as(c)): _*)
+        stats.select(stats.columns.toIndexedSeq.map(c => round(col(c), 6).as(c)): _*)
       },
       Some("""SELECT round(avg(l_quantity),6) AS avg_qty, round(stddev_samp(l_quantity),6) AS stddev_qty,
              |round(CAST(min(l_quantity) AS DOUBLE),6) AS min_qty, round(CAST(max(l_quantity) AS DOUBLE),6) AS max_qty,
