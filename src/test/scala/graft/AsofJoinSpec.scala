@@ -51,6 +51,30 @@ class AsofJoinSpec extends SparkSpec {
       s"expected matched-row NULL, got $out")
   }
 
+  test("property: matches brute-force argmax(right.ts <= left.ts) on random data") {
+    val rnd = new scala.util.Random(31)
+    val left = Seq.tabulate(300)(i =>
+      (s"u${rnd.nextInt(8)}", t(rnd.nextInt(60)), i.toLong)).toDF("k", "ts", "event_id")
+    // distinct (key, ts) on the right — the documented uniqueness contract
+    val rightRows = rnd.shuffle(
+      (for (u <- 0 until 8; m <- 0 until 60) yield (s"u$u", t(m))).toList)
+      .take(150).map { case (k, ts) => (k, ts, rnd.nextDouble()) }
+    val right = rightRows.toDF("k", "ts", "v")
+
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // brute force: latest right row at-or-before, per key
+    val byKey = rightRows.groupBy(_._1)
+    val leftRows = left.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    leftRows.foreach { case (k, ts, id) =>
+      val expect = byKey.getOrElse(k, Nil)
+        .filter(!_._2.after(ts))
+        .sortBy(_._2.getTime)
+        .lastOption.map(_._3)
+      assert(got(id) == expect, s"key=$k ts=$ts id=$id")
+    }
+  }
+
   test("all left columns survive and payload is prefixed") {
     val left = Seq(("u1", t(1), "payload")).toDF("k", "ts", "data")
     val right = Seq(("u1", t(0), 7.0)).toDF("k", "ts", "v")

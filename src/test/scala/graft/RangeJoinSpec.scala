@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.RangeJoin
 
 /** Bucketed point-in-interval join semantics: start-inclusive,
@@ -41,6 +43,25 @@ class RangeJoinSpec extends SparkSpec {
     val out = RangeJoin.pointInInterval(points, intervals,
       Seq("k"), "ts", "s", "e", bucketSeconds = 60L)
     assert(out.isEmpty, out.collect().mkString(","))
+  }
+
+  test("property: matches brute-force containment join on random intervals") {
+    val rnd = new scala.util.Random(37)
+    val points = Seq.tabulate(200)(i =>
+      (s"u${rnd.nextInt(5)}", t(rnd.nextInt(120)), i.toLong)).toDF("k", "ts", "pid")
+    val intervals = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(120)
+      (s"u${rnd.nextInt(5)}", t(s), t(s + 1 + rnd.nextInt(40)), s"iv$i")
+    }.toDF("k", "s", "e", "sid")
+
+    // bucket width deliberately NOT aligned to interval lengths
+    val got = RangeJoin.pointInInterval(points, intervals,
+        Seq("k"), "ts", "s", "e", bucketSeconds = 420L)
+      .select("pid", "sid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ref = points.as("p").join(intervals.as("i"),
+        col("p.k") === col("i.k") && col("p.ts") >= col("i.s") && col("p.ts") < col("i.e"))
+      .select("pid", "sid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == ref, s"diff: ${(got diff ref) ++ (ref diff got)}")
   }
 
   test("a point matches exactly one interval (no bucket-duplicate rows)") {
