@@ -41,6 +41,28 @@ class IvfSpec extends SparkSpec {
     assert(cells.length == 3 && cells.distinct.length == 3)
   }
 
+  test("persisted cell-partitioned index prunes to the probed cells (scan-level)") {
+    // the deployment claim in IvfIndex's scaladoc: persist assignments
+    // partitioned by cell, and a probe reads ONLY its nprobe cells'
+    // partitions — the parquet scan must show PartitionFilters, the
+    // disk-level analogue of compare-within-cell
+    val centroids = IvfIndex.fit(clustered, "embedding", nlist = 4, seed = 1L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    clustered.withColumn("cell", IvfIndex.assign(col("embedding"), centroids))
+      .write.partitionBy("cell").mode("overwrite").parquet(dir)
+
+    val probeCells = clustered.limit(1)
+      .select(IvfIndex.probeCells(col("embedding"), centroids, 2))
+      .head().getSeq[Int](0)
+    val pruned = spark.read.parquet(dir).filter(col("cell").isin(probeCells: _*))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+    // and the read really is cell-local: only the probed cells' rows
+    val cells = pruned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cells == probeCells.toSet)
+  }
+
   test("IVF top-k matches brute force on clustered data (nprobe=2)") {
     val centroids = IvfIndex.fit(clustered, "embedding", nlist = 4, seed = 1L)
     val probes = clustered.filter(col("vec_id") < 4)
