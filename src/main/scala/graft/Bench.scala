@@ -52,10 +52,15 @@ object Bench {
         spark.catalog.clearCache() // every sample starts data-cold
         run(name)
       }
-      val ok = samples.collect { case Right(t) => t }
-      name -> (if (ok.nonEmpty) Right(median(ok))
-               else Left(samples.collectFirst { case Left(e) => e }.get))
+      // ANY failed sample marks the query failed — a flaky query must
+      // never report a clean median-of-the-survivors (the round-1
+      // "failures are not swallowed" contract applies per sample)
+      name -> (samples.collectFirst { case Left(e) => e } match {
+        case Some(e) => Left(e)
+        case None    => Right(median(samples.collect { case Right(t) => t }))
+      })
     }
+    graft.queries.DedupQueries.releaseSignatureCache()
 
     def esc(s: String): String =
       s.flatMap {

@@ -28,6 +28,7 @@ object DevStress {
         println(s"[stress]   rows: $n")
       }
     }
+    graft.queries.DedupQueries.releaseSignatureCache()
     spark.stop()
   }
 }

@@ -45,8 +45,17 @@ case class JaccardSorted(left: Expression, right: Expression)
     JaccardSorted.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) =>
-      s"${ev.value} = graft.functions.JaccardSorted.compute($x, $y);")
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val r = ctx.freshName("r")
+      // boxed so two-empty-sets can yield NULL like the composed form's
+      // divide-by-zero (both engines drop the pair); one box per pair
+      // is noise next to the merge walk
+      s"""
+         |java.lang.Double $r = graft.functions.JaccardSorted.compute($x, $y);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSorted =
@@ -57,7 +66,12 @@ case class JaccardSorted(left: Expression, right: Expression)
 
 object JaccardSorted {
 
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  /** Null when both sets are empty — 0/0 is NULL in both the Spark
+    * composed form (divide by zero) and the DuckDB mirror, and the
+    * threshold filters drop it; returning NaN here would instead PASS
+    * Spark's NaN-is-greatest comparisons and emit spurious pairs.
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     val m = b.numElements()
     var i = 0
@@ -70,6 +84,7 @@ object JaccardSorted {
       else if (x < y) i += 1
       else j += 1
     }
-    inter.toDouble / (n + m - inter)
+    val union = n + m - inter
+    if (union == 0) null else inter.toDouble / union
   }
 }

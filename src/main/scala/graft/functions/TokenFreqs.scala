@@ -22,6 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TokenFreqs(child: Expression, words: Array[String])
     extends UnaryExpression {
 
+  require(words.distinct.length == words.length,
+    s"token_freqs word list must be duplicate-free — the index would " +
+      s"silently keep only the LAST slot of a duplicate word: " +
+      words.mkString(", "))
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

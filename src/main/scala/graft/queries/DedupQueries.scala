@@ -53,7 +53,14 @@ object DedupQueries {
     val cached = df.select(col("doc_id"),
         array_sort(NearDup.shingleHashSet(TextAnalysis.tokens(col("text")), ShingleK)).as("hs"))
       .cache()
-    handles.synchronized { handles += cached }
+    handles.synchronized {
+      // dedupe by analyzed plan: repeated invocations over the same
+      // table share one cache entry, so tracking one handle per PLAN
+      // (not per call) keeps the buffer bounded in long-lived sessions
+      val plan = cached.queryExecution.analyzed
+      if (!handles.exists(_.queryExecution.analyzed.sameResult(plan)))
+        handles += cached
+    }
     cached
   }
 

@@ -336,13 +336,16 @@ object TextQueries {
       "mixture_weighted",
       (s, d) => {
         // tiered demo weights: src0-src4 keep all, src5-src9 half,
-        // the rest 10%
-        val rate = when(col("source").isin((0 to 4).map("src" + _): _*), 1.0)
-          .when(col("source").isin((5 to 9).map("src" + _): _*), 0.5)
-          .otherwise(0.1)
+        // the rest 10%. Thresholds are INTEGER bucket counts end to
+        // end — a double `rate * 1000` would truncate differently
+        // than DuckDB's exact DECIMAL product for rates like 0.29
+        // (289.999… → 289 vs 290) and break the cross-engine contract
+        val keepBuckets = when(col("source").isin((0 to 4).map("src" + _): _*), 1000L)
+          .when(col("source").isin((5 to 9).map("src" + _): _*), 500L)
+          .otherwise(100L)
         docs(s, d)
           .withColumn("__keep",
-            TextAnalysis.hashBucket(col("text"), 1000) < (rate * 1000).cast("long"))
+            TextAnalysis.hashBucket(col("text"), 1000) < keepBuckets)
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
                count(when(col("__keep"), 1)).as("n_kept"))
@@ -351,9 +354,9 @@ object TextQueries {
       Some(s"""SELECT source, count(*) AS n_docs,
               |count(*) FILTER (keep) AS n_kept FROM
               |(SELECT source, ${TS.hashBucket(1000)} <
-              |   CAST((CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1.0
-              |              WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
-              |              ELSE 0.1 END) * 1000 AS BIGINT) AS keep
+              |   (CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1000
+              |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+              |         ELSE 100 END) AS keep
               | FROM documents)
               |GROUP BY 1 ORDER BY source""".stripMargin)),
 
@@ -399,6 +402,11 @@ object TextQueries {
     // SQL mirror, but the output carries CMS's defining invariant
     // (overestimate-only: over_est >= 0, exact for absent tokens) so
     // the dump is checkable; TextAnalysisSpec bounds the error.
+    // NOTE: unlike every other entry, CONSTRUCTING this DataFrame
+    // executes the sketch job (the estimates are driver-side point
+    // lookups and must exist before the result plan can be built) —
+    // an inherent property of driver-queried sketches, so e.g.
+    // Explain on this query pays the aggregation.
     QueryDef(
       "sketch_cms_token_freq",
       (s, d) => {

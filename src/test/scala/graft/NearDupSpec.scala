@@ -105,6 +105,18 @@ class NearDupSpec extends SparkSpec {
     assert(diff.isEmpty, diff.collect().take(3).mkString(","))
   }
 
+  test("jaccard_sorted: two empty sets → NULL (the DuckDB-mirror semantics)") {
+    // the oracle's 0/0 is NULL in DuckDB, so the pair is dropped by any
+    // threshold filter. NaN here would instead PASS Spark's
+    // NaN-is-greatest comparisons and emit spurious pairs — and the
+    // composed array_intersect form can't even be used as the reference
+    // for this case: under Spark 4's default ANSI mode its divide
+    // THROWS on sub-k-token document pairs (a latent crash the native
+    // expression removes)
+    val df = Seq((Array.empty[Long], Array.empty[Long])).toDF("a", "b")
+    assert(df.select(NearDup.jaccardSorted(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("jaccard on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     assert(df.select(NearDup.jaccard(col("x"), col("y"))).head().getDouble(0) == 0.5)

@@ -105,6 +105,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("blockedAllPairs emits each unordered pair exactly once (no distinct needed)") {
+    val rnd = new scala.util.Random(41)
+    val df = (0 until 30).map(i => (i.toLong, Array.fill(4)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    for (blocks <- Seq(1, 4, 7)) {
+      val pairs = Similarity.blockedAllPairs(df, "vec_id", "embedding", blocks)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.length == 30 * 29 / 2, s"blocks=$blocks: ${pairs.length}")
+      assert(pairs.distinct.length == pairs.length && pairs.forall { case (a, b) => a < b })
+    }
+  }
+
   test("dedup_embedding_near plans no nested-loop join (round-2 verdict item 1)") {
     // plan-shape assertion on the registered query itself: candidates
     // must come from the LSH equi-join, never a cartesian
