@@ -58,6 +58,13 @@ object Similarity {
   def dotLit(vec: Column, constants: Array[Double]): Column =
     call_function("vec_dot_fd", vec, array(constants.toIndexedSeq.map(lit(_)): _*))
 
+  /** Dot product of two `array<double>` columns — the native
+    * codegen'd [[graft.functions.DoubleVecDot]], for math over
+    * already-normalized (double) vectors. Bit-identical to [[dotHof]]
+    * on the same inputs (FloatVecDotSpec).
+    */
+  def dotD(a: Column, b: Column): Column = call_function("vec_dot_d", a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity: dot / (norm(a) * norm(b)) — op order pinned for
@@ -70,11 +77,15 @@ object Similarity {
     * to a plain dot product, so a pre-normalized corpus halves every
     * downstream re-rank's arithmetic and storage-side norm lookups).
     */
-  def l2Normalize(a: Column): Column = {
-    // the divisor rides in via zip_with + array_repeat so norm(a) is
-    // evaluated ONCE per row — a plain transform lambda re-evaluates
-    // its captured expression per ELEMENT (O(d²) per row for a dot
-    // under a transform); values are identical either way
+  def l2Normalize(a: Column): Column = call_function("vec_l2norm", a)
+
+  /** Built-ins-only formulation of [[l2Normalize]] — the semantic
+    * reference VecL2Norm is spec-checked against. The divisor rides in
+    * via zip_with + array_repeat so norm(a) is evaluated ONCE per row —
+    * a plain transform lambda re-evaluates its captured expression per
+    * ELEMENT (O(d²) per row for a dot under a transform).
+    */
+  def l2NormalizeHof(a: Column): Column = {
     val repeated = array_repeat(norm(a), size(a))
     zip_with(a, repeated, (x, nn) => x.cast("double") / nn)
   }

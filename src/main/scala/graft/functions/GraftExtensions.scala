@@ -27,6 +27,20 @@ object GraftFunctions {
         FloatDoubleVecDot(children.head, children(1))
       }),
     (
+      new FunctionIdentifier("vec_dot_d"),
+      new ExpressionInfo(classOf[DoubleVecDot].getName, "vec_dot_d"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot_d expects exactly 2 arguments")
+        DoubleVecDot(children.head, children(1))
+      }),
+    (
+      new FunctionIdentifier("vec_l2norm"),
+      new ExpressionInfo(classOf[VecL2Norm].getName, "vec_l2norm"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "vec_l2norm expects exactly 1 argument")
+        VecL2Norm(children.head)
+      }),
+    (
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => {

@@ -34,6 +34,13 @@ object SimilarityQueries {
   private val NTables = 4
   private lazy val planes = Similarity.hyperplanes(Dim, NBits, NTables)
 
+  /** Wider LSH bank for the near-dup THRESHOLD query (recall must be
+    * ~certain at cos ≥ 0.9, vs top-k where a rare miss only perturbs
+    * rank tails): 16 tables × 8 bits, same seed — the first 4 tables
+    * coincide with [[planes]] by construction.
+    */
+  private lazy val dedupPlanes = Similarity.hyperplanes(Dim, NBits, 16)
+
   /** Shared oracle CTE: per-vector LSH bucket ids b0..b3 (plane
     * constants as SQL literals — bit-identical sign decisions).
     */
@@ -110,16 +117,63 @@ object SimilarityQueries {
               | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
               |WHERE cos > 0.45 ORDER BY a_id, b_id""".stripMargin)),
 
+    // ----- embedding near-dup via banded LSH — the documented 100 TB
+    // scale path (Similarity.lshCandidatePairs + exact re-check) behind
+    // the same ALL-PAIRS oracle as dedup_embedding_near, so LSH recall
+    // is gated end-to-end: any true pair the bands miss is a missing
+    // output row and a hash mismatch (round-3 verdict item 1). The raw
+    // corpus has no pairs above the prunable regime (max cos ≈ 0.60),
+    // which would make the gate vacuous — so the ingest deterministically
+    // plants near-dup clones for every 10th vector (v + 0.25·rot1(v),
+    // re-cast to float; cos(v, clone) ≈ 0.968, cleanly above the 0.7
+    // threshold and far above background), mirrored bit-exactly in the
+    // oracle SQL (0.25 is a power of two — the scale is exact in double,
+    // the float re-cast rounds identically in both engines). 16 tables
+    // × 8 bits ⇒ per-pair miss ≈ (1 − 0.92⁸)¹⁶ ≈ 1e-5 at cos 0.968;
+    // the oracle proves recall 1.0 on this corpus, not just in theory.
+    QueryDef(
+      "dedup_embedding_lsh",
+      (s, d) => {
+        val e = emb(s, d).select("vec_id", "embedding")
+        val rot = concat(slice(col("embedding"), 2, Dim - 1), slice(col("embedding"), 1, 1))
+        val cloneVec = zip_with(col("embedding"), rot,
+          (x, y) => (x.cast("double") + lit(0.25) * y.cast("double")).cast("float"))
+        val clones = e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), cloneVec.as("embedding"))
+        val aug = e.unionAll(clones)
+        val cand = Similarity.lshCandidatePairs(aug, "vec_id", "embedding", dedupPlanes)
+        cand
+          .join(aug.select(col("vec_id").as("a_id"), col("embedding").as("va")), Seq("a_id"))
+          .join(aug.select(col("vec_id").as("b_id"), col("embedding").as("vb")), Seq("b_id"))
+          .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+          .filter(col("cos") > 0.7)
+          .select(col("a_id"), col("b_id"), col("cos"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH aug AS (
+              |  SELECT vec_id, embedding::FLOAT[] AS embedding FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 1000000,
+              |    list_transform(generate_series(1, $Dim),
+              |      j -> CAST(embedding[j]::DOUBLE + 0.25 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
+              |  FROM embeddings WHERE vec_id % 10 = 0)
+              |SELECT a_id, b_id, cos FROM
+              |(SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(${cosSql("a", "b")}, 6) AS cos
+              | FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+              |WHERE cos > 0.7 ORDER BY a_id, b_id""".stripMargin),
+      bench = true),
+
     // ----- L2 normalization: re-derived norms must be 1 and component
     // stats survive the transform — the embedding-prep op, verified
-    // with the same pinned dot-product op order (dotHof on the double
-    // vectors == DuckDB list_dot_product)
+    // with the same pinned dot-product op order (native vec_l2norm /
+    // vec_dot_d == DuckDB list_transform / list_dot_product; the HOF
+    // forms are the spec-checked semantic reference)
     QueryDef(
       "sim6_l2_normalize",
       (s, d) => emb(s, d)
         .select(col("label"), Similarity.l2Normalize(col("embedding")).as("nv"))
         .select(col("label"),
-          round(sqrt(Similarity.dotHof(col("nv"), col("nv"))), 6).as("renorm"),
+          round(sqrt(Similarity.dotD(col("nv"), col("nv"))), 6).as("renorm"),
           round(element_at(col("nv"), 1), 6).as("c1"))
         .groupBy("label")
         .agg(count(lit(1)).as("cnt"),
