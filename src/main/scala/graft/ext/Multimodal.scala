@@ -79,12 +79,14 @@ object Multimodal {
       (w, h)
     }
 
-  /** Deterministic synthetic PNG (real, decodable bytes — the image
+  /** Deterministic synthetic image (real, decodable bytes — the image
     * fixture generator): w×h RGB with pixel colors derived from
-    * (seed, x, y). Encoded with the JDK PNG writer, so generation runs
-    * distributed inside map partitions like any other transform.
+    * (seed, x, y), encoded with the JDK writer for `format` — any of
+    * the four `javax.imageio` codecs ("png", "jpeg", "bmp", "gif").
+    * Encoding runs distributed inside map partitions like any other
+    * transform.
     */
-  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+  def syntheticImage(seed: Long, w: Int, h: Int, format: String): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -97,9 +99,13 @@ object Multimodal {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    val ok = ImageIO.write(img, format, out)
+    require(ok, s"no JDK ImageIO writer for format '$format'")
     out.toByteArray
   }
+
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] =
+    syntheticImage(seed, w, h, "png")
 
   /** 16-bin normalized byte-value histogram — a real, lib-free feature
     * (the stand-in for embedding/spectrogram extraction).
@@ -138,20 +144,27 @@ object Multimodal {
     fromDocuments(docs).as[MediaFile]
   }
 
+  /** The four image codecs `javax.imageio` ships in every JDK — all
+    * decoded for REAL by [[decodeDimensions]] (MultimodalSpec covers
+    * each), shrinking the stub boundary strictly to audio/video.
+    */
+  val imageFormats: Seq[String] = Seq("png", "jpeg", "bmp", "gif")
+
   /** Mixed-modality media fixture: every 5th document becomes a REAL
-    * PNG (deterministic [[syntheticPng]], dimensions derived from the
-    * id), the rest stay text bytes. PNG encoding happens inside the
-    * map — distributed, never driver-side — exactly where a production
-    * pipeline would transcode.
+    * image (deterministic [[syntheticImage]], format cycling through
+    * [[imageFormats]], dimensions derived from the id), the rest stay
+    * text bytes. Encoding happens inside the map — distributed, never
+    * driver-side — exactly where a production pipeline would transcode.
     */
   def mediaWithImages(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
     mediaFromDocuments(spark, docs).map { m =>
       if (m.media_id % 5 == 0) {
+        val fmt = imageFormats(((m.media_id / 5) % imageFormats.length).toInt)
         val w = 3 + (m.media_id % 14).toInt
         val h = 5 + (m.media_id % 9).toInt
-        m.copy(kind = "image/png", content = syntheticPng(m.media_id, w, h),
-          meta = m.meta + ("codec" -> "png"))
+        m.copy(kind = s"image/$fmt", content = syntheticImage(m.media_id, w, h, fmt),
+          meta = m.meta + ("codec" -> fmt))
       } else m
     }
   }

@@ -119,6 +119,32 @@ object EventQueries {
              |ORDER BY l.event_id""".stripMargin),
       bench = true),
 
+    // ----- as-of join, hot-key-safe bucketed variant: IDENTICAL
+    // semantics to j2 (same DuckDB ASOF oracle), different physics —
+    // the window partitions on (user_id, hour-bucket) with seed
+    // carries between buckets, so one user owning half the events
+    // can't funnel one task (ops/AsofJoin.asofBackwardBucketed;
+    // round-3 verdict item 6 shipped as an oracle-gated query)
+    QueryDef(
+      "j2b_asof_bucketed",
+      (s, d) => {
+        val ev = events(s, d).select("event_id", "user_id", "ts", "value")
+        val clicks = events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.ops.AsofJoin.asofBackwardBucketed(
+            ev, clicks, Seq("user_id"), "ts", "ts", Seq("value"),
+            bucketSeconds = 3600L)
+          .filter(col("asof_value").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_value").as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, l.ts, r.value AS click_value
+             |FROM events l ASOF JOIN
+             |  (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     // ----- range join: every event mapped to its containing session
     // interval via the bucketed point-in-interval join (sessions come
     // from the same session_window op, so the per-session recount

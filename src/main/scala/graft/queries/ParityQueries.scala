@@ -319,6 +319,39 @@ object ParityQueries {
              |GROUP BY 1 ORDER BY r_name""".stripMargin),
       bench = true),
 
+    // ----- J4: bucketed co-located fact-fact join — the write-once-
+    // shuffle-never scale tool as a REGISTERED query (round-3 verdict
+    // item 3; BucketingSpec holds the no-Exchange plan assertion).
+    // Both sides are written bucketed+sorted by the join key into the
+    // session catalog, then sort-merge-joined bucket-to-bucket: the
+    // only shuffle in the whole plan is the final tiny aggregate. The
+    // merge hint pins SMJ so the query exercises the bucket layout
+    // even where AQE would broadcast the small test-corpus side.
+    QueryDef(
+      "j4_bucketed_join",
+      (s, d) => {
+        val suffix = java.lang.Integer.toHexString(d.hashCode)
+        val lt = s"graft_bkt_lineitem_$suffix"
+        val ot = s"graft_bkt_orders_$suffix"
+        graft.sources.Bucketing.writeBucketed(
+          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+          lt, "l_orderkey", 8)
+        graft.sources.Bucketing.writeBucketed(
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          ot, "o_orderkey", 8)
+        s.table(lt).hint("merge")
+          .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+               round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+                 .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     // ----- A12 (extension): exact linear-interpolation quantiles per
     // group (DuckDB quantile_cont mirror). The approx_percentile
     // t-digest path is the 100 TB variant (sketch impls differ across

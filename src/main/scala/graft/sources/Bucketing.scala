@@ -18,12 +18,25 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted catalog table (overwrites). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed, sorted catalog table (overwrites).
+    *
+    * The session catalog is in-memory but managed-table DIRECTORIES
+    * persist in the warehouse path across JVMs — a fresh session that
+    * re-creates the same table name would hit LOCATION_ALREADY_EXISTS,
+    * so any stale location is removed first.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val stale = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stale)) fs.delete(stale, true)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 }

@@ -17,12 +17,17 @@ import graft.sink.SnapshotSink
   *                       sink writes from a single cached batch (the scale mode)
   * @param clock          epoch-seconds clock, injectable for deterministic tests
   *                       (reference `time.time()`, spark_streaming.py:90,128)
+  * @param maxFilesPerTrigger  file-source read limit per micro-batch —
+  *                       lets Trigger.AvailableNow drain a backlog in
+  *                       several bounded batches (the throughput-bench
+  *                       and backfill shape) instead of one giant one
   */
 final case class PipelineConfig(
     zThreshold: Double = 3.0,
     trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
     fused: Boolean = false,
     clock: () => Double = () => System.currentTimeMillis() / 1000.0,
+    maxFilesPerTrigger: Option[Int] = None,
 )
 
 /** The engine core — the reference's `spark_streaming.py` re-expressed
@@ -122,9 +127,10 @@ final class Pipeline(sink: SnapshotSink, config: PipelineConfig = PipelineConfig
     */
   def start(spark: org.apache.spark.sql.SparkSession, inputDir: String,
       checkpointRoot: String): Seq[StreamingQuery] = {
-    val stream = processed(
-      spark.readStream.schema(CensusSchema.schema)
-        .option("header", "false").csv(inputDir))
+    val reader = spark.readStream.schema(CensusSchema.schema)
+      .option("header", "false")
+    config.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = processed(reader.csv(inputDir))
 
     if (config.fused) {
       Seq(stream.writeStream

@@ -75,6 +75,48 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: bucketed variant == asofBackward on random data incl. a 50%-hot key") {
+    val rnd = new scala.util.Random(37)
+    // u0 takes ~half of all traffic on both sides — the funnel case the
+    // bucketed variant exists for
+    def key(): String = if (rnd.nextBoolean()) "u0" else s"u${1 + rnd.nextInt(7)}"
+    val left = Seq.tabulate(400)(i => (key(), t(rnd.nextInt(59)), i.toLong))
+      .toDF("k", "ts", "event_id")
+    val rightRows = rnd.shuffle(
+      (for (u <- 0 until 8; m <- 0 until 59) yield (s"u$u", t(m))).toList)
+      .take(200).map { case (k, ts) => (k, ts, rnd.nextDouble()) }
+    val right = rightRows.toDF("k", "ts", "v")
+
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+        .toMap
+    val plain = collect(
+      AsofJoin.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("v")))
+    // 10-minute buckets: the hour of data spans several buckets, so
+    // both in-bucket matches and cross-bucket seed carries are hit;
+    // also an extreme width (one bucket) must degenerate to the plain op
+    for (bucketSeconds <- Seq(600L, 7L, 86400L)) {
+      val bucketed = collect(AsofJoin.asofBackwardBucketed(
+        left, right, Seq("k"), "ts", "ts", Seq("v"), bucketSeconds))
+      assert(bucketed == plain, s"bucketSeconds=$bucketSeconds diverged")
+    }
+  }
+
+  test("bucketed variant matches a NULL-payload right row like the plain op") {
+    val left = Seq(("u1", t(12), 1L)).toDF("k", "ts", "event_id")
+    val right = Seq(
+      ("u1", t(5), Some(5.0)),
+      ("u1", t(10), None: Option[Double]))
+      .toDF("k", "ts", "v")
+    // bucket width 60 s: t(10) lands in an earlier bucket than t(12), so
+    // the NULL-payload match must survive the seed-carry path too
+    val out = AsofJoin.asofBackwardBucketed(
+      left, right, Seq("k"), "ts", "ts", Seq("v"), bucketSeconds = 60L).head()
+    assert(out.isNullAt(out.fieldIndex("asof_v")),
+      s"expected matched-row NULL via carry, got $out")
+  }
+
   test("all left columns survive and payload is prefixed") {
     val left = Seq(("u1", t(1), "payload")).toDF("k", "ts", "data")
     val right = Seq(("u1", t(0), 7.0)).toDF("k", "ts", "v")

@@ -34,6 +34,25 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("registered j4_bucketed_join plan: only the final aggregate shuffles") {
+    val df = SparkEntry.queries("j4_bucketed_join")(spark, "/root/testdata/sf0.001")
+    df.collect() // force execution so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // inspect only the AQE-finalized plan (the printed "Initial Plan"
+    // section repeats the tree and would double-count nodes)
+    val finalPlan = plan.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val joinIdx = finalPlan.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinIdx >= 0, plan)
+    // tree prints top-down, so anything BELOW the join (its inputs)
+    // prints after it: the bucket-co-located sides must be
+    // exchange-free, while the tiny group-by above the join may shuffle
+    val exchangeBelow = finalPlan.drop(joinIdx + 1).filter(_.contains("Exchange"))
+    assert(exchangeBelow.isEmpty,
+      s"bucketed join sides still shuffle (Exchange below SortMergeJoin):\n$plan")
+    assert(finalPlan.drop(joinIdx).exists(_.contains("Bucketed: true")), plan)
+  }
+
   test("streaming dedup keeps first arrival and bounds state by watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(java.sql.Timestamp, String)](spark)

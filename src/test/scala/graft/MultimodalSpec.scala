@@ -51,15 +51,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeDimensions("image/png", "nonsense".getBytes) == ((0, 0)))
   }
 
-  test("mediaWithImages: PNG rows decode their true dimensions distributed") {
-    val docs = (0L until 10L).map(i => (i, s"doc $i body", "en", "srcA", 10L))
+  test("all four JDK codecs (png/jpeg/bmp/gif) encode and decode for REAL") {
+    val magics = Map[String, Array[Byte] => Boolean](
+      "png" -> (b => (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte),
+      "jpeg" -> (b => (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8),
+      "bmp" -> (b => b(0) == 'B'.toByte && b(1) == 'M'.toByte),
+      "gif" -> (b => b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte))
+    Multimodal.imageFormats.foreach { fmt =>
+      val bytes = Multimodal.syntheticImage(seed = 7L, w = 9, h = 4, fmt)
+      assert(magics(fmt)(bytes), s"$fmt bytes lack the format magic")
+      // lossy or not, dimensions decode exactly for every codec
+      assert(Multimodal.decodeDimensions(s"image/$fmt", bytes) == ((9, 4)), fmt)
+    }
+  }
+
+  test("mediaWithImages: image rows decode true dimensions distributed, all codecs") {
+    val docs = (0L until 20L).map(i => (i, s"doc $i body", "en", "srcA", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val feats = Multimodal.extractFeatures(Multimodal.mediaWithImages(spark, docs))
       .collect().sortBy(_.media_id)
-    val png = feats.filter(_.kind == "image/png").map(f => (f.media_id, f.width, f.height))
-    // ids 0 and 5; dims derived from id: (3 + id%14, 5 + id%9)
-    assert(png.toSeq == Seq((0L, 3, 5), (5L, 8, 10)))
-    assert(feats.count(_.kind == "text/en") == 8)
+    val imgs = feats.filter(_.kind.startsWith("image/"))
+      .map(f => (f.media_id, f.kind, f.width, f.height))
+    // ids 0/5/10/15 cycle png→jpeg→bmp→gif; dims (3 + id%14, 5 + id%9)
+    assert(imgs.toSeq == Seq(
+      (0L, "image/png", 3, 5), (5L, "image/jpeg", 8, 10),
+      (10L, "image/bmp", 13, 6), (15L, "image/gif", 4, 11)))
+    assert(feats.count(_.kind == "text/en") == 16)
   }
 
   test("resizeStub and frameSample are deterministic with exact shapes") {
