@@ -133,10 +133,32 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(nbits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** LSH bank descriptor. The queries hand this to [[lshIndex]] /
+    * [[lshCandidatePairs]], which dispatch to the native `lsh_buckets`
+    * expression carrying the plane matrix as ONE reference object; the
+    * materialized [[planes]] exist for the SQL mirrors ([[Sql]]) and
+    * the composed-form parity spec. Embedding the planes as per-plane
+    * array LITERALS (the old [[bucketId]] composition) put
+    * tables×nbits×dim doubles into the plan per call site — analysis +
+    * codegen of that constant forest dominated the LSH queries' wall
+    * time at bench scale.
+    */
+  final case class PlaneSpec(dim: Int, nbits: Int, tables: Int, seed: Long = 42L) {
+    lazy val planes: Seq[Seq[Array[Double]]] = hyperplanes(dim, nbits, tables, seed)
+  }
+
+  /** All `tables` bucket ids of `vec` as one `array<long>` — the
+    * native fused pass ([[graft.functions.LshBuckets]]).
+    */
+  def lshBuckets(vec: Column, spec: PlaneSpec): Column =
+    call_function("lsh_buckets", vec,
+      lit(spec.dim), lit(spec.nbits), lit(spec.tables), lit(spec.seed))
+
   /** Sign-bit bucket id of `vec` for one table's planes:
     * bit_j = (vec · plane_j >= 0), bucket = Σ bit_j << j.
-    * Plane constants are embedded as array literals — pure codegen'd
-    * column arithmetic, evaluated map-side.
+    * The built-ins-composed reference formulation — kept as the
+    * semantic contract [[graft.functions.LshBuckets]] is spec-checked
+    * against (SimilaritySpec), not used on the query path.
     */
   def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, j) =>
@@ -147,16 +169,9 @@ object Similarity {
     * banded-LSH index. Rows sharing a (table_id, bucket) key in ANY
     * table become candidate pairs; one shuffle on the composite key.
     */
-  def lshIndex(df: DataFrame, vecCol: String,
-      planes: Seq[Seq[Array[Double]]]): DataFrame = {
-    val buckets = array(planes.zipWithIndex.map { case (tablePlanes, t) =>
-      struct(lit(t).as("table_id"), bucketId(col(vecCol), tablePlanes).as("bucket"))
-    }: _*)
-    df.withColumn("__tb", explode(buckets))
-      .withColumn("table_id", col("__tb.table_id"))
-      .withColumn("bucket", col("__tb.bucket"))
-      .drop("__tb")
-  }
+  def lshIndex(df: DataFrame, vecCol: String, spec: PlaneSpec): DataFrame =
+    df.select(col("*"),
+        posexplode(lshBuckets(col(vecCol), spec)).as(Seq("table_id", "bucket")))
 
   /** Candidate pairs (a < b) that share at least one LSH bucket —
     * distinct'd so multi-table collisions emit once. This is the
@@ -164,8 +179,8 @@ object Similarity {
     * all-pairs.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
-      planes: Seq[Seq[Array[Double]]]): DataFrame = {
-    val idx = lshIndex(df, vecCol, planes).select(col(idCol), col("table_id"), col("bucket"))
+      spec: PlaneSpec): DataFrame = {
+    val idx = lshIndex(df, vecCol, spec).select(col(idCol), col("table_id"), col("bucket"))
     val a = idx.select(col(idCol).as("a_id"), col("table_id"), col("bucket"))
     val b = idx.select(col(idCol).as("b_id"), col("table_id"), col("bucket"))
     a.join(b, Seq("table_id", "bucket"))

@@ -41,6 +41,32 @@ object GraftFunctions {
         VecL2Norm(children.head)
       }),
     (
+      new FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "lsh_buckets expects (vec, dim, nbits, tables, seed)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_buckets $what argument must be an integer literal, got $other")
+        }
+        val dim = intLit(children(1), "dim")
+        val nbits = intLit(children(2), "nbits")
+        val tables = intLit(children(3), "tables")
+        val seed = children(4) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"lsh_buckets seed argument must be an integer literal, got $other")
+        }
+        // the SAME seeded generator the SQL mirrors materialize planes
+        // from — bucket ids stay bit-identical across engines
+        val planes = graft.ext.Similarity.hyperplanes(dim, nbits, tables, seed)
+          .flatMap(_.flatMap(_.toSeq)).toArray
+        LshBuckets(children.head, planes, tables, nbits, dim)
+      }),
+    (
       new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => {

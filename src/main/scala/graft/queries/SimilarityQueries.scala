@@ -32,14 +32,15 @@ object SimilarityQueries {
   private val Dim = 64
   private val NBits = 8
   private val NTables = 4
-  private lazy val planes = Similarity.hyperplanes(Dim, NBits, NTables)
+  private val spec = Similarity.PlaneSpec(Dim, NBits, NTables)
+  private lazy val planes = spec.planes
 
   /** Wider LSH bank for the near-dup THRESHOLD query (recall must be
     * ~certain at cos ≥ 0.9, vs top-k where a rare miss only perturbs
     * rank tails): 16 tables × 8 bits, same seed — the first 4 tables
     * coincide with [[planes]] by construction.
     */
-  private lazy val dedupPlanes = Similarity.hyperplanes(Dim, NBits, 16)
+  private val dedupSpec = Similarity.PlaneSpec(Dim, NBits, 16)
 
   /** Shared oracle CTE: per-vector LSH bucket ids b0..b3 (plane
     * constants as SQL literals — bit-identical sign decisions).
@@ -141,7 +142,7 @@ object SimilarityQueries {
         val clones = e.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), cloneVec.as("embedding"))
         val aug = e.unionAll(clones)
-        val cand = Similarity.lshCandidatePairs(aug, "vec_id", "embedding", dedupPlanes)
+        val cand = Similarity.lshCandidatePairs(aug, "vec_id", "embedding", dedupSpec)
         cand
           .join(aug.select(col("vec_id").as("a_id"), col("embedding").as("va")), Seq("a_id"))
           .join(aug.select(col("vec_id").as("b_id"), col("embedding").as("vb")), Seq("b_id"))
@@ -196,7 +197,7 @@ object SimilarityQueries {
     // SQL as double literals (Similarity.Sql).
     QueryDef(
       "sim3_lsh_bucket_profile",
-      (s, d) => Similarity.lshIndex(emb(s, d), "embedding", planes)
+      (s, d) => Similarity.lshIndex(emb(s, d), "embedding", spec)
         .groupBy("table_id", "bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("table_id", "bucket"),
       Some(s"""$SigSql,
@@ -231,9 +232,9 @@ object SimilarityQueries {
         val e = emb(s, d)
         val probes = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-        val probeIdx = Similarity.lshIndex(probes, "probe_vec", planes)
+        val probeIdx = Similarity.lshIndex(probes, "probe_vec", spec)
           .select("probe_id", "table_id", "bucket")
-        val corpusIdx = Similarity.lshIndex(e.select("vec_id", "embedding"), "embedding", planes)
+        val corpusIdx = Similarity.lshIndex(e.select("vec_id", "embedding"), "embedding", spec)
           .select("vec_id", "table_id", "bucket")
         val candidates = probeIdx.join(corpusIdx, Seq("table_id", "bucket"))
           .filter(col("probe_id") =!= col("vec_id"))

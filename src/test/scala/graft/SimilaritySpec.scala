@@ -13,7 +13,7 @@ import graft.ext.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
-  private val planes = Similarity.hyperplanes(dim = 8, nbits = 6, tables = 5)
+  private val planes = Similarity.PlaneSpec(dim = 8, nbits = 6, tables = 5)
 
   test("dot / norm / cosine on hand-checkable vectors") {
     val df = Seq((Array(1f, 2f, 2f), Array(2f, 0f, 0f))).toDF("a", "b")
@@ -54,6 +54,21 @@ class SimilaritySpec extends SparkSpec {
     val byVec = idx.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byVec(0L) == byVec(1L))
     assert(byVec(0L).size == 5)
+  }
+
+  test("native lsh_buckets == composed per-plane bucketId bit-for-bit") {
+    val rnd = new scala.util.Random(41)
+    val df = Seq.fill(100)(Array.fill(8)(rnd.nextGaussian().toFloat)).toDF("v")
+    val composed = array(planes.planes.map(tp => Similarity.bucketId(col("v"), tp)): _*)
+    val diff = df.select(
+        Similarity.lshBuckets(col("v"), planes).as("fast"),
+        composed.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(","))
+    // wrong-dimension vectors yield null, not a garbage bucket
+    val bad = Seq(Array(1f, 2f)).toDF("v")
+      .select(Similarity.lshBuckets(col("v"), planes))
+    assert(bad.head().isNullAt(0))
   }
 
   test("LSH candidates recover near-dup pairs (recall on clustered data)") {
