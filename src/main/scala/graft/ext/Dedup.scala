@@ -62,4 +62,68 @@ object Dedup {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup PAIRS into dedup GROUPS (transitive closure: if
+    * a~b and b~c, all three are one duplicate cluster and one canonical
+    * representative survives). Returns one row per node appearing in
+    * any edge: (node, component), component = smallest node id in the
+    * cluster — so `node === component` selects the canonical doc.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels (one
+    * shuffle on the node key per round); the smallest id floods one hop
+    * per round, so rounds = cluster diameter — for dup clusters
+    * (cliques-ish around a shared shingle core) that is 2-4, never the
+    * log-n worst case of arbitrary graphs. Lineage is cut per round
+    * with `localCheckpoint` (an iterative plan otherwise grows
+    * exponentially); on a cluster prefer reliable `checkpoint` so a
+    * lost executor replays one round, not the whole history. Stops
+    * early the first round no label changes; `maxIter` bounds
+    * pathological chains (and is itself the documented diameter
+    * ceiling: a chain of near-identical docs longer than maxIter hops
+    * splits — raise maxIter or pre-cluster by exact fingerprint first).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
+      .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr")))
+      .localCheckpoint()
+    var labels = sym.select(col("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNbr = sym.join(labels.select(col("node").as("nbr"), col("comp")), "nbr")
+        .select("node", "comp")
+      val next = labels.select("node", "comp").unionAll(viaNbr)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("node"), col("comp").as("prev")), "node")
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Canonical-keep summary for a near-dup'd corpus: total docs, dup
+    * clusters, docs removed (cluster size − 1 each), docs kept. The
+    * flagship end-of-pipeline number a 100 TB dedup run reports.
+    */
+  def keepCanonicalSummary(docs: DataFrame, components: DataFrame): DataFrame = {
+    val removed = components.filter(col("node") =!= col("comp"))
+      .agg(count(lit(1)).as("__removed"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(components.agg(
+        countDistinct(col("comp")).as("n_clusters"),
+        count(lit(1)).as("__nodes")))
+      .crossJoin(removed)
+      .select(col("n_docs"), col("n_clusters"),
+        col("__removed").as("n_removed"),
+        (col("n_docs") - col("__removed")).as("n_kept"))
+  }
 }

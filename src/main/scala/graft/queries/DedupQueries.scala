@@ -84,6 +84,61 @@ object DedupQueries {
        |sets AS (SELECT doc_id, ${NearDup.Sql.shingleSet(ShingleK)} AS s FROM t),
        |h AS (SELECT doc_id, list_distinct(${NearDup.Sql.hashSet}) AS hs FROM sets)""".stripMargin
 
+  /** Banded-MinHash candidate pairs + exact Jaccard — the shared body
+    * of `dedup_minhash_pairs` (which emits it directly) and the
+    * component/canonical queries (which threshold it into an edge
+    * list). Unordered output; callers sort.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val base = hashed(docs(s, d))
+    // native one-pass signature array (k running minimums) instead
+    // of k array_min(transform(...)) scans; `get` is 0-indexed and
+    // null out-of-bounds (empty sets band to null = no candidates,
+    // matching array_min-of-empty in the composed form)
+    val sig = base.select(col("doc_id"),
+      NearDup.minhashSigs(col("hs"), MinhashK).as("ms"))
+    val bandArr = array((0 until NumBands).map { j =>
+      struct(lit(j).as("band"),
+        get(col("ms"), lit(j * BandR)).as("h1"),
+        get(col("ms"), lit(j * BandR + 1)).as("h2"))
+    }: _*)
+    val idx = sig.select(col("doc_id"), explode(bandArr).as("tb"))
+      .select(col("doc_id"), col("tb.band").as("band"),
+        col("tb.h1").as("h1"), col("tb.h2").as("h2"))
+    val cand = idx.select(col("doc_id").as("a_id"), col("band"), col("h1"), col("h2"))
+      .join(idx.select(col("doc_id").as("b_id"), col("band"), col("h1"), col("h2")),
+        Seq("band", "h1", "h2"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sets = base.select(col("doc_id"), col("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(NearDup.jaccardSorted(col("hs_a"), col("hs_b")), 6).as("jac"))
+  }
+
+  /** True near-dup edges: candidates at/above the fixture's planted
+    * separation threshold (jac ≥ 0.5 vs ≈0.001 background).
+    */
+  private val JacThreshold = 0.5
+
+  /** Oracle CTE mirroring [[minhashPairs]] + threshold, as `pairs`. */
+  private lazy val PairsSql =
+    s"""sig AS (SELECT doc_id, hs, ${NearDup.Sql.minhashCols(mhParams)} FROM h),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id < b.doc_id AND (${NearDup.Sql.bandEq(MinhashK, BandR)})
+       |  WHERE round(${NearDup.Sql.jaccardSql("a.hs", "b.hs")}, 6) >= $JacThreshold),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY 1)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- banded MinHash: explode to (band, signature) keys, shuffle
@@ -92,35 +147,7 @@ object DedupQueries {
     // mirrors the same candidate set via an OR-of-bands join.
     QueryDef(
       "dedup_minhash_pairs",
-      (s, d) => {
-        val base = hashed(docs(s, d))
-        // native one-pass signature array (k running minimums) instead
-        // of k array_min(transform(...)) scans; `get` is 0-indexed and
-        // null out-of-bounds (empty sets band to null = no candidates,
-        // matching array_min-of-empty in the composed form)
-        val sig = base.select(col("doc_id"),
-          NearDup.minhashSigs(col("hs"), MinhashK).as("ms"))
-        val bandArr = array((0 until NumBands).map { j =>
-          struct(lit(j).as("band"),
-            get(col("ms"), lit(j * BandR)).as("h1"),
-            get(col("ms"), lit(j * BandR + 1)).as("h2"))
-        }: _*)
-        val idx = sig.select(col("doc_id"), explode(bandArr).as("tb"))
-          .select(col("doc_id"), col("tb.band").as("band"),
-            col("tb.h1").as("h1"), col("tb.h2").as("h2"))
-        val cand = idx.select(col("doc_id").as("a_id"), col("band"), col("h1"), col("h2"))
-          .join(idx.select(col("doc_id").as("b_id"), col("band"), col("h1"), col("h2")),
-            Seq("band", "h1", "h2"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val sets = base.select(col("doc_id"), col("hs"))
-        cand
-          .join(sets.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), Seq("a_id"))
-          .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"),
-            round(NearDup.jaccardSorted(col("hs_a"), col("hs_b")), 6).as("jac"))
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => minhashPairs(s, d).orderBy("a_id", "b_id"),
       Some(s"""$SqlBase,
               |sig AS (SELECT doc_id, hs, ${NearDup.Sql.minhashCols(mhParams)} FROM h)
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -195,5 +222,45 @@ object DedupQueries {
               |FROM h p JOIN h q ON p.doc_id < 100 AND q.doc_id <> p.doc_id
               |WHERE round(${NearDup.Sql.jaccardSql("p.hs", "q.hs")}, 6) >= 0.3
               |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ----- connected components over the near-dup pair graph: pairs →
+    // transitive dedup CLUSTERS (a~b, b~c ⇒ {a,b,c} one cluster, one
+    // canonical survivor). Spark side: iterative min-label propagation
+    // (Dedup.connectedComponents, one node-key shuffle per round,
+    // rounds = cluster diameter). Oracle: DuckDB RECURSIVE CTE
+    // transitive closure over the SAME hash-verified edge set — the
+    // iterative distributed algorithm is checked against a closed-form
+    // fixpoint from a different engine.
+    QueryDef(
+      "dedup_components",
+      (s, d) => {
+        val edges = minhashPairs(s, d).filter(col("jac") >= JacThreshold)
+        graft.ext.Dedup.connectedComponents(edges, "a_id", "b_id")
+          .select(col("node").as("doc_id"), col("comp").as("component"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${SqlBase.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |$PairsSql
+              |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin)),
+
+    // ----- canonical-keep summary: the end-of-pipeline number a dedup
+    // run reports — corpus size, dup clusters, docs removed (all but
+    // the min-id doc per cluster), docs kept.
+    QueryDef(
+      "dedup_keep_canonical",
+      (s, d) => {
+        val edges = minhashPairs(s, d).filter(col("jac") >= JacThreshold)
+        val comps = graft.ext.Dedup.connectedComponents(edges, "a_id", "b_id")
+        graft.ext.Dedup.keepCanonicalSummary(docs(s, d), comps)
+      },
+      Some(s"""${SqlBase.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |$PairsSql,
+              |agg AS (SELECT count(DISTINCT component) AS n_clusters,
+              |               count(*) FILTER (doc_id <> component) AS n_removed
+              |        FROM comp)
+              |SELECT (SELECT count(*) FROM documents) AS n_docs,
+              |  n_clusters, n_removed,
+              |  (SELECT count(*) FROM documents) - n_removed AS n_kept
+              |FROM agg""".stripMargin)),
   )
 }

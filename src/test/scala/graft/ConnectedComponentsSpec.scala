@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Distributed min-label-propagation connected components vs a
+  * driver-side union-find oracle: random graphs, chains (diameter
+  * stress), cliques, and the empty graph.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force union-find. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min node id of the component
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.valuesIterator.flatMap { members =>
+      val label = members.min
+      members.map(_ -> label)
+    }.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("property: random graphs match union-find") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter(e => e._1 != e._2)
+      assert(run(edges) == unionFind(edges), s"trial $trial")
+    }
+  }
+
+  test("chain graph: label floods the full diameter") {
+    // 0-1-2-...-15 as a single path; min label 0 must reach node 15
+    val edges = (0L until 15L).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got.values.toSet == Set(0L), got.toString)
+    assert(got.keySet == (0L to 15L).toSet)
+  }
+
+  test("cliques and empty graph") {
+    val clique = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val two = clique ++ Seq((20L, 21L))
+    val got = run(two)
+    assert(got == unionFind(two))
+    assert(got(13L) == 10L && got(21L) == 20L)
+
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(empty.isEmpty)
+  }
+
+  test("maxIter bounds the rounds (documented chain-split behavior)") {
+    val edges = (0L until 15L).map(i => (i, i + 1))
+    val truncated = Dedup.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 rounds flood the min label only ~2 hops: node 15 cannot be 0 yet
+    assert(truncated(15L) != 0L)
+  }
+}
