@@ -223,6 +223,32 @@ object DedupQueries {
               |WHERE round(${NearDup.Sql.jaccardSql("p.hs", "q.hs")}, 6) >= 0.3
               |ORDER BY a_id, b_id""".stripMargin)),
 
+    // ----- eval-set decontamination: per-train-doc count of shingle
+    // hashes shared with a (bounded, broadcast) eval set — the
+    // n-gram-overlap check every serious training corpus runs against
+    // its benchmarks before training. The eval side is distinct-hash
+    // exploded and BROADCAST (eval sets are bounded by construction);
+    // the train side streams map-side through the broadcast hash join,
+    // so the only shuffle is the final per-doc count — the shape that
+    // holds when "train" is 100 TB and "eval" is a few MB.
+    QueryDef(
+      "decon_eval_overlap",
+      (s, d) => {
+        val base = hashed(docs(s, d))
+        val evalHashes = base.filter(col("doc_id") < 25)
+          .select(explode(col("hs")).as("h")).distinct()
+        base.filter(col("doc_id") >= 25)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .join(broadcast(evalHashes), "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$SqlBase,
+              |ev AS (SELECT DISTINCT unnest(hs) AS h FROM h WHERE doc_id < 25),
+              |tr AS (SELECT doc_id, unnest(hs) AS h FROM h WHERE doc_id >= 25)
+              |SELECT tr.doc_id, count(*) AS n_hit FROM tr JOIN ev USING (h)
+              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // ----- connected components over the near-dup pair graph: pairs →
     // transitive dedup CLUSTERS (a~b, b~c ⇒ {a,b,c} one cluster, one
     // canonical survivor). Spark side: iterative min-label propagation

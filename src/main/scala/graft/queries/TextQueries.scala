@@ -107,6 +107,35 @@ object TextQueries {
              |(SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |GROUP BY 1 ORDER BY freq DESC, token LIMIT 10""".stripMargin)),
 
+    // ----- BPE merge-round pair counting: corpus-wide frequencies of
+    // ADJACENT token pairs — the inner loop of byte-pair-encoding
+    // tokenizer training (each merge round picks the argmax pair).
+    // One explode + one hash agg + map-side top-k; at 100 TB this is
+    // the canonical map-reduce wordcount shape, re-run per merge round
+    // over ever-shorter sequences.
+    QueryDef(
+      "tx8_bpe_pair_counts",
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val n = size(toks)
+        // adjacent pairs via shifted-slice zip; guard keeps the slice
+        // length non-negative for 0/1-token docs (sequence/slice with a
+        // negative length is the inverted-interval trap RangeJoin hit)
+        val pairs = zip_with(
+          slice(toks, lit(1), greatest(n - 1, lit(0))),
+          slice(toks, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))
+        docs(s, d)
+          .select(explode(pairs).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("pair"))
+          .limit(15)
+      },
+      Some("""SELECT t[i] || ' ' || t[i+1] AS pair, count(*) AS freq FROM
+             |(SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM
+             |  (SELECT string_split(text, ' ') AS t FROM documents))
+             |GROUP BY 1 ORDER BY freq DESC, pair LIMIT 15""".stripMargin)),
+
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)
     QueryDef(
