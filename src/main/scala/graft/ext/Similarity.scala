@@ -177,6 +177,15 @@ object Similarity {
     * distinct'd so multi-table collisions emit once. This is the
     * sub-quadratic near-dup path: compare-within-bucket, never
     * all-pairs.
+    *
+    * Capacity law (same shape as SimhashWide's band-width law): random
+    * pairs collide per table w.p. ~2^-nbits, so background candidates
+    * ≈ tables · n² / 2^(nbits+1) — at FIXED nbits that grows
+    * quadratically with the corpus. Size `nbits ≈ log2(n / B)` for a
+    * target mean bucket size B (≈ 10²-10³); tables then buys recall at
+    * the chosen threshold. 16 k vectors at nbits=8 already pay ~10⁷
+    * background re-checks (measured, DevStress); 10¹⁰ vectors want
+    * nbits ≈ 24, not more tables.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
       spec: PlaneSpec): DataFrame = {

@@ -53,6 +53,20 @@ object TextAnalysis {
 
   def qualityScore(text: Column): Column = qualityScoreTokens(tokens(text))
 
+  /** Quality score from pre-materialized parts — see [[langIdParts]]
+    * for why parts matter. Identical arithmetic (and op order) to
+    * [[qualityScoreTokens]]: `stopHits` must be the summed counts of
+    * [[qualityStopwords]].
+    */
+  def qualityScoreParts(ntok: Column, ndis: Column, stopHits: Column): Column = {
+    val n = ntok.cast("double")
+    val diversity = ndis / n
+    val stopRatio = stopHits.cast("double") / n
+    round(
+      least(n / 50.0, lit(1.0)) * 0.5 + diversity * 0.3
+        + least(stopRatio * 5.0, lit(1.0)) * 0.2, 6)
+  }
+
   /** Token-array variant: callers enriching several signals from one
     * document should tokenize ONCE and feed every scorer the array —
     * the text variants re-split per component call, and Catalyst's
@@ -85,13 +99,31 @@ object TextAnalysis {
 
   def langId(text: Column): Column = langIdTokens(tokens(text))
 
-  /** Token-array variant of [[langId]] (see [[qualityScoreTokens]]):
-    * ONE native pass counts all 16 language-marker words, then the
-    * argmax is plain codegen'd arithmetic over the counts array.
+  /** The 16 language-marker words in [[langStopwords]] order — the
+    * single `token_freqs` word list shared by lang-ID and (via the
+    * `en` block, the same four words as [[qualityStopwords]]) the
+    * quality score.
     */
-  def langIdTokens(toks: Column): Column = {
-    val allWords = langStopwords.flatMap(_._2)
-    val freqs = wordFreqs(toks, allWords)
+  val allMarkerWords: Seq[String] = langStopwords.flatMap(_._2)
+
+  /** Token-array variant of [[langId]]: one native pass counts all 16
+    * marker words, then [[langIdParts]] does the argmax arithmetic.
+    */
+  def langIdTokens(toks: Column): Column =
+    langIdParts(wordFreqs(toks, allMarkerWords))
+
+  /** Lang-ID argmax over a PRE-MATERIALIZED counts column (one
+    * `token_freqs` over [[allMarkerWords]]). Materializing matters:
+    * Catalyst has no let-binding, so every `get(freqs, i)` reference in
+    * the CASE/greatest tree inlines the whole freqs expression — the
+    * argmax references it ~40 times, which is ~40 full token-array
+    * passes per row unless `freqs` is a bound column from its own
+    * projection (CollapseProject keeps non-cheap aliases used more
+    * than once, but only ACROSS projections — within one select the
+    * inlining is unconditional, and a pushed-down filter predicate
+    * re-inlines everything down to the scan).
+    */
+  def langIdParts(freqs: Column): Column = {
     val offsets = langStopwords.map(_._2.length).scanLeft(0)(_ + _)
     val scores = langStopwords.zipWithIndex.map { case ((lang, words), li) =>
       lang -> words.indices
@@ -103,6 +135,14 @@ object TextAnalysis {
       when(score === best && best > 0, lang).otherwise(acc)
     }
   }
+
+  /** Summed counts of the `en` block of an [[allMarkerWords]] freqs
+    * column — the same four words as [[qualityStopwords]], so this is
+    * the `stopHits` input of [[qualityScoreParts]] (integer addition:
+    * order-independent, oracle-identical).
+    */
+  def stopHitsFromFreqs(freqs: Column): Column =
+    langStopwords.head._2.indices.map(i => get(freqs, lit(i))).reduce(_ + _)
 
   /** Document fingerprint: md5 of the text — identical hex in DuckDB. */
   def fingerprint(text: Column): Column = md5(text)

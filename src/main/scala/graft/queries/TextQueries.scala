@@ -41,11 +41,21 @@ object TextQueries {
               |round(avg((length(text) - (${TS.tokenCount} - 1)) / ${TS.tokenCount}),6) AS avg_token_len
               |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
 
-    // ----- quality-score decile histogram (quality scoring brief item)
+    // ----- quality-score decile histogram (quality scoring brief item).
+    // Parts materialized in their own projection (see langIdParts
+    // scaladoc): the composed form inlines one token_freqs pass per
+    // freqs reference.
     QueryDef(
       "tx2_quality_hist",
       (s, d) => docs(s, d)
-        .select(floor(TextAnalysis.qualityScore(col("text")) * 10).cast("long").as("decile"))
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(size(col("__toks")).as("__ntok"),
+          size(array_distinct(col("__toks"))).as("__ndis"),
+          TextAnalysis.wordFreqs(col("__toks"), TextAnalysis.allMarkerWords)
+            .as("__freqs"))
+        .select(floor(TextAnalysis.qualityScoreParts(col("__ntok"), col("__ndis"),
+            TextAnalysis.stopHitsFromFreqs(col("__freqs"))) * 10)
+          .cast("long").as("decile"))
         .groupBy("decile").agg(count(lit(1)).as("cnt"))
         .orderBy("decile"),
       Some(s"""SELECT CAST(floor(${TS.qualityScore} * 10) AS BIGINT) AS decile, count(*) AS cnt
@@ -55,7 +65,10 @@ object TextQueries {
     QueryDef(
       "tx3_lang_confusion",
       (s, d) => docs(s, d)
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .select(col("lang"),
+          TextAnalysis.wordFreqs(TextAnalysis.tokens(col("text")),
+            TextAnalysis.allMarkerWords).as("__freqs"))
+        .select(col("lang"), TextAnalysis.langIdParts(col("__freqs")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "pred"),
       Some(s"""SELECT lang, ${TS.langId} AS pred, count(*) AS cnt
@@ -300,21 +313,38 @@ object TextQueries {
       (s, d) => {
         val base = docs(s, d)
         val ingest = base.unionAll(base)
-        // tokenize once; quality + lang-ID both read the token array,
-        // and the token COUNT rides along so the final aggregate never
-        // re-splits the surviving rows' text (round-3 verdict nit 1)
-        val enriched = ingest
+        // Physics (the semantics match the oracle's gate-then-dedup
+        // composition because q/lang_pred are pure functions of text,
+        // and the dedup key IS md5(text) — every copy of a text gates
+        // identically, so dedup-first picks the same survivors):
+        //  1. one projection materializes the SMALL derived parts
+        //     (token count, distinct count, one 16-word token_freqs) —
+        //     materializing is what stops Catalyst inlining the freqs
+        //     expression into every one of the argmax's ~40 references
+        //     and the gate predicate (measured: the composed form paid
+        //     ~50 token-array passes per row, half of them below the
+        //     pushed-down filter at SCAN level);
+        //  2. keep-first dedup shuffles only (fp, doc_id, 3 small
+        //     parts) — not text, not the token array;
+        //  3. quality/lang-ID become cheap arithmetic over the parts,
+        //     computed on the deduped half of the ingest.
+        val parts = ingest
           .withColumn("__toks", TextAnalysis.tokens(col("text")))
-          .withColumn("q", TextAnalysis.qualityScoreTokens(col("__toks")))
-          .withColumn("lang_pred", TextAnalysis.langIdTokens(col("__toks")))
-          .withColumn("__ntok", size(col("__toks")).cast("long"))
-          .drop("__toks")
-        val gated = enriched.filter(col("q") >= 0.5)
-        val deduped = Dedup.exactKeepFirst(gated,
-          Seq(TextAnalysis.fingerprint(col("text"))), Seq(col("doc_id")))
-        deduped.groupBy("lang_pred")
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("__fp"),
+            size(col("__toks")).as("__ntok"),
+            size(array_distinct(col("__toks"))).as("__ndis"),
+            TextAnalysis.wordFreqs(col("__toks"), TextAnalysis.allMarkerWords)
+              .as("__freqs"))
+        val deduped = Dedup.exactKeepFirst(parts, Seq(col("__fp")), Seq(col("doc_id")))
+        val scored = deduped
+          .withColumn("q", TextAnalysis.qualityScoreParts(col("__ntok"),
+            col("__ndis"), TextAnalysis.stopHitsFromFreqs(col("__freqs"))))
+          .withColumn("lang_pred", TextAnalysis.langIdParts(col("__freqs")))
+        scored.filter(col("q") >= 0.5)
+          .groupBy("lang_pred")
           .agg(count(lit(1)).as("kept_docs"),
-               sum(col("__ntok")).as("total_tokens"),
+               sum(col("__ntok").cast("long")).as("total_tokens"),
                round(avg(col("q")), 6).as("avg_quality"))
           .orderBy("lang_pred")
       },
