@@ -35,14 +35,25 @@ object Bench {
     * latency. `maxFilesPerTrigger` splits the backlog into several
     * bounded micro-batches so the per-batch numbers mean something.
     *
-    * Returns a JSON object fragment, or None when skipped
-    * (SPARK_GRAFT_STREAM_SKIP) or failed (error string reported).
+    * Returns the JSON object fragment; skip (SPARK_GRAFT_STREAM_SKIP)
+    * and failure capture are main()'s wrapper contract, not this
+    * function's — it throws on error.
     */
-  def streamingBench(spark: org.apache.spark.sql.SparkSession): Option[String] = {
+  def streamingBench(spark: org.apache.spark.sql.SparkSession): String = {
     import graft.stream.{Pipeline, PipelineConfig, Simulator}
     import org.apache.spark.sql.streaming.Trigger
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
     val filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_BATCH", "8").toInt
+    // recentProgress is a ring buffer capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100): a
+    // large backlog would silently truncate the per-batch stats to the
+    // last 100 batches. Size the buffer to the backlog up front.
+    val expectedBatches = {
+      val files = (rows + 4999) / 5000
+      (files + filesPerBatch - 1) / filesPerBatch
+    }
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(200, expectedBatches + 16).toString)
     val base = Files.createTempDirectory("graft_stream_bench")
     try {
       val inputDir = s"$base/input"
@@ -61,18 +72,21 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val batchMs = queries.flatMap(_.recentProgress.toSeq)
         .filter(_.numInputRows > 0)
-        .map(_.durationMs.get("triggerExecution").toLong.toDouble)
+        // durationMs is a java Map — a missing key would NPE-unbox;
+        // skip such entries rather than abort the whole report
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
         .sorted
       val p50 = if (batchMs.isEmpty) 0.0 else batchMs(batchMs.length / 2)
-      Some(s"""{"mode":"fused_available_now","rows":$written""" +
+      s"""{"mode":"fused_available_now","rows":$written""" +
         s""","elapsed_sec":$sec,"rows_per_sec":${written / sec}""" +
         s""","batches":${batchMs.length},"batch_ms_p50":$p50""" +
-        s""","batch_ms_max":${batchMs.lastOption.getOrElse(0.0)}}""")
+        s""","batch_ms_max":${batchMs.lastOption.getOrElse(0.0)}}"""
     } finally {
       // the backlog + sink are bench-local scratch; don't leak tmp disk
       import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => { Files.deleteIfExists(p); () })
+      val walk = Files.walk(base)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverseIterator.foreach(p => { Files.deleteIfExists(p); () })
     }
   }
 
@@ -117,7 +131,7 @@ object Bench {
     // is still reported, never swallowed
     val streaming: Either[String, Option[String]] =
       if (sys.env.contains("SPARK_GRAFT_STREAM_SKIP")) Right(None)
-      else try Right(streamingBench(spark))
+      else try Right(Some(streamingBench(spark)))
       catch {
         case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))

@@ -83,30 +83,55 @@ object Dedup {
     * pathological chains (and is itself the documented diameter
     * ceiling: a chain of near-identical docs longer than maxIter hops
     * splits — raise maxIter or pre-cluster by exact fingerprint first).
+    *
+    * Checkpoint blocks live OUTSIDE the CacheManager (clearCache never
+    * frees them), so each superseded round is released by RDD handle —
+    * without that a 20-round run holds 20 full label copies for the
+    * life of the session. Only the returned frame's blocks (one copy)
+    * stay resident. Handles come from diffing
+    * `sc.getPersistentRDDs` around each eager checkpoint — sound here
+    * because the loop is single-threaded; a concurrently-persisting
+    * session could interleave (worst case: a foreign RDD gets
+    * unpersisted early, never a correctness issue).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
-      .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr")))
-      .localCheckpoint()
-    var labels = sym.select(col("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint()
+    val sc = edges.sparkSession.sparkContext
+    def tracked(body: => DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val df = body
+      val added = sc.getPersistentRDDs.collect {
+        case (id, r) if !before(id) => r
+      }.toSeq
+      (df, added)
+    }
+    val (sym, symRdds) = tracked(
+      edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
+        .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr")))
+        .localCheckpoint())
+    var (labels, labelRdds) = tracked(
+      sym.select(col("node")).distinct()
+        .withColumn("comp", col("node"))
+        .localCheckpoint())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNbr = sym.join(labels.select(col("node").as("nbr"), col("comp")), "nbr")
         .select("node", "comp")
-      val next = labels.select("node", "comp").unionAll(viaNbr)
-        .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      val (next, nextRdds) = tracked(
+        labels.select("node", "comp").unionAll(viaNbr)
+          .groupBy("node").agg(min("comp").as("comp"))
+          .localCheckpoint())
       converged = next
         .join(labels.select(col("node"), col("comp").as("prev")), "node")
         .filter(col("comp") =!= col("prev"))
         .isEmpty
+      labelRdds.foreach(_.unpersist(blocking = false))
       labels = next
+      labelRdds = nextRdds
       iter += 1
     }
+    symRdds.foreach(_.unpersist(blocking = false))
     labels
   }
 
@@ -118,9 +143,7 @@ object Dedup {
     val removed = components.filter(col("node") =!= col("comp"))
       .agg(count(lit(1)).as("__removed"))
     docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(components.agg(
-        countDistinct(col("comp")).as("n_clusters"),
-        count(lit(1)).as("__nodes")))
+      .crossJoin(components.agg(countDistinct(col("comp")).as("n_clusters")))
       .crossJoin(removed)
       .select(col("n_docs"), col("n_clusters"),
         col("__removed").as("n_removed"),

@@ -98,12 +98,24 @@ object AsofJoin {
     * rows-per-hottest-key × row width ≳ a task's memory budget), and
     * size `bucketSeconds` so a bucket holds ~10⁵-10⁶ rows of the
     * hottest key.
+    *
+    * Unlike [[asofBackward]] (any orderable ts type), this variant
+    * requires TIMESTAMP ts columns — bucketing needs an epoch number
+    * (`unix_micros`), so the drop-in swap is only drop-in for
+    * timestamp data; numeric-epoch callers bucket by division
+    * themselves or stay on [[asofBackward]].
     */
   def asofBackwardBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       bucketSeconds: Long, prefix: String = "asof_"): DataFrame = {
-    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(left.schema(leftTs).dataType == TimestampType &&
+        right.schema(rightTs).dataType == TimestampType,
+      s"asofBackwardBucketed buckets via unix_micros and requires TIMESTAMP ts columns; " +
+        s"got $leftTs: ${left.schema(leftTs).dataType.simpleString}, " +
+        s"$rightTs: ${right.schema(rightTs).dataType.simpleString} " +
+        "(use asofBackward for other orderable ts types)")
     val leftCols = left.columns.toSeq
     require(!payload.exists(p => leftCols.contains(prefix + p)),
       s"asof payload prefix '$prefix' collides with a left column; pass a different prefix")

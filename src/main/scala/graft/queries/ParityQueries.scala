@@ -330,7 +330,14 @@ object ParityQueries {
     QueryDef(
       "j4_bucketed_join",
       (s, d) => {
-        val suffix = java.lang.Integer.toHexString(d.hashCode)
+        // suffix keyed on the dir BASENAME, not a path hash: distinct
+        // full paths with the same basename reuse (rewrite) one
+        // warehouse table, so repeated runs across scratch dirs can't
+        // accumulate unbounded bucketed copies — the trade (two
+        // same-basename dirs interleaved lazily would alias) doesn't
+        // arise in the one-dir-at-a-time driver/bench/stress flows
+        val suffix = d.replaceAll("/+$", "").replaceAll(".*/", "")
+          .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
         val lt = s"graft_bkt_lineitem_$suffix"
         val ot = s"graft_bkt_orders_$suffix"
         graft.sources.Bucketing.writeBucketed(

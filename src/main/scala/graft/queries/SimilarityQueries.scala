@@ -38,7 +38,10 @@ object SimilarityQueries {
   /** Wider LSH bank for the near-dup THRESHOLD query (recall must be
     * ~certain at cos ≥ 0.9, vs top-k where a rare miss only perturbs
     * rank tails): 16 tables × 8 bits, same seed — the first 4 tables
-    * coincide with [[planes]] by construction.
+    * coincide with [[planes]] by construction. At 16 tables the
+    * per-pair miss at cos 0.992 (the planted-clone level) is
+    * (1 − 0.96⁸)¹⁶ ≈ 1e-9 — the oracle gate cannot flake on bank
+    * randomness even across many driver runs.
     */
   private val dedupSpec = Similarity.PlaneSpec(Dim, NBits, 16)
 
@@ -125,29 +128,37 @@ object SimilarityQueries {
     // output row and a hash mismatch (round-3 verdict item 1). The raw
     // corpus has no pairs above the prunable regime (max cos ≈ 0.60),
     // which would make the gate vacuous — so the ingest deterministically
-    // plants near-dup clones for every 10th vector (v + 0.25·rot1(v),
-    // re-cast to float; cos(v, clone) ≈ 0.968, cleanly above the 0.7
-    // threshold and far above background), mirrored bit-exactly in the
-    // oracle SQL (0.25 is a power of two — the scale is exact in double,
-    // the float re-cast rounds identically in both engines). 16 tables
-    // × 8 bits ⇒ per-pair miss ≈ (1 − 0.92⁸)¹⁶ ≈ 1e-5 at cos 0.968;
-    // the oracle proves recall 1.0 on this corpus, not just in theory.
+    // plants near-dup clones for every 10th vector (v + 0.125·rot1(v),
+    // re-cast to float; cos(v, clone) ≈ 0.992 — a realistic true-near-dup
+    // level), mirrored bit-exactly in the oracle SQL (0.125 is a power
+    // of two — the scale is exact in double, the float re-cast rounds
+    // identically in both engines). Threshold 0.9 sits mid-gap in the
+    // MEASURED pair distribution (augmented corpus, both SFs:
+    // non-planted max cos = 0.601, planted min = 0.9922, nothing
+    // between) — maximal margin on both sides, so no pair can land near
+    // the threshold where LSH hit probability decays; at the planted
+    // level the 16×8 bank's per-pair miss is ~1e-9. The oracle proves
+    // recall 1.0 on this corpus end-to-end.
     QueryDef(
       "dedup_embedding_lsh",
       (s, d) => {
         val e = emb(s, d).select("vec_id", "embedding")
         val rot = concat(slice(col("embedding"), 2, Dim - 1), slice(col("embedding"), 1, 1))
         val cloneVec = zip_with(col("embedding"), rot,
-          (x, y) => (x.cast("double") + lit(0.25) * y.cast("double")).cast("float"))
+          (x, y) => (x.cast("double") + lit(0.125) * y.cast("double")).cast("float"))
         val clones = e.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), cloneVec.as("embedding"))
-        val aug = e.unionAll(clones)
+        // aug feeds three subtrees (bucket explode + both exact
+        // re-check join-backs) — persist so the scan + clone synthesis
+        // runs once per execution, not three times (CacheManager-
+        // tracked, so Bench's per-sample clearCache still applies)
+        val aug = e.unionAll(clones).persist()
         val cand = Similarity.lshCandidatePairs(aug, "vec_id", "embedding", dedupSpec)
         cand
           .join(aug.select(col("vec_id").as("a_id"), col("embedding").as("va")), Seq("a_id"))
           .join(aug.select(col("vec_id").as("b_id"), col("embedding").as("vb")), Seq("b_id"))
           .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
-          .filter(col("cos") > 0.7)
+          .filter(col("cos") > 0.9)
           .select(col("a_id"), col("b_id"), col("cos"))
           .orderBy("a_id", "b_id")
       },
@@ -156,12 +167,12 @@ object SimilarityQueries {
               |  UNION ALL
               |  SELECT vec_id + 1000000,
               |    list_transform(generate_series(1, $Dim),
-              |      j -> CAST(embedding[j]::DOUBLE + 0.25 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
+              |      j -> CAST(embedding[j]::DOUBLE + 0.125 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
               |  FROM embeddings WHERE vec_id % 10 = 0)
               |SELECT a_id, b_id, cos FROM
               |(SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(${cosSql("a", "b")}, 6) AS cos
               | FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
-              |WHERE cos > 0.7 ORDER BY a_id, b_id""".stripMargin),
+              |WHERE cos > 0.9 ORDER BY a_id, b_id""".stripMargin),
       bench = true),
 
     // ----- L2 normalization: re-derived norms must be 1 and component
