@@ -177,6 +177,28 @@ object TextAnalysis {
   def punctTokenCount(text: Column): Column =
     size(filter(regexTokens(text), t => t.rlike("^[^a-zA-Z0-9]")))
 
+  /** Repeated-token ratio: 1 − distinct/total — the crudest
+    * boilerplate/degenerate-text signal (a page of "buy buy buy …"
+    * scores near 1).
+    */
+  def dupTokenRatio(toks: Column): Column =
+    lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Repeated-2-gram ratio: 1 − distinct 2-grams / total 2-grams —
+    * the Gopher/C4-style repetition filter signal (catches looped
+    * phrases that token-level dedup misses; higher-n variants follow
+    * the same shape). Docs with <2 tokens score 0. Pure Column ops:
+    * the 2-gram array is built per row inside codegen and never
+    * shuffled — only the two small ratio doubles leave the scan.
+    */
+  def dup2gramRatio(toks: Column): Column = {
+    val n = size(toks)
+    val grams = transform(sequence(lit(0), n - 2),
+      j => concat_ws(" ", get(toks, j), get(toks, j + 1)))
+    when(n < 2, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / (n - 1))
+  }
+
   /** SQL mirrors (DuckDB dialect) for the oracle. */
   object Sql {
     val tokenCount = "len(string_split(text, ' '))"
@@ -186,6 +208,18 @@ object TextAnalysis {
       s"len(list_filter(regexp_extract_all(text, '${TextAnalysis.regexTokenPattern}'), " +
         "t -> regexp_matches(t, '^[^a-zA-Z0-9]')))"
     val distinctTokenCount = "len(list_distinct(string_split(text, ' ')))"
+    val dupTokenRatio =
+      s"(1.0 - $distinctTokenCount::DOUBLE / $tokenCount)"
+    /** Mirror of [[TextAnalysis.dup2gramRatio]]: DuckDB lists are
+      * 1-indexed where Spark `get` is 0-indexed — j ranges differ,
+      * the 2-gram strings are identical.
+      */
+    val dup2gramRatio =
+      "(CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0 ELSE " +
+        "1.0 - len(list_distinct(list_transform(" +
+        "generate_series(1, len(string_split(text, ' ')) - 1), " +
+        "j -> string_split(text, ' ')[j] || ' ' || string_split(text, ' ')[j+1])))::DOUBLE" +
+        " / (len(string_split(text, ' ')) - 1) END)"
     def wordCount(word: String): String =
       s"len(list_filter(string_split(text, ' '), t -> t = '$word'))"
 

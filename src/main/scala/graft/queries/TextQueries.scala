@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, TextAnalysis}
@@ -148,6 +149,84 @@ object TextQueries {
              |(SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM
              |  (SELECT string_split(text, ' ') AS t FROM documents))
              |GROUP BY 1 ORDER BY freq DESC, pair LIMIT 15""".stripMargin)),
+
+    // ----- Gopher/C4-style repetition filter: per-doc repeated-token
+    // and repeated-2-gram ratios (boilerplate/looped-phrase signal),
+    // aggregated per source with the count a threshold gate would
+    // drop. Both ratios are per-row codegen arithmetic — nothing but
+    // the (source, two doubles) triple reaches the agg shuffle, so the
+    // 100 TB cost is the documents scan itself. Threshold 0.05 is
+    // calibrated to the fixture's measured dup2 distribution
+    // (median 0.028, max 0.133) so the gate actually discriminates.
+    QueryDef(
+      "tx9_repetition_filter",
+      (s, d) => docs(s, d)
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("source"),
+          TextAnalysis.dupTokenRatio(col("__toks")).as("dup_tok"),
+          TextAnalysis.dup2gramRatio(col("__toks")).as("dup2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("dup_tok"), 6).as("avg_dup_token_ratio"),
+             round(avg("dup2"), 6).as("avg_dup_2gram_ratio"),
+             sum(when(col("dup2") > 0.05, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_docs,
+              |round(avg(${TS.dupTokenRatio}),6) AS avg_dup_token_ratio,
+              |round(avg(${TS.dup2gramRatio}),6) AS avg_dup_2gram_ratio,
+              |CAST(sum(CASE WHEN ${TS.dup2gramRatio} > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+              |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ----- TF-IDF top terms per source: the classic two-pass weighting
+    // (term frequency × inverse document frequency) that powers
+    // source-level topic fingerprinting and keyword-based curation.
+    // Scale shape: ONE corpus scan + ONE explode shuffle builds a
+    // persisted per-(term, doc) count, from which BOTH sides re-derive
+    // cheaply — tf by (source, term), and doc frequency as plain row
+    // counts per term (the (term, doc_id) grain is already distinct;
+    // doc_id is the PK, so rows-per-term = docs-per-term). The df side
+    // is |vocab| rows (tiny vs the corpus → broadcast join), and the
+    // per-source top-k runs through WindowGroupLimit map-side. Ranking
+    // uses the ROUNDED score with a term tie-break so both engines
+    // order identically.
+    QueryDef(
+      "tx10_tfidf_top_terms",
+      (s, d) => {
+        val base = docs(s, d)
+        val nDocs = base.select(count(lit(1)).as("__n"))
+        val perTermDoc = base
+          .select(col("source"), col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy("term", "doc_id", "source")
+          .agg(count(lit(1)).as("__c"))
+          .persist()
+        val tf = perTermDoc.groupBy("source", "term")
+          .agg(sum("__c").as("tf"))
+        val df = perTermDoc
+          .groupBy("term").agg(count(lit(1)).as("__df"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("__n").cast("double") / col("__df")), 6))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= 5)
+          .select(col("source"), col("term"), col("tfidf"))
+          .orderBy(col("source"), col("tfidf").desc, col("term"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+             |scored AS (SELECT source, tf.term AS term,
+             |  round(tf * ln((SELECT n FROM n) / df), 6) AS tfidf
+             |  FROM tf JOIN df ON tf.term = df.term)
+             |SELECT source, term, tfidf FROM
+             |(SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rk
+             | FROM scored)
+             |WHERE rk <= 5 ORDER BY source, tfidf DESC, term""".stripMargin)),
 
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)

@@ -65,6 +65,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("superseded rounds release their checkpoint blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // chain of diameter 15 → ~15 rounds, each one localCheckpoint
+    val edges = (0L until 15L).map(i => (i, i + 1))
+    val labels = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    labels.collect()
+    val added = sc.getPersistentRDDs.keySet -- before
+    // only the RETURNED frame's checkpoint may stay resident — sym and
+    // every superseded round must have been unpersisted (without the
+    // release this is ~17 entries)
+    assert(added.size <= 1, s"leaked checkpoint blocks: $added")
+  }
+
   test("maxIter bounds the rounds (documented chain-split behavior)") {
     val edges = (0L until 15L).map(i => (i, i + 1))
     val truncated = Dedup.connectedComponents(
