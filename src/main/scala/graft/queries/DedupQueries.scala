@@ -288,5 +288,38 @@ object DedupQueries {
               |  n_clusters, n_removed,
               |  (SELECT count(*) FROM documents) - n_removed AS n_kept
               |FROM agg""".stripMargin)),
+
+    // ----- incremental ingest dedup: a NEW batch (including simulated
+    // re-crawls — every 3rd already-ingested doc re-arrives under a
+    // fresh doc_id) anti-joined on content fingerprint against the
+    // ALREADY-INGESTED corpus — the daily-ingest shape of a long-lived
+    // 100 TB pipeline, where dedup-against-history dominates
+    // dedup-within-batch. Scale shape: the anti-join needs only the
+    // corpus's 16-byte md5 keys, never its text — a hash shuffle on
+    // fingerprint both sides (or a broadcast anti-join while the
+    // corpus FP set fits executor memory: ~16 GB per 10^9 docs).
+    QueryDef(
+      "dedup_incremental",
+      (s, d) => {
+        val base = docs(s, d)
+        val corpus = base.filter(col("doc_id") % 7 === 0)
+        val ingest = base.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("source"), col("text"))
+          .unionAll(corpus.filter(col("doc_id") % 21 === 0)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("source"), col("text")))
+        ingest.join(
+            corpus.select(TextAnalysis.fingerprint(col("text")).as("__fp")),
+            TextAnalysis.fingerprint(col("text")) === col("__fp"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("n_new"))
+          .orderBy("source")
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+             |ingest AS (
+             |  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 500000, source, text FROM corpus WHERE doc_id % 21 = 0)
+             |SELECT source, count(*) AS n_new FROM ingest
+             |ANTI JOIN corpus ON md5(ingest.text) = md5(corpus.text)
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
   )
 }

@@ -228,6 +228,41 @@ object TextQueries {
              | FROM scored)
              |WHERE rk <= 5 ORDER BY source, tfidf DESC, term""".stripMargin)),
 
+    // ----- overlapping-window document chunking: 32-token chunks at
+    // stride 24 (8-token overlap) — the context-window prep op for
+    // embedding / training pipelines. Chunk construction is per-row
+    // array arithmetic (transform over a sequence of starts + slice),
+    // so the only distributed cost is the posexplode row fan-out
+    // (~ntok/stride rows per doc); chunks are emitted as md5
+    // fingerprints + token counts, never re-joined. Both engines slice
+    // 1-indexed truncate-at-end, and `split` on empty text yields [""]
+    // (one token), so every doc emits ≥1 chunk — no empty-sequence
+    // guard needed.
+    QueryDef(
+      "tx11_chunk_overlap",
+      (s, d) => {
+        val C = 32
+        val stride = 24
+        val toks = TextAnalysis.tokens(col("text"))
+        val n = size(toks)
+        // Column./ is double division — floor+cast for the chunk count
+        val chunks = transform(sequence(lit(0), floor((n - 1) / stride).cast("int")),
+          i => slice(toks, i * stride + 1, lit(C)))
+        docs(s, d)
+          .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).as("chunk_ntok"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (SELECT doc_id, unnest(generate_series(0, CAST(floor((len(toks)-1)/24) AS INT))) AS chunk_idx,
+             |  toks FROM t)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |  CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS INT) AS chunk_ntok,
+             |  md5(array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS chunk_fp
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)
     QueryDef(
