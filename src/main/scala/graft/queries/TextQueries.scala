@@ -153,9 +153,12 @@ object TextQueries {
     // ----- Gopher/C4-style repetition filter: per-doc repeated-token
     // and repeated-2-gram ratios (boilerplate/looped-phrase signal),
     // aggregated per source with the count a threshold gate would
-    // drop. Both ratios are per-row codegen arithmetic — nothing but
-    // the (source, two doubles) triple reaches the agg shuffle, so the
-    // 100 TB cost is the documents scan itself. Threshold 0.05 is
+    // drop. Both ratios are per-row array arithmetic (the 2-gram
+    // transform is a HOF, i.e. interpreted — acceptable off the bench
+    // path; the native one-pass alternative is shingle_hash_set) —
+    // nothing but the (source, two doubles) triple reaches the agg
+    // shuffle, so the 100 TB cost is the documents scan itself.
+    // Threshold 0.05 is
     // calibrated to the fixture's measured dup2 distribution
     // (median 0.028, max 0.133) so the gate actually discriminates.
     QueryDef(
