@@ -90,6 +90,66 @@ object Bench {
     }
   }
 
+  /** Document-ingest throughput: the training-data half's streaming
+    * number, complementing the census pipeline's. Feeds COPIES× the
+    * fixture documents (shifted ids, deterministic event-times; texts
+    * repeat across copies so the watermark-bounded dedup state does
+    * real work) through DocumentPipeline.ingest (enrich → quality gate
+    * → streaming exact dedup) under Trigger.AvailableNow, and reports
+    * rows/s over INPUT rows plus per-micro-batch latency. Throws on
+    * error; skip/capture is main()'s contract.
+    */
+  def docStreamingBench(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.stream.DocumentPipeline
+    val copies = sys.env.getOrElse("SPARK_GRAFT_DOCS_COPIES", "10").toInt
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_DOCS_FILES", "40").toInt
+    val filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_DOCS_FILES_PER_BATCH", "8").toInt
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(200, (nFiles + filesPerBatch - 1) / filesPerBatch + 16).toString)
+    val base = Files.createTempDirectory("graft_docs_bench")
+    try {
+      val input = s"$base/input"
+      val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      val backlog = docs
+        .crossJoin(spark.range(copies).select(col("id").as("__c")))
+        .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"),
+          col("text"), col("lang"), col("source"),
+          timestamp_micros(lit(1700000000000000L)
+            + (col("doc_id") + col("__c") * 10000000L) * 1000L).as("ts"))
+      backlog.repartition(nFiles).write.mode("overwrite").parquet(input)
+      val written = spark.read.parquet(input).count()
+      val stream = spark.readStream
+        .schema(spark.read.parquet(input).schema)
+        .option("maxFilesPerTrigger", filesPerBatch)
+        .parquet(input)
+      val t0 = System.nanoTime()
+      val q = DocumentPipeline.ingest(stream, "ts").writeStream
+        .format("noop")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batchMs = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+        .sorted
+      val p50 = if (batchMs.isEmpty) 0.0 else batchMs(batchMs.length / 2)
+      s"""{"mode":"docs_available_now","rows":$written""" +
+        s""","elapsed_sec":$sec,"rows_per_sec":${written / sec}""" +
+        s""","batches":${batchMs.length},"batch_ms_p50":$p50""" +
+        s""","batch_ms_max":${batchMs.lastOption.getOrElse(0.0)}}"""
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(base)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverseIterator.foreach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -136,6 +196,13 @@ object Bench {
         case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
+    val streamingDocs: Either[String, Option[String]] =
+      if (sys.env.contains("SPARK_GRAFT_STREAM_SKIP")) Right(None)
+      else try Right(Some(docStreamingBench(spark, sfDir)))
+      catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
 
     def esc(s: String): String =
       s.flatMap {
@@ -154,8 +221,13 @@ object Bench {
       case Right(None)      => ""
       case Left(e)          => s""","streaming_err":"${esc(e)}""""
     }
+    val streamDocsJson = streamingDocs match {
+      case Right(Some(obj)) => s""","streaming_docs":$obj"""
+      case Right(None)      => ""
+      case Left(e)          => s""","streaming_docs_err":"${esc(e)}""""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamJson,"sf":"$sfDir","n":$nSamples,"stat":"median","failed":${errs.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamJson$streamDocsJson,"sf":"$sfDir","n":$nSamples,"stat":"median","failed":${errs.size}}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()

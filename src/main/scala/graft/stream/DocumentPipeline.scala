@@ -26,13 +26,33 @@ object DocumentPipeline {
       minQuality: Double = 0.2,
       watermarkDelay: String = "10 minutes")
 
-  /** Stateless enrichment: token stats, quality, lang-ID, fingerprint. */
+  /** Stateless enrichment: token stats, quality, lang-ID, fingerprint.
+    *
+    * Parts shape (see [[TextAnalysis.langIdParts]]): the first
+    * projection materializes the small derived parts — token count,
+    * distinct count, ONE `token_freqs` pass over the 16 marker words —
+    * and the scorers are plain arithmetic over the bound columns.
+    * The composed scorers would inline the freqs expression into every
+    * argmax reference (~40 token-array passes per row on the streaming
+    * hot path). The quality-gate predicate in [[ingest]], when pushed
+    * below this projection, re-inlines the quality arithmetic at the
+    * scan (~3 token passes for the gate) — unavoidable without a
+    * barrier, and still an order of magnitude under the composed form.
+    */
   def enrich(docs: DataFrame): DataFrame =
     docs
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .withColumn("__ntok", size(col("__toks")))
+      .withColumn("__ndis", size(array_distinct(col("__toks"))))
+      .withColumn("__freqs",
+        TextAnalysis.wordFreqs(col("__toks"), TextAnalysis.allMarkerWords))
+      .drop("__toks")
+      .withColumn("n_tokens", col("__ntok"))
+      .withColumn("quality", TextAnalysis.qualityScoreParts(col("__ntok"),
+        col("__ndis"), TextAnalysis.stopHitsFromFreqs(col("__freqs"))))
+      .withColumn("lang_pred", TextAnalysis.langIdParts(col("__freqs")))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .drop("__ntok", "__ndis", "__freqs")
 
   /** Full ingest flow over a (streaming or batch) documents frame with
     * an event-time column `tsCol`.
