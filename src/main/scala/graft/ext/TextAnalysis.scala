@@ -177,6 +177,19 @@ object TextAnalysis {
   def punctTokenCount(text: Column): Column =
     size(filter(regexTokens(text), t => t.rlike("^[^a-zA-Z0-9]")))
 
+  /** Adjacent token pairs ("w1 w2" strings) via shifted-slice zip; the
+    * guard keeps the slice length non-negative for 0/1-token docs
+    * (sequence/slice with a negative length is the inverted-interval
+    * trap RangeJoin hit). The BPE pair-count and bigram-LM inner loop.
+    */
+  def adjacentPairs(toks: Column): Column = {
+    val n = size(toks)
+    zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
   /** Repeated-token ratio: 1 − distinct/total — the crudest
     * boilerplate/degenerate-text signal (a page of "buy buy buy …"
     * scores near 1).

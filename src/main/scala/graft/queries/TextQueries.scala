@@ -130,15 +130,7 @@ object TextQueries {
     QueryDef(
       "tx8_bpe_pair_counts",
       (s, d) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        val n = size(toks)
-        // adjacent pairs via shifted-slice zip; guard keeps the slice
-        // length non-negative for 0/1-token docs (sequence/slice with a
-        // negative length is the inverted-interval trap RangeJoin hit)
-        val pairs = zip_with(
-          slice(toks, lit(1), greatest(n - 1, lit(0))),
-          slice(toks, lit(2), greatest(n - 1, lit(0))),
-          (a, b) => concat_ws(" ", a, b))
+        val pairs = TextAnalysis.adjacentPairs(TextAnalysis.tokens(col("text")))
         docs(s, d)
           .select(explode(pairs).as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("freq"))
@@ -265,6 +257,102 @@ object TextQueries {
              |  CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS INT) AS chunk_ntok,
              |  md5(array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS chunk_fp
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ----- bigram-LM scoring (KenLM-lite perplexity filter): train
+    // bigram/unigram counts on the corpus, score each doc by its mean
+    // adjacent-pair log-probability ln(c(w1 w2)/c(w1)), aggregate per
+    // source with the count a fluency gate would drop (threshold −3.45
+    // ≈ the fixture's 5th percentile — measured range [−3.66, −3.28] —
+    // so the gate discriminates). Self-trained, so every pair has
+    // count ≥ 1 — no smoothing needed and the
+    // arithmetic is exact in both engines. Scale shape: the bigram
+    // model is |vocab|²-bounded rows keyed by pair — a uniform hash
+    // shuffle join at real vocab sizes (broadcast here via AQE); the
+    // unigram side is |vocab| rows, always broadcast. Two agg shuffles
+    // (per-doc mean, per-source rollup) on uniform keys.
+    QueryDef(
+      "tx12_bigram_lm_score",
+      (s, d) => {
+        val base = docs(s, d)
+        val pairsOf = TextAnalysis.adjacentPairs(TextAnalysis.tokens(col("text")))
+        val exploded = base
+          .select(col("doc_id"), col("source"), explode(pairsOf).as("pair"))
+        val bi = exploded.groupBy("pair").agg(count(lit(1)).as("__c2"))
+        val uni = base
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("__c1"))
+        val perDoc = exploded
+          .withColumn("w1", substring_index(col("pair"), " ", 1))
+          .join(bi, Seq("pair"))
+          .join(broadcast(uni), col("w1") === col("w"))
+          .groupBy("doc_id", "source")
+          // per-doc lp rounded to 6dp BEFORE the gate + rollup, so a
+          // last-bit cross-engine avg difference can't flip a doc
+          // across the threshold or perturb the source-level mean
+          .agg(round(avg(log(col("__c2").cast("double") / col("__c1"))), 6).as("lp"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg("lp"), 6).as("avg_logprob"),
+               sum(when(col("lp") < -3.45, 1L).otherwise(0L)).as("n_flagged"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+             |p AS (SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS pair,
+             |        toks[i] AS w1
+             |      FROM (SELECT doc_id, source, toks,
+             |              unnest(generate_series(1, len(toks)-1)) AS i FROM t)),
+             |bi AS (SELECT pair, count(*) AS c2 FROM p GROUP BY 1),
+             |uni AS (SELECT w, count(*) AS c1 FROM
+             |        (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+             |perdoc AS (SELECT doc_id, source, round(avg(ln(c2::DOUBLE / c1)), 6) AS lp
+             |  FROM p JOIN bi USING (pair) JOIN uni ON p.w1 = uni.w
+             |  GROUP BY 1, 2)
+             |SELECT source, count(*) AS n_docs, round(avg(lp), 6) AS avg_logprob,
+             |  CAST(sum(CASE WHEN lp < -3.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+             |FROM perdoc GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ----- passage-level dedup: chunk the corpus (tx11's 32/24
+    // windows), fingerprint every chunk, and report the global dedup
+    // savings — repeated PASSAGES (boilerplate headers, licence
+    // blocks) that whole-document dedup cannot see. The ingest plants
+    // boilerplate deterministically (every 5th doc re-arrives under a
+    // fresh id, so all its chunks duplicate). One md5-key hash shuffle
+    // over chunk fingerprints — same uniform-key arithmetic as exact
+    // doc dedup, at ~ntok/stride × the row count.
+    QueryDef(
+      "tx13_passage_dedup",
+      (s, d) => {
+        val C = 32
+        val stride = 24
+        val base = docs(s, d).select("doc_id", "text")
+        val ingest = base.unionAll(
+          base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+        val toks = TextAnalysis.tokens(col("text"))
+        val n = size(toks)
+        val chunks = transform(sequence(lit(0), floor((n - 1) / stride).cast("int")),
+          i => slice(toks, i * stride + 1, lit(C)))
+        val fps = ingest
+          .select(explode(chunks).as("chunk"))
+          .select(md5(concat_ws(" ", col("chunk"))).as("fp"))
+        fps.agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("fp")).as("n_distinct_passages"))
+          .select(col("n_chunks"), col("n_distinct_passages"),
+            (col("n_chunks") - col("n_distinct_passages")).as("n_removed"))
+      },
+      Some("""WITH ingest AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 5 = 0),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ingest),
+             |c AS (SELECT md5(array_to_string(
+             |        toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS fp
+             |      FROM (SELECT toks, unnest(generate_series(0,
+             |              CAST(floor((len(toks)-1)/24) AS INT))) AS chunk_idx FROM t))
+             |SELECT count(*) AS n_chunks,
+             |  count(DISTINCT fp) AS n_distinct_passages,
+             |  count(*) - count(DISTINCT fp) AS n_removed
+             |FROM c""".stripMargin)),
 
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)
