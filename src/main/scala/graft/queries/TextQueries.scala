@@ -265,11 +265,17 @@ object TextQueries {
     // ≈ the fixture's 5th percentile — measured range [−3.66, −3.28] —
     // so the gate discriminates). Self-trained, so every pair has
     // count ≥ 1 — no smoothing needed and the
-    // arithmetic is exact in both engines. Scale shape: the bigram
-    // model is |vocab|²-bounded rows keyed by pair — a uniform hash
-    // shuffle join at real vocab sizes (broadcast here via AQE); the
-    // unigram side is |vocab| rows, always broadcast. Two agg shuffles
-    // (per-doc mean, per-source rollup) on uniform keys.
+    // arithmetic is exact in both engines. Scale shape: the model is
+    // re-derived from a SECOND cheap map-side explode of the same scan
+    // rather than a materialized shared stream — measured at 8×
+    // (DevStress, 40 k docs / ~12 M pairs): recompute 9.9 s vs 15.8 s
+    // for the persist-and-pre-agg variant, whose per-(doc, pair)
+    // string-key shuffle + cache build cost more than the explode it
+    // saved (the tx10 pattern pays off only when the re-derivation is
+    // EXPENSIVE, not a flat explode). The bigram model is
+    // |vocab|²-bounded rows keyed by pair — a uniform hash shuffle
+    // join at real vocab sizes (broadcast here via AQE); the unigram
+    // side is |vocab| rows, always broadcast.
     QueryDef(
       "tx12_bigram_lm_score",
       (s, d) => {
