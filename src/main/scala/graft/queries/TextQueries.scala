@@ -175,12 +175,15 @@ object TextQueries {
     // ----- TF-IDF top terms per source: the classic two-pass weighting
     // (term frequency × inverse document frequency) that powers
     // source-level topic fingerprinting and keyword-based curation.
-    // Scale shape: ONE corpus scan + ONE explode shuffle builds a
-    // persisted per-(term, doc) count, from which BOTH sides re-derive
-    // cheaply — tf by (source, term), and doc frequency as plain row
-    // counts per term (the (term, doc_id) grain is already distinct;
-    // doc_id is the PK, so rows-per-term = docs-per-term). The df side
-    // is |vocab| rows (tiny vs the corpus → broadcast join), and the
+    // Scale shape: a per-(term, doc) count is the shared grain — tf
+    // re-aggs it by (source, term), doc frequency as plain row counts
+    // per term (the (term, doc_id) grain is already distinct; doc_id
+    // is the PK, so rows-per-term = docs-per-term). The grain is
+    // RECOMPUTED per side, not persisted: measured back-to-back at 8×
+    // (DevStress), persist 9.1 s vs recompute 8.6 s — partial
+    // aggregation already shrinks each side's shuffle, so the cache
+    // build is pure overhead (same lesson as tx12). The df side is
+    // |vocab| rows (tiny vs the corpus → broadcast join), and the
     // per-source top-k runs through WindowGroupLimit map-side. Ranking
     // uses the ROUNDED score with a term tie-break so both engines
     // order identically.
@@ -194,7 +197,6 @@ object TextQueries {
             explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy("term", "doc_id", "source")
           .agg(count(lit(1)).as("__c"))
-          .persist()
         val tf = perTermDoc.groupBy("source", "term")
           .agg(sum("__c").as("tf"))
         val df = perTermDoc
