@@ -27,6 +27,49 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
+  /** Rows per generated backlog file — shared by the Simulator config
+    * and the progress-buffer sizing so the two cannot desynchronize.
+    */
+  private val RowsPerFile = 5000
+
+  /** recentProgress is a ring buffer capped at
+    * spark.sql.streaming.numRecentProgressUpdates (default 100): a
+    * large backlog would silently truncate the per-batch stats to the
+    * last 100 batches. Size the buffer to the backlog up front.
+    */
+  private def sizeProgressBuffer(spark: org.apache.spark.sql.SparkSession,
+      expectedBatches: Int): Unit =
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(200, expectedBatches + 16).toString)
+
+  /** Sorted per-batch triggerExecution millis over the finished
+    * queries' progress (durationMs is a java Map — a missing key would
+    * NPE-unbox; such entries are skipped, never abort the report).
+    */
+  private def batchDurations(
+      queries: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Seq[Double] =
+    queries.flatMap(_.recentProgress.toSeq)
+      .filter(_.numInputRows > 0)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+      .sorted
+
+  private def streamJson(mode: String, rows: Long, sec: Double,
+      batchMs: Seq[Double]): String = {
+    val p50 = if (batchMs.isEmpty) 0.0 else batchMs(batchMs.length / 2)
+    s"""{"mode":"$mode","rows":$rows""" +
+      s""","elapsed_sec":$sec,"rows_per_sec":${rows / sec}""" +
+      s""","batches":${batchMs.length},"batch_ms_p50":$p50""" +
+      s""","batch_ms_max":${batchMs.lastOption.getOrElse(0.0)}}"""
+  }
+
+  /** Bench-local scratch cleanup; closes the walk stream. */
+  private def deleteRecursively(base: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(base)
+    val paths = try walk.iterator().asScala.toSeq finally walk.close()
+    paths.reverseIterator.foreach(p => { Files.deleteIfExists(p); () })
+  }
+
   /** Streaming throughput measurement — the number the reference never
     * published (its simulator feeds ~0.3-1 rows/s; spark_streaming.py
     * itself was never benched). Drives the census Pipeline (fused
@@ -44,22 +87,15 @@ object Bench {
     import org.apache.spark.sql.streaming.Trigger
     val rows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
     val filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES_PER_BATCH", "8").toInt
-    // recentProgress is a ring buffer capped at
-    // spark.sql.streaming.numRecentProgressUpdates (default 100): a
-    // large backlog would silently truncate the per-batch stats to the
-    // last 100 batches. Size the buffer to the backlog up front.
-    val expectedBatches = {
-      val files = (rows + 4999) / 5000
-      (files + filesPerBatch - 1) / filesPerBatch
-    }
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
-      math.max(200, expectedBatches + 16).toString)
+    val files = (rows + RowsPerFile - 1) / RowsPerFile
+    sizeProgressBuffer(spark, (files + filesPerBatch - 1) / filesPerBatch)
     val base = Files.createTempDirectory("graft_stream_bench")
     try {
       val inputDir = s"$base/input"
-      // deterministic backlog: 5000-row batch CSVs, fixed seed + clock
+      // deterministic backlog: fixed-size batch CSVs, fixed seed + clock
       val cfg = Simulator.Config(
-        batchMin = 5000, batchMax = 5000, totalRows = rows, tickMillis = 0L)
+        batchMin = RowsPerFile, batchMax = RowsPerFile, totalRows = rows,
+        tickMillis = 0L)
       val written = Simulator.runLoop(inputDir, cfg,
         sleep = _ => (), clock = () => 1700000000L)
       val pipeline = new Pipeline(
@@ -70,24 +106,8 @@ object Bench {
       val queries = pipeline.start(spark, inputDir, s"$base/ckpt")
       queries.foreach(_.awaitTermination())
       val sec = (System.nanoTime() - t0) / 1e9
-      val batchMs = queries.flatMap(_.recentProgress.toSeq)
-        .filter(_.numInputRows > 0)
-        // durationMs is a java Map — a missing key would NPE-unbox;
-        // skip such entries rather than abort the whole report
-        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
-        .sorted
-      val p50 = if (batchMs.isEmpty) 0.0 else batchMs(batchMs.length / 2)
-      s"""{"mode":"fused_available_now","rows":$written""" +
-        s""","elapsed_sec":$sec,"rows_per_sec":${written / sec}""" +
-        s""","batches":${batchMs.length},"batch_ms_p50":$p50""" +
-        s""","batch_ms_max":${batchMs.lastOption.getOrElse(0.0)}}"""
-    } finally {
-      // the backlog + sink are bench-local scratch; don't leak tmp disk
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(base)
-      val paths = try walk.iterator().asScala.toSeq finally walk.close()
-      paths.reverseIterator.foreach(p => { Files.deleteIfExists(p); () })
-    }
+      streamJson("fused_available_now", written, sec, batchDurations(queries))
+    } finally deleteRecursively(base)
   }
 
   /** Document-ingest throughput: the training-data half's streaming
@@ -107,18 +127,23 @@ object Bench {
     val copies = sys.env.getOrElse("SPARK_GRAFT_DOCS_COPIES", "10").toInt
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_DOCS_FILES", "40").toInt
     val filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_DOCS_FILES_PER_BATCH", "8").toInt
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
-      math.max(200, (nFiles + filesPerBatch - 1) / filesPerBatch + 16).toString)
+    sizeProgressBuffer(spark, (nFiles + filesPerBatch - 1) / filesPerBatch)
     val base = Files.createTempDirectory("graft_docs_bench")
     try {
       val input = s"$base/input"
       val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      // event time from the ORIGINAL doc_id only: the whole backlog
+      // then spans seconds — far inside the 10-minute watermark delay —
+      // so no row is ever late and every repeated text actually probes
+      // the dedup state. (A copy-dependent ts spread the backlog over
+      // hours; the first micro-batch advanced the watermark past ~80%
+      // of the input, which was then dropped BEFORE the state lookup —
+      // the bench would have measured late-row discarding.)
       val backlog = docs
         .crossJoin(spark.range(copies).select(col("id").as("__c")))
         .select((col("doc_id") + col("__c") * 10000000L).as("doc_id"),
           col("text"), col("lang"), col("source"),
-          timestamp_micros(lit(1700000000000000L)
-            + (col("doc_id") + col("__c") * 10000000L) * 1000L).as("ts"))
+          timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000L).as("ts"))
       backlog.repartition(nFiles).write.mode("overwrite").parquet(input)
       val written = spark.read.parquet(input).count()
       val stream = spark.readStream
@@ -133,21 +158,8 @@ object Bench {
         .start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
-      val batchMs = q.recentProgress.toSeq
-        .filter(_.numInputRows > 0)
-        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
-        .sorted
-      val p50 = if (batchMs.isEmpty) 0.0 else batchMs(batchMs.length / 2)
-      s"""{"mode":"docs_available_now","rows":$written""" +
-        s""","elapsed_sec":$sec,"rows_per_sec":${written / sec}""" +
-        s""","batches":${batchMs.length},"batch_ms_p50":$p50""" +
-        s""","batch_ms_max":${batchMs.lastOption.getOrElse(0.0)}}"""
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(base)
-      val paths = try walk.iterator().asScala.toSeq finally walk.close()
-      paths.reverseIterator.foreach(p => { Files.deleteIfExists(p); () })
-    }
+      streamJson("docs_available_now", written, sec, batchDurations(Seq(q)))
+    } finally deleteRecursively(base)
   }
 
   def main(args: Array[String]): Unit = {
@@ -185,6 +197,7 @@ object Bench {
       })
     }
     graft.queries.DedupQueries.releaseSignatureCache()
+    graft.queries.SimilarityQueries.releaseCaches()
 
     // streaming throughput (round-3 verdict item 2): separate failure
     // domain — a streaming error must not zero the batch numbers, but

@@ -29,6 +29,7 @@ object DevStress {
       }
     }
     graft.queries.DedupQueries.releaseSignatureCache()
+    graft.queries.SimilarityQueries.releaseCaches()
     spark.stop()
   }
 }

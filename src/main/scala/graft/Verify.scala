@@ -19,6 +19,7 @@ object Verify {
     // registry sweep done — drop the shared dedup signature cache so a
     // long-lived session doesn't accumulate entries
     graft.queries.DedupQueries.releaseSignatureCache()
+    graft.queries.SimilarityQueries.releaseCaches()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -89,10 +89,14 @@ object Dedup {
     * without that a 20-round run holds 20 full label copies for the
     * life of the session. Only the returned frame's blocks (one copy)
     * stay resident. Handles come from diffing
-    * `sc.getPersistentRDDs` around each eager checkpoint — sound here
-    * because the loop is single-threaded; a concurrently-persisting
-    * session could interleave (worst case: a foreign RDD gets
-    * unpersisted early, never a correctness issue).
+    * `sc.getPersistentRDDs` around each eager checkpoint — sound when
+    * nothing else persists concurrently. NOT safe under concurrent
+    * persist/checkpoint activity on the same SparkContext: a foreign
+    * RDD id landing in the diff window gets unpersisted here, and for
+    * a localCheckpointed RDD (lineage truncated) that destroys its
+    * only copy — the foreign job then fails with a missing checkpoint
+    * block. Run concurrent CC jobs in separate sessions, or serialize
+    * them.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {

@@ -200,16 +200,30 @@ object TextAnalysis {
   /** Repeated-2-gram ratio: 1 − distinct 2-grams / total 2-grams —
     * the Gopher/C4-style repetition filter signal (catches looped
     * phrases that token-level dedup misses; higher-n variants follow
-    * the same shape). Docs with <2 tokens score 0. Pure Column ops:
-    * the 2-gram array is built per row inside codegen and never
-    * shuffled — only the two small ratio doubles leave the scan.
+    * the same shape). Docs with <2 tokens score 0. Built on the same
+    * [[adjacentPairs]] construction as the BPE/bigram-LM queries, so
+    * the pair format cannot silently diverge. Per-row array
+    * arithmetic: only the ratio doubles leave the scan.
     */
   def dup2gramRatio(toks: Column): Column = {
     val n = size(toks)
-    val grams = transform(sequence(lit(0), n - 2),
-      j => concat_ws(" ", get(toks, j), get(toks, j + 1)))
     when(n < 2, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / (n - 1))
+      .otherwise(lit(1.0)
+        - size(array_distinct(adjacentPairs(toks))).cast("double") / (n - 1))
+  }
+
+  /** Overlapping fixed-size token windows (`chunkSize` tokens at
+    * `stride`): the context-window prep primitive shared by the
+    * chunking and passage-dedup queries — one definition so the
+    * window arithmetic cannot diverge between them. Every doc emits
+    * ≥1 chunk (`split` on empty text yields [""], one token); the
+    * last chunk truncates at the end of the doc.
+    */
+  def overlappingChunks(toks: Column, chunkSize: Int, stride: Int): Column = {
+    val n = size(toks)
+    // Column./ is double division — floor+cast for the chunk count
+    transform(sequence(lit(0), floor((n - 1) / stride).cast("int")),
+      i => slice(toks, i * stride + 1, lit(chunkSize)))
   }
 
   /** SQL mirrors (DuckDB dialect) for the oracle. */

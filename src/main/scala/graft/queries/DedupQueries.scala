@@ -307,8 +307,12 @@ object DedupQueries {
           .select(col("doc_id"), col("source"), col("text"))
           .unionAll(corpus.filter(col("doc_id") % 21 === 0)
             .select((col("doc_id") + 500000L).as("doc_id"), col("source"), col("text")))
+        // distinct BEFORE the join: the corpus may itself contain
+        // repeated texts, and the anti-join build side should carry
+        // the distinct fingerprint set (the size SCALING.md budgets),
+        // not one key per corpus row
         ingest.join(
-            corpus.select(TextAnalysis.fingerprint(col("text")).as("__fp")),
+            corpus.select(TextAnalysis.fingerprint(col("text")).as("__fp")).distinct(),
             TextAnalysis.fingerprint(col("text")) === col("__fp"), "left_anti")
           .groupBy("source").agg(count(lit(1)).as("n_new"))
           .orderBy("source")

@@ -45,6 +45,29 @@ object SimilarityQueries {
     */
   private val dedupSpec = Similarity.PlaneSpec(Dim, NBits, 16)
 
+  /** Tracked cache handles (the DedupQueries.hashed pattern, round-2
+    * verdict item 9): plan-deduped so repeated invocations share one
+    * entry, releasable via [[releaseCaches]] so a long-lived session
+    * doesn't keep the augmented corpus resident forever.
+    */
+  private val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    handles.synchronized {
+      val plan = cached.queryExecution.analyzed
+      if (!handles.exists(_.queryExecution.analyzed.sameResult(plan)))
+        handles += cached
+    }
+    cached
+  }
+
+  /** Unpersist every cache entry created by this registry (idempotent). */
+  def releaseCaches(): Unit = handles.synchronized {
+    handles.foreach(_.unpersist(blocking = false))
+    handles.clear()
+  }
+
   /** Shared oracle CTE: per-vector LSH bucket ids b0..b3 (plane
     * constants as SQL literals — bit-identical sign decisions).
     */
@@ -156,7 +179,7 @@ object SimilarityQueries {
         // recomputed — unlike the flat-explode grains in tx10/tx12,
         // three-way reuse of real synthesis work does pay for the
         // cache build.
-        val aug = e.unionAll(clones).persist()
+        val aug = tracked(e.unionAll(clones))
         val cand = Similarity.lshCandidatePairs(aug, "vec_id", "embedding", dedupSpec)
         cand
           .join(aug.select(col("vec_id").as("a_id"), col("embedding").as("va")), Seq("a_id"))

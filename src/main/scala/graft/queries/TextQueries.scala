@@ -20,6 +20,23 @@ object TextQueries {
 
   import TextAnalysis.{Sql => TS}
 
+  /** Chunk geometry shared by tx11 (chunking) and tx13 (passage
+    * dedup) — one definition, interpolated into both oracle mirrors.
+    */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** DuckDB mirror of [[TextAnalysis.overlappingChunks]] applied at
+    * chunk index `i` over a `toks` list column (DuckDB slices are
+    * 1-indexed inclusive and truncate at the end, like Spark slice).
+    */
+  private def chunkSliceSql(i: String): String =
+    s"toks[$i*$ChunkStride+1 : $i*$ChunkStride+$ChunkSize]"
+
+  /** DuckDB mirror of the chunk-index range 0..floor((len-1)/stride). */
+  private val chunkIdxSql =
+    s"unnest(generate_series(0, CAST(floor((len(toks)-1)/$ChunkStride) AS INT)))"
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- token statistics per source (token counting brief item)
@@ -238,13 +255,8 @@ object TextQueries {
     QueryDef(
       "tx11_chunk_overlap",
       (s, d) => {
-        val C = 32
-        val stride = 24
-        val toks = TextAnalysis.tokens(col("text"))
-        val n = size(toks)
-        // Column./ is double division — floor+cast for the chunk count
-        val chunks = transform(sequence(lit(0), floor((n - 1) / stride).cast("int")),
-          i => slice(toks, i * stride + 1, lit(C)))
+        val chunks = TextAnalysis.overlappingChunks(
+          TextAnalysis.tokens(col("text")), ChunkSize, ChunkStride)
         docs(s, d)
           .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
           .select(col("doc_id"), col("chunk_idx"),
@@ -252,13 +264,12 @@ object TextQueries {
             md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
           .orderBy("doc_id", "chunk_idx")
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |c AS (SELECT doc_id, unnest(generate_series(0, CAST(floor((len(toks)-1)/24) AS INT))) AS chunk_idx,
-             |  toks FROM t)
-             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-             |  CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS INT) AS chunk_ntok,
-             |  md5(array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS chunk_fp
-             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |c AS (SELECT doc_id, $chunkIdxSql AS chunk_idx, toks FROM t)
+              |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+              |  CAST(len(${chunkSliceSql("chunk_idx")}) AS INT) AS chunk_ntok,
+              |  md5(array_to_string(${chunkSliceSql("chunk_idx")}, ' ')) AS chunk_fp
+              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // ----- bigram-LM scoring (KenLM-lite perplexity filter): train
     // bigram/unigram counts on the corpus, score each doc by its mean
@@ -330,16 +341,12 @@ object TextQueries {
     QueryDef(
       "tx13_passage_dedup",
       (s, d) => {
-        val C = 32
-        val stride = 24
         val base = docs(s, d).select("doc_id", "text")
         val ingest = base.unionAll(
           base.filter(col("doc_id") % 5 === 0)
             .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
-        val toks = TextAnalysis.tokens(col("text"))
-        val n = size(toks)
-        val chunks = transform(sequence(lit(0), floor((n - 1) / stride).cast("int")),
-          i => slice(toks, i * stride + 1, lit(C)))
+        val chunks = TextAnalysis.overlappingChunks(
+          TextAnalysis.tokens(col("text")), ChunkSize, ChunkStride)
         val fps = ingest
           .select(explode(chunks).as("chunk"))
           .select(md5(concat_ws(" ", col("chunk"))).as("fp"))
@@ -348,19 +355,17 @@ object TextQueries {
           .select(col("n_chunks"), col("n_distinct_passages"),
             (col("n_chunks") - col("n_distinct_passages")).as("n_removed"))
       },
-      Some("""WITH ingest AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 5 = 0),
-             |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ingest),
-             |c AS (SELECT md5(array_to_string(
-             |        toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS fp
-             |      FROM (SELECT toks, unnest(generate_series(0,
-             |              CAST(floor((len(toks)-1)/24) AS INT))) AS chunk_idx FROM t))
-             |SELECT count(*) AS n_chunks,
-             |  count(DISTINCT fp) AS n_distinct_passages,
-             |  count(*) - count(DISTINCT fp) AS n_removed
-             |FROM c""".stripMargin)),
+      Some(s"""WITH ingest AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 5 = 0),
+              |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ingest),
+              |c AS (SELECT md5(array_to_string(${chunkSliceSql("chunk_idx")}, ' ')) AS fp
+              |      FROM (SELECT toks, $chunkIdxSql AS chunk_idx FROM t))
+              |SELECT count(*) AS n_chunks,
+              |  count(DISTINCT fp) AS n_distinct_passages,
+              |  count(*) - count(DISTINCT fp) AS n_removed
+              |FROM c""".stripMargin)),
 
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)
