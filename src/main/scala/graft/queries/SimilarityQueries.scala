@@ -230,6 +230,40 @@ object SimilarityQueries {
              |  FROM embeddings))
              |GROUP BY 1 ORDER BY label""".stripMargin)),
 
+    // ----- per-label centroids: element-wise mean vector per class —
+    // the IVF/k-means training primitive and the class-prototype op of
+    // embedding pipelines. Declarative shape: posexplode fans each
+    // vector to (label, pos, v) rows and a hash agg means them —
+    // partial aggregation collapses every partition to |labels|×dim
+    // cells BEFORE the shuffle, so at 10⁹ vectors the exchange carries
+    // kilobytes per partition regardless of corpus size (the reason
+    // this beats a collect-and-average or a custom array-summing UDAF).
+    // Output pins the norm and first two components per centroid.
+    QueryDef(
+      "sim7_label_centroids",
+      (s, d) => {
+        val comp = emb(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(avg(col("v").cast("double")).as("m"))
+        comp.groupBy("label")
+          .agg(count(lit(1)).as("dims"),
+               round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+               round(sum(when(col("pos") === 0, col("m"))), 6).as("c1"),
+               round(sum(when(col("pos") === 1, col("m"))), 6).as("c2"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label,
+             |    unnest(embedding::DOUBLE[]) AS v,
+             |    unnest(generate_series(0, len(embedding)-1)) AS pos
+             |  FROM embeddings),
+             |m AS (SELECT label, pos, avg(v) AS m FROM e GROUP BY 1, 2)
+             |SELECT label, count(*) AS dims,
+             |  round(sqrt(sum(m*m)), 6) AS centroid_norm,
+             |  round(sum(CASE WHEN pos = 0 THEN m END), 6) AS c1,
+             |  round(sum(CASE WHEN pos = 1 THEN m END), 6) AS c2
+             |FROM m GROUP BY 1 ORDER BY label""".stripMargin)),
+
     // ----- LSH bucket histogram: the index the scale path shuffles on.
     // Hash-verified — the seeded plane constants are mirrored into the
     // SQL as double literals (Similarity.Sql).

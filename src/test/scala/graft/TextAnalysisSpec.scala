@@ -65,6 +65,47 @@ class TextAnalysisSpec extends SparkSpec {
       == "900150983cd24fb0d6963f7d28e17f72")
   }
 
+  test("adjacentPairs: n-1 pairs, empty for 0/1-token docs") {
+    def pairs(t: String): Seq[String] =
+      one(t, c => TextAnalysis.adjacentPairs(TextAnalysis.tokens(c)))
+        .getSeq[String](0)
+    assert(pairs("a b c") == Seq("a b", "b c"))
+    assert(pairs("solo") == Seq.empty)
+    assert(pairs("") == Seq.empty) // split("") = [""] → one token, no pairs
+  }
+
+  test("dup ratios: repeats score high, all-distinct scores 0, short docs 0") {
+    def ratios(t: String): (Double, Double) = {
+      val r = Seq(t).toDF("text")
+        .select(TextAnalysis.dupTokenRatio(TextAnalysis.tokens(col("text"))),
+          TextAnalysis.dup2gramRatio(TextAnalysis.tokens(col("text"))))
+        .head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    assert(ratios("a b c d") == ((0.0, 0.0)))
+    // "x y x y x y": 6 tokens 2 distinct → 4/6; 5 pairs 2 distinct → 3/5
+    val (dt, d2) = ratios("x y x y x y")
+    assert(math.abs(dt - 4.0 / 6) < 1e-12 && math.abs(d2 - 3.0 / 5) < 1e-12)
+    assert(ratios("solo")._2 == 0.0) // <2 tokens → defined as 0
+  }
+
+  test("overlappingChunks: stride windows, end truncation, ≥1 chunk always") {
+    def chunks(t: String, size: Int, stride: Int): Seq[Seq[String]] =
+      Seq(t).toDF("text")
+        .select(TextAnalysis.overlappingChunks(
+          TextAnalysis.tokens(col("text")), size, stride))
+        .head().getSeq[Seq[String]](0)
+    val ten = (1 to 10).map("w" + _).mkString(" ")
+    // size 4, stride 3 over 10 tokens: starts 0,3,6,9 → last truncates
+    assert(chunks(ten, 4, 3) == Seq(
+      Seq("w1", "w2", "w3", "w4"), Seq("w4", "w5", "w6", "w7"),
+      Seq("w7", "w8", "w9", "w10"), Seq("w10")))
+    // exact boundary: 6 tokens, size 3, stride 3 → exactly 2 full chunks
+    val six = (1 to 6).map("w" + _).mkString(" ")
+    assert(chunks(six, 3, 3) == Seq(Seq("w1", "w2", "w3"), Seq("w4", "w5", "w6")))
+    assert(chunks("", 4, 3) == Seq(Seq(""))) // empty text → one 1-token chunk
+  }
+
   test("exactKeepFirst keeps the smallest-order row per key") {
     val df = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"))
       .toDF("id", "key", "payload")
