@@ -324,6 +324,7 @@ object DedupQueries {
              |  SELECT doc_id + 500000, source, text FROM corpus WHERE doc_id % 21 = 0)
              |SELECT source, count(*) AS n_new FROM ingest
              |ANTI JOIN corpus ON md5(ingest.text) = md5(corpus.text)
-             |GROUP BY 1 ORDER BY source""".stripMargin)),
+             |GROUP BY 1 ORDER BY source""".stripMargin),
+      bench = true),
   )
 }

@@ -262,7 +262,8 @@ object SimilarityQueries {
              |  round(sqrt(sum(m*m)), 6) AS centroid_norm,
              |  round(sum(CASE WHEN pos = 0 THEN m END), 6) AS c1,
              |  round(sum(CASE WHEN pos = 1 THEN m END), 6) AS c2
-             |FROM m GROUP BY 1 ORDER BY label""".stripMargin)),
+             |FROM m GROUP BY 1 ORDER BY label""".stripMargin),
+      bench = true),
 
     // ----- LSH bucket histogram: the index the scale path shuffles on.
     // Hash-verified — the seeded plane constants are mirrored into the
