@@ -229,7 +229,8 @@ object Bench {
     val errs = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
-    val streamJson = streaming match {
+    // named to avoid shadowing the streamJson(...) formatter method
+    val streamBlock = streaming match {
       case Right(Some(obj)) => s""","streaming":$obj"""
       case Right(None)      => ""
       case Left(e)          => s""","streaming_err":"${esc(e)}""""
@@ -240,7 +241,7 @@ object Bench {
       case Left(e)          => s""","streaming_docs_err":"${esc(e)}""""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamJson$streamDocsJson,"sf":"$sfDir","n":$nSamples,"stat":"median","failed":${errs.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson,"sf":"$sfDir","n":$nSamples,"stat":"median","failed":${errs.size}}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()

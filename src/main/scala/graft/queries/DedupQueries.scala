@@ -46,34 +46,23 @@ object DedupQueries {
     * long-lived session would accumulate entries until someone called
     * a global `clearCache()` (round-2 verdict item 9).
     */
-  private def hashed(df: DataFrame): DataFrame = {
+  private def hashed(df: DataFrame): DataFrame =
     // sorted ascending so the exact re-rank can use the native
     // merge-walk jaccard_sorted (one sort per document, amortized over
     // every candidate pair it appears in; signatures are order-invariant)
-    val cached = df.select(col("doc_id"),
-        array_sort(NearDup.shingleHashSet(TextAnalysis.tokens(col("text")), ShingleK)).as("hs"))
-      .cache()
-    handles.synchronized {
-      // dedupe by analyzed plan: repeated invocations over the same
-      // table share one cache entry, so tracking one handle per PLAN
-      // (not per call) keeps the buffer bounded in long-lived sessions
-      val plan = cached.queryExecution.analyzed
-      if (!handles.exists(_.queryExecution.analyzed.sameResult(plan)))
-        handles += cached
-    }
-    cached
-  }
+    tracked(df.select(col("doc_id"),
+      array_sort(NearDup.shingleHashSet(TextAnalysis.tokens(col("text")), ShingleK)).as("hs")))
 
-  private val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  /** Shared [[TrackedCache]] machinery: plan-deduped handles, bounded
+    * in long-lived sessions.
+    */
+  private val tracked = new TrackedCache
 
   /** Unpersist every signature-cache entry created by this registry
     * (idempotent; distinct query invocations over the same table share
     * one underlying entry, so dropping each handle is cheap).
     */
-  def releaseSignatureCache(): Unit = handles.synchronized {
-    handles.foreach(_.unpersist(blocking = false))
-    handles.clear()
-  }
+  def releaseSignatureCache(): Unit = tracked.release()
 
   /** Shared oracle CTE prefix: toks → shingle set s → DISTINCT hash
     * set hs (the exact mirror of the native shingle_hash_set — dedup

@@ -18,6 +18,33 @@ final case class QueryDef(
     bench: Boolean = false,
 )
 
+/** Releasable cache registry shared by the query surfaces (round-2
+  * verdict item 9): `apply` persists and tracks a handle — deduped by
+  * analyzed plan, so repeated invocations over the same table share
+  * ONE entry and the buffer stays bounded in long-lived sessions —
+  * and [[release]] unpersists everything (idempotent). One
+  * implementation so the concurrency-sensitive bookkeeping cannot
+  * drift between registries.
+  */
+final class TrackedCache {
+  private val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  def apply(df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    handles.synchronized {
+      val plan = cached.queryExecution.analyzed
+      if (!handles.exists(_.queryExecution.analyzed.sameResult(plan)))
+        handles += cached
+    }
+    cached
+  }
+
+  def release(): Unit = handles.synchronized {
+    handles.foreach(_.unpersist(blocking = false))
+    handles.clear()
+  }
+}
+
 /** The reference parity surface (SURVEY.md §2) parameterized over the
   * driver's TPC-H-ish corpus (FIXTURES.md §4 mapping): census bucketing
   * over `lineitem.l_quantity` / `customer.c_acctbal` /

@@ -45,28 +45,14 @@ object SimilarityQueries {
     */
   private val dedupSpec = Similarity.PlaneSpec(Dim, NBits, 16)
 
-  /** Tracked cache handles (the DedupQueries.hashed pattern, round-2
-    * verdict item 9): plan-deduped so repeated invocations share one
-    * entry, releasable via [[releaseCaches]] so a long-lived session
-    * doesn't keep the augmented corpus resident forever.
+  /** Releasable plan-deduped cache (shared [[TrackedCache]]
+    * machinery): a long-lived session doesn't keep the augmented
+    * corpus resident forever.
     */
-  private val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-  private def tracked(df: DataFrame): DataFrame = {
-    val cached = df.persist()
-    handles.synchronized {
-      val plan = cached.queryExecution.analyzed
-      if (!handles.exists(_.queryExecution.analyzed.sameResult(plan)))
-        handles += cached
-    }
-    cached
-  }
+  private val tracked = new TrackedCache
 
   /** Unpersist every cache entry created by this registry (idempotent). */
-  def releaseCaches(): Unit = handles.synchronized {
-    handles.foreach(_.unpersist(blocking = false))
-    handles.clear()
-  }
+  def releaseCaches(): Unit = tracked.release()
 
   /** Shared oracle CTE: per-vector LSH bucket ids b0..b3 (plane
     * constants as SQL literals — bit-identical sign decisions).
@@ -245,7 +231,10 @@ object SimilarityQueries {
         val comp = emb(s, d)
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("label", "pos")
-          .agg(avg(col("v").cast("double")).as("m"))
+          // per-dimension mean rounded BEFORE the second agg (the
+          // tx12/sim6 pinning discipline): a last-ulp cross-engine avg
+          // difference must not propagate into the rolled-up norm
+          .agg(round(avg(col("v").cast("double")), 6).as("m"))
         comp.groupBy("label")
           .agg(count(lit(1)).as("dims"),
                round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
@@ -257,7 +246,7 @@ object SimilarityQueries {
              |    unnest(embedding::DOUBLE[]) AS v,
              |    unnest(generate_series(0, len(embedding)-1)) AS pos
              |  FROM embeddings),
-             |m AS (SELECT label, pos, avg(v) AS m FROM e GROUP BY 1, 2)
+             |m AS (SELECT label, pos, round(avg(v), 6) AS m FROM e GROUP BY 1, 2)
              |SELECT label, count(*) AS dims,
              |  round(sqrt(sum(m*m)), 6) AS centroid_norm,
              |  round(sum(CASE WHEN pos = 0 THEN m END), 6) AS c1,
