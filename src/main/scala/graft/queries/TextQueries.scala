@@ -367,6 +367,53 @@ object TextQueries {
               |  count(*) - count(DISTINCT fp) AS n_removed
               |FROM c""".stripMargin)),
 
+    // ----- PII detection + scrubbing: count email-shaped substrings
+    // per source and prove the redaction leaves zero residual — the
+    // compliance pass every published training corpus runs. The
+    // pattern uses only character classes so Java (Spark) and RE2
+    // (DuckDB) agree; the fixture has no natural matches, so every 7th
+    // doc gets an id-derived address planted deterministically
+    // (mirrored in the oracle). Pure per-row regex work — only
+    // (source, three small counts) reaches the shuffle.
+    QueryDef(
+      "tx14_pii_scrub",
+      (s, d) => {
+        val pii = "[a-z0-9]+@[a-z]+[.][a-z]+"
+        val ingest = docs(s, d).select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact u"),
+              col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(col("text")).as("text"))
+        ingest
+          .select(col("source"),
+            size(regexp_extract_all(col("text"), lit(pii), lit(0))).as("n_pii"),
+            size(regexp_extract_all(
+              regexp_replace(col("text"), pii, "<EMAIL>"),
+              lit(pii), lit(0))).as("n_residual"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_pii").cast("long")).as("total_pii"),
+               sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+               sum(col("n_residual").cast("long")).as("residual_after_scrub"))
+          .orderBy("source")
+      },
+      Some("""WITH ingest AS (SELECT source,
+             |  CASE WHEN doc_id % 7 = 0
+             |    THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+             |    ELSE text END AS text
+             |  FROM documents),
+             |c AS (SELECT source,
+             |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+[.][a-z]+')) AS n_pii,
+             |  len(regexp_extract_all(
+             |    regexp_replace(text, '[a-z0-9]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g'),
+             |    '[a-z0-9]+@[a-z]+[.][a-z]+')) AS n_residual
+             |  FROM ingest)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_pii) AS BIGINT) AS total_pii,
+             |  CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             |  CAST(sum(n_residual) AS BIGINT) AS residual_after_scrub
+             |FROM c GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)
     QueryDef(
