@@ -16,7 +16,11 @@ object DevStress {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("dedup_minhash_pairs", "dedup_simhash_pairs", "pipeline_curation",
-        "dedup_exact_keep_first", "split_train_holdout")
+        "dedup_exact_keep_first", "split_train_holdout",
+        // round-4 additions with non-trivial scale arithmetic
+        "dedup_embedding_lsh", "dedup_components", "dedup_incremental",
+        "tx10_tfidf_top_terms", "tx12_bigram_lm_score", "tx13_passage_dedup",
+        "sim7_label_centroids")
     val spark = Sessions.local("4", "graft-stress")
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
