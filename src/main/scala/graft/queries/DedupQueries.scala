@@ -278,6 +278,26 @@ object DedupQueries {
               |  (SELECT count(*) FROM documents) - n_removed AS n_kept
               |FROM agg""".stripMargin)),
 
+    // ----- cluster-size histogram over the near-dup components: the
+    // distribution a dedup run publishes (how much boilerplate, how
+    // big the worst cluster). Two cheap re-aggs over the CC output —
+    // per-component counts, then counts-of-counts; the second agg's
+    // key space is O(max cluster size).
+    QueryDef(
+      "dedup_cluster_sizes",
+      (s, d) => {
+        val edges = minhashPairs(s, d).filter(col("jac") >= JacThreshold)
+        graft.ext.Dedup.connectedComponents(edges, "a_id", "b_id")
+          .groupBy("comp").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("sz")
+      },
+      Some(s"""${SqlBase.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |$PairsSql
+              |SELECT sz, count(*) AS n_clusters FROM
+              |(SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+              |GROUP BY 1 ORDER BY sz""".stripMargin)),
+
     // ----- incremental ingest dedup: a NEW batch (including simulated
     // re-crawls — every 3rd already-ingested doc re-arrives under a
     // fresh doc_id) anti-joined on content fingerprint against the

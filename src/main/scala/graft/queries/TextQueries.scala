@@ -414,6 +414,42 @@ object TextQueries {
              |  CAST(sum(n_residual) AS BIGINT) AS residual_after_scrub
              |FROM c GROUP BY 1 ORDER BY source""".stripMargin)),
 
+    // ----- vocabulary coverage / OOV rate: build the top-K vocab
+    // in-query (tx6's shape, pinned tie-break), broadcast it back, and
+    // report per-source out-of-vocabulary rates — the tokenizer-eval
+    // number that decides whether a vocab generalizes across sources.
+    // The vocab is a K-row broadcast at any corpus size; the token
+    // stream joins map-side and only (source, two counts) shuffles.
+    QueryDef(
+      "tx15_oov_rate",
+      (s, d) => {
+        val exploded = docs(s, d)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val vocab = exploded.groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(10)
+          .select(col("token"), lit(1).as("__in"))
+        exploded.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("total_tokens"),
+               sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+          .withColumn("oov_rate",
+            round(col("oov_tokens").cast("double") / col("total_tokens"), 6))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |vocab AS (SELECT token FROM
+             |  (SELECT token, count(*) AS freq FROM toks GROUP BY 1
+             |   ORDER BY freq DESC, token LIMIT 10)),
+             |j AS (SELECT source,
+             |  CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END AS oov
+             |  FROM toks)
+             |SELECT source, count(*) AS total_tokens,
+             |  CAST(sum(oov) AS BIGINT) AS oov_tokens,
+             |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+             |FROM j GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)
     QueryDef(
