@@ -288,7 +288,10 @@ object TextQueries {
     // EXPENSIVE, not a flat explode). The bigram model is
     // |vocab|²-bounded rows keyed by pair — a uniform hash shuffle
     // join at real vocab sizes (broadcast here via AQE); the unigram
-    // side is |vocab| rows, always broadcast.
+    // side is |vocab| rows, always broadcast. Pair keys are zipfian
+    // (a few stop-word bigrams dominate), so the shuffle-join regime
+    // leans on AQE's skew split (enabled in Sessions, proven firing by
+    // AqeSkewJoinSpec) rather than manual salting.
     QueryDef(
       "tx12_bigram_lm_score",
       (s, d) => {
