@@ -62,10 +62,6 @@ object NearDup {
         i => concat_ws(" ", slice(tokens, i, lit(k))))))
       .otherwise(array().cast("array<string>"))
 
-  /** Per-document shingle hash set: text → tokens → k-shingles → hash. */
-  def shingleHashes(text: Column, k: Int = 3): Column =
-    transform(shingles(TextAnalysis.tokens(text), k), sh => charHash(sh))
-
   /** Distinct shingle-hash set straight from a token array — the
     * native one-pass [[graft.functions.ShingleHashSet]] (no shingle
     * strings materialized, no interpreted per-element lambdas). The
@@ -229,13 +225,6 @@ object NearDup {
         (0 until r).map(o => s"a.m${j * r + o} = b.m${j * r + o}")
           .mkString("(", " AND ", ")")
       }.mkString(" OR ")
-
-    /** SimHash value over a hash-list column `hs`. */
-    def simhashSql(bits: Int = 30): String =
-      (0 until bits).map { b =>
-        s"(CASE WHEN 2*len(list_filter(hs, h -> (h // ${1L << b}) % 2 = 1)) > len(hs) " +
-          s"THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
-      }.mkString("(", " + ", ")")
 
     /** Wide (60-bit) SimHash over `hs` — mirror of
       * [[NearDup.simhashWide]] with the same rehash literals.
