@@ -4,12 +4,24 @@ package graft
   * scale cliffs the sf0.1 bench can't see (e.g. the 30-bit simhash
   * band collapse — 58 s at 40 k docs — found this way in round 3).
   *
-  *   # build an 8x documents corpus with planted exact-dup clones:
-  *   #   COPY (SELECT doc_id + c*1000000 AS doc_id, text, lang, source,
-  *   #         n_chars FROM '<sf0.1>/documents.parquet',
-  *   #         (SELECT unnest(range(8)) AS c))
+  * The default list reads BOTH documents.parquet and
+  * embeddings.parquet — build both (8× with shifted ids; the
+  * embedding copies create 8-clone identity clusters, a deliberate
+  * output-bound stress for the near-dup paths):
+  *
+  *   # COPY (SELECT doc_id + c*1000000 AS doc_id, text, lang, source,
+  *   #       n_chars FROM '<sf0.1>/documents.parquet',
+  *   #       (SELECT unnest(range(8)) AS c))
   *   #   TO '/tmp/sfbig/documents.parquet' (FORMAT parquet)
+  *   # COPY (SELECT vec_id + c*100000 AS vec_id, embedding, label
+  *   #       FROM '<sf0.1>/embeddings.parquet',
+  *   #       (SELECT unnest(range(8)) AS c))
+  *   #   TO '/tmp/sfbig/embeddings.parquet' (FORMAT parquet)
   *   sbt 'runMain graft.DevStress /tmp/sfbig q1 q2 ...'
+  *
+  * A query that throws (e.g. a missing table) is reported and the
+  * sweep continues — earlier timings are never lost to a later
+  * failure.
   */
 object DevStress {
   def main(args: Array[String]): Unit = {
@@ -27,9 +39,13 @@ object DevStress {
       println(f"[stress] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     names.foreach { q =>
-      time(q) {
+      try time(q) {
         val n = SparkEntry.queries(q)(spark, sfDir).count()
         println(s"[stress]   rows: $n")
+      } catch {
+        case e: Throwable =>
+          println(s"[stress] $q FAILED: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n'))
       }
     }
     graft.queries.DedupQueries.releaseSignatureCache()

@@ -37,6 +37,12 @@ object TextQueries {
   private val chunkIdxSql =
     s"unnest(generate_series(0, CAST(floor((len(toks)-1)/$ChunkStride) AS INT)))"
 
+  /** Email-shaped PII pattern (tx14) — character classes only so Java
+    * (Spark) and RE2 (DuckDB) agree; ONE definition interpolated into
+    * both engines so the mirrors cannot drift.
+    */
+  private val PiiPattern = "[a-z0-9]+@[a-z]+[.][a-z]+"
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- token statistics per source (token counting brief item)
@@ -381,7 +387,7 @@ object TextQueries {
     QueryDef(
       "tx14_pii_scrub",
       (s, d) => {
-        val pii = "[a-z0-9]+@[a-z]+[.][a-z]+"
+        val pii = PiiPattern
         val ingest = docs(s, d).select(col("doc_id"), col("source"),
           when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" contact u"),
@@ -400,17 +406,17 @@ object TextQueries {
                sum(col("n_residual").cast("long")).as("residual_after_scrub"))
           .orderBy("source")
       },
-      Some("""WITH ingest AS (SELECT source,
-             |  CASE WHEN doc_id % 7 = 0
-             |    THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
-             |    ELSE text END AS text
-             |  FROM documents),
-             |c AS (SELECT source,
-             |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+[.][a-z]+')) AS n_pii,
-             |  len(regexp_extract_all(
-             |    regexp_replace(text, '[a-z0-9]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g'),
-             |    '[a-z0-9]+@[a-z]+[.][a-z]+')) AS n_residual
-             |  FROM ingest)
+      Some(s"""WITH ingest AS (SELECT source,
+              |  CASE WHEN doc_id % 7 = 0
+              |    THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+              |    ELSE text END AS text
+              |  FROM documents),
+              |c AS (SELECT source,
+              |  len(regexp_extract_all(text, '$PiiPattern')) AS n_pii,
+              |  len(regexp_extract_all(
+              |    regexp_replace(text, '$PiiPattern', '<EMAIL>', 'g'),
+              |    '$PiiPattern')) AS n_residual
+              |  FROM ingest)
              |SELECT source, count(*) AS n_docs,
              |  CAST(sum(n_pii) AS BIGINT) AS total_pii,
              |  CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
