@@ -459,6 +459,47 @@ object TextQueries {
              |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
              |FROM j GROUP BY 1 ORDER BY source""".stripMargin)),
 
+    // ----- temperature-scaled mixture sampling (the XLM-R/mT5
+    // multilingual rebalancing op): per-group keep rates computed FROM
+    // the data as min(1, C/√n) — temperature α=0.5 upsampling of small
+    // groups — then applied as a deterministic content-hash gate.
+    // α=0.5 deliberately: sqrt/divide are IEEE correctly-rounded in
+    // both engines, so the data-derived rate and its integer threshold
+    // are bit-identical cross-engine (a pow-based α like 0.7 is NOT
+    // correctly rounded in libm and could flip a threshold). Groups
+    // come from bit-length of doc_id+1 — exact integer logic giving
+    // genuinely nonuniform sizes (1, 2, 4, … 2^k) on any fixture.
+    // Scale shape: rates are a |groups|-row broadcast; the corpus
+    // streams map-side through the hash gate — one agg shuffle total.
+    QueryDef(
+      "tx16_temperature_mixture",
+      (s, d) => {
+        val base = docs(s, d)
+          .select(length(bin(col("doc_id") + 1)).as("g"), col("text"))
+        val rates = base.groupBy("g").agg(count(lit(1)).as("n"))
+          .withColumn("rate", least(lit(1.0), lit(16.0) / sqrt(col("n"))))
+          .withColumn("thresh", floor(col("rate") * 1000000.0).cast("long"))
+        base.join(broadcast(rates), Seq("g"))
+          .withColumn("__keep",
+            TextAnalysis.hashBucket(col("text"), 1000000) < col("thresh"))
+          .groupBy("g")
+          .agg(count(lit(1)).as("n_docs"),
+               count(when(col("__keep"), 1)).as("n_sampled"),
+               round(max("rate"), 6).as("rate"))
+          .orderBy("g")
+      },
+      Some(s"""WITH d AS (SELECT CAST(length(bin(CAST(doc_id + 1 AS BIGINT))) AS INT) AS g,
+              |    text FROM documents),
+              |rates AS (SELECT g, least(1.0, 16.0 / sqrt(n)) AS rate,
+              |    CAST(floor(least(1.0, 16.0 / sqrt(n)) * 1000000.0) AS BIGINT) AS thresh
+              |  FROM (SELECT g, count(*) AS n FROM d GROUP BY 1)),
+              |j AS (SELECT d.g, ${TS.hashBucket(1000000)} < thresh AS keep, rate
+              |  FROM d JOIN rates USING (g))
+              |SELECT g, count(*) AS n_docs,
+              |  count(*) FILTER (keep) AS n_sampled,
+              |  round(max(rate), 6) AS rate
+              |FROM j GROUP BY 1 ORDER BY g""".stripMargin)),
+
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)
     QueryDef(
