@@ -78,4 +78,26 @@ object IvfIndex {
       .withColumn("cos", round(Similarity.cosine(col(probeVecCol), col(vecCol)), 6))
     Similarity.rankTopK(scored, k, probeIdCol, idCol)
   }
+
+  /** DuckDB mirror over the PINNED model ([[IvfModel]]) — the
+    * [[Similarity.Sql]] plane trick applied to a fitted artifact, which
+    * is what promotes `sim5_ivf_topk` from rows-only to hash-verified:
+    * both engines parse the same shortest-round-trip centroid strings,
+    * and the distance expression repeats [[cellEntries]]' exact op
+    * order (`|v|² − 2.0·(v·c) + |c|²`, left-to-right dots), so every
+    * assignment and probe decision matches bit-for-bit.
+    */
+  object Sql {
+    /** `[d_0, …, d_{nlist−1}]`: squared distance of `vecExpr` (a
+      * DOUBLE[] SQL expression) to every pinned centroid.
+      */
+    def distListSql(vecExpr: String): String =
+      IvfModel.centroidStrings.map { cs =>
+        val arr = cs.mkString("[", ",", "]")
+        // same fold as cellEntries' lit(c.map(x => x*x).sum)
+        val sumsq = cs.map(_.toDouble).map(x => x * x).sum
+        s"(list_dot_product($vecExpr, $vecExpr) - " +
+          s"2.0*list_dot_product($vecExpr, $arr::DOUBLE[]) + $sumsq)"
+      }.mkString("[", ", ", "]")
+  }
 }

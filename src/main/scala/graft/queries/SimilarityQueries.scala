@@ -14,9 +14,11 @@ import graft.ext.Similarity
   * stable across engines. LSH queries mirror the seeded hyperplane
   * constants into the SQL as double literals ([[Similarity.Sql]], the
   * same trick NearDup.Sql.minhashCols uses for MinHash params) — so
-  * sim3/sim4 are hash-verified too. Only IVF (whose centroids come
-  * from an iterative MLlib k-means fit, not a closed-form constant)
-  * stays rows-only, recall-locked by IvfSpec.
+  * sim3/sim4 are hash-verified too. IVF applies the same trick to a
+  * FITTED model: sim5 serves the pinned [[graft.ext.IvfModel]]
+  * artifact whose centroid strings are mirrored into the SQL
+  * (IvfIndex.Sql), so the whole similarity family is hash-verified;
+  * the k-means training path itself stays recall-locked by IvfSpec.
   */
 object SimilarityQueries {
 
@@ -269,19 +271,46 @@ object SimilarityQueries {
               |GROUP BY 1, 2 ORDER BY table_id, bucket""".stripMargin)),
 
     // ----- IVF top-k: data-adaptive k-means cells, probe the nearest
-    // nprobe cells, exact re-rank. k-means is seeded; cell layout is
-    // model-dependent → rows-only check, recall locked by IvfSpec.
+    // nprobe cells, exact re-rank. Serves the PINNED fitted model
+    // (graft.ext.IvfModel — index models are offline artifacts; the
+    // training path stays recall-locked by IvfSpec), which is what
+    // makes the query hash-verifiable: the oracle mirrors the same
+    // centroid strings as literals (IvfIndex.Sql), reproducing the
+    // exact assignment, probe set, and re-rank cross-engine — so the
+    // ANN candidate geometry itself is verified, not just row counts.
     QueryDef(
       "sim5_ivf_topk",
       (s, d) => {
         val e = emb(s, d)
-        val centroids = graft.ext.IvfIndex.fit(e, "embedding", nlist = 16)
         val probes = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-        graft.ext.IvfIndex.topK(e, probes, centroids, k = 5, nprobe = 4)
+        graft.ext.IvfIndex.topK(e, probes, graft.ext.IvfModel.centroids,
+            k = 5, nprobe = 4)
           .orderBy("probe_id", "rk")
       },
-      None),
+      Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |d AS (SELECT vec_id, ${graft.ext.IvfIndex.Sql.distListSql("e")} AS ds FROM base),
+              |asg AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell FROM d),
+              |pc AS (
+              |  SELECT probe_id, cell FROM (
+              |    SELECT vec_id AS probe_id,
+              |      unnest(generate_series(0, ${graft.ext.IvfModel.nlist - 1})) AS cell,
+              |      unnest(ds) AS dist
+              |    FROM d WHERE vec_id < 5) x
+              |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY dist, cell) <= 4),
+              |cand AS (
+              |  SELECT p.probe_id, a.vec_id FROM pc p JOIN asg a USING (cell)
+              |  WHERE a.vec_id <> p.probe_id),
+              |scored AS (
+              |  SELECT c.probe_id, c.vec_id, round(${cosSql("pe", "e")}, 6) AS cos
+              |  FROM cand c
+              |  JOIN embeddings pe ON pe.vec_id = c.probe_id
+              |  JOIN embeddings e ON e.vec_id = c.vec_id)
+              |SELECT probe_id, vec_id, cos, rk FROM (
+              |  SELECT probe_id, vec_id, cos,
+              |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+              |  FROM scored)
+              |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)),
 
     // ----- LSH-bucketed top-k: candidates share a bucket in ≥1 table,
     // then exact cosine re-rank. The sub-quadratic ANN path.

@@ -63,6 +63,21 @@ class IvfSpec extends SparkSpec {
     assert(cells == probeCells.toSet)
   }
 
+  test("pinned IvfModel strings are round-trip-exact and well-formed") {
+    // the cross-engine bit-exactness of sim5 RESTS on this property:
+    // each stored string must be the shortest round-trip decimal of
+    // its double, so Scala's parser and DuckDB's parser recover the
+    // identical IEEE value from the same text
+    val m = graft.ext.IvfModel
+    assert(m.centroidStrings.length == m.nlist)
+    assert(m.centroidStrings.forall(_.length == 64))
+    m.centroidStrings.flatten.foreach { s =>
+      val d = s.toDouble
+      assert(java.lang.Double.isFinite(d), s)
+      assert(d.toString == s, s"not round-trip-canonical: $s")
+    }
+  }
+
   test("IVF top-k matches brute force on clustered data (nprobe=2)") {
     val centroids = IvfIndex.fit(clustered, "embedding", nlist = 4, seed = 1L)
     val probes = clustered.filter(col("vec_id") < 4)
