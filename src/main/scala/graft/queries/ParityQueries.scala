@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Derive, Stats}
@@ -405,22 +405,40 @@ object ParityQueries {
              |round(quantile_cont(l_quantity, 0.75),6) AS p75
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
-    // ----- A12b (extension): t-digest approx quantiles — the
-    // REGISTERED sketch path for 100 TB quantiles (constant-memory,
-    // mergeable partials; a12's exact percentile buffers every value
-    // per group). Sketch internals differ across engines →
-    // rows-only check; StatsSpec bounds the error vs the exact path.
+    // ----- A12b (extension): approx quantile sketch — the REGISTERED
+    // sketch path for 100 TB quantiles (constant-memory, mergeable
+    // partials; a12's exact percentile buffers every value per group).
+    // The approx VALUES can't hash-match a foreign engine's sketch, so
+    // the oracle gates the sketch's guarantee instead: accuracy 10000
+    // bounds rank error by 1e-4, so each approx quantile must land
+    // between the exact quantiles at q ∓ 0.01 (100× slack — fails only
+    // on a broken sketch, never on legal drift). Output = the exact
+    // quantiles (mirroring a12's oracle arithmetic) + the
+    // engine-computed bound check; DuckDB mirrors the exact side and
+    // the literal true. StatsSpec additionally bounds the error.
     QueryDef(
       "a12b_tdigest_quantiles",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("q"))
-        .select(col("l_returnflag"),
-          element_at(col("q"), 1).cast("double").as("p25"),
-          element_at(col("q"), 2).cast("double").as("p50"),
-          element_at(col("q"), 3).cast("double").as("p75"))
-        .orderBy("l_returnflag"),
-      None),
+      (s, d) => {
+        val qs = Seq(0.24, 0.25, 0.26, 0.49, 0.50, 0.51, 0.74, 0.75, 0.76)
+        def inBand(i: Int): Column =
+          element_at(col("ap"), i + 1).cast("double")
+            .between(element_at(col("ex"), 3 * i + 1), element_at(col("ex"), 3 * i + 3))
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr(s"percentile(l_quantity, array(${qs.mkString(",")}))").as("ex"),
+               expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("ap"))
+          .select(col("l_returnflag"),
+            round(element_at(col("ex"), 2), 6).as("p25"),
+            round(element_at(col("ex"), 5), 6).as("p50"),
+            round(element_at(col("ex"), 8), 6).as("p75"),
+            (inBand(0) && inBand(1) && inBand(2)).as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25),6) AS p25,
+             |round(quantile_cont(l_quantity, 0.5),6) AS p50,
+             |round(quantile_cont(l_quantity, 0.75),6) AS p75,
+             |true AS within_bound
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
     // ----- A13 (extension): ROLLUP grouping sets (subtotals coalesced
     // to 'ALL' so null-vs-null hash compare is unambiguous)

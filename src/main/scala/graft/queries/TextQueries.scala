@@ -602,13 +602,27 @@ object TextQueries {
              |  (SELECT * FROM documents UNION ALL SELECT * FROM documents))
              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
-    // ----- HLL++ distinct estimate — sketch impls differ across
-    // engines, so no SQL mirror; driver records a rows-only check and
-    // TextAnalysisSpec asserts the estimate lands within the rsd bound.
+    // ----- HLL++ distinct estimate. Sketch INTERNALS differ across
+    // engines (the estimate itself can never hash-match DuckDB), but
+    // the sketch's defining guarantee is oracle-checkable: emit the
+    // exact side plus an engine-computed `within_bound` — |approx −
+    // exact| ≤ 5·rsd·exact, a 5σ bound on HLL++'s relative standard
+    // deviation (deterministic here: HLL hashing has no run-to-run
+    // randomness) — and let DuckDB mirror the exact columns and the
+    // literal `true`. The exact countDistinct exists to GATE the
+    // sketch; the production triage path remains Dedup.approxDistinct
+    // alone (constant memory, no exact shuffle).
     QueryDef(
       "dedup_approx_distinct",
-      (s, d) => Dedup.approxDistinct(docs(s, d), col("text")),
-      None),
+      (s, d) => docs(s, d)
+        .agg(approx_count_distinct(col("text"), 0.05).as("__approx"),
+             countDistinct(col("text")).as("n_unique"),
+             count(lit(1)).as("n_rows"))
+        .select(col("n_rows"), col("n_unique"),
+          (abs(col("__approx") - col("n_unique")).cast("double")
+            <= col("n_unique") * lit(5 * 0.05)).as("within_bound")),
+      Some("""SELECT count(*) AS n_rows, count(DISTINCT text) AS n_unique,
+             |true AS within_bound FROM documents""".stripMargin)),
 
     // ----- deterministic train/validation/test split (80/10/10) by
     // content hash — reproducible and re-shard-stable, verified
@@ -811,10 +825,10 @@ object TextQueries {
     // constant-memory state built distributed over exploded tokens;
     // only the finished ~KB sketch crosses to the driver (the X1
     // bounded-collect pattern) to answer point lookups for a fixed
-    // probe vocabulary. Sketch internals differ across engines → no
-    // SQL mirror, but the output carries CMS's defining invariant
-    // (overestimate-only: over_est >= 0, exact for absent tokens) so
-    // the dump is checkable; TextAnalysisSpec bounds the error.
+    // probe vocabulary. Sketch internals differ across engines, so the
+    // ESTIMATES aren't mirrored — the oracle gates CMS's defining
+    // invariant instead (see within_bound below); TextAnalysisSpec
+    // additionally bounds the error.
     // NOTE: unlike every other entry, CONSTRUCTING this DataFrame
     // executes the sketch job (the estimates are driver-side point
     // lookups and must exist before the result plan can be built) —
@@ -834,14 +848,28 @@ object TextQueries {
         val probes = Seq("join", "hash", "scan", "spark", "table", "query",
           "data", "absent_token_xyz")
         val est = probes.map(p => (p, cms.estimateCount(p))).toDF("token", "est_cnt")
+        // CMS guarantee as the oracle contract: overestimate-only, and
+        // over_est ≤ ε·N (ε = 1e-4, N = the sketch's own totalCount —
+        // no extra job). The estimates themselves can't hash-match a
+        // foreign sketch impl; this bound is what CMS promises, checked
+        // engine-side, mirrored by the exact counts + literal true.
+        val maxOver = math.ceil(0.0001 * cms.totalCount()).toLong
         val exact = toks.filter(col("token").isin(probes: _*))
           .groupBy("token").agg(count(lit(1)).as("cnt"))
         est.join(exact, Seq("token"), "left")
-          .select(col("token"), col("est_cnt"),
+          .select(col("token"),
             coalesce(col("cnt"), lit(0L)).as("exact_cnt"),
-            (col("est_cnt") - coalesce(col("cnt"), lit(0L))).as("over_est"))
+            (col("est_cnt") >= coalesce(col("cnt"), lit(0L)) &&
+              col("est_cnt") - coalesce(col("cnt"), lit(0L)) <= maxOver)
+              .as("within_bound"))
           .orderBy("token")
       },
-      None),
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |probes(token) AS (VALUES ('join'),('hash'),('scan'),('spark'),
+             |  ('table'),('query'),('data'),('absent_token_xyz')),
+             |ex AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1)
+             |SELECT p.token, CAST(coalesce(ex.cnt, 0) AS BIGINT) AS exact_cnt,
+             |  true AS within_bound
+             |FROM probes p LEFT JOIN ex USING (token) ORDER BY token""".stripMargin)),
   )
 }
