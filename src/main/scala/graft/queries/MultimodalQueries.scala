@@ -35,22 +35,50 @@ object MultimodalQueries {
              |FROM documents WHERE doc_id < 50 ORDER BY media_id""".stripMargin)),
 
     // ----- distributed decode/feature extraction via mapPartitions.
-    // Every 5th row is a REAL synthetic PNG decoded with javax.imageio
-    // (true width/height); text rows use the deterministic stub dims
-    // (audio/video codecs stay stubbed — absent in this container).
-    // Histogram math / PNG encoder bytes are not SQL-mirrorable →
-    // rows-only check + MultimodalSpec.
+    // Every 5th row is a REAL synthetic image (format cycling through
+    // the four JDK codecs) decoded with javax.imageio; text rows use
+    // the deterministic stub dims (audio/video codecs stay stubbed —
+    // absent in this container). Hash-verified end-to-end: the oracle
+    // re-derives image dimensions from the fixture generator's
+    // arithmetic (so decode(encode(w,h)) == (w,h) is checked
+    // cross-engine, per codec) and text stub dims from the first two
+    // utf-8 BYTES via hex arithmetic. Encoder byte counts aren't
+    // portable → images report n_bytes = -1 on both sides; sha1/
+    // histogram stay covered by MultimodalSpec (not SQL-mirrorable).
     QueryDef(
       "m2_media_features",
       (s, d) => {
         val feats = Multimodal.extractFeatures(
           Multimodal.mediaWithImages(s, graft.sources.Tables.table(s, d, "documents")))
         feats.toDF()
-          .select(col("media_id"), col("kind"), col("n_bytes"),
-            col("sha1_hex"), col("width"), col("height"),
-            round(element_at(col("byte_histogram"), 7), 6).as("hist_bin6"))
+          .select(col("media_id"), col("kind"),
+            when(col("kind").startsWith("image/"), lit(-1L))
+              .otherwise(col("n_bytes")).as("n_bytes"),
+            col("width"), col("height"))
           .orderBy("media_id")
       },
-      None),
+      // hex-nibble byte extraction: DuckDB has no blob[i] → int, so
+      // byte k of encode(text) is parsed from hex chars 2k+1, 2k+2
+      Some("""WITH hx AS (
+             |  SELECT doc_id, lang, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, lang, nb,
+             |    (strpos('0123456789ABCDEF', h[1]) - 1) * 16
+             |      + strpos('0123456789ABCDEF', h[2]) - 1 AS byte0,
+             |    (strpos('0123456789ABCDEF', h[3]) - 1) * 16
+             |      + strpos('0123456789ABCDEF', h[4]) - 1 AS byte1
+             |  FROM hx)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 5 = 0
+             |    THEN 'image/' || ['png','jpeg','bmp','gif'][CAST((doc_id // 5) % 4 AS INT) + 1]
+             |    ELSE 'text/' || lang END AS kind,
+             |  CAST(CASE WHEN doc_id % 5 = 0 THEN -1 ELSE nb END AS BIGINT) AS n_bytes,
+             |  CAST(CASE WHEN doc_id % 5 = 0 THEN 3 + doc_id % 14
+             |    WHEN nb = 0 THEN 0 ELSE byte0 + 1 END AS INT) AS width,
+             |  CAST(CASE WHEN doc_id % 5 = 0 THEN 5 + doc_id % 9
+             |    WHEN nb < 2 THEN 0 ELSE byte1 + 1 END AS INT) AS height
+             |FROM b ORDER BY media_id""".stripMargin)),
   )
 }
