@@ -88,54 +88,60 @@ object Dedup {
     * frees them), so each superseded round is released by RDD handle —
     * without that a 20-round run holds 20 full label copies for the
     * life of the session. Only the returned frame's blocks (one copy)
-    * stay resident. Handles come from diffing
-    * `sc.getPersistentRDDs` around each eager checkpoint — sound when
-    * nothing else persists concurrently. NOT safe under concurrent
-    * persist/checkpoint activity on the same SparkContext: a foreign
-    * RDD id landing in the diff window gets unpersisted here, and for
-    * a localCheckpointed RDD (lineage truncated) that destroys its
-    * only copy — the foreign job then fails with a missing checkpoint
-    * block. Run concurrent CC jobs in separate sessions, or serialize
-    * them.
+    * stay resident. Handles are taken DIRECTLY from each checkpointed
+    * frame's `LogicalRDD` plan leaf — this function never touches
+    * global persistent-RDD state, so concurrent persist/checkpoint
+    * activity on the same SparkContext (another CC run, a lazily
+    * persisted shared cache) is safe (ConnectedComponentsSpec runs two
+    * CC jobs concurrently).
+    *
+    * Convergence costs no extra job: the changed-label count rides the
+    * label aggregation itself as an `observe` metric (prev label
+    * carried through the union; `CollectMetrics` accumulates during
+    * the checkpoint's eager materialization) — one Spark job per
+    * round, not job + convergence probe.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    def tracked(body: => DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val df = body
-      val added = sc.getPersistentRDDs.collect {
-        case (id, r) if !before(id) => r
-      }.toSeq
-      (df, added)
+    // eager localCheckpoint + the persisted RDD's own handle (the
+    // LogicalRDD leaf the checkpointed frame reads from)
+    def checkpointed(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      val cp = df.localCheckpoint()
+      val rdd = cp.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.getOrElse(sys.error("localCheckpoint did not yield a LogicalRDD leaf"))
+      (cp, rdd)
     }
-    val (sym, symRdds) = tracked(
+    val (sym, symRdd) = checkpointed(
       edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
-        .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr")))
-        .localCheckpoint())
-    var (labels, labelRdds) = tracked(
+        .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))))
+    var (labels, labelRdd) = checkpointed(
       sym.select(col("node")).distinct()
-        .withColumn("comp", col("node"))
-        .localCheckpoint())
+        .withColumn("comp", col("node")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNbr = sym.join(labels.select(col("node").as("nbr"), col("comp")), "nbr")
         .select("node", "comp")
-      val (next, nextRdds) = tracked(
-        labels.select("node", "comp").unionAll(viaNbr)
-          .groupBy("node").agg(min("comp").as("comp"))
-          .localCheckpoint())
-      converged = next
-        .join(labels.select(col("node"), col("comp").as("prev")), "node")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labelRdds.foreach(_.unpersist(blocking = false))
+      // every node has exactly one labels row → max("prev") recovers
+      // its previous label next to the new min("comp")
+      val obs = org.apache.spark.sql.Observation()
+      val (next, nextRdd) = checkpointed(
+        labels.select(col("node"), col("comp"), col("comp").as("prev"))
+          .unionAll(viaNbr.withColumn("prev", lit(null).cast("long")))
+          .groupBy("node").agg(min("comp").as("comp"), max("prev").as("prev"))
+          .observe(obs, sum(when(col("comp") =!= col("prev"), 1L)).as("n_changed"))
+          .select("node", "comp"))
+      converged = obs.get("n_changed") match {
+        case n: java.lang.Long => n == 0L
+        case _                 => true // null: empty label set
+      }
+      labelRdd.unpersist(blocking = false)
       labels = next
-      labelRdds = nextRdds
+      labelRdd = nextRdd
       iter += 1
     }
-    symRdds.foreach(_.unpersist(blocking = false))
+    symRdd.unpersist(blocking = false)
     labels
   }
 

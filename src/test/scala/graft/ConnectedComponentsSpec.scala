@@ -79,6 +79,50 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(added.size <= 1, s"leaked checkpoint blocks: $added")
   }
 
+  test("two CC jobs run concurrently in one session (direct-handle release)") {
+    // the old getPersistentRDDs set-diff could capture a FOREIGN rdd
+    // persisted inside the diff window and destroy its only
+    // (lineage-truncated) copy; direct handles make concurrent runs
+    // safe — both results must still match union-find
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val chainA = (0L until 12L).map(i => (i, i + 1))
+    val cliqueB = for (a <- 100L to 105L; b <- (a + 1) to 105L) yield (a, b)
+    val fa = Future(run(chainA))
+    val fb = Future(run(cliqueB))
+    assert(Await.result(fa, 120.seconds) == unionFind(chainA))
+    assert(Await.result(fb, 120.seconds) == unionFind(cliqueB))
+  }
+
+  test("one action per CC round (convergence rides the label job)") {
+    // AQE splits one action into several scheduler jobs (per shuffle
+    // stage), so count Dataset ACTIONS: the eager checkpoint is the
+    // only action a round may fire — the old code added an isEmpty
+    // convergence probe per round (~2× actions)
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        actions.add(funcName); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // chain of diameter 15 → 16 rounds to converge (maxIter 20):
+      // 2 init checkpoints + 16 round checkpoints, nothing else
+      val edges = (0L until 15L).map(i => (i, i + 1))
+      Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      Thread.sleep(500) // listener delivery is async
+      import scala.jdk.CollectionConverters._
+      val names = actions.asScala.toSeq
+      assert(!names.contains("isEmpty"), s"convergence probe is back: $names")
+      assert(names.size <= 20 + 4, s"${names.size} actions: $names")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("maxIter bounds the rounds (documented chain-split behavior)") {
     val edges = (0L until 15L).map(i => (i, i + 1))
     val truncated = Dedup.connectedComponents(
