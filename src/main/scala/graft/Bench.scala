@@ -175,7 +175,7 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
@@ -206,14 +206,14 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_STREAM_SKIP")) Right(None)
       else try Right(Some(streamingBench(spark)))
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
     val streamingDocs: Either[String, Option[String]] =
       if (sys.env.contains("SPARK_GRAFT_STREAM_SKIP")) Right(None)
       else try Right(Some(docStreamingBench(spark, sfDir)))
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 

@@ -43,7 +43,9 @@ object DevStress {
         val n = SparkEntry.queries(q)(spark, sfDir).count()
         println(s"[stress]   rows: $n")
       } catch {
-        case e: Throwable =>
+        // NonFatal: a query failure is survivable, an OOM/LinkageError
+        // means corrupted executor state — let those crash the sweep
+        case scala.util.control.NonFatal(e) =>
           println(s"[stress] $q FAILED: " +
             Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n'))
       }

@@ -215,14 +215,19 @@ object TextAnalysis {
   /** Overlapping fixed-size token windows (`chunkSize` tokens at
     * `stride`): the context-window prep primitive shared by the
     * chunking and passage-dedup queries — one definition so the
-    * window arithmetic cannot diverge between them. Every doc emits
-    * ≥1 chunk (`split` on empty text yields [""], one token); the
-    * last chunk truncates at the end of the doc.
+    * window arithmetic cannot diverge between them. Every input emits
+    * ≥1 chunk (`split` on empty text yields [""], one token; an EMPTY
+    * token array — unreachable via [[tokens]] but legal for a public
+    * primitive — yields one empty chunk); the last chunk truncates at
+    * the end of the doc.
     */
   def overlappingChunks(toks: Column, chunkSize: Int, stride: Int): Column = {
     val n = size(toks)
-    // Column./ is double division — floor+cast for the chunk count
-    transform(sequence(lit(0), floor((n - 1) / stride).cast("int")),
+    // Column./ is double division — floor+cast for the chunk count.
+    // greatest(…, 0) guards n = 0: sequence(0, -1) DESCENDS, which
+    // would emit two garbage chunks (the inverted-sequence trap
+    // adjacentPairs guards the same way).
+    transform(sequence(lit(0), greatest(floor((n - 1) / stride), lit(0)).cast("int")),
       i => slice(toks, i * stride + 1, lit(chunkSize)))
   }
 

@@ -40,15 +40,18 @@ object AsofJoin {
 
   /** Backward-inclusive as-of join. Returns all `left` columns plus
     * `prefix+p` for every payload column `p` of `right` (null when no
-    * right row precedes). Filter `prefix+p IS NOT NULL` for inner-asof
-    * semantics.
+    * right row precedes) and a `prefix+matched` boolean. Filter
+    * `prefix+matched` for inner-asof semantics — NOT payload null-ness,
+    * which cannot distinguish "no preceding right row" from "matched a
+    * right row whose payload is NULL" (DuckDB's inner ASOF keeps the
+    * latter).
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
-    require(!payload.exists(p => leftCols.contains(prefix + p)),
+    require(!(payload :+ "matched").exists(p => leftCols.contains(prefix + p)),
       s"asof payload prefix '$prefix' collides with a left column; pass a different prefix")
     require(!leftCols.exists(Set("__ts", "__side", "__m")),
       "left columns may not use the reserved names __ts/__side/__m")
@@ -76,7 +79,8 @@ object AsofJoin {
       .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => col("__m").getField(p).as(prefix + p)): _*)
+        payload.map(p => col("__m").getField(p).as(prefix + p)) :+
+        col("__m").isNotNull.as(prefix + "matched"): _*)
   }
 
   /** Hot-key-safe variant of [[asofBackward]] — identical output
@@ -117,7 +121,7 @@ object AsofJoin {
         s"$rightTs: ${right.schema(rightTs).dataType.simpleString} " +
         "(use asofBackward for other orderable ts types)")
     val leftCols = left.columns.toSeq
-    require(!payload.exists(p => leftCols.contains(prefix + p)),
+    require(!(payload :+ "matched").exists(p => leftCols.contains(prefix + p)),
       s"asof payload prefix '$prefix' collides with a left column; pass a different prefix")
     require(!leftCols.exists(Set("__ts", "__side", "__m", "__bkt", "__s", "__tm", "__cm")),
       "left columns may not use the reserved names __ts/__side/__m/__bkt/__s/__tm/__cm")
@@ -180,6 +184,7 @@ object AsofJoin {
       .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => col("__m").getField(p).as(prefix + p)): _*)
+        payload.map(p => col("__m").getField(p).as(prefix + p)) :+
+        col("__m").isNotNull.as(prefix + "matched"): _*)
   }
 }

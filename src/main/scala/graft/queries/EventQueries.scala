@@ -106,8 +106,10 @@ object EventQueries {
         val ev = events(s, d).select("event_id", "user_id", "ts", "value")
         val clicks = events(s, d).filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("value"))
+        // inner-asof via the matched FLAG, not payload null-ness — the
+        // oracle's inner ASOF keeps matched rows with NULL payloads
         graft.ops.AsofJoin.asofBackward(ev, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
-          .filter(col("asof_value").isNotNull)
+          .filter(col("asof_matched"))
           .select(col("event_id"), col("user_id"), col("ts"),
             col("asof_value").as("click_value"))
           .orderBy("event_id")
@@ -134,7 +136,7 @@ object EventQueries {
         graft.ops.AsofJoin.asofBackwardBucketed(
             ev, clicks, Seq("user_id"), "ts", "ts", Seq("value"),
             bucketSeconds = 3600L)
-          .filter(col("asof_value").isNotNull)
+          .filter(col("asof_matched"))
           .select(col("event_id"), col("user_id"), col("ts"),
             col("asof_value").as("click_value"))
           .orderBy("event_id")

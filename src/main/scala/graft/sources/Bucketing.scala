@@ -26,6 +26,12 @@ object Bucketing {
     * so any stale location is removed first.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    // the stale-location cleanup below derives warehousePath/<table>,
+    // which is only correct for an unqualified name in the default
+    // database — a qualified db.tbl would delete the wrong path and
+    // still hit LOCATION_ALREADY_EXISTS
+    require(!table.contains("."),
+      s"writeBucketed requires an unqualified default-database table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val stale = new org.apache.hadoop.fs.Path(

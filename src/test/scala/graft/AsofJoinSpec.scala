@@ -121,8 +121,23 @@ class AsofJoinSpec extends SparkSpec {
     val left = Seq(("u1", t(1), "payload")).toDF("k", "ts", "data")
     val right = Seq(("u1", t(0), 7.0)).toDF("k", "ts", "v")
     val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
-    assert(out.columns.toSeq == Seq("k", "ts", "data", "asof_v"))
+    assert(out.columns.toSeq == Seq("k", "ts", "data", "asof_v", "asof_matched"))
     val r = out.head()
     assert(r.getString(2) == "payload" && r.getDouble(3) == 7.0)
+  }
+
+  test("asof_matched distinguishes matched-with-NULL from unmatched (both variants)") {
+    // two left rows: one precedes every right row (unmatched), one
+    // matches a right row whose payload is NULL — payload null-ness
+    // cannot tell them apart, the flag must
+    val left = Seq(("u1", t(0), 1L), ("u1", t(12), 2L)).toDF("k", "ts", "event_id")
+    val right = Seq(("u1", t(10), None: Option[Double])).toDF("k", "ts", "v")
+    for (variant <- Seq(
+        AsofJoin.asofBackward(left, right, Seq("k"), "ts", "ts", Seq("v")),
+        AsofJoin.asofBackwardBucketed(left, right, Seq("k"), "ts", "ts", Seq("v"), 60L))) {
+      val byId = variant.collect()
+        .map(r => r.getLong(2) -> r.getBoolean(r.fieldIndex("asof_matched"))).toMap
+      assert(byId == Map(1L -> false, 2L -> true), byId.toString)
+    }
   }
 }

@@ -104,6 +104,13 @@ class TextAnalysisSpec extends SparkSpec {
     val six = (1 to 6).map("w" + _).mkString(" ")
     assert(chunks(six, 3, 3) == Seq(Seq("w1", "w2", "w3"), Seq("w4", "w5", "w6")))
     assert(chunks("", 4, 3) == Seq(Seq(""))) // empty text → one 1-token chunk
+    // EMPTY token array (unreachable via tokens, legal for the public
+    // primitive): the greatest(…,0) guard must stop sequence(0,-1)
+    // from descending into two garbage chunks
+    val emptyArr = Seq(Seq.empty[String]).toDF("toks")
+      .select(TextAnalysis.overlappingChunks(col("toks"), 4, 3))
+      .head().getSeq[Seq[String]](0)
+    assert(emptyArr == Seq(Seq.empty[String]), emptyArr.toString)
   }
 
   test("exactKeepFirst keeps the smallest-order row per key") {
