@@ -162,6 +162,67 @@ object Bench {
     } finally deleteRecursively(base)
   }
 
+  /** Stress-scale block (round-4 verdict item 4): re-times the heavy
+    * dedup/text queries on a COPIES×-enlarged documents + embeddings
+    * corpus (shifted-id copies — the DevStress recipe, built
+    * in-process) so round-over-round regression detection has a scale
+    * point above the ±20-25% noise floor of sub-second sf0.1 medians:
+    * at 5-30 s runtimes a regression worth catching moves whole
+    * seconds. One timed sample per query (the batch loop already
+    * warmed JIT/codegen); embedding copies form identity clusters, so
+    * the near-dup queries are deliberately output-bound — a fixed,
+    * comparable workload each round. Throws on error; skip/capture is
+    * main()'s contract.
+    */
+  def stressBench(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "8").toInt
+    val names = sys.env.get("SPARK_GRAFT_STRESS_QUERIES")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("dedup_minhash_pairs", "dedup_simhash_pairs",
+        "pipeline_curation", "tx12_bigram_lm_score",
+        "dedup_embedding_lsh", "dedup_components"))
+    val base = Files.createTempDirectory("graft_stress_bench")
+    try {
+      val dir = base.toString
+      graft.sources.Tables.table(spark, sfDir, "documents")
+        .crossJoin(spark.range(copies).select(col("id").as("__c")))
+        .withColumn("doc_id", col("doc_id") + col("__c") * 1000000L)
+        .drop("__c")
+        .write.parquet(s"$dir/documents.parquet")
+      graft.sources.Tables.table(spark, sfDir, "embeddings")
+        .crossJoin(spark.range(copies).select(col("id").as("__c")))
+        .withColumn("vec_id", col("vec_id") + col("__c") * 100000L)
+        .drop("__c")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val results = names.map { name =>
+        spark.catalog.clearCache()
+        name -> (try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        })
+      }
+      graft.queries.DedupQueries.releaseSignatureCache()
+      graft.queries.SimilarityQueries.releaseCaches()
+      val qs = results.map {
+        case (k, Right(t)) => "\"" + k + "\":" + t
+        case (k, Left(_))  => "\"" + k + "\":null"
+      }.mkString("{", ",", "}")
+      val errs = results.collect { case (k, Left(e)) =>
+        "\"" + k + "\":\"" + e.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+        } + "\"" }
+      val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+      val total = results.collect { case (_, Right(t)) => t }.sum
+      s"""{"copies":$copies,"total_sec":$total,"queries":$qs$errJson,"failed":${errs.size}}"""
+    } finally deleteRecursively(base)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -216,6 +277,14 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
+    // stress-scale block: same separate-failure-domain contract
+    val stress: Either[String, Option[String]] =
+      if (sys.env.contains("SPARK_GRAFT_STRESS_SKIP")) Right(None)
+      else try Right(Some(stressBench(spark, sfDir)))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
 
     def esc(s: String): String =
       s.flatMap {
@@ -240,8 +309,13 @@ object Bench {
       case Right(None)      => ""
       case Left(e)          => s""","streaming_docs_err":"${esc(e)}""""
     }
+    val stressJson = stress match {
+      case Right(Some(obj)) => s""","stress8x":$obj"""
+      case Right(None)      => ""
+      case Left(e)          => s""","stress8x_err":"${esc(e)}""""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson,"sf":"$sfDir","n":$nSamples,"stat":"median","failed":${errs.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$stressJson,"sf":"$sfDir","n":$nSamples,"stat":"median","failed":${errs.size}}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()
