@@ -150,8 +150,20 @@ object Bench {
         .schema(spark.read.parquet(input).schema)
         .option("maxFilesPerTrigger", filesPerBatch)
         .parquet(input)
+      // per-stage attribution knob (SCALING.md "docs-ingest profile"):
+      // raw = source+sink floor, enrich = +text features, gate =
+      // +quality filter, full = +watermarked dedup state op
+      val stage = sys.env.getOrElse("SPARK_GRAFT_DOCS_STAGE", "full")
+      val flow = stage match {
+        case "raw"    => stream
+        case "enrich" => DocumentPipeline.enrich(stream)
+        case "gate"   => DocumentPipeline.enrich(stream)
+          .observe("graft_enrich_gate", count(lit(1)).as("n_enriched"))
+          .filter(col("quality") >= DocumentPipeline.Config().minQuality)
+        case _        => DocumentPipeline.ingest(stream, "ts")
+      }
       val t0 = System.nanoTime()
-      val q = DocumentPipeline.ingest(stream, "ts").writeStream
+      val q = flow.writeStream
         .format("noop")
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())

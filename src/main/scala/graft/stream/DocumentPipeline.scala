@@ -59,7 +59,17 @@ object DocumentPipeline {
     */
   def ingest(docs: DataFrame, tsCol: String,
       config: Config = Config()): DataFrame = {
+    // observe() is the barrier that keeps the gate out of the scan:
+    // a pushed-down quality predicate re-inlines ~3 tokenizations per
+    // row at the source (PushPredicateThroughNonJoin substitutes
+    // aliases with no cost model), but CollectMetrics is not a node
+    // predicates push through, so the filter evaluates against the
+    // materialized parts instead. Measured at sf0.1 (50 k rows,
+    // 5 batches, docs bench): enrich+gate p50 462 → ~270 ms (enrich
+    // alone is 283), full ingest 468 → ~350 ms. The metric itself is
+    // the per-batch pre-gate row count, visible in streaming progress.
     val enriched = enrich(docs)
+      .observe("graft_enrich", count(lit(1)).as("n_enriched"))
       .filter(col("quality") >= config.minQuality)
     Dedup.streamingExactDedup(enriched, col("fingerprint"), tsCol,
       config.watermarkDelay)
