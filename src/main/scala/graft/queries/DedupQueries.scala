@@ -146,6 +146,54 @@ object DedupQueries {
               |ORDER BY a_id, b_id""".stripMargin),
       bench = true),
 
+    // ----- containment-scored near-dup pairs: C_max(A,B) =
+    // |A∩B| / min(|A|,|B|) over the SAME banded-MinHash candidate set
+    // as dedup_minhash_pairs. Containment is the asymmetric metric
+    // Jaccard under-reports when sizes differ — a short doc fully
+    // embedded in a long one scores J = |A|/|B| (small) but C_max = 1
+    // — the quote/boilerplate-inclusion case (the S-curve containment
+    // variant of Broder's resemblance). Intersection counts are exact
+    // integers (array_intersect over the distinct hash sets), so the
+    // score is division-exact cross-engine — no float-order risk.
+    QueryDef(
+      "dedup_containment_pairs",
+      (s, d) => {
+        val base = hashed(docs(s, d))
+        val sig = base.select(col("doc_id"),
+          NearDup.minhashSigs(col("hs"), MinhashK).as("ms"))
+        val bandArr = array((0 until NumBands).map { j =>
+          struct(lit(j).as("band"),
+            get(col("ms"), lit(j * BandR)).as("h1"),
+            get(col("ms"), lit(j * BandR + 1)).as("h2"))
+        }: _*)
+        val idx = sig.select(col("doc_id"), explode(bandArr).as("tb"))
+          .select(col("doc_id"), col("tb.band").as("band"),
+            col("tb.h1").as("h1"), col("tb.h2").as("h2"))
+        val cand = idx.select(col("doc_id").as("a_id"), col("band"), col("h1"), col("h2"))
+          .join(idx.select(col("doc_id").as("b_id"), col("band"), col("h1"), col("h2")),
+            Seq("band", "h1", "h2"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val sets = base.select(col("doc_id"), col("hs"))
+        cand
+          .join(sets.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), Seq("a_id"))
+          .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"),
+            round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+              / least(size(col("hs_a")), size(col("hs_b"))), 6).as("containment"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$SqlBase,
+              |sig AS (SELECT doc_id, hs, ${NearDup.Sql.minhashCols(mhParams)} FROM h)
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |  CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_common,
+              |  round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+              |    / least(len(a.hs), len(b.hs)), 6) AS containment
+              |FROM sig a JOIN sig b
+              |  ON a.doc_id < b.doc_id AND (${NearDup.Sql.bandEq(MinhashK, BandR)})
+              |ORDER BY a_id, b_id""".stripMargin)),
+
     // ----- SimHash: 60-bit majority signature (2×30-bit rehashes —
     // simhash_wide), pairs within hamming 3. Sub-quadratic AND exact:
     // candidates come from a join on MaxHamming+1 bit-bands — by

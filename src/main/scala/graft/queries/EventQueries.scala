@@ -59,6 +59,39 @@ object EventQueries {
              |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY event_id""".stripMargin)),
 
+    // ----- W6 (extension): bounded sliding ROW frame — per-user
+    // trailing-4-events stats (rows between 3 preceding and current),
+    // the moving-window smoothing primitive W1-W5 didn't cover. Same
+    // single-shuffle physics as w5 (hash on user_id + partition sort).
+    // Aggregates chosen order-independent (count/min/max + the frame's
+    // first value, a deterministic position): a windowed SUM of
+    // doubles is NOT portable — DuckDB evaluates sliding frames via
+    // segment trees, whose pairwise summation order differs from
+    // sequential accumulation in the last ulp.
+    QueryDef(
+      "w6_moving_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-3, Window.currentRow)
+        events(s, d)
+          .withColumn("mov_cnt", count(lit(1)).over(w))
+          .withColumn("mov_min", round(min("value").over(w), 6))
+          .withColumn("mov_max", round(max("value").over(w), 6))
+          .withColumn("frame_first", round(first("value").over(w), 6))
+          .select("event_id", "user_id", "mov_cnt", "mov_min", "mov_max", "frame_first")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(*) OVER w AS mov_cnt,
+             |  round(min(value) OVER w, 6) AS mov_min,
+             |  round(max(value) OVER w, 6) AS mov_max,
+             |  round(first_value(value) OVER w, 6) AS frame_first
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // ----- tumbling event-time window (1 h): the batch shape of the
     // streaming window aggregation (stream.EventTimeWindows)
     QueryDef(

@@ -500,6 +500,46 @@ object TextQueries {
               |  round(max(rate), 6) AS rate
               |FROM j GROUP BY 1 ORDER BY g""".stripMargin)),
 
+    // ----- epoch-weighted oversampling (the Llama-style mixture
+    // complement of tx16, which only DOWN-samples): sources with
+    // weight > 1 repeat — epochs — with the fractional epoch applied
+    // as a deterministic content-hash gate (weight 2.25 = every doc
+    // twice, hash-selected 25% a third time). Weights are integer
+    // (whole, millage) pairs derived from the source index, so the
+    // repeat count is pure integer arithmetic — exact cross-engine,
+    // no float thresholds. The repeat itself materializes via
+    // explode(sequence(1, reps)) — a map-side fan-out, no shuffle
+    // until the summary agg; at 100 TB the exploded epoch column is
+    // what a writer would partition the training shards by.
+    QueryDef(
+      "tx17_epoch_oversample",
+      (s, d) => {
+        val srcN = regexp_extract(col("source"), "\\d+", 0).cast("int")
+        val whole = lit(1) + pmod(srcN, lit(3))
+        val fracMille = pmod(srcN, lit(4)) * lit(250)
+        docs(s, d)
+          .withColumn("reps",
+            whole + when(TextAnalysis.hashBucket(col("text"), 1000) < fracMille, 1)
+              .otherwise(0))
+          .withColumn("ntok", TextAnalysis.tokenCount(col("text")).cast("long"))
+          .select(col("source"), col("ntok"),
+            explode(sequence(lit(1), col("reps"))).as("epoch"))
+          .groupBy("source", "epoch")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+          .orderBy("source", "epoch")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT source, ${TS.tokenCount} AS ntok,
+              |    1 + CAST(regexp_extract(source, '\\d+') AS INT) % 3
+              |      + CASE WHEN ${TS.hashBucket(1000)}
+              |          < CAST(regexp_extract(source, '\\d+') AS INT) % 4 * 250
+              |        THEN 1 ELSE 0 END AS reps
+              |  FROM documents),
+              |e AS (SELECT source, ntok, unnest(generate_series(1, reps)) AS epoch FROM d)
+              |SELECT source, CAST(epoch AS INT) AS epoch, count(*) AS n_docs,
+              |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+              |FROM e GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin)),
+
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)
     QueryDef(
