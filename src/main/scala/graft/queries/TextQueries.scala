@@ -540,6 +540,58 @@ object TextQueries {
               |  CAST(sum(ntok) AS BIGINT) AS n_tokens
               |FROM e GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin)),
 
+    // ----- curriculum quality binning: per-source quartiles of the
+    // quality score via ntile — the curriculum-learning prep op
+    // (train on high bins first / anneal mixture by bin). One shuffle
+    // on source + partition sort; the score is pre-rounded so the
+    // cross-engine ordering (q, doc_id) is exact, and ntile's
+    // equal-fill remainder rule is the same in both engines.
+    QueryDef(
+      "tx18_quality_curriculum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy(col("q"), col("doc_id"))
+        docs(s, d)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("q"))
+          .withColumn("bin", ntile(4).over(w))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+               round(min("q"), 6).as("min_q"),
+               round(max("q"), 6).as("max_q"))
+          .orderBy("source", "bin")
+      },
+      Some(s"""SELECT source, CAST(bin AS INT) AS bin, count(*) AS n_docs,
+              |  round(min(q), 6) AS min_q, round(max(q), 6) AS max_q FROM
+              |(SELECT source, doc_id, q,
+              |   ntile(4) OVER (PARTITION BY source ORDER BY q, doc_id) AS bin FROM
+              | (SELECT source, doc_id, ${TS.qualityScore} AS q FROM documents))
+              |GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
+
+    // ----- deterministic shard manifest: each source-shard's docs in
+    // a content-hash-shuffled order (reproducible "random" order
+    // without RNG state — re-runs and re-shards agree), fingerprinted
+    // as md5 of the joined id sequence. The manifest hash is what a
+    // training job logs to prove two runs consumed identical shards in
+    // identical order. Per-shard collect is bounded by shard sizing
+    // (a writer would stream the same ordering via sortWithinPartitions
+    // at real scale; the manifest agg is the registered check).
+    QueryDef(
+      "tx19_shard_manifest",
+      (s, d) => docs(s, d)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.hashBucket(col("text"), 1000000).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("h"), col("doc_id").as("id")))),
+            x => x.getField("id").cast("string")), ",")).as("manifest"))
+        .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_docs,
+              |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS manifest
+              |FROM (SELECT source, doc_id, ${TS.hashBucket(1000000)} AS h FROM documents)
+              |GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)
     QueryDef(
