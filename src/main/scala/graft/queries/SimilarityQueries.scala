@@ -256,6 +256,36 @@ object SimilarityQueries {
              |FROM m GROUP BY 1 ORDER BY label""".stripMargin),
       bench = true),
 
+    // ----- hard-negative mining: per probe, the top-k corpus vectors
+    // inside a mid-similarity band (cos ∈ [0.25, 0.6)) — near enough
+    // to be confusable, far enough to be true negatives: the
+    // contrastive-training negative sampler (the complement of top-k
+    // retrieval, which wants the band's ceiling). Brute-force scored
+    // (probe set broadcast, corpus streams map-side) because LSH
+    // candidates are biased TOWARD high cosine — a banded index is the
+    // wrong tool for mid-band selection; WindowGroupLimit keeps the
+    // rank map-side as in every top-k here.
+    QueryDef(
+      "sim8_hard_negatives",
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(Similarity.cosine(col("probe_vec"), col("embedding")), 6))
+          .filter(col("cos") >= 0.25 && col("cos") < 0.6)
+        Similarity.rankTopK(scored, 5).orderBy("probe_id", "rk")
+      },
+      Some(s"""SELECT probe_id, vec_id, cos, rk FROM (
+              |  SELECT probe_id, vec_id, cos,
+              |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+              |  FROM (SELECT p.vec_id AS probe_id, e.vec_id,
+              |          round(${cosSql("p", "e")}, 6) AS cos
+              |        FROM embeddings e JOIN embeddings p
+              |          ON p.vec_id < 5 AND e.vec_id <> p.vec_id)
+              |  WHERE cos >= 0.25 AND cos < 0.6)
+              |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)),
+
     // ----- LSH bucket histogram: the index the scale path shuffles on.
     // Hash-verified — the seeded plane constants are mirrored into the
     // SQL as double literals (Similarity.Sql).
