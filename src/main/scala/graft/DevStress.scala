@@ -32,7 +32,9 @@ object DevStress {
         // round-4 additions with non-trivial scale arithmetic
         "dedup_embedding_lsh", "dedup_components", "dedup_incremental",
         "tx10_tfidf_top_terms", "tx12_bigram_lm_score", "tx13_passage_dedup",
-        "sim7_label_centroids")
+        "sim7_label_centroids",
+        // round-5: candidate-pair set scales with clone clusters
+        "dedup_containment_pairs")
     val spark = Sessions.local("4", "graft-stress")
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
