@@ -62,6 +62,33 @@ object Bench {
       s""","batch_ms_max":${batchMs.lastOption.getOrElse(0.0)}}"""
   }
 
+  /** JSON string escape (backslash, quote, all control chars) — ONE
+    * definition for every string this file interpolates into the
+    * bench JSON, including map KEYS (env-supplied query names must not
+    * be able to produce malformed bench_result.json).
+    */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+  /** `"name":value` JSON members for per-query results (null = failed)
+    * and the matching `errors` members — shared by the batch loop and
+    * the stress block.
+    */
+  private def resultJson(results: Seq[(String, Either[String, Double])])
+      : (String, String, Int) = {
+    val qs = results.map {
+      case (k, Right(t)) => "\"" + esc(k) + "\":" + t
+      case (k, Left(_))  => "\"" + esc(k) + "\":null"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) =>
+      "\"" + esc(k) + "\":\"" + esc(e) + "\"" }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    (qs, errJson, errs.size)
+  }
+
   /** Bench-local scratch cleanup; closes the walk stream. */
   private def deleteRecursively(base: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -152,15 +179,18 @@ object Bench {
         .parquet(input)
       // per-stage attribution knob (SCALING.md "docs-ingest profile"):
       // raw = source+sink floor, enrich = +text features, gate =
-      // +quality filter, full = +watermarked dedup state op
+      // +quality filter (the production enrichGated composition),
+      // full = +watermarked dedup state op. Unknown values fail loud —
+      // a typo must not silently bench the full pipeline under the
+      // intended stage's name.
       val stage = sys.env.getOrElse("SPARK_GRAFT_DOCS_STAGE", "full")
       val flow = stage match {
         case "raw"    => stream
         case "enrich" => DocumentPipeline.enrich(stream)
-        case "gate"   => DocumentPipeline.enrich(stream)
-          .observe("graft_enrich_gate", count(lit(1)).as("n_enriched"))
-          .filter(col("quality") >= DocumentPipeline.Config().minQuality)
-        case _        => DocumentPipeline.ingest(stream, "ts")
+        case "gate"   => DocumentPipeline.enrichGated(stream)
+        case "full"   => DocumentPipeline.ingest(stream, "ts")
+        case other    => sys.error(s"unknown SPARK_GRAFT_DOCS_STAGE '$other' " +
+          "(expected raw|enrich|gate|full)")
       }
       val t0 = System.nanoTime()
       val q = flow.writeStream
@@ -202,9 +232,13 @@ object Bench {
         .withColumn("doc_id", col("doc_id") + col("__c") * 1000000L)
         .drop("__c")
         .write.parquet(s"$dir/documents.parquet")
+      // copy stride 10^7 keeps every copied id clear of
+      // dedup_embedding_lsh's internal clone offset (vec_id + 10^6):
+      // a 10^5 stride would collide from 11 copies up, duplicating
+      // vec_ids in the aug frame and silently inflating the workload
       graft.sources.Tables.table(spark, sfDir, "embeddings")
         .crossJoin(spark.range(copies).select(col("id").as("__c")))
-        .withColumn("vec_id", col("vec_id") + col("__c") * 100000L)
+        .withColumn("vec_id", col("vec_id") + col("__c") * 10000000L)
         .drop("__c")
         .write.parquet(s"$dir/embeddings.parquet")
       val results = names.map { name =>
@@ -220,18 +254,9 @@ object Bench {
       }
       graft.queries.DedupQueries.releaseSignatureCache()
       graft.queries.SimilarityQueries.releaseCaches()
-      val qs = results.map {
-        case (k, Right(t)) => "\"" + k + "\":" + t
-        case (k, Left(_))  => "\"" + k + "\":null"
-      }.mkString("{", ",", "}")
-      val errs = results.collect { case (k, Left(e)) =>
-        "\"" + k + "\":\"" + e.flatMap {
-          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-        } + "\"" }
-      val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+      val (qs, errJson, nErr) = resultJson(results)
       val total = results.collect { case (_, Right(t)) => t }.sum
-      s"""{"copies":$copies,"total_sec":$total,"queries":$qs$errJson,"failed":${errs.size}}"""
+      s"""{"copies":$copies,"total_sec":$total,"queries":$qs$errJson,"failed":$nErr}"""
     } finally deleteRecursively(base)
   }
 
@@ -298,17 +323,7 @@ object Bench {
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
-    def esc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      }
-    val qs = results.map {
-      case (k, Right(t)) => "\"" + k + "\":" + t
-      case (k, Left(_))  => "\"" + k + "\":null"
-    }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(e)) => "\"" + k + "\":\"" + esc(e) + "\"" }
-    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val (qs, errJson, nErr) = resultJson(results)
     val total = results.collect { case (_, Right(t)) => t }.sum
     // named to avoid shadowing the streamJson(...) formatter method
     val streamBlock = streaming match {
@@ -327,10 +342,10 @@ object Bench {
       case Left(e)          => s""","stress8x_err":"${esc(e)}""""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$stressJson,"sf":"$sfDir","n":$nSamples,"stat":"median","failed":${errs.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$stressJson,"sf":"${esc(sfDir)}","n":$nSamples,"stat":"median","failed":$nErr}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()
-    if (errs.nonEmpty) sys.exit(1)
+    if (nErr > 0) sys.exit(1)
   }
 }

@@ -73,12 +73,14 @@ object DedupQueries {
        |sets AS (SELECT doc_id, ${NearDup.Sql.shingleSet(ShingleK)} AS s FROM t),
        |h AS (SELECT doc_id, list_distinct(${NearDup.Sql.hashSet}) AS hs FROM sets)""".stripMargin
 
-  /** Banded-MinHash candidate pairs + exact Jaccard — the shared body
-    * of `dedup_minhash_pairs` (which emits it directly) and the
-    * component/canonical queries (which threshold it into an edge
-    * list). Unordered output; callers sort.
+  /** Banded-MinHash candidate pairs with both sides' hash sets bound —
+    * ONE definition of the banding scheme (signature layout, the
+    * empty-set-bands-to-null guard, the a<b + distinct dedup) shared
+    * by every scorer over the candidate set, so a banding change
+    * cannot leave one query on a stale scheme. Returns
+    * (a_id, b_id, hs_a, hs_b); callers apply their score expression.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     val base = hashed(docs(s, d))
     // native one-pass signature array (k running minimums) instead
     // of k array_min(transform(...)) scans; `get` is 0-indexed and
@@ -103,9 +105,17 @@ object DedupQueries {
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), Seq("b_id"))
+  }
+
+  /** Candidates + exact Jaccard — the shared body of
+    * `dedup_minhash_pairs` (which emits it directly) and the
+    * component/canonical queries (which threshold it into an edge
+    * list). Unordered output; callers sort.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashCandidates(s, d)
       .select(col("a_id"), col("b_id"),
         round(NearDup.jaccardSorted(col("hs_a"), col("hs_b")), 6).as("jac"))
-  }
 
   /** True near-dup edges: candidates at/above the fixture's planted
     * separation threshold (jac ≥ 0.5 vs ≈0.001 background).
@@ -157,33 +167,12 @@ object DedupQueries {
     // score is division-exact cross-engine — no float-order risk.
     QueryDef(
       "dedup_containment_pairs",
-      (s, d) => {
-        val base = hashed(docs(s, d))
-        val sig = base.select(col("doc_id"),
-          NearDup.minhashSigs(col("hs"), MinhashK).as("ms"))
-        val bandArr = array((0 until NumBands).map { j =>
-          struct(lit(j).as("band"),
-            get(col("ms"), lit(j * BandR)).as("h1"),
-            get(col("ms"), lit(j * BandR + 1)).as("h2"))
-        }: _*)
-        val idx = sig.select(col("doc_id"), explode(bandArr).as("tb"))
-          .select(col("doc_id"), col("tb.band").as("band"),
-            col("tb.h1").as("h1"), col("tb.h2").as("h2"))
-        val cand = idx.select(col("doc_id").as("a_id"), col("band"), col("h1"), col("h2"))
-          .join(idx.select(col("doc_id").as("b_id"), col("band"), col("h1"), col("h2")),
-            Seq("band", "h1", "h2"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val sets = base.select(col("doc_id"), col("hs"))
-        cand
-          .join(sets.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), Seq("a_id"))
-          .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"),
-            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"),
-            round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
-              / least(size(col("hs_a")), size(col("hs_b"))), 6).as("containment"))
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => minhashCandidates(s, d)
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"),
+          round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+            / least(size(col("hs_a")), size(col("hs_b"))), 6).as("containment"))
+        .orderBy("a_id", "b_id"),
       Some(s"""$SqlBase,
               |sig AS (SELECT doc_id, hs, ${NearDup.Sql.minhashCols(mhParams)} FROM h)
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id,

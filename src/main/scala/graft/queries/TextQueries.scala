@@ -706,13 +706,17 @@ object TextQueries {
     // alone (constant memory, no exact shuffle).
     QueryDef(
       "dedup_approx_distinct",
-      (s, d) => docs(s, d)
-        .agg(approx_count_distinct(col("text"), 0.05).as("__approx"),
-             countDistinct(col("text")).as("n_unique"),
-             count(lit(1)).as("n_rows"))
-        .select(col("n_rows"), col("n_unique"),
-          (abs(col("__approx") - col("n_unique")).cast("double")
-            <= col("n_unique") * lit(5 * 0.05)).as("within_bound")),
+      (s, d) => {
+        val rsd = 0.05
+        // the PRODUCTION helper builds the sketch side — this query
+        // wraps it with the exact side + bound so the gated path is
+        // the same code a triage run calls
+        Dedup.approxDistinct(docs(s, d), col("text"), rsd)
+          .crossJoin(docs(s, d).agg(countDistinct(col("text")).as("n_unique")))
+          .select(col("n_rows"), col("n_unique"),
+            (abs(col("approx_unique") - col("n_unique")).cast("double")
+              <= col("n_unique") * lit(5 * rsd)).as("within_bound"))
+      },
       Some("""SELECT count(*) AS n_rows, count(DISTINCT text) AS n_unique,
              |true AS within_bound FROM documents""".stripMargin)),
 

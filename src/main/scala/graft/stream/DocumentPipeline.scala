@@ -54,24 +54,30 @@ object DocumentPipeline {
       .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
       .drop("__ntok", "__ndis", "__freqs")
 
+  /** Enrich + quality gate — ONE definition of the gated composition,
+    * shared by [[ingest]] and Bench's stage-attribution knob so the
+    * measured "gate" stage is exactly what production ingest runs.
+    *
+    * The observe() is the barrier that keeps the gate out of the scan:
+    * a pushed-down quality predicate re-inlines ~3 tokenizations per
+    * row at the source (PushPredicateThroughNonJoin substitutes
+    * aliases with no cost model), but CollectMetrics is not a node
+    * predicates push through, so the filter evaluates against the
+    * materialized parts instead. Measured at sf0.1 (50 k rows,
+    * 5 batches, docs bench): enrich+gate p50 462 → ~270 ms (enrich
+    * alone is 283), full ingest 468 → ~350 ms. The metric itself is
+    * the per-batch pre-gate row count, visible in streaming progress.
+    */
+  def enrichGated(docs: DataFrame, config: Config = Config()): DataFrame =
+    enrich(docs)
+      .observe("graft_enrich", count(lit(1)).as("n_enriched"))
+      .filter(col("quality") >= config.minQuality)
+
   /** Full ingest flow over a (streaming or batch) documents frame with
     * an event-time column `tsCol`.
     */
   def ingest(docs: DataFrame, tsCol: String,
-      config: Config = Config()): DataFrame = {
-    // observe() is the barrier that keeps the gate out of the scan:
-    // a pushed-down quality predicate re-inlines ~3 tokenizations per
-    // row at the source (PushPredicateThroughNonJoin substitutes
-    // aliases with no cost model), but CollectMetrics is not a node
-    // predicates push through, so the filter evaluates against the
-    // materialized parts instead. Measured at sf0.1 (50 k rows,
-    // 5 batches, docs bench): enrich+gate p50 462 → ~270 ms (enrich
-    // alone is 283), full ingest 468 → ~350 ms. The metric itself is
-    // the per-batch pre-gate row count, visible in streaming progress.
-    val enriched = enrich(docs)
-      .observe("graft_enrich", count(lit(1)).as("n_enriched"))
-      .filter(col("quality") >= config.minQuality)
-    Dedup.streamingExactDedup(enriched, col("fingerprint"), tsCol,
-      config.watermarkDelay)
-  }
+      config: Config = Config()): DataFrame =
+    Dedup.streamingExactDedup(enrichGated(docs, config), col("fingerprint"),
+      tsCol, config.watermarkDelay)
 }
