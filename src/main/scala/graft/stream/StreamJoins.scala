@@ -47,4 +47,18 @@ object StreamJoins {
         s"AND $rightTs <= $leftTs + interval '$within'"),
       joinType)
   }
+
+  /** Stream-static enrichment join: attach a small static dimension
+    * frame to a stream by key — the lookup/enrichment op of every
+    * ingest flow (per-source quotas, language metadata, allowlists).
+    * The static side is explicitly broadcast, so each micro-batch
+    * plans a broadcast-hash join: the stream side never shuffles and
+    * the join holds NO streaming state (nothing to watermark — the
+    * static side is fully known every batch, and is re-resolved per
+    * batch, which is also how a catalog-backed dimension picks up
+    * slowly-changing updates between batches).
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
 }

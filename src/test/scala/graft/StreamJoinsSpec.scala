@@ -73,4 +73,31 @@ class StreamJoinsSpec extends SparkSpec {
       .sortBy(_._1)
     assert(out.toSeq == Seq(1L -> Some(1L), 2L -> None))
   }
+
+  test("stream-static enrichment broadcasts the dim and keeps the stream stateless") {
+    val events = MemoryStream[(String, Long)](spark)
+    val dim = Seq(("src1", "en", 2), ("src2", "de", 5)).toDF("source", "lang", "quota")
+    val enriched = graft.stream.StreamJoins.enrichWithDim(
+      events.toDF().toDF("source", "doc_id"), dim, Seq("source"))
+
+    val query = enriched.writeStream
+      .format("memory").queryName("dim_enriched")
+      .outputMode("append").start()
+    events.addData(Seq(("src1", 1L), ("src2", 2L), ("srcX", 3L)))
+    query.processAllAvailable()
+
+    // the join must be a broadcast-hash join with NO stateful operator
+    // (stream-static holds no state; nothing to watermark or evict)
+    val plan = query.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("StateStore"), plan)
+    query.stop()
+
+    val out = spark.table("dim_enriched")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._2)
+    // inner: the unknown source drops; known sources carry dim columns
+    assert(out.toSeq == Seq(("src1", 1L, "en", 2), ("src2", 2L, "de", 5)))
+  }
 }
