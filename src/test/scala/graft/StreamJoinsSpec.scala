@@ -83,16 +83,18 @@ class StreamJoinsSpec extends SparkSpec {
     val query = enriched.writeStream
       .format("memory").queryName("dim_enriched")
       .outputMode("append").start()
-    events.addData(Seq(("src1", 1L), ("src2", 2L), ("srcX", 3L)))
-    query.processAllAvailable()
-
+    // stop() before any assertion can throw — a failed assert must not
+    // leak a running query into the suite-shared session
+    val plan = try {
+      events.addData(Seq(("src1", 1L), ("src2", 2L), ("srcX", 3L)))
+      query.processAllAvailable()
+      query.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+    } finally query.stop()
     // the join must be a broadcast-hash join with NO stateful operator
     // (stream-static holds no state; nothing to watermark or evict)
-    val plan = query.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
-      .streamingQuery.lastExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("StateStore"), plan)
-    query.stop()
 
     val out = spark.table("dim_enriched")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
