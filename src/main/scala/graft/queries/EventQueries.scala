@@ -106,6 +106,25 @@ object EventQueries {
              |FROM events GROUP BY 1 ORDER BY ws""".stripMargin),
       bench = true),
 
+    // ----- per-window distinct cardinality: unique users per tumbling
+    // hour — the dashboard DAU/HAU shape. Exact countDistinct expands
+    // to a two-stage agg (partial distinct per partition before the
+    // shuffle); the window key keeps groups bounded no matter the
+    // event volume. At extreme cardinality the drop-in constant-memory
+    // swap is approx_count_distinct (gated separately by
+    // dedup_approx_distinct's bound pattern).
+    QueryDef(
+      "t_distinct_users",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("uniq_users"),
+             count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("uniq_users"), col("cnt"))
+        .orderBy("ws"),
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+             |count(DISTINCT user_id) AS uniq_users, count(*) AS cnt
+             |FROM events GROUP BY 1 ORDER BY ws""".stripMargin)),
+
     // ----- sliding event-time window (2 h window, 1 h slide): each
     // event lands in two windows; oracle = union of the two aligned
     // time_buckets

@@ -346,6 +346,32 @@ object ParityQueries {
              |GROUP BY 1 ORDER BY r_name""".stripMargin),
       bench = true),
 
+    // ----- J5: semi/anti join pair — existence filtering without
+    // materializing the match (LeftSemi carries NO right columns and
+    // stops at the first match; the anti side is the "never ordered"
+    // complement). Per-nation counts so the output is bounded and the
+    // two joins must partition the customer table exactly.
+    QueryDef(
+      "j5_semi_anti",
+      (s, d) => {
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        val ord = t(s, d, "orders").select("o_custkey")
+        val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("with_orders"))
+        val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("without_orders"))
+        semi.join(anti, Seq("c_nationkey"), "full_outer")
+          .select(col("c_nationkey"),
+            coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+            coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey,
+             |  count(*) FILTER (c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
+             |  count(*) FILTER (c_custkey NOT IN (SELECT o_custkey FROM orders)) AS without_orders
+             |FROM customer GROUP BY 1
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // ----- J4: bucketed co-located fact-fact join — the write-once-
     // shuffle-never scale tool as a REGISTERED query (round-3 verdict
     // item 3; BucketingSpec holds the no-Exchange plan assertion).
