@@ -181,7 +181,8 @@ object DedupQueries {
               |    / least(len(a.hs), len(b.hs)), 6) AS containment
               |FROM sig a JOIN sig b
               |  ON a.doc_id < b.doc_id AND (${NearDup.Sql.bandEq(MinhashK, BandR)})
-              |ORDER BY a_id, b_id""".stripMargin)),
+              |ORDER BY a_id, b_id""".stripMargin),
+      bench = true),
 
     // ----- SimHash: 60-bit majority signature (2×30-bit rehashes —
     // simhash_wide), pairs within hamming 3. Sub-quadratic AND exact:
