@@ -552,6 +552,30 @@ object ParityQueries {
              |FROM lineitem
              |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin)),
 
+    // ----- relational set operations: INTERSECT / EXCEPT with set
+    // (distinct) semantics — nations by whether they have customers,
+    // suppliers, or both. Spark plans these as aggregate/anti-join
+    // combos over the hashed key — the same uniform-key shuffle
+    // physics as every distinct here, nothing bespoke at scale.
+    QueryDef(
+      "q4_set_ops",
+      (s, d) => {
+        val cn = t(s, d, "customer").select(col("c_nationkey").as("nk")).distinct()
+        val sn = t(s, d, "supplier").select(col("s_nationkey").as("nk")).distinct()
+        cn.intersect(sn).withColumn("op", lit("both"))
+          .unionAll(cn.except(sn).withColumn("op", lit("customers_only")))
+          .unionAll(sn.except(cn).withColumn("op", lit("suppliers_only")))
+          .orderBy("op", "nk")
+      },
+      Some("""WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+             |sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+             |SELECT nk, 'both' AS op FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+             |UNION ALL
+             |SELECT nk, 'customers_only' FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+             |UNION ALL
+             |SELECT nk, 'suppliers_only' FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+             |ORDER BY op, nk""".stripMargin)),
+
     // ----- Headline: fact-fact join + top-k revenue per order
     QueryDef(
       "q3_top_order_revenue",
