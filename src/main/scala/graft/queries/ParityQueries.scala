@@ -552,6 +552,29 @@ object ParityQueries {
              |FROM lineitem
              |WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin)),
 
+    // ----- correlated scalar subquery through the SQL entry point:
+    // each event compared to ITS USER's mean — Catalyst decorrelates
+    // the subquery into an aggregate + join (no per-row re-execution;
+    // the plan is the same single-shuffle shape as the window form).
+    // The inner avg is rounded to 6 dp on both sides so the threshold
+    // itself is the pinned cross-engine value (the tx12 gate
+    // discipline applied to a correlated predicate).
+    QueryDef(
+      "sql_correlated_above_avg",
+      (s, d) => {
+        graft.sources.Tables.registerViews(s, d)
+        s.sql("""SELECT user_id, count(*) AS n_above
+                |FROM events e
+                |WHERE value > (SELECT round(avg(value), 6) FROM events i
+                |               WHERE i.user_id = e.user_id)
+                |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      },
+      Some("""SELECT user_id, count(*) AS n_above
+             |FROM events e
+             |WHERE value > (SELECT round(avg(value), 6) FROM events i
+             |               WHERE i.user_id = e.user_id)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ----- relational set operations: INTERSECT / EXCEPT with set
     // (distinct) semantics — nations by whether they have customers,
     // suppliers, or both. Spark plans these as aggregate/anti-join
