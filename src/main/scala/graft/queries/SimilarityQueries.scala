@@ -39,13 +39,18 @@ object SimilarityQueries {
 
   /** Wider LSH bank for the near-dup THRESHOLD query (recall must be
     * ~certain at cos ≥ 0.9, vs top-k where a rare miss only perturbs
-    * rank tails): 16 tables × 8 bits, same seed — the first 4 tables
-    * coincide with [[planes]] by construction. At 16 tables the
-    * per-pair miss at cos 0.992 (the planted-clone level) is
-    * (1 − 0.96⁸)¹⁶ ≈ 1e-9 — the oracle gate cannot flake on bank
-    * randomness even across many driver runs.
+    * rank tails): 16 tables × 10 bits, same seed. Bits are the
+    * background-candidate lever (the Similarity.lshCandidatePairs
+    * capacity law): going 8 → 10 bits cuts random-pair collisions 4×
+    * while the per-pair miss at cos 0.992 (the planted-clone level)
+    * stays negligible — per-table match (1 − 0.0403)¹⁰ ≈ 0.66, miss
+    * over 16 tables (1 − 0.66)¹⁶ ≈ 3e-8, and the 8×-stress identity
+    * clusters (cos 1.0) can never miss. Measured at 8× (16 k
+    * vectors): 19.1 → ~7 s, output identical (74 400 pairs) — the
+    * candidate distinct, not the exact re-check, was the background
+    * cost; the all-pairs oracle re-proves recall 1.0 every driver run.
     */
-  private val dedupSpec = Similarity.PlaneSpec(Dim, NBits, 16)
+  private val dedupSpec = Similarity.PlaneSpec(Dim, 10, 16)
 
   /** Releasable plan-deduped cache (shared [[TrackedCache]]
     * machinery): a long-lived session doesn't keep the augmented
