@@ -70,13 +70,22 @@ object Dedup {
     * any edge: (node, component), component = smallest node id in the
     * cluster — so `node === component` selects the canonical doc.
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * takes the min of its own label and its neighbors' labels (one
-    * shuffle on the node key per round); the smallest id floods one hop
-    * per round, so rounds = cluster diameter — for dup clusters
-    * (cliques-ish around a shared shingle core) that is 2-4, never the
-    * log-n worst case of arbitrary graphs. Lineage is cut per round
-    * with `localCheckpoint` (an iterative plan otherwise grows
+    * Algorithm: iterative min-label propagation with a CHANGED-LABEL
+    * FRONTIER (delta iteration). Round 1 every node proposes its label
+    * to its neighbors; from round 2 on, only nodes whose label changed
+    * last round propose (a stable node's label already reached every
+    * neighbor the round it last changed, so re-proposing it is pure
+    * waste — the inductive invariant is that every label value a node
+    * ever holds is proposed to all its neighbors exactly once). The
+    * smallest id floods one hop per round, so rounds = cluster
+    * diameter — for dup clusters (cliques-ish around a shared shingle
+    * core) that is 2-4, never the log-n worst case of arbitrary
+    * graphs. Per-round cost is O(edges incident to the frontier), not
+    * O(E): on a 100 TB near-dup graph most labels stabilize after
+    * round 1-2 and the tail rounds touch only the few large-diameter
+    * clusters still converging — O(E + Σ|frontier adjacency|) total
+    * work instead of O(rounds·E). Lineage is cut per round with
+    * `localCheckpoint` (an iterative plan otherwise grows
     * exponentially); on a cluster prefer reliable `checkpoint` so a
     * lost executor replays one round, not the whole history. Stops
     * early the first round no label changes; `maxIter` bounds
@@ -115,30 +124,37 @@ object Dedup {
     val (sym, symRdd) = checkpointed(
       edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
         .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))))
-    var (labels, labelRdd) = checkpointed(
+    // one frame per round carries BOTH the full label set and the
+    // changed flag; `labels`/`frontier` are projections of it, so each
+    // round still checkpoints (= fires) exactly one action and holds
+    // exactly one block set
+    var (state, stateRdd) = checkpointed(
       sym.select(col("node")).distinct()
-        .withColumn("comp", col("node")))
+        .select(col("node"), col("node").as("comp"), lit(true).as("changed")))
+    def labels = state.select("node", "comp")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val viaNbr = sym.join(labels.select(col("node").as("nbr"), col("comp")), "nbr")
-        .select("node", "comp")
-      // every node has exactly one labels row → max("prev") recovers
-      // its previous label next to the new min("comp")
+      // only last round's changed nodes propose; proposals shuffle on
+      // the receiving node key and are bounded by the frontier's
+      // adjacency, not by E
+      val proposals = sym
+        .join(state.filter(col("changed")).select(col("node").as("nbr"), col("comp")), "nbr")
+        .groupBy("node").agg(min(col("comp")).as("cand"))
       val obs = org.apache.spark.sql.Observation()
       val (next, nextRdd) = checkpointed(
-        labels.select(col("node"), col("comp"), col("comp").as("prev"))
-          .unionAll(viaNbr.withColumn("prev", lit(null).cast("long")))
-          .groupBy("node").agg(min("comp").as("comp"), max("prev").as("prev"))
-          .observe(obs, sum(when(col("comp") =!= col("prev"), 1L)).as("n_changed"))
-          .select("node", "comp"))
+        labels.join(proposals, Seq("node"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
+            (col("cand").isNotNull && col("cand") < col("comp")).as("changed"))
+          .observe(obs, sum(when(col("changed"), 1L)).as("n_changed")))
       converged = obs.get("n_changed") match {
         case n: java.lang.Long => n == 0L
         case _                 => true // null: empty label set
       }
-      labelRdd.unpersist(blocking = false)
-      labels = next
-      labelRdd = nextRdd
+      stateRdd.unpersist(blocking = false)
+      state = next
+      stateRdd = nextRdd
       iter += 1
     }
     symRdd.unpersist(blocking = false)
