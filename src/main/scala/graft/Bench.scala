@@ -42,22 +42,40 @@ object Bench {
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
       math.max(200, expectedBatches + 16).toString)
 
-  /** Sorted per-batch triggerExecution millis over the finished
-    * queries' progress (durationMs is a java Map — a missing key would
-    * NPE-unbox; such entries are skipped, never abort the report).
+  /** Per-query chronological (inputRows, triggerExecution ms) pairs
+    * over the finished queries' progress (durationMs is a java Map — a
+    * missing key would NPE-unbox; such entries are skipped, never
+    * abort the report).
     */
-  private def batchDurations(
-      queries: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Seq[Double] =
-    queries.flatMap(_.recentProgress.toSeq)
+  private def batchStats(
+      queries: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Seq[Seq[(Long, Double)]] =
+    queries.map(_.recentProgress.toSeq
       .filter(_.numInputRows > 0)
-      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
-      .sorted
+      .flatMap(p => Option(p.durationMs.get("triggerExecution"))
+        .map(ms => p.numInputRows -> ms.toDouble)))
 
+  /** One streaming-block JSON fragment. `rows_per_sec` is end-to-end
+    * (includes stream startup — the honest wall-clock number);
+    * `rows_per_sec_steady` drops each query's FIRST micro-batch and
+    * divides the remaining input rows by their summed triggerExecution
+    * time — the sustained mid-run rate a long-lived deployment sees
+    * (round-5 verdict item 6: at 50 k rows startup is ~25% of
+    * elapsed, underselling the pipeline by that margin). Falls back
+    * to the end-to-end rate when a run is too short to have steady
+    * batches.
+    */
   private def streamJson(mode: String, rows: Long, sec: Double,
-      batchMs: Seq[Double]): String = {
+      queries: Seq[org.apache.spark.sql.streaming.StreamingQuery]): String = {
+    val perQuery = batchStats(queries)
+    val batchMs = perQuery.flatten.map(_._2).sorted
     val p50 = if (batchMs.isEmpty) 0.0 else batchMs(batchMs.length / 2)
+    val steady = perQuery.map(_.drop(1)).flatten
+    val steadyRate =
+      if (steady.isEmpty || steady.map(_._2).sum <= 0.0) rows / sec
+      else steady.map(_._1).sum / (steady.map(_._2).sum / 1000.0)
     s"""{"mode":"$mode","rows":$rows""" +
       s""","elapsed_sec":$sec,"rows_per_sec":${rows / sec}""" +
+      s""","rows_per_sec_steady":$steadyRate""" +
       s""","batches":${batchMs.length},"batch_ms_p50":$p50""" +
       s""","batch_ms_max":${batchMs.lastOption.getOrElse(0.0)}}"""
   }
@@ -133,7 +151,7 @@ object Bench {
       val queries = pipeline.start(spark, inputDir, s"$base/ckpt")
       queries.foreach(_.awaitTermination())
       val sec = (System.nanoTime() - t0) / 1e9
-      streamJson("fused_available_now", written, sec, batchDurations(queries))
+      streamJson("fused_available_now", written, sec, queries)
     } finally deleteRecursively(base)
   }
 
@@ -200,53 +218,92 @@ object Bench {
         .start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
-      streamJson("docs_available_now", written, sec, batchDurations(Seq(q)))
+      streamJson("docs_available_now", written, sec, Seq(q))
     } finally deleteRecursively(base)
   }
 
   /** Stress-scale block (round-4 verdict item 4): re-times the heavy
-    * dedup/text queries on a COPIES×-enlarged documents + embeddings
-    * corpus (shifted-id copies — the DevStress recipe, built
-    * in-process) so round-over-round regression detection has a scale
-    * point above the ±20-25% noise floor of sub-second sf0.1 medians:
-    * at 5-30 s runtimes a regression worth catching moves whole
-    * seconds. One timed sample per query (the batch loop already
-    * warmed JIT/codegen); embedding copies form identity clusters, so
-    * the near-dup queries are deliberately output-bound — a fixed,
-    * comparable workload each round. Throws on error; skip/capture is
-    * main()'s contract.
+    * dedup/text queries on a COPIES×-enlarged corpus (shifted-id
+    * copies — the DevStress recipe, built in-process) so
+    * round-over-round regression detection has a scale point above the
+    * ±20-25% noise floor of sub-second sf0.1 medians: at 5-30 s
+    * runtimes a regression worth catching moves whole seconds.
+    *
+    * Round-5 verdict item 1a: one sample per query was itself noisier
+    * than the noise floor the tier exists to beat (the same commit
+    * measured dedup_components at 4.5 s and 10.5 s — GC/checkpoint
+    * jitter on an iterative job). Each query now takes
+    * SPARK_GRAFT_STRESS_N (default 3) timed samples — clearCache
+    * before each, same discipline as the batch loop — and reports the
+    * median plus the [min,max] spread, so a future swing is
+    * attributable at a glance (tight spread + moved median = real
+    * change; wide spread = jitter).
+    *
+    * Round-5 verdict item 7: the tier also synthesizes COPIES×
+    * lineitem / orders / customer (keys shifted by a stride above any
+    * sf0.1 key range; nation/region dims copied as-is — they stay
+    * broadcast-small at any corpus scale, which is the point of the
+    * plan) so the headline relational queries get an above-noise scale
+    * point too, not just the documents/embeddings surface.
+    *
+    * Embedding copies form identity clusters, so the near-dup queries
+    * are deliberately output-bound — a fixed, comparable workload each
+    * round. Throws on error; skip/capture is main()'s contract.
     */
   def stressBench(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
     val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "8").toInt
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_STRESS_N", "3").toInt
     val names = sys.env.get("SPARK_GRAFT_STRESS_QUERIES")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq("dedup_minhash_pairs", "dedup_simhash_pairs",
         "pipeline_curation", "tx12_bigram_lm_score",
-        "dedup_embedding_lsh", "dedup_components"))
+        "dedup_embedding_lsh", "dedup_components",
+        "q3_top_order_revenue", "join_3way_region_rollup"))
     val base = Files.createTempDirectory("graft_stress_bench")
     try {
       val dir = base.toString
-      graft.sources.Tables.table(spark, sfDir, "documents")
-        .crossJoin(spark.range(copies).select(col("id").as("__c")))
-        .withColumn("doc_id", col("doc_id") + col("__c") * 1000000L)
-        .drop("__c")
-        .write.parquet(s"$dir/documents.parquet")
+      def copied(table: String, keyCols: Seq[String], stride: Long): Unit = {
+        val src = graft.sources.Tables.table(spark, sfDir, table)
+        val aug =
+          if (keyCols.isEmpty) src // broadcast-small dim: no scaling
+          else keyCols.foldLeft(
+            src.crossJoin(spark.range(copies).select(col("id").as("__c")))) {
+              (df, k) => df.withColumn(k, col(k) + col("__c") * stride)
+            }.drop("__c")
+        aug.write.parquet(s"$dir/$table.parquet")
+      }
+      copied("documents", Seq("doc_id"), 1000000L)
       // copy stride 10^7 keeps every copied id clear of
       // dedup_embedding_lsh's internal clone offset (vec_id + 10^6):
       // a 10^5 stride would collide from 11 copies up, duplicating
       // vec_ids in the aug frame and silently inflating the workload
-      graft.sources.Tables.table(spark, sfDir, "embeddings")
-        .crossJoin(spark.range(copies).select(col("id").as("__c")))
-        .withColumn("vec_id", col("vec_id") + col("__c") * 10000000L)
-        .drop("__c")
-        .write.parquet(s"$dir/embeddings.parquet")
+      copied("embeddings", Seq("vec_id"), 10000000L)
+      // relational tier: orderkeys shift in lockstep on both sides of
+      // the q3 join (each copy joins only its own copy — the join
+      // fan-out scales linearly, like a real 8× day-partition growth);
+      // custkey shift keeps c_custkey unique while c_nationkey still
+      // lands on the unscaled broadcast dims
+      copied("lineitem", Seq("l_orderkey"), 10000000L)
+      copied("orders", Seq("o_orderkey"), 10000000L)
+      copied("customer", Seq("c_custkey"), 10000000L)
+      copied("nation", Seq.empty, 0L)
+      copied("region", Seq.empty, 0L)
       val results = names.map { name =>
-        spark.catalog.clearCache()
         name -> (try {
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-          Right((System.nanoTime() - t0) / 1e9)
+          val samples = (1 to nSamples).map { _ =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          // chronological samples + heap to stderr (never the JSON
+          // line): the raw material for attributing a spread — a
+          // monotone drift points at accumulating state, a lone
+          // outlier at GC/compaction jitter
+          val rt = Runtime.getRuntime
+          System.err.println(f"[stress] $name samples=${samples.map(s => f"$s%.2f").mkString(",")} heap_used_mb=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}")
+          Right(samples)
         } catch {
           case scala.util.control.NonFatal(e) =>
             Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -254,9 +311,15 @@ object Bench {
       }
       graft.queries.DedupQueries.releaseSignatureCache()
       graft.queries.SimilarityQueries.releaseCaches()
-      val (qs, errJson, nErr) = resultJson(results)
-      val total = results.collect { case (_, Right(t)) => t }.sum
-      s"""{"copies":$copies,"total_sec":$total,"queries":$qs$errJson,"failed":$nErr}"""
+      val medians = results.map { case (k, r) =>
+        k -> r.map(s => s.sorted.apply(s.length / 2))
+      }
+      val (qs, errJson, nErr) = resultJson(medians)
+      val spreads = results.collect { case (k, Right(s)) =>
+        "\"" + esc(k) + s"""":[${s.min},${s.max}]"""
+      }.mkString("{", ",", "}")
+      val total = medians.collect { case (_, Right(t)) => t }.sum
+      s"""{"copies":$copies,"n":$nSamples,"stat":"median","total_sec":$total,"queries":$qs,"spread":$spreads$errJson,"failed":$nErr}"""
     } finally deleteRecursively(base)
   }
 
