@@ -592,6 +592,41 @@ object TextQueries {
               |FROM (SELECT source, doc_id, ${TS.hashBucket(1000000)} AS h FROM documents)
               |GROUP BY 1 ORDER BY source""".stripMargin)),
 
+    // ----- learned quality gate: the pinned logreg artifact
+    // (QualityClassifierModel, fit offline by DevFitQualityClassifier
+    // on seed labels distilled from the heuristic score) served as a
+    // linear gate — score is the LOGIT (score > 0 ⇔ p > 0.5), so
+    // serving is pure multiply-add: bit-identical cross-engine on the
+    // shared weight strings, no libm exp anywhere. Scale shape: one
+    // token_freqs pass per doc feeds an 18-term fold; only (source,
+    // score) reaches the agg shuffle. Min/max are order-independent,
+    // n_pass is an integer count — hash-exact by construction.
+    QueryDef(
+      "tx20_classifier_gate",
+      (s, d) => docs(s, d)
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("source"),
+          size(col("__toks")).as("__ntok"),
+          size(array_distinct(col("__toks"))).as("__ndis"),
+          TextAnalysis.wordFreqs(col("__toks"),
+            graft.ext.QualityClassifier.featureWords).as("__freqs"))
+        .select(col("source"),
+          graft.ext.QualityClassifier.scoreParts(
+            col("__ntok"), col("__ndis"), col("__freqs")).as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pass"),
+             round(min("score"), 6).as("min_score"),
+             round(max("score"), 6).as("max_score"))
+        .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              |  round(min(score), 6) AS min_score,
+              |  round(max(score), 6) AS max_score
+              |FROM (SELECT source, ${graft.ext.QualityClassifier.Sql.scoreSql} AS score
+              |      FROM documents)
+              |GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // ----- the real pivot() API over a closed value set (P8's
     // dynamic-wide-count shape as a first-class relational op)
     QueryDef(
