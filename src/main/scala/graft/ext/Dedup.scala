@@ -110,17 +110,24 @@ object Dedup {
     * the checkpoint's eager materialization) — one Spark job per
     * round, not job + convergence probe.
     */
+  /** Eager localCheckpoint + the persisted RDD's own handle (the
+    * LogicalRDD leaf the checkpointed frame reads from) — the round
+    * primitive shared by every iterative operator here (connected
+    * components, BPE merge training): cut lineage once per round,
+    * release the superseded round by ITS OWN handle (never global
+    * persistent-RDD state, so concurrent iterative jobs on one
+    * SparkContext are safe).
+    */
+  private[graft] def checkpointed(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val cp = df.localCheckpoint()
+    val rdd = cp.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.getOrElse(sys.error("localCheckpoint did not yield a LogicalRDD leaf"))
+    (cp, rdd)
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
-    // eager localCheckpoint + the persisted RDD's own handle (the
-    // LogicalRDD leaf the checkpointed frame reads from)
-    def checkpointed(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
-      val cp = df.localCheckpoint()
-      val rdd = cp.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.getOrElse(sys.error("localCheckpoint did not yield a LogicalRDD leaf"))
-      (cp, rdd)
-    }
     val (sym, symRdd) = checkpointed(
       edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
         .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))))

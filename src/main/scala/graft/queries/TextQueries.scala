@@ -165,6 +165,18 @@ object TextQueries {
              |  (SELECT string_split(text, ' ') AS t FROM documents))
              |GROUP BY 1 ORDER BY freq DESC, pair LIMIT 15""".stripMargin)),
 
+    // ----- iterative BPE merge training: tx8's pair count driven
+    // through 6 actual merge rounds (count → merge argmax pair
+    // everywhere with a pinned tie-break → recount) — the tokenizer-
+    // training loop itself, reusing the CC round/checkpoint machinery.
+    // The oracle is the unrolled 6-step DuckDB CTE over the identical
+    // double-space corpus representation (see Bpe scaladoc for why
+    // literal replace IS greedy single-pass BPE in both engines).
+    QueryDef(
+      "tx8b_bpe_merges",
+      (s, d) => graft.ext.Bpe.trainDF(s, docs(s, d), "text", 6),
+      Some(graft.ext.Bpe.trainSql(6))),
+
     // ----- Gopher/C4-style repetition filter: per-doc repeated-token
     // and repeated-2-gram ratios (boilerplate/looped-phrase signal),
     // aggregated per source with the count a threshold gate would
