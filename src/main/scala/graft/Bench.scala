@@ -291,6 +291,14 @@ object Bench {
       copied("region", Seq.empty, 0L)
       val results = names.map { name =>
         name -> (try {
+          // one untimed warm-up run per query: DevCcBench attribution
+          // showed the stress swing is JIT/codegen + page-cache
+          // warmth, not GC (gc_during ≤0.2 s while elapsed swung
+          // 3.7-15.5 s) — the batch loop warms ITS plans, not the
+          // stress tier's (different corpus, and CC's iterative
+          // checkpoint/observe paths only JIT here)
+          spark.catalog.clearCache()
+          SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
           val samples = (1 to nSamples).map { _ =>
             spark.catalog.clearCache()
             val t0 = System.nanoTime()
