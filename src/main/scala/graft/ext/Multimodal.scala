@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,6 +20,19 @@ final case class MediaFile(
     kind: String,
     content: Array[Byte],
     meta: Map[String, String])
+
+/** Decoded per-file audio features (see [[Multimodal.extractAudioFeatures]]).
+  * All-integer so the cross-engine compare is exact: `energy` is the
+  * sum of squared 16-bit PCM samples (order-independent Long addition),
+  * `duration_ms` is floor(frames·1000/rate).
+  */
+final case class AudioFeatures(
+    media_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    n_frames: Long,
+    duration_ms: Long,
+    energy: Long)
 
 /** Extracted per-file features (see [[Multimodal.extractFeatures]]). */
 final case class MediaFeatures(
@@ -39,12 +53,15 @@ final case class MediaFeatures(
   * ==Stub boundary==
   * Image decode is REAL: `javax.imageio` ships with the JDK
   * (PNG/JPEG/BMP/GIF), so rows whose `kind` starts with `image/` get
-  * true decoded dimensions in [[decodeDimensions]]. Audio/video have no codecs in
-  * this container, so their dimension decode (and [[resizeStub]] /
-  * [[frameSample]]'s codec step) remains a clearly-marked
-  * DETERMINISTIC STUB — swapping in a real demuxer changes only those
-  * functions; the engine-side contract — schema, partition-local
-  * batching, feature row shape — is real and tested either way.
+  * true decoded dimensions in [[decodeDimensions]]. Audio decode is
+  * REAL too: `javax.sound.sampled` (also pure-JDK) parses RIFF/WAVE
+  * PCM — [[decodeAudio]] extracts true format + sample data from the
+  * bytes. VIDEO is the one designed-out boundary: the JDK ships no
+  * video demuxer and this container has no native codec libs, so
+  * [[frameSample]]'s codec step remains a clearly-marked DETERMINISTIC
+  * STUB — swapping in a real demuxer changes only that function; the
+  * engine-side contract — schema, partition-local batching, feature
+  * row shape — is real and tested either way.
   */
 object Multimodal {
 
@@ -166,6 +183,100 @@ object Multimodal {
         m.copy(kind = s"image/$fmt", content = syntheticImage(m.media_id, w, h, fmt),
           meta = m.meta + ("codec" -> fmt))
       } else m
+    }
+  }
+
+  /** Sample rates the audio fixture cycles through — all standard
+    * rates the JDK WAV reader round-trips exactly.
+    */
+  val audioRates: Seq[Int] = Seq(8000, 16000, 22050, 44100)
+
+  /** Deterministic 16-bit PCM sample for interleaved index `j` of the
+    * audio fixture seeded by `seed` — pure integer arithmetic so the
+    * DuckDB oracle can regenerate it: ((seed·1103515 + j·40503) &
+    * 0x7fff) − 16384 ∈ [−16384, 16383].
+    */
+  def audioSample(seed: Long, j: Long): Int =
+    (((seed * 1103515L + j * 40503L) & 0x7fffL) - 16384L).toInt
+
+  /** Deterministic synthetic WAV (real, decodable bytes — the audio
+    * fixture generator): `nFrames` frames of `channels`-interleaved
+    * 16-bit little-endian PCM from [[audioSample]], containerized with
+    * the JDK's own WAVE writer. Runs distributed inside map partitions
+    * like [[syntheticImage]].
+    */
+  def syntheticWav(seed: Long, sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val total = nFrames * channels
+    val pcm = new Array[Byte](total * 2)
+    var j = 0
+    while (j < total) {
+      val s = audioSample(seed, j.toLong)
+      pcm(2 * j) = (s & 0xff).toByte
+      pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled`: parses the
+    * RIFF/WAVE container, returns (sampleRateHz, channels, nFrames,
+    * energy) where energy = Σ sample² over all interleaved 16-bit PCM
+    * samples — an order-independent Long sum, so exact cross-engine.
+    * Unreadable bytes report (0, 0, 0, 0), mirroring
+    * [[decodeDimensions]]'s contract.
+    */
+  def decodeAudio(content: Array[Byte]): (Int, Int, Long, Long) =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val bytes = ais.readAllBytes()
+      var energy = 0L
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s = (((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)).toShort.toLong
+        energy += s * s
+        i += 2
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, frames, energy)
+    } catch { case _: Exception => (0, 0, 0L, 0L) }
+
+  /** Mixed-modality audio fixture: every 3rd document becomes a REAL
+    * WAV (deterministic [[syntheticWav]]; rate cycling through
+    * [[audioRates]], mono/stereo alternating, frame count derived from
+    * the id), the rest stay text bytes. Encoding happens inside the
+    * map — distributed, never driver-side.
+    */
+  def mediaWithAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, docs).map { m =>
+      if (m.media_id % 3 == 0) {
+        val rate = audioRates((m.media_id % 4).toInt)
+        val channels = 1 + (m.media_id % 2).toInt
+        val nFrames = 200 + (m.media_id % 800).toInt
+        m.copy(kind = "audio/wav",
+          content = syntheticWav(m.media_id, rate, channels, nFrames),
+          meta = m.meta + ("codec" -> "wav"))
+      } else m
+    }
+  }
+
+  /** Distributed audio feature extraction over the `audio/wav` rows —
+    * same per-partition batch shape as [[extractFeatures]], with the
+    * codec doing REAL work (JDK WAV parse) per row.
+    */
+  def extractAudioFeatures(media: Dataset[MediaFile]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio/wav").mapPartitions { rows =>
+      rows.map { m =>
+        val (rate, channels, frames, energy) = decodeAudio(m.content)
+        AudioFeatures(m.media_id, rate, channels, frames,
+          if (rate == 0) 0L else frames * 1000L / rate, energy)
+      }
     }
   }
 

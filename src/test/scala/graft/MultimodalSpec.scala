@@ -79,6 +79,45 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count(_.kind == "text/en") == 16)
   }
 
+  test("WAV audio decodes for REAL via javax.sound.sampled (mono + stereo)") {
+    // mono: format + frame count + per-sample energy round-trip the encoder
+    val mono = Multimodal.syntheticWav(seed = 7L, sampleRate = 16000, channels = 1, nFrames = 300)
+    val (r1, c1, f1, e1) = Multimodal.decodeAudio(mono)
+    assert((r1, c1, f1) == ((16000, 1, 300L)))
+    val expectMono = (0 until 300).map { j =>
+      val s = Multimodal.audioSample(7L, j.toLong).toLong; s * s
+    }.sum
+    assert(e1 == expectMono)
+
+    // stereo: interleaved samples, frame count is per-channel
+    val stereo = Multimodal.syntheticWav(seed = 8L, sampleRate = 44100, channels = 2, nFrames = 250)
+    val (r2, c2, f2, e2) = Multimodal.decodeAudio(stereo)
+    assert((r2, c2, f2) == ((44100, 2, 250L)))
+    val expectStereo = (0 until 500).map { j =>
+      val s = Multimodal.audioSample(8L, j.toLong).toLong; s * s
+    }.sum
+    assert(e2 == expectStereo)
+
+    // unreadable bytes report zeros, mirroring decodeDimensions
+    assert(Multimodal.decodeAudio("not a wav".getBytes) == ((0, 0, 0L, 0L)))
+  }
+
+  test("mediaWithAudio: audio rows decode true format distributed") {
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.mediaWithAudio(spark, docs)).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { a =>
+      assert(a.media_id % 3 == 0)
+      assert(a.sample_rate == Multimodal.audioRates((a.media_id % 4).toInt))
+      assert(a.channels == 1 + (a.media_id % 2).toInt)
+      assert(a.n_frames == 200 + a.media_id % 800)
+      assert(a.duration_ms == a.n_frames * 1000L / a.sample_rate)
+      assert(a.energy > 0)
+    }
+    assert(feats.exists(_.channels == 1) && feats.exists(_.channels == 2))
+  }
+
   test("resizeStub and frameSample are deterministic with exact shapes") {
     val bytes = (0 until 100).map(_.toByte).toArray
     val resized = Multimodal.resizeStub(bytes, 25)
