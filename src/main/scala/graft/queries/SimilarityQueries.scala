@@ -389,5 +389,64 @@ object SimilarityQueries {
               |  FROM scored)
               |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin),
       bench = true),
+
+    // ----- SemDeDup-shaped semantic dedup: cluster with the PINNED
+    // IVF centroids (map-side assign, no training), then find
+    // near-duplicate pairs ONLY within each cell and drop the higher
+    // id of every pair (deterministic keep policy; the published
+    // method keeps the vector closest to the centroid — same shape,
+    // different tie-break). Compare-within-cell turns the O(n²)
+    // near-dup scan into O(Σ|cell|²) — the 100 TB discipline — at the
+    // documented recall trade-off: a pair straddling two cells is
+    // missed (dedup_embedding_lsh remains the recall-1.0 banded path).
+    // One shuffle on the cell id; per-cell pair work bounded by cell
+    // size. Hash-verified end-to-end because the oracle mirrors the
+    // same centroid literals (IvfIndex.Sql), reproducing the exact
+    // assignment and pair set. Measured trade-off on this corpus at
+    // sf0.01: 8 of the 14 exact ≥0.45 pairs (dedup_embedding_near's
+    // full set) are co-celled — the deliberate recall cost of never
+    // comparing across cells; raise nlist→recall by probing adjacent
+    // cells, or use the banded-LSH path when recall must be ~1.
+    QueryDef(
+      "dedup_semantic_cells",
+      (s, d) => {
+        val e = emb(s, d)
+        val assigned = e.select(col("vec_id"), col("embedding"),
+          graft.ext.IvfIndex.assign(col("embedding"), graft.ext.IvfModel.centroids)
+            .as("cell"))
+        val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+          col("embedding").as("a_vec"))
+        val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+          col("embedding").as("b_vec"))
+        val pairs = a.join(b, Seq("cell"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(round(Similarity.cosine(col("a_vec"), col("b_vec")), 6) >= 0.45)
+        val cells = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        val dup = pairs.groupBy("cell").agg(
+          count(lit(1)).as("n_dup_pairs"),
+          countDistinct(col("b_id")).as("n_dropped"))
+        cells.join(dup, Seq("cell"), "left")
+          .select(col("cell"), col("n_vecs"),
+            coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |d AS (SELECT vec_id, e, ${graft.ext.IvfIndex.Sql.distListSql("e")} AS ds FROM base),
+              |asg AS (SELECT vec_id, e,
+              |  CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell FROM d),
+              |p AS (
+              |  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE round(list_dot_product(a.e, b.e) /
+              |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45),
+              |c AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM asg GROUP BY 1),
+              |dp AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+              |         CAST(count(DISTINCT b_id) AS BIGINT) AS n_dropped FROM p GROUP BY 1)
+              |SELECT c.cell, c.n_vecs,
+              |  coalesce(dp.n_dup_pairs, 0) AS n_dup_pairs,
+              |  coalesce(dp.n_dropped, 0) AS n_dropped
+              |FROM c LEFT JOIN dp USING (cell)
+              |ORDER BY cell""".stripMargin)),
   )
 }
