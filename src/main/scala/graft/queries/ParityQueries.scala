@@ -497,6 +497,25 @@ object ParityQueries {
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
 
+    // ----- GROUPING SETS proper: the two 1-D margins WITHOUT the full
+    // cross — the combination rollup (a13) and cube (a14) cannot
+    // express, via the first-class Dataset.groupingSets API (Spark 4).
+    // Same single-shuffle Expand-then-aggregate physics as cube.
+    QueryDef(
+      "a15_grouping_sets",
+      (s, d) => t(s, d, "lineitem")
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |count(*) AS cnt, round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
+             |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY rf, ls""".stripMargin)),
+
     // ----- E27 behind the oracle gate: two-stage salted aggregation
     // must be value-identical to a direct GROUP BY (the salt only
     // changes shuffle fan-out) — DuckDB computes the direct form, so

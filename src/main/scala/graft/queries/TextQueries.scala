@@ -810,6 +810,63 @@ object TextQueries {
               |(SELECT source, ${TS.hashBucket(10)} = 0 AS keep FROM documents)
               |GROUP BY 1 ORDER BY source""".stripMargin)),
 
+    // ----- per-source document cap (domain balancing): keep each
+    // source's top-10 docs by quality, rank ties broken on doc_id.
+    // The window is rank-then-filter, which Spark plans as
+    // WindowGroupLimit — the per-partition top-k runs MAP-SIDE before
+    // the window shuffle, so a source with 10⁹ docs ships only its
+    // local top-10s, not the whole group. `kept_id_sum` pins the
+    // exact kept SET cross-engine, not just its size.
+    QueryDef(
+      "tx21_source_cap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+        docs(s, d)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("q"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+               round(min("q"), 6).as("min_kept_q"),
+               sum("doc_id").as("kept_id_sum"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source, count(*) AS n_kept,
+              |  round(min(q), 6) AS min_kept_q,
+              |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum FROM
+              |(SELECT source, doc_id, q,
+              |   row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk FROM
+              | (SELECT source, doc_id, ${TS.qualityScore} AS q FROM documents))
+              |WHERE rk <= 10 GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ----- leakage-safe GROUP-AWARE split: hash the GROUP key
+    // (source), not the content — every doc of a source lands in the
+    // same split by construction, so near-duplicates within a source
+    // can never straddle train/test (the contamination mode a
+    // content-hash split permits). Same map-side assignment physics
+    // as split_train_holdout; n_sources counts whole groups moved.
+    QueryDef(
+      "split_group_aware",
+      (s, d) => docs(s, d)
+        .withColumn("__b", TextAnalysis.hashBucket(col("source"), 100))
+        .withColumn("split",
+          when(col("__b") < 80, "train")
+            .when(col("__b") < 90, "validation")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("source")).as("n_sources"))
+        .orderBy("split"),
+      Some(s"""SELECT split, count(*) AS n_docs,
+              |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM
+              |(SELECT source, CASE WHEN b < 80 THEN 'train'
+              |  WHEN b < 90 THEN 'validation' ELSE 'test' END AS split FROM
+              | (SELECT source, (${graft.ext.NearDup.Sql.charHashSql("source")}) % 100 AS b
+              |  FROM documents))
+              |GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // ----- end-to-end training-data curation pipeline: simulated
     // re-crawl (doubled corpus) → enrich (quality score + lang-ID) →
     // quality gate → exact-dedup keep-first → per-language token
