@@ -25,6 +25,15 @@ object DedupQueries {
   private val NumBands = MinhashK / BandR
   private val SimhashBits = 60 // 2×30-bit rehash signatures (simhash_wide)
   private val MaxHamming = 3
+
+  /** Sparse-cosine knobs: candidate-generating shingles must appear in
+    * ≤ DfMax docs (the inverted-index prune — O(DfMax²) pairs per
+    * shingle), and pairs report at shingle-count cosine ≥ the
+    * threshold (planted clones score ≥ 0.8, background < 0.2 — see the
+    * query's scaladoc). ONE definition interpolated into both engines.
+    */
+  private val SparseDfMax = 10
+  private val SparseCosThreshold = 0.5
   private lazy val mhParams = NearDup.minhashParams(MinhashK)
 
   /** doc_id + distinct shingle-hash set `hs` — the whole signature
@@ -335,6 +344,91 @@ object DedupQueries {
               |SELECT sz, count(*) AS n_clusters FROM
               |(SELECT component, count(*) AS sz FROM comp GROUP BY 1)
               |GROUP BY 1 ORDER BY sz""".stripMargin)),
+
+    // ----- sparse-cosine near-dup via an inverted index: weighted
+    // (multiset) shingle-count cosine, candidates from a df-pruned
+    // postings self-join — the OTHER standard near-dup candidate
+    // strategy next to minhash banding (sparse-retrieval style:
+    // Elasticsearch more-like-this, plagiarism detectors). Feature
+    // space is hashed 3-shingles, not unigrams: the corpus vocabulary
+    // is ~31 words (every unigram is a stop word — background unigram
+    // cosine sits at 0.6-0.7), while shingle df ≤ 10 across the board
+    // and shingle cosine is cleanly bimodal (planted clones ≥ 0.8,
+    // background < 0.2; measured at sf0.01). The df prune is the
+    // inverted-index scale lever: a shingle in m docs contributes
+    // O(m²) candidate pairs, so boilerplate shingles (df > DfMax) are
+    // exactly the postings that must never self-join. Re-scoring is
+    // per-pair map arithmetic over the two full count maps
+    // (map_zip_with product + integer sum), so pruned shingles still
+    // count in the SCORE; counts are integers, so dot and the squared
+    // norms are order-invariant longs and cos = dot/sqrt(n2a·n2b) is
+    // one IEEE sqrt + divide + round — bit-identical cross-engine (no
+    // float-accumulation-order risk). Recall contract (mirrored by
+    // the oracle, same discipline as dedup_semantic_cells): a pair
+    // sharing ONLY df>DfMax shingles is never a candidate. Scale
+    // shape: postings self-join shuffles on the 8-byte shingle hash
+    // with per-key fan-out bounded by DfMax²; count-map join-backs
+    // shuffle on uniform doc_id; nothing all-pairs.
+    QueryDef(
+      "dedup_sparse_cosine",
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        // multiset counterpart of NearDup.shingles∘charHash: same
+        // hash, same k, duplicates KEPT (they carry the tf weight)
+        val shingleHashes = when(size(toks) >= ShingleK,
+          transform(sequence(lit(1), size(toks) - (ShingleK - 1)),
+            i => NearDup.charHash(concat_ws(" ", slice(toks, i, lit(ShingleK))))))
+          .otherwise(array().cast("array<bigint>"))
+        val tf = docs(s, d)
+          .select(col("doc_id"), explode(shingleHashes).as("h"))
+          .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+        val rare = tf.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= SparseDfMax).select("h")
+        val posting = tf.join(rare, Seq("h")).select("h", "doc_id")
+        val cand = posting.select(col("h"), col("doc_id").as("a_id"))
+          .join(posting.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val vecs = tf.groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("h"), col("tf")))).as("vec"),
+               sum(col("tf") * col("tf")).as("n2"))
+        val dot = aggregate(
+          map_values(map_zip_with(col("__va"), col("__vb"),
+            (_, x, y) => coalesce(x, lit(0L)) * coalesce(y, lit(0L)))),
+          lit(0L), (acc, v) => acc + v)
+        cand
+          .join(vecs.select(col("doc_id").as("a_id"), col("vec").as("__va"), col("n2").as("__n2a")), Seq("a_id"))
+          .join(vecs.select(col("doc_id").as("b_id"), col("vec").as("__vb"), col("n2").as("__n2b")), Seq("b_id"))
+          .withColumn("dot", dot)
+          .withColumn("cos", round(col("dot").cast("double")
+            / sqrt((col("__n2a") * col("__n2b")).cast("double")), 6))
+          .filter(col("cos") >= SparseCosThreshold)
+          .select("a_id", "b_id", "dot", "cos")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |sh AS (SELECT doc_id, unnest(list_transform(
+              |    [array_to_string(toks[i:i+${ShingleK - 1}],' ')
+              |     for i in range(1, len(toks)-${ShingleK - 2})],
+              |    sh -> ${NearDup.Sql.charHashSql("sh")})) AS h FROM t),
+              |tf AS (SELECT doc_id, h, count(*)::BIGINT AS tf FROM sh GROUP BY 1, 2),
+              |norms AS (SELECT doc_id, sum(tf*tf) AS n2 FROM tf GROUP BY 1),
+              |rare AS (SELECT h FROM
+              |  (SELECT h, count(*) AS df FROM tf GROUP BY 1) WHERE df <= $SparseDfMax),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  JOIN rare r ON a.h = r.h),
+              |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |  CAST(sum(a.tf*b.tf) AS BIGINT) AS dot
+              |  FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT c.a_id AS a_id, c.b_id AS b_id, dot,
+              |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cos
+              |FROM cand c JOIN dots d ON c.a_id = d.a_id AND c.b_id = d.b_id
+              |JOIN norms na ON na.doc_id = c.a_id JOIN norms nb ON nb.doc_id = c.b_id
+              |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) >= $SparseCosThreshold
+              |ORDER BY c.a_id, c.b_id""".stripMargin),
+      bench = true),
 
     // ----- incremental ingest dedup: a NEW batch (including simulated
     // re-crawls — every 3rd already-ingested doc re-arrives under a

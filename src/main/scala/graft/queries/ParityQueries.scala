@@ -516,6 +516,85 @@ object ParityQueries {
              |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
              |ORDER BY rf, ls""".stripMargin)),
 
+    // ----- robust outliers via MAD (median absolute deviation): the
+    // heavy-tail-safe counterpart of w1's z-score — mean/stddev are
+    // themselves dragged by the outliers they're meant to find, while
+    // the median/MAD pair has a 50% breakdown point (Iglewicz-Hoban
+    // modified z = 0.6745·(x−med)/MAD, flag |z| > 3.5). Two exact
+    // percentile passes (same exact-percentile contract a12 proved
+    // cross-engine), each reduced to a 1-row broadcast joined back
+    // map-side — the two-pass broadcast physics of Stats.zScoreOutliers
+    // at any scale. Per-row arithmetic is one subtract/divide/round of
+    // doubles — no accumulation, so no float-order risk; the filter
+    // tests the ROUNDED value so the boundary is pinned cross-engine.
+    QueryDef(
+      "w7_mad_outliers",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val med = ev.agg(expr("percentile(value, 0.5)").as("__med"))
+        val withMed = ev.crossJoin(broadcast(med))
+        val mad = withMed
+          .agg(expr("percentile(abs(value - __med), 0.5)").as("__mad"))
+        withMed.crossJoin(broadcast(mad))
+          .withColumn("robust_z",
+            round(lit(0.6745) * (col("value") - col("__med")) / col("__mad"), 6))
+          .filter(abs(col("robust_z")) > 3.5)
+          .select(col("event_id"), col("value"), col("robust_z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+             |mad AS (SELECT quantile_cont(abs(value - (SELECT m FROM med)), 0.5) AS s
+             |        FROM events)
+             |SELECT event_id, value,
+             |  round(0.6745 * (value - (SELECT m FROM med)) / (SELECT s FROM mad), 6) AS robust_z
+             |FROM events
+             |WHERE abs(round(0.6745 * (value - (SELECT m FROM med)) / (SELECT s FROM mad), 6)) > 3.5
+             |ORDER BY event_id""".stripMargin)),
+
+    // ----- Z-order (Morton) layout key: interleave the bits of two
+    // bucketed dimensions so a RANGE of the combined key is a tight
+    // rectangle in BOTH dimensions — the multi-dimensional clustering
+    // op behind Delta OPTIMIZE ZORDER / Iceberg sort orders. At 100 TB
+    // the payoff is scan pruning: files written in zkey order carry
+    // per-file min/max ranges that are simultaneously tight on every
+    // interleaved dimension, so a conjunctive range predicate prunes
+    // files on all of them (a 1-D sort gives tight ranges on one
+    // dimension and full-span ranges on the rest). The query emits
+    // exactly that evidence: per-zkey-range "file" stats whose
+    // (min,max) windows on BOTH dims stay narrow. All-integer bit
+    // arithmetic (explicit floor before the int cast — Spark truncates
+    // double→int where DuckDB rounds, floor pins both), so the mirror
+    // is exact.
+    QueryDef(
+      "layout_zorder",
+      (s, d) => {
+        val x = floor(col("value") / 2.0d).cast("int").bitwiseAND(lit(255))
+        val y = (col("user_id") % 256).cast("int")
+        val zkey = (0 until 8).map { i =>
+          shiftleft(shiftright(col("__x"), i).bitwiseAND(lit(1)), 2 * i)
+            .bitwiseOR(
+              shiftleft(shiftright(col("__y"), i).bitwiseAND(lit(1)), 2 * i + 1))
+        }.reduce(_ bitwiseOR _)
+        t(s, d, "events")
+          .withColumn("__x", x).withColumn("__y", y)
+          .withColumn("__zkey", zkey)
+          .withColumn("zfile", shiftright(col("__zkey"), 6))
+          .groupBy("zfile")
+          .agg(count(lit(1)).as("n_rows"),
+            min("__x").as("x_min"), max("__x").as("x_max"),
+            min("__y").as("y_min"), max("__y").as("y_max"))
+          .orderBy("zfile")
+      },
+      Some(s"""WITH b AS (SELECT CAST(floor(value / 2.0) AS INT) & 255 AS x,
+              |  CAST(user_id % 256 AS INT) AS y FROM events),
+              |z AS (SELECT x, y, ${(0 until 8).map(i =>
+                  s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+                  .mkString(" | ")} AS zkey FROM b)
+              |SELECT zkey >> 6 AS zfile, count(*) AS n_rows,
+              |  min(x) AS x_min, max(x) AS x_max,
+              |  min(y) AS y_min, max(y) AS y_max
+              |FROM z GROUP BY 1 ORDER BY zfile""".stripMargin)),
+
     // ----- E27 behind the oracle gate: two-stage salted aggregation
     // must be value-identical to a direct GROUP BY (the salt only
     // changes shuffle fan-out) — DuckDB computes the direct form, so
