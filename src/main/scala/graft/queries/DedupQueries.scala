@@ -34,6 +34,16 @@ object DedupQueries {
     */
   private val SparseDfMax = 10
   private val SparseCosThreshold = 0.5
+
+  /** Minimum shared rare shingles for a candidate pair — the overlap
+    * prune on top of the df prune (AllPairs/PPJoin-family filtering).
+    * Without it the candidate set is every pair sharing ANY rare
+    * shingle — measured 436 k pairs over 5 k docs at sf0.1, quadratic
+    * in corpus density; at ≥ 3 the same corpus yields ~250. Pairs
+    * whose cosine rides on 1-2 rare shingles (+ boilerplate) are
+    * deliberately out of contract; the oracle mirrors the rule.
+    */
+  private val SparseMinShared = 3
   private lazy val mhParams = NearDup.minhashParams(MinhashK)
 
   /** doc_id + distinct shingle-hash set `hs` — the whole signature
@@ -364,11 +374,14 @@ object DedupQueries {
     // norms are order-invariant longs and cos = dot/sqrt(n2a·n2b) is
     // one IEEE sqrt + divide + round — bit-identical cross-engine (no
     // float-accumulation-order risk). Recall contract (mirrored by
-    // the oracle, same discipline as dedup_semantic_cells): a pair
-    // sharing ONLY df>DfMax shingles is never a candidate. Scale
-    // shape: postings self-join shuffles on the 8-byte shingle hash
-    // with per-key fan-out bounded by DfMax²; count-map join-backs
-    // shuffle on uniform doc_id; nothing all-pairs.
+    // the oracle, same discipline as dedup_semantic_cells): a
+    // candidate pair must share ≥ SparseMinShared rare (df ≤ DfMax)
+    // shingles — pairs riding on boilerplate-only or 1-2-shingle
+    // overlap are deliberately out of contract. Scale shape: postings
+    // self-join shuffles on the 8-byte shingle hash with per-key
+    // fan-out bounded by DfMax²; the pair-count agg is map-side
+    // combinable and collapses candidates BEFORE the count-map
+    // join-backs (uniform doc_id keys); nothing all-pairs.
     QueryDef(
       "dedup_sparse_cosine",
       (s, d) => {
@@ -379,19 +392,27 @@ object DedupQueries {
           transform(sequence(lit(1), size(toks) - (ShingleK - 1)),
             i => NearDup.charHash(concat_ws(" ", slice(toks, i, lit(ShingleK))))))
           .otherwise(array().cast("array<bigint>"))
-        val tf = docs(s, d)
+        // tracked-cached: the plan reads tf from three branches (rare
+        // dfs, postings, count-map build) and vecs from two (pair
+        // sides) — same signature-cache discipline as `hashed`
+        val tf = tracked(docs(s, d)
           .select(col("doc_id"), explode(shingleHashes).as("h"))
-          .groupBy("doc_id", "h").agg(count(lit(1)).as("tf"))
+          .groupBy("doc_id", "h").agg(count(lit(1)).as("tf")))
         val rare = tf.groupBy("h").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= SparseDfMax).select("h")
         val posting = tf.join(rare, Seq("h")).select("h", "doc_id")
+        // overlap prune: the pair count is a map-side-combinable agg,
+        // so the ≥MinShared filter collapses the candidate set before
+        // anything joins back to the full count maps
         val cand = posting.select(col("h"), col("doc_id").as("a_id"))
           .join(posting.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
           .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val vecs = tf.groupBy("doc_id")
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared"))
+          .filter(col("__shared") >= SparseMinShared)
+          .select("a_id", "b_id")
+        val vecs = tracked(tf.groupBy("doc_id")
           .agg(map_from_entries(collect_list(struct(col("h"), col("tf")))).as("vec"),
-               sum(col("tf") * col("tf")).as("n2"))
+               sum(col("tf") * col("tf")).as("n2")))
         val dot = aggregate(
           map_values(map_zip_with(col("__va"), col("__vb"),
             (_, x, y) => coalesce(x, lit(0L)) * coalesce(y, lit(0L)))),
@@ -415,9 +436,10 @@ object DedupQueries {
               |norms AS (SELECT doc_id, sum(tf*tf) AS n2 FROM tf GROUP BY 1),
               |rare AS (SELECT h FROM
               |  (SELECT h, count(*) AS df FROM tf GROUP BY 1) WHERE df <= $SparseDfMax),
-              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
               |  FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id
-              |  JOIN rare r ON a.h = r.h),
+              |  JOIN rare r ON a.h = r.h
+              |  GROUP BY 1, 2 HAVING count(*) >= $SparseMinShared),
               |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               |  CAST(sum(a.tf*b.tf) AS BIGINT) AS dot
               |  FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id
