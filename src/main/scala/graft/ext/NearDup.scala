@@ -71,6 +71,17 @@ object NearDup {
   def shingleHashSet(tokens: Column, k: Int = 3): Column =
     call_function("shingle_hash_set", tokens, lit(k))
 
+  /** Positional (non-distinct) shingle-hash LIST: one hash per
+    * shingle position, duplicates kept — the multiset/coverage
+    * counterpart of [[shingleHashSet]] (sparse-cosine tf weights,
+    * duplicated-n-gram coverage). Same hash, same k-guard.
+    */
+  def shingleHashList(tokens: Column, k: Int = 3): Column =
+    when(size(tokens) >= k,
+      transform(sequence(lit(1), size(tokens) - (k - 1)),
+        i => charHash(concat_ws(" ", slice(tokens, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Built-ins-only formulation — the reference NearDupSpec checks the
     * native expression against (distinct shingle strings → hash →
     * distinct hashes; identical to the native set up to P-collisions,
@@ -205,6 +216,13 @@ object NearDup {
 
     /** Hash set over a shingle-set column `s`. */
     def hashSet: String = s"list_transform(s, sh -> ${charHashSql("sh")})"
+
+    /** Positional (non-distinct) shingle-hash list over a `toks` list
+      * column — mirror of [[NearDup.shingleHashList]].
+      */
+    def shingleHashList(k: Int = 3): String =
+      s"list_transform([array_to_string(toks[i:i+${k - 1}],' ') " +
+        s"for i in range(1, len(toks)-${k - 2})], sh -> ${charHashSql("sh")})"
 
     def charHashSql(v: String, seed: Long = 7L): String =
       s"list_reduce(list_prepend($seed::BIGINT, " +

@@ -385,13 +385,8 @@ object DedupQueries {
     QueryDef(
       "dedup_sparse_cosine",
       (s, d) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        // multiset counterpart of NearDup.shingles∘charHash: same
-        // hash, same k, duplicates KEPT (they carry the tf weight)
-        val shingleHashes = when(size(toks) >= ShingleK,
-          transform(sequence(lit(1), size(toks) - (ShingleK - 1)),
-            i => NearDup.charHash(concat_ws(" ", slice(toks, i, lit(ShingleK))))))
-          .otherwise(array().cast("array<bigint>"))
+        val shingleHashes =
+          NearDup.shingleHashList(TextAnalysis.tokens(col("text")), ShingleK)
         // tracked-cached: the plan reads tf from three branches (rare
         // dfs, postings, count-map build) and vecs from two (pair
         // sides) — same signature-cache discipline as `hashed`
@@ -428,10 +423,8 @@ object DedupQueries {
           .orderBy("a_id", "b_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-              |sh AS (SELECT doc_id, unnest(list_transform(
-              |    [array_to_string(toks[i:i+${ShingleK - 1}],' ')
-              |     for i in range(1, len(toks)-${ShingleK - 2})],
-              |    sh -> ${NearDup.Sql.charHashSql("sh")})) AS h FROM t),
+              |sh AS (SELECT doc_id,
+              |  unnest(${NearDup.Sql.shingleHashList(ShingleK)}) AS h FROM t),
               |tf AS (SELECT doc_id, h, count(*)::BIGINT AS tf FROM sh GROUP BY 1, 2),
               |norms AS (SELECT doc_id, sum(tf*tf) AS n2 FROM tf GROUP BY 1),
               |rare AS (SELECT h FROM

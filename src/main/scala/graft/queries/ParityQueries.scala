@@ -346,6 +346,70 @@ object ParityQueries {
              |GROUP BY 1 ORDER BY r_name""".stripMargin),
       bench = true),
 
+    // ----- J6: fuzzy (edit-distance ≤ 1) key join via FastSS
+    // deletion neighborhoods — the entity-resolution join for dirty
+    // ingest keys. A "dirty" probe set is derived deterministically
+    // (every 5th customer name re-arrives with its 10th character
+    // dropped — the typo'd re-crawl, dedup_incremental's discipline
+    // applied to keys). Candidate rule: two strings within
+    // Levenshtein 1 MUST share a member of their {self} ∪
+    // 1-deletion-variant sets (equal → self; deletion/insertion →
+    // self ∈ other's variants; substitution at i → both i-deletions
+    // equal), so exploding ≤ len+1 variants per side and equi-joining
+    // on the variant finds every true pair — never a cartesian
+    // product, the FastSS trade of ×len row fan-out for an exact
+    // equi-join candidate set. Exact Levenshtein (built-in both
+    // engines, integer) re-checks candidates, so false candidates
+    // (shared variant, distance 2) drop identically. Scale: the
+    // variant join shuffles on short-string keys (fan-out ×~len both
+    // sides), re-check is per-candidate arithmetic; names differing
+    // in one digit match by design — that's the fuzzy-join semantic.
+    QueryDef(
+      "j6_fuzzy_join",
+      (s, d) => {
+        // {self} ∪ all 1-deletion variants (FastSS index at depth 1)
+        def delVariants(c: Column): Column = array_distinct(concat(
+          array(c),
+          transform(sequence(lit(1), length(c)),
+            i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, lit(1000))))))
+        val cust = t(s, d, "customer").select("c_custkey", "c_name")
+        val probes = cust.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 900000L).as("probe_id"),
+            concat(substring(col("c_name"), 1, 9),
+              substring(col("c_name"), 11, 1000)).as("probe_name"))
+        val left = probes.select(col("probe_id"), col("probe_name"),
+          explode(delVariants(col("probe_name"))).as("v"))
+        val right = cust.select(col("c_custkey"), col("c_name"),
+          explode(delVariants(col("c_name"))).as("v"))
+        left.join(right, Seq("v"))
+          .select("probe_id", "probe_name", "c_custkey", "c_name").distinct()
+          .withColumn("lev", levenshtein(col("probe_name"), col("c_name")))
+          .filter(col("lev") <= 1)
+          .groupBy("probe_id")
+          .agg(count(lit(1)).as("n_matches"),
+            min("c_custkey").as("best_custkey"),
+            min("lev").cast("long").as("best_lev"))
+          .orderBy("probe_id")
+      },
+      Some("""WITH probes AS (SELECT c_custkey + 900000 AS probe_id,
+             |    substr(c_name, 1, 9) || substr(c_name, 11) AS probe_name
+             |  FROM customer WHERE c_custkey % 5 = 0),
+             |lv AS (SELECT probe_id, probe_name, unnest(list_distinct(
+             |    list_append([substr(probe_name, 1, i-1) || substr(probe_name, i+1)
+             |      for i in range(1, len(probe_name)+1)], probe_name))) AS v FROM probes),
+             |rv AS (SELECT c_custkey, c_name, unnest(list_distinct(
+             |    list_append([substr(c_name, 1, i-1) || substr(c_name, i+1)
+             |      for i in range(1, len(c_name)+1)], c_name))) AS v FROM customer),
+             |cand AS (SELECT DISTINCT probe_id, probe_name, c_custkey, c_name
+             |  FROM lv JOIN rv USING (v)),
+             |m AS (SELECT probe_id, c_custkey,
+             |    levenshtein(probe_name, c_name) AS lev
+             |  FROM cand WHERE levenshtein(probe_name, c_name) <= 1)
+             |SELECT probe_id, count(*) AS n_matches,
+             |  CAST(min(c_custkey) AS BIGINT) AS best_custkey,
+             |  CAST(min(lev) AS BIGINT) AS best_lev
+             |FROM m GROUP BY 1 ORDER BY probe_id""".stripMargin)),
+
     // ----- J5: semi/anti join pair — existence filtering without
     // materializing the match (LeftSemi carries NO right columns and
     // stops at the first match; the anti side is the "never ordered"

@@ -43,6 +43,11 @@ object TextQueries {
     */
   private val PiiPattern = "[a-z0-9]+@[a-z]+[.][a-z]+"
 
+  /** Gram length for the duplicated-n-gram coverage signal (tx22) —
+    * 8 tokens, the published substring-dedup granularity scale.
+    */
+  private val DupGramK = 8
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- token statistics per source (token counting brief item)
@@ -387,6 +392,70 @@ object TextQueries {
               |  count(DISTINCT fp) AS n_distinct_passages,
               |  count(*) - count(DISTINCT fp) AS n_removed
               |FROM c""".stripMargin)),
+
+    // ----- cross-document duplicated-n-gram coverage: per doc, the
+    // fraction of 8-gram positions whose gram also appears in ANOTHER
+    // document — the substring-level contamination signal (Lee et
+    // al.'s dedup granularity) that passage dedup (tx13, fixed 32/24
+    // windows) quantizes away and whole-doc near-dup never sees.
+    // Per-position grams (the positional shingle-hash list, k=8) keep
+    // multiplicity, so coverage counts POSITIONS, not gram types;
+    // "duplicated" = present in ≥ 2 distinct docs (within-doc repeats
+    // are tx9's repetition signal, deliberately excluded here). The
+    // ingest plants cross-doc duplication deterministically (every
+    // 5th doc re-arrives under a fresh id — tx13's re-crawl, so the
+    // two signals are comparable on the same corpus). Scale shape:
+    // one shuffle on the 8-byte gram hash (uniform keys — counts, no
+    // pair enumeration, so no df cap needed), one on doc_id; at 100 TB
+    // both are plain uniform-key aggs over N·ntok rows. All-integer
+    // counts; the fraction is one divide+round.
+    QueryDef(
+      "tx22_dup_ngram_coverage",
+      (s, d) => {
+        val base = docs(s, d).select("doc_id", "text")
+        val ingest = base.unionAll(
+          base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+        val grams = ingest.select(col("doc_id"),
+          explode(graft.ext.NearDup.shingleHashList(
+            TextAnalysis.tokens(col("text")), DupGramK)).as("g"))
+        val perDocGram = grams.groupBy("doc_id", "g")
+          .agg(count(lit(1)).as("c"))
+        val gramDocs = perDocGram.groupBy("g")
+          .agg(count(lit(1)).as("nd"))
+        val perDoc = perDocGram.join(gramDocs, Seq("g"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_pos"),
+               sum(when(col("nd") >= 2, col("c")).otherwise(lit(0L))).as("n_dup_pos"))
+          .withColumn("dup_frac",
+            round(col("n_dup_pos").cast("double") / col("n_pos"), 6))
+        perDoc.groupBy()
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("dup_frac") >= 0.5, 1L).otherwise(0L)).as("n_flagged"),
+               round(avg("dup_frac"), 6).as("avg_dup_frac"),
+               sum("n_dup_pos").as("total_dup_pos"))
+      },
+      Some(s"""WITH ingest AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 5 = 0),
+              |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ingest),
+              |grams AS (SELECT doc_id,
+              |  unnest(${graft.ext.NearDup.Sql.shingleHashList(DupGramK)}) AS g FROM t),
+              |pdg AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2),
+              |gd AS (SELECT g, count(*)::BIGINT AS nd FROM pdg GROUP BY 1),
+              |perdoc AS (SELECT doc_id,
+              |    CAST(sum(c) AS BIGINT) AS n_pos,
+              |    CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_pos
+              |  FROM pdg JOIN gd USING (g) GROUP BY 1),
+              |scored AS (SELECT doc_id, n_pos, n_dup_pos,
+              |    round(CAST(n_dup_pos AS DOUBLE) / n_pos, 6) AS dup_frac
+              |  FROM perdoc)
+              |SELECT count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN dup_frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+              |  round(avg(dup_frac), 6) AS avg_dup_frac,
+              |  CAST(sum(n_dup_pos) AS BIGINT) AS total_dup_pos
+              |FROM scored""".stripMargin)),
 
     // ----- PII detection + scrubbing: count email-shaped substrings
     // per source and prove the redaction leaves zero residual — the
