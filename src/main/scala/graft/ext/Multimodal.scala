@@ -186,6 +186,75 @@ object Multimodal {
     }
   }
 
+  /** The two LOSSLESS JDK image codecs: decoded pixels are
+    * bit-identical to what the encoder was handed, which is what lets
+    * pixel-level features be mirrored from generator arithmetic
+    * (JPEG is lossy, GIF palette-quantizes — their decode is still
+    * real, see [[decodeDimensions]], but their pixels cannot be
+    * predicted by an oracle).
+    */
+  val losslessImageFormats: Seq[String] = Seq("png", "bmp")
+
+  /** Image fixture with PLANTED cross-codec duplicates: every 5th doc
+    * becomes an image whose pixel content is seeded by
+    * `media_id % seedMod` (collisions by design) while the CONTAINER
+    * cycles png/bmp by media_id — the same picture arrives in
+    * different file formats with different bytes, the duplicate class
+    * byte-level dedup (m1) is structurally blind to. `seedMod` must
+    * be an ODD multiple of 5 (image ids step by 5, so seeds repeat
+    * every seedMod/5 images — an odd period flips the png/bmp
+    * alternation within a seed group; a multiple of 10 would lock
+    * every group to one format and plant no cross-codec pairs).
+    */
+  def mediaWithLosslessImages(spark: SparkSession, docs: DataFrame,
+      seedMod: Long = 45L): Dataset[MediaFile] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, docs).map { m =>
+      if (m.media_id % 5 == 0) {
+        val fmt = losslessImageFormats(((m.media_id / 5) % 2).toInt)
+        val seed = m.media_id % seedMod
+        val w = 3 + (seed % 14).toInt
+        val h = 5 + (seed % 9).toInt
+        m.copy(kind = s"image/$fmt", content = syntheticImage(seed, w, h, fmt),
+          meta = m.meta + ("codec" -> fmt))
+      } else m
+    }
+  }
+
+  /** Integer pixel features from a REAL decode: per-pixel gray =
+    * ⌊(r+g+b)/3⌋, `pix_sum` = Σ gray, `pix_hash` = Σ gray·(1+y·w+x)
+    * (a position-weighted fingerprint — all longs, no mod needed:
+    * 255·(1+wh)·wh ≪ 2⁶³ at thumbnail sizes). Exact for lossless
+    * codecs, hence mirrorable from the generator arithmetic.
+    */
+  final case class PixelFeatures(media_id: Long, kind: String,
+      width: Int, height: Int, pix_sum: Long, pix_hash: Long)
+
+  def extractPixelFeatures(media: Dataset[MediaFile]): Dataset[PixelFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind.startsWith("image/")).mapPartitions { rows =>
+      rows.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.content))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var hash = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = img.getRGB(x, y)
+            val gray = (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) / 3
+            sum += gray
+            hash += gray.toLong * (1L + y.toLong * w + x)
+            x += 1
+          }
+          y += 1
+        }
+        PixelFeatures(m.media_id, m.kind, w, h, sum, hash)
+      }
+    }
+  }
+
   /** Sample rates the audio fixture cycles through — all standard
     * rates the JDK WAV reader round-trips exactly.
     */

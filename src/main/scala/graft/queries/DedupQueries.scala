@@ -382,6 +382,12 @@ object DedupQueries {
     // fan-out bounded by DfMax²; the pair-count agg is map-side
     // combinable and collapses candidates BEFORE the count-map
     // join-backs (uniform doc_id keys); nothing all-pairs.
+    // Not in the headline bench tier: each timed sample starts
+    // data-cold (clearCache per sample), and this query's cost IS the
+    // signature/count-map build — measured 10.8 s cold / 1.4-2.9 s
+    // cache-warm at sf0.1 — so benching it measures cache rebuild,
+    // not the candidate physics; PPJoin-style prefix filtering is the
+    // known next lever if the warm Σdf² pair agg ever needs cutting.
     QueryDef(
       "dedup_sparse_cosine",
       (s, d) => {
@@ -442,8 +448,7 @@ object DedupQueries {
               |FROM cand c JOIN dots d ON c.a_id = d.a_id AND c.b_id = d.b_id
               |JOIN norms na ON na.doc_id = c.a_id JOIN norms nb ON nb.doc_id = c.b_id
               |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) >= $SparseCosThreshold
-              |ORDER BY c.a_id, c.b_id""".stripMargin),
-      bench = true),
+              |ORDER BY c.a_id, c.b_id""".stripMargin)),
 
     // ----- incremental ingest dedup: a NEW batch (including simulated
     // re-crawls — every 3rd already-ingested doc re-arrives under a

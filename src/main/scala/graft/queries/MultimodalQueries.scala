@@ -118,5 +118,62 @@ object MultimodalQueries {
              |FROM s
              |GROUP BY 1, 2, 3, 4, 5
              |ORDER BY media_id""".stripMargin)),
+
+    // ----- pixel-level dedup across CONTAINERS: the same picture
+    // arrives as .png for one media_id and .bmp for another —
+    // different bytes, so m1's byte/sha dedup is structurally blind
+    // to it. The engine decodes the pixels for REAL (JDK ImageIO,
+    // lossless codecs only — the scaladoc on losslessImageFormats
+    // explains why JPEG/GIF can't be pixel-mirrored), computes
+    // integer pixel fingerprints (gray-sum + position-weighted
+    // gray-hash, exact longs), and groups identical (w, h, sum, hash)
+    // into duplicate classes; n_formats ≥ 2 rows are the cross-codec
+    // catches. The oracle never decodes an image — it re-derives every
+    // pixel from the generator arithmetic via a lateral range(w)×
+    // range(h), so decode(encode(pixels)) == identity is checked
+    // cross-engine per pixel. Scale: decode is mapPartitions at the
+    // codec boundary (the batched-UDF shape), the dedup is one
+    // uniform-key groupBy on the fingerprint — the m1 exact-dedup
+    // physics one level below the container.
+    QueryDef(
+      "m5_image_pixel_dedup",
+      (s, d) => {
+        val feats = Multimodal.extractPixelFeatures(
+          Multimodal.mediaWithLosslessImages(s, graft.sources.Tables.table(s, d, "documents")))
+        feats.toDF()
+          .groupBy("width", "height", "pix_sum", "pix_hash")
+          .agg(count(lit(1)).as("n_copies"),
+            countDistinct(col("kind")).as("n_formats"),
+            min("media_id").as("first_media_id"))
+          .filter(col("n_copies") >= 2)
+          .orderBy("first_media_id")
+      },
+      Some("""WITH imgs AS (
+             |  SELECT doc_id AS media_id, doc_id % 45 AS seed,
+             |    ['png','bmp'][CAST((doc_id // 5) % 2 AS INT) + 1] AS fmt
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |geo AS (
+             |  SELECT media_id, seed, fmt,
+             |    CAST(3 + seed % 14 AS INT) AS w, CAST(5 + seed % 9 AS INT) AS h
+             |  FROM imgs),
+             |px AS (
+             |  SELECT media_id, fmt, w, h, x.x, y.y,
+             |    (seed * 1103515245 + x.x * 12345 + y.y * 1013904223) & 16777215 AS v
+             |  FROM geo,
+             |    LATERAL (SELECT unnest(range(0, w)) AS x) x,
+             |    LATERAL (SELECT unnest(range(0, h)) AS y) y),
+             |f AS (
+             |  SELECT media_id, fmt, w, h,
+             |    CAST(sum((((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) // 3) AS BIGINT) AS pix_sum,
+             |    CAST(sum(((((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) // 3)
+             |      * (1 + y * w + x)) AS BIGINT) AS pix_hash
+             |  FROM px GROUP BY 1, 2, 3, 4)
+             |SELECT w AS width, h AS height, pix_sum, pix_hash,
+             |  count(*) AS n_copies,
+             |  CAST(count(DISTINCT fmt) AS BIGINT) AS n_formats,
+             |  CAST(min(media_id) AS BIGINT) AS first_media_id
+             |FROM f GROUP BY 1, 2, 3, 4
+             |HAVING count(*) >= 2
+             |ORDER BY first_media_id""".stripMargin)),
   )
 }

@@ -79,6 +79,36 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count(_.kind == "text/en") == 16)
   }
 
+  test("lossless codecs round-trip PIXELS exactly (the m5 oracle premise)") {
+    Multimodal.losslessImageFormats.foreach { fmt =>
+      val (seed, w, h) = (13L, 7, 6)
+      val bytes = Multimodal.syntheticImage(seed, w, h, fmt)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = ((seed * 1103515245L + x * 12345L + y * 1013904223L) & 0xffffff).toInt
+        assert((img.getRGB(x, y) & 0xffffff) == expected, s"$fmt pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("extractPixelFeatures: cross-codec duplicates share the fingerprint") {
+    val docs = (0L until 40L by 5L).map(i => (i, s"t$i", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // seedMod 15 (odd multiple of 5): seeds for ids 0,5,...,35 are
+    // 0,5,10,0,5,10,0,5 while formats alternate png/bmp — every seed
+    // group mixes containers (the property the scaladoc requires)
+    val feats = Multimodal.extractPixelFeatures(
+      Multimodal.mediaWithLosslessImages(spark, docs, seedMod = 15L)).collect()
+    assert(feats.length == 8)
+    val byFp = feats.groupBy(f => (f.width, f.height, f.pix_sum, f.pix_hash))
+    assert(byFp.size == 3, byFp.keys.toSeq.toString)
+    assert(byFp.values.map(_.length).toSeq.sorted == Seq(2, 3, 3))
+    byFp.values.foreach { g =>
+      assert(g.map(_.kind).distinct.sorted.toSeq == Seq("image/bmp", "image/png"),
+        g.map(_.kind).toSeq.toString)
+    }
+  }
+
   test("WAV audio decodes for REAL via javax.sound.sampled (mono + stereo)") {
     // mono: format + frame count + per-sample energy round-trip the encoder
     val mono = Multimodal.syntheticWav(seed = 7L, sampleRate = 16000, channels = 1, nFrames = 300)
