@@ -672,6 +672,72 @@ object ParityQueries {
       Some("""SELECT event_type, count(*) AS count FROM events
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ----- data-contract audit (the dbt-expectations shape): primary
+    // -key uniqueness, null and range checks, and referential
+    // integrity — the validation pass a production lake runs before
+    // publishing a snapshot. Each check is either a single-pass
+    // aggregate over one table (nulls/range/pk) or an orphan count
+    // via a left join against the DISTINCT parent-key set (carries
+    // only the 8-byte keys, never payload; the left join preserves
+    // the child row count so n_checked and n_violations come from the
+    // same single pass). Emitting counts-not-rows keeps
+    // the output bounded at any scale; a real deployment would gate
+    // the publish on n_violations = 0, which is exactly what the
+    // fixture asserts (all six checks clean — the audit proving
+    // cleanliness is the content).
+    QueryDef(
+      "audit_contracts",
+      (s, d) => {
+        def row(tbl: String, chk: String, checked: Column, violations: Column,
+            src: DataFrame): DataFrame =
+          src.agg(checked.as("n_checked"), violations.as("n_violations"))
+            .select(lit(tbl).as("tbl"), lit(chk).as("chk"),
+              col("n_checked"), col("n_violations"))
+        val ev = t(s, d, "events")
+        val li = t(s, d, "lineitem")
+        val ord = t(s, d, "orders")
+        val custKeys = t(s, d, "customer").select("c_custkey").distinct()
+        val ordKeys = ord.select("o_orderkey").distinct()
+        row("events", "pk_unique_event_id",
+            count(lit(1)), count(lit(1)) - countDistinct(col("event_id")), ev)
+          .unionAll(row("events", "not_null_ts",
+            count(lit(1)), count(when(col("ts").isNull, 1)), ev))
+          .unionAll(row("events", "value_non_negative",
+            count(lit(1)), count(when(col("value") < 0, 1)), ev))
+          .unionAll(row("lineitem", "quantity_range_1_50",
+            count(lit(1)),
+            count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)), li))
+          .unionAll(row("orders", "fk_custkey_in_customer",
+            count(lit(1)), count(when(col("c_custkey").isNull, 1)),
+            ord.join(custKeys, col("o_custkey") === col("c_custkey"), "left")))
+          .unionAll(row("lineitem", "fk_orderkey_in_orders",
+            count(lit(1)), count(when(col("o_orderkey").isNull, 1)),
+            li.join(ordKeys, col("l_orderkey") === col("o_orderkey"), "left")))
+          .orderBy("tbl", "chk")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'events' AS tbl, 'pk_unique_event_id' AS chk,
+             |    count(*) AS n_checked,
+             |    count(*) - count(DISTINCT event_id) AS n_violations FROM events
+             |  UNION ALL
+             |  SELECT 'events', 'not_null_ts', count(*),
+             |    count(*) FILTER (ts IS NULL) FROM events
+             |  UNION ALL
+             |  SELECT 'events', 'value_non_negative', count(*),
+             |    count(*) FILTER (value < 0) FROM events
+             |  UNION ALL
+             |  SELECT 'lineitem', 'quantity_range_1_50', count(*),
+             |    count(*) FILTER (l_quantity < 1 OR l_quantity > 50) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders', 'fk_custkey_in_customer', count(*),
+             |    count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM customer))
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'lineitem', 'fk_orderkey_in_orders', count(*),
+             |    count(*) FILTER (l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |  FROM lineitem)
+             |ORDER BY tbl, chk""".stripMargin)),
+
     // ----- Headline: TPC-H Q1-style pricing summary over lineitem
     QueryDef(
       "q1_pricing_summary",
