@@ -936,6 +936,60 @@ object TextQueries {
               |  FROM documents))
               |GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // ----- snapshot diff / change-data capture between two corpus
+    // versions: the incremental-processing primitive (Delta CDF /
+    // Iceberg changelog shape) — given yesterday's snapshot and
+    // today's crawl, classify every key as added / removed / changed /
+    // unchanged so downstream stages (dedup, embedding, indexing)
+    // reprocess ONLY the delta. Today's crawl is derived
+    // deterministically: every 11th doc disappears, every 7th
+    // (surviving) doc's text changes, every 13th re-arrives as a new
+    // id. One full-outer hash join on doc_id carrying only the
+    // 16-byte content fingerprint — never text; id_sum pins the exact
+    // per-class key SET, not just its size. At 100 TB this join IS
+    // the nightly incremental plan: uniform 8-byte key shuffle, md5
+    // payload, output bounded at four rows.
+    QueryDef(
+      "diff_snapshots",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("__fp"))
+        val newSnap = docs(s, d)
+          .filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(
+              when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))).as("__fp"))
+          .unionAll(docs(s, d).filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 800000L).as("doc_id"),
+              TextAnalysis.fingerprint(col("text")).as("__fp")))
+        base.select(col("doc_id"), col("__fp").as("__fp_old"))
+          .join(newSnap.select(col("doc_id"), col("__fp").as("__fp_new")),
+            Seq("doc_id"), "full_outer")
+          .withColumn("change",
+            when(col("__fp_old").isNull, "added")
+              .when(col("__fp_new").isNull, "removed")
+              .when(col("__fp_old") =!= col("__fp_new"), "changed")
+              .otherwise("unchanged"))
+          .groupBy("change")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+          .orderBy("change")
+      },
+      Some("""WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+             |new AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+             |  FROM documents WHERE doc_id % 11 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 800000, md5(text) FROM documents WHERE doc_id % 13 = 0)
+             |SELECT CASE WHEN o.fp IS NULL THEN 'added'
+             |    WHEN n.fp IS NULL THEN 'removed'
+             |    WHEN o.fp <> n.fp THEN 'changed' ELSE 'unchanged' END AS change,
+             |  count(*) AS n_docs,
+             |  CAST(sum(COALESCE(o.doc_id, n.doc_id)) AS BIGINT) AS id_sum
+             |FROM old o FULL OUTER JOIN new n USING (doc_id)
+             |GROUP BY 1 ORDER BY change""".stripMargin)),
+
     // ----- end-to-end training-data curation pipeline: simulated
     // re-crawl (doubled corpus) → enrich (quality score + lang-ID) →
     // quality gate → exact-dedup keep-first → per-language token
