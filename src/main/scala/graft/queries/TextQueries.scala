@@ -936,6 +936,71 @@ object TextQueries {
               |  FROM documents))
               |GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // ----- cross-source quantile normalization (score calibration):
+    // raw quality scores are not comparable across sources (each
+    // source has its own score distribution), so a single global
+    // threshold over-prunes one source and under-prunes another. The
+    // calibrated score is the WITHIN-SOURCE percent rank —
+    // (rank−1)/(n−1), ties broken on doc_id so ranks are total and
+    // the double is a ratio of exact integers (bit-identical
+    // cross-engine). The output shows the point: each source's top
+    // decile starts at a DIFFERENT raw-score threshold. Same
+    // single-shuffle window physics as tx21; the window carries
+    // (source, q, doc_id) only.
+    QueryDef(
+      "tx24_quantile_normalize",
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy(col("q"), col("doc_id"))
+        docs(s, d)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("q"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("pr") >= 0.9, 1)).as("n_top_decile"),
+            round(min(when(col("pr") >= 0.9, col("q"))), 6).as("top_decile_q_threshold"))
+          .orderBy("source")
+      },
+      Some(s"""WITH scored AS (SELECT source, doc_id, ${TS.qualityScore} AS q
+              |  FROM documents),
+              |ranked AS (SELECT source, doc_id, q,
+              |    round(percent_rank() OVER
+              |      (PARTITION BY source ORDER BY q, doc_id), 6) AS pr
+              |  FROM scored)
+              |SELECT source, count(*) AS n_docs,
+              |  count(*) FILTER (pr >= 0.9) AS n_top_decile,
+              |  round(min(q) FILTER (pr >= 0.9), 6) AS top_decile_q_threshold
+              |FROM ranked GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ----- exact-k deterministic per-group sample: rate-based
+    // sampling (the hashBucket sampler above) yields a BINOMIAL count
+    // per group; pipelines that need exactly k docs per source (eval
+    // set construction, per-domain probes) rank by a content-blind
+    // hash of the id and keep the top k — reproducible across runs
+    // and engines, no RNG. Rank-then-filter plans as WindowGroupLimit
+    // (map-side top-k BEFORE the window shuffle, tx21's physics);
+    // kept_id_sum pins the exact kept set.
+    QueryDef(
+      "sample_exact_k",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs(s, d)
+          .select(col("source"), col("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 7)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_kept,
+             |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum FROM
+             |(SELECT source, doc_id,
+             |   row_number() OVER (PARTITION BY source
+             |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             | FROM documents)
+             |WHERE rk <= 7 GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // ----- snapshot diff / change-data capture between two corpus
     // versions: the incremental-processing primitive (Delta CDF /
     // Iceberg changelog shape) — given yesterday's snapshot and
