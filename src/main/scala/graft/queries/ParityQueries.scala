@@ -672,6 +672,103 @@ object ParityQueries {
       Some("""SELECT event_type, count(*) AS count FROM events
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // ----- ordered, time-bounded funnel analysis (sequential-pattern
+    // family): of the users who ever viewed, how many clicked within
+    // 24 h AFTER their first view, and then purchased within 24 h of
+    // that click — the order + deadline constraints are what separate
+    // a funnel from three independent counts (a user who purchases
+    // before viewing, or a week later, doesn't convert: 150 → 60 → 25
+    // at sf0.01 vs 150/150/150 unbounded). Each stage is one filtered
+    // min-aggregate joined to the previous stage's per-user anchor
+    // time: user_id keys are uniform, each stage's output is ≤ |users|
+    // rows (AQE broadcasts them against the event scan), so the whole
+    // funnel is three scan+join+agg passes — no windows over the full
+    // history, no per-user event collection. Timestamp arithmetic is
+    // exact micros both engines; pcts are ratios of exact counts.
+    QueryDef(
+      "a16_funnel_stages",
+      (s, d) => {
+        val ev = t(s, d, "events").select("user_id", "event_type", "ts")
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        val n1 = s1.agg(count(lit(1)).as("n1"))
+        def stage(name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n_users"))
+            .crossJoin(broadcast(n1))
+            .select(lit(name).as("stage"), col("n_users"),
+              round(col("n_users").cast("double") / col("n1"), 6).as("pct_of_entry"))
+        stage("1_view", s1)
+          .unionAll(stage("2_click_after_view", s2))
+          .unionAll(stage("3_purchase_after_click", s3))
+          .orderBy("stage")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+             |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+             |  WHERE event_type = 'click' GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+             |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+             |  WHERE event_type = 'purchase' GROUP BY 1),
+             |n1 AS (SELECT count(*) AS n1 FROM s1)
+             |SELECT '1_view' AS stage, count(*) AS n_users,
+             |  round(CAST(count(*) AS DOUBLE) / (SELECT n1 FROM n1), 6) AS pct_of_entry
+             |FROM s1
+             |UNION ALL
+             |SELECT '2_click_after_view', count(*),
+             |  round(CAST(count(*) AS DOUBLE) / (SELECT n1 FROM n1), 6) FROM s2
+             |UNION ALL
+             |SELECT '3_purchase_after_click', count(*),
+             |  round(CAST(count(*) AS DOUBLE) / (SELECT n1 FROM n1), 6) FROM s3
+             |ORDER BY stage""".stripMargin)),
+
+    // ----- event-type co-occurrence (association/market-basket
+    // family): for every pair of event types, how many users exhibit
+    // BOTH — the support counts behind recommendation and
+    // anomaly-correlation mining. Per-user distinct types first (the
+    // "basket"), then a within-user self-join with a < b: fan-out is
+    // bounded by (distinct types choose 2) per user — with a k-type
+    // vocabulary that is ≤ k(k−1)/2 rows per user regardless of how
+    // many billion events the user has, because the DISTINCT collapses
+    // first. Two uniform shuffles (user_id, then the pair key).
+    QueryDef(
+      "a17_cooccurrence",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val baskets = ev.select("user_id", "event_type").distinct()
+        val nUsers = ev.select(countDistinct(col("user_id")).as("__n"))
+        baskets.select(col("user_id"), col("event_type").as("type_a"))
+          .join(baskets.select(col("user_id"), col("event_type").as("type_b")),
+            Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("n_users"))
+          .crossJoin(broadcast(nUsers))
+          .select(col("type_a"), col("type_b"), col("n_users"),
+            round(col("n_users").cast("double") / col("__n"), 6).as("support"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+             |n AS (SELECT count(DISTINCT user_id) AS n FROM events)
+             |SELECT a.event_type AS type_a, c.event_type AS type_b,
+             |  count(*) AS n_users,
+             |  round(CAST(count(*) AS DOUBLE) / (SELECT n FROM n), 6) AS support
+             |FROM b a JOIN b c ON a.user_id = c.user_id
+             |  AND a.event_type < c.event_type
+             |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin)),
+
     // ----- data-contract audit (the dbt-expectations shape): primary
     // -key uniqueness, null and range checks, and referential
     // integrity — the validation pass a production lake runs before
