@@ -272,5 +272,41 @@ object EventQueries {
              |             FROM events))
              | GROUP BY user_id, sid)
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ----- event-RATE anomaly detection: z-score the hourly event
+    // COUNTS (not the values — w1's shape applied one aggregation
+    // level up): ingest-pipeline monitoring's first alarm is "this
+    // hour saw 3σ more/fewer events than normal", which catches feed
+    // outages and crawler loops that per-event value outliers never
+    // see. Two-pass broadcast physics on a series whose length is
+    // hours-of-history (bounded regardless of event volume — the
+    // first agg collapses 10¹² events to |hours| rows, so the z-score
+    // pass is driver-trivial at any scale). Counts are exact longs;
+    // mean/std of a bounded series round-pinned at 6 dp.
+    QueryDef(
+      "t_rate_anomaly",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("window.start").as("ws"), col("cnt"))
+        val stats = hourly.agg(
+          avg(col("cnt").cast("double")).as("__mu"),
+          stddev_samp(col("cnt").cast("double")).as("__sd"))
+        hourly.crossJoin(broadcast(stats))
+          .withColumn("z", round((col("cnt") - col("__mu")) / col("__sd"), 6))
+          .filter(abs(col("z")) > 2.0)
+          .select("ws", "cnt", "z")
+          .orderBy("ws")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |st AS (SELECT avg(CAST(cnt AS DOUBLE)) AS mu,
+             |              stddev_samp(CAST(cnt AS DOUBLE)) AS sd FROM hourly)
+             |SELECT ws, cnt, round((cnt - mu) / sd, 6) AS z
+             |FROM hourly, st
+             |WHERE abs(round((cnt - mu) / sd, 6)) > 2.0
+             |ORDER BY ws""".stripMargin)),
   )
 }
