@@ -36,6 +36,45 @@ class TextPropertySpec extends SparkSpec {
 
   private def toks(s: String): Seq[String] = s.split(" ", -1).toSeq
 
+  test("shingleHashList == shingles∘charHash WITH duplicates kept") {
+    import graft.ext.NearDup
+    val texts = randomTexts(150, seed = 23)
+    val got = texts.toDF("text")
+      .select(NearDup.shingleHashList(split(col("text"), " "), 3).as("hl"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    // brute force: every positional 3-shingle (duplicates kept, no
+    // distinct), hashed with the shared polynomial hash
+    def polyHash(s: String): Long =
+      s.foldLeft(7L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    val expected = texts.map { t =>
+      val tk = toks(t)
+      if (tk.length < 3) Seq.empty[Long]
+      else tk.sliding(3).map(w => polyHash(w.mkString(" "))).toSeq
+    }
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"text ${i}: '${texts(i)}'")
+    }
+  }
+
+  test("map_zip_with integer dot == brute-force sparse dot") {
+    val rnd = new scala.util.Random(31)
+    val cases = (1 to 60).map { _ =>
+      def vec = (1 to rnd.nextInt(8)).map(_ =>
+        rnd.nextInt(6).toLong -> (1L + rnd.nextInt(5))).toMap
+      (vec, vec)
+    }
+    val dotExpr = aggregate(
+      map_values(map_zip_with(col("a"), col("b"),
+        (_, x, y) => coalesce(x, lit(0L)) * coalesce(y, lit(0L)))),
+      lit(0L), (acc, v) => acc + v)
+    val got = cases.toDF("a", "b").select(dotExpr.as("dot"))
+      .collect().map(_.getLong(0)).toSeq
+    val expected = cases.map { case (a, b) =>
+      a.keySet.intersect(b.keySet).toSeq.map(k => a(k) * b(k)).sum
+    }
+    assert(got == expected)
+  }
+
   test("adjacentPairs == sliding(2) brute force (incl. empty/1-token)") {
     val texts = randomTexts(200, seed = 11)
     val got = texts.toDF("text")
