@@ -734,6 +734,44 @@ object ParityQueries {
              |  round(CAST(count(*) AS DOUBLE) / (SELECT n1 FROM n1), 6) FROM s3
              |ORDER BY stage""".stripMargin)),
 
+    // ----- cohort retention (the longitudinal companion to the
+    // funnel): users grouped by first-seen ISO week, counted in each
+    // subsequent week they were active — the retention matrix behind
+    // "week-2 retention" product metrics. Two aggs: first-seen per
+    // user (collapses any event volume to |users| rows), then
+    // (user, active-week) distinct joined back to the cohort anchor —
+    // both on uniform user keys, matrix output bounded by
+    // |cohorts| × |weeks|. Week arithmetic is integer day diffs
+    // (both engines ISO-Monday truncate), so every cell is exact.
+    QueryDef(
+      "a18_cohort_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val firstSeen = ev.groupBy("user_id")
+          .agg(date_trunc("week", min("ts")).as("cohort_week"))
+        val active = ev
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .distinct()
+        active.join(firstSeen, Seq("user_id"))
+          .withColumn("weeks_since",
+            (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+          .groupBy("cohort_week", "weeks_since")
+          .agg(count(lit(1)).as("n_users"))
+          .select(to_date(col("cohort_week")).as("cohort_week"),
+            col("weeks_since"), col("n_users"))
+          .orderBy("cohort_week", "weeks_since")
+      },
+      Some("""WITH fs AS (SELECT user_id,
+             |    date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY 1),
+             |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+             |  FROM events)
+             |SELECT CAST(fs.cohort_week AS DATE) AS cohort_week,
+             |  CAST(date_diff('day', fs.cohort_week, act.week) // 7 AS BIGINT)
+             |    AS weeks_since,
+             |  count(*) AS n_users
+             |FROM act JOIN fs USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin)),
+
     // ----- event-type co-occurrence (association/market-basket
     // family): for every pair of event types, how many users exhibit
     // BOTH — the support counts behind recommendation and
