@@ -57,11 +57,14 @@ object Lloyd {
     array_min(array(scored: _*)).getField("cell")
   }
 
-  /** Integer floor division (column form): `(s − pmod(s,n)) / n` —
+  /** Integer floor division (column form): `(s − pmod(s,n)) div n` —
     * exact for negative sums, mirror of the SQL in [[Sql.floorDiv]].
+    * `div` (IntegralDivide) keeps the whole computation in exact long
+    * arithmetic; `/` would route through doubles and silently lose
+    * precision past 2⁵³.
     */
   def floorDiv(s: Column, n: Column): Column =
-    ((s - pmod(s, n)) / n).cast("long")
+    call_function("div", s - pmod(s, n), n).cast("long")
 
   /** The K smallest-vec_id quantized vectors, cell = rank order —
     * the pinned deterministic init.
@@ -90,12 +93,22 @@ object Lloyd {
     }
   }
 
-  /** R rounds of [[update]] from the smallest-vec_id seeds. */
-  def fit(emb: DataFrame, k: Int, rounds: Int): (DataFrame, Seq[Seq[Long]]) = {
-    val qdf = quantized(emb)
+  /** R rounds of [[update]] from the smallest-vec_id seeds over an
+    * already-quantized (ideally cached) `qdf`. NOTE: training is
+    * eager by nature — each round collects the K×D model state — so
+    * callers constructing a lazy DataFrame around the result should
+    * cache `qdf` first or every round re-scans the source.
+    */
+  def fitQuantized(qdf: DataFrame, k: Int, rounds: Int): Seq[Seq[Long]] = {
     var cents = seeds(qdf, k)
     for (_ <- 1 to rounds) cents = update(qdf, cents)
-    (qdf, cents)
+    cents
+  }
+
+  /** [[quantized]] + [[fitQuantized]] convenience (uncached `qdf`). */
+  def fit(emb: DataFrame, k: Int, rounds: Int): (DataFrame, Seq[Seq[Long]]) = {
+    val qdf = quantized(emb)
+    (qdf, fitQuantized(qdf, k, rounds))
   }
 
   /** DuckDB mirrors: the unrolled round structure over CTEs

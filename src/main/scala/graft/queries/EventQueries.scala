@@ -293,7 +293,13 @@ object EventQueries {
         val stats = hourly.agg(
           avg(col("cnt").cast("double")).as("__mu"),
           stddev_samp(col("cnt").cast("double")).as("__sd"))
+        // sd > 0 pinned explicitly on BOTH sides: with all-equal
+        // counts sd = 0 and 0/0 is engine-defined (Spark NaN vs
+        // DuckDB ieee_floating_point_ops setting) — the guard makes
+        // the degenerate fixture produce zero rows by construction
+        // rather than by float semantics.
         hourly.crossJoin(broadcast(stats))
+          .filter(col("__sd") > 0.0)
           .withColumn("z", round((col("cnt") - col("__mu")) / col("__sd"), 6))
           .filter(abs(col("z")) > 2.0)
           .select("ws", "cnt", "z")
@@ -306,7 +312,7 @@ object EventQueries {
              |              stddev_samp(CAST(cnt AS DOUBLE)) AS sd FROM hourly)
              |SELECT ws, cnt, round((cnt - mu) / sd, 6) AS z
              |FROM hourly, st
-             |WHERE abs(round((cnt - mu) / sd, 6)) > 2.0
+             |WHERE sd > 0 AND abs(round((cnt - mu) / sd, 6)) > 2.0
              |ORDER BY ws""".stripMargin)),
   )
 }

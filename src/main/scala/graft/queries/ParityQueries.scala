@@ -599,7 +599,13 @@ object ParityQueries {
         val withMed = ev.crossJoin(broadcast(med))
         val mad = withMed
           .agg(expr("percentile(abs(value - __med), 0.5)").as("__mad"))
+        // MAD > 0 pinned explicitly on BOTH sides: a degenerate
+        // corpus where >half the values equal the median makes
+        // MAD = 0 and 0/0 engine-defined (Spark NaN vs DuckDB's
+        // ieee_floating_point_ops) — the guard yields zero rows by
+        // construction instead.
         withMed.crossJoin(broadcast(mad))
+          .filter(col("__mad") > 0.0)
           .withColumn("robust_z",
             round(lit(0.6745) * (col("value") - col("__med")) / col("__mad"), 6))
           .filter(abs(col("robust_z")) > 3.5)
@@ -612,7 +618,8 @@ object ParityQueries {
              |SELECT event_id, value,
              |  round(0.6745 * (value - (SELECT m FROM med)) / (SELECT s FROM mad), 6) AS robust_z
              |FROM events
-             |WHERE abs(round(0.6745 * (value - (SELECT m FROM med)) / (SELECT s FROM mad), 6)) > 3.5
+             |WHERE (SELECT s FROM mad) > 0
+             |  AND abs(round(0.6745 * (value - (SELECT m FROM med)) / (SELECT s FROM mad), 6)) > 3.5
              |ORDER BY event_id""".stripMargin)),
 
     // ----- Z-order (Morton) layout key: interleave the bits of two
@@ -632,7 +639,10 @@ object ParityQueries {
     QueryDef(
       "layout_zorder",
       (s, d) => {
-        val x = floor(col("value") / 2.0d).cast("int").bitwiseAND(lit(255))
+        // pmod on the BIGINT floor BEFORE the int cast: the bucket
+        // never relies on out-of-range cast behavior (Spark's
+        // non-ANSI long→int wraps where DuckDB's CAST raises).
+        val x = pmod(floor(col("value") / 2.0d), lit(256L)).cast("int")
         val y = (col("user_id") % 256).cast("int")
         val zkey = (0 until 8).map { i =>
           shiftleft(shiftright(col("__x"), i).bitwiseAND(lit(1)), 2 * i)
@@ -649,7 +659,7 @@ object ParityQueries {
             min("__y").as("y_min"), max("__y").as("y_max"))
           .orderBy("zfile")
       },
-      Some(s"""WITH b AS (SELECT CAST(floor(value / 2.0) AS INT) & 255 AS x,
+      Some(s"""WITH b AS (SELECT CAST(((CAST(floor(value / 2.0) AS BIGINT) % 256) + 256) % 256 AS INT) AS x,
               |  CAST(user_id % 256 AS INT) AS y FROM events),
               |z AS (SELECT x, y, ${(0 until 8).map(i =>
                   s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")

@@ -472,7 +472,14 @@ object SimilarityQueries {
     QueryDef(
       "sim9_kmeans_lloyd",
       (s, d) => {
-        val (qdf, cents) = Lloyd.fit(emb(s, d), KmeansK, KmeansRounds)
+        // NOTE eager by construction: Lloyd training collects K×D
+        // model state per round, so rounds run at DataFrame-BUILD
+        // time (plan-only tooling pays for training). qdf goes
+        // through the tracked cache so the seed scan, each round,
+        // and the final plan share one materialization instead of
+        // re-scanning + re-quantizing embeddings every pass.
+        val qdf = tracked(Lloyd.quantized(emb(s, d)))
+        val cents = Lloyd.fitQuantized(qdf, KmeansK, KmeansRounds)
         val assigned = qdf.withColumn("cell", Lloyd.assignCell(col("qv"), cents))
         val upd = assigned
           .select(col("cell"), posexplode(col("qv")).as(Seq("d", "v")))

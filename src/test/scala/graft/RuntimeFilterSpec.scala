@@ -16,7 +16,8 @@ class RuntimeFilterSpec extends SparkSpec {
   import spark.implicits._
 
   test("selective dim join injects a bloom might_contain on the fact scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rtf").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_rtf")
+    val dir = dirPath.toString
     (0L until 20000L).map(i => (i, i % 400, s"v$i"))
       .toDF("fact_id", "key", "payload")
       .write.mode("overwrite").parquet(s"$dir/fact")
@@ -45,9 +46,16 @@ class RuntimeFilterSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("might_contain"),
         s"no runtime bloom filter in plan:\n${plan.take(4000)}")
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
+      // don't leak the parquet fixtures on every run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 }
