@@ -222,6 +222,107 @@ object Bench {
     } finally deleteRecursively(base)
   }
 
+  /** Stateful-streaming throughput (round-6 verdict item 4): token
+    * budget (transformWithState), interval join (stream-stream with
+    * watermark state), and fMGWS running stats had correctness specs
+    * but no throughput numbers. Each op streams a deterministic
+    * generated backlog (parquet files, `maxFilesPerTrigger`-bounded
+    * micro-batches) through `Trigger.AvailableNow` into a noop sink
+    * and reports rows/s + per-batch latency via [[streamJson]] — the
+    * same protocol as the census/docs blocks, so the three numbers
+    * are comparable. Ops run sequentially in isolated checkpoint
+    * dirs; a sub-op failure is captured per-op (one broken state
+    * operator must not zero the other two numbers).
+    */
+  def statefulStreamingBench(spark: org.apache.spark.sql.SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STATEFUL_ROWS", "200000").toInt
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_STATEFUL_FILES", "40").toInt
+    val filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_STATEFUL_FILES_PER_BATCH", "8").toInt
+    sizeProgressBuffer(spark, (nFiles + filesPerBatch - 1) / filesPerBatch)
+    val base = Files.createTempDirectory("graft_stateful_bench")
+    try {
+      // deterministic keyed backlog: 5 000 active users, event times
+      // spanning ~2.3 h (well inside every watermark horizon, so each
+      // op's state does real cross-batch work and no row is dropped
+      // as late). Click stream = 1-in-3 events, 0-2 min after the
+      // impression — the attribution shape intervalJoin exists for.
+      val t0ms = 1700000000000L
+      val events = spark.range(rows.toLong).select(
+        col("id"),
+        (col("id") % 5000).as("user_id"),
+        timestamp_millis(lit(t0ms) + (col("id") % 200000L) * 42L).as("ts"),
+        (col("id") % 997).cast("double").as("value"))
+      events.select(col("id").as("imp_id"), col("user_id").as("imp_user"),
+          col("ts").as("imp_ts"), col("value"))
+        .repartition(nFiles).write.mode("overwrite").parquet(s"$base/imp")
+      events.filter(col("id") % 3 === 0)
+        .select(col("id").as("clk_id"), col("user_id").as("clk_user"),
+          (col("ts") + expr("make_interval(0,0,0,0,0,0,30)")).as("clk_ts"))
+        .repartition(nFiles).write.mode("overwrite").parquet(s"$base/clk")
+      events.select(col("id").as("doc_id"),
+          concat(lit("src"), col("id") % 50).as("source"),
+          (lit(100L) + col("id") % 400).as("n_tokens"))
+        .repartition(nFiles).write.mode("overwrite").parquet(s"$base/docs")
+
+      def stream(dir: String) = spark.readStream
+        .schema(spark.read.parquet(s"$base/$dir").schema)
+        .option("maxFilesPerTrigger", filesPerBatch)
+        .parquet(s"$base/$dir")
+      def drive(flow: org.apache.spark.sql.DataFrame, ckpt: String,
+          inputRows: Long, outputMode: String = "append"): String = {
+        val t0 = System.nanoTime()
+        val q = flow.writeStream.format("noop")
+          .outputMode(outputMode)
+          .option("checkpointLocation", s"$base/$ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        streamJson(ckpt, inputRows, (System.nanoTime() - t0) / 1e9, Seq(q))
+      }
+      def guarded(name: String)(f: => String): String =
+        try s""""$name":${f}"""
+        catch { case scala.util.control.NonFatal(e) =>
+          s""""${name}_err":"${esc(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}""""
+        }
+
+      val clkRows = spark.read.parquet(s"$base/clk").count()
+      val joinJson = guarded("interval_join") {
+        drive(graft.stream.StreamJoins.intervalJoin(
+            stream("imp"), "imp_user", "imp_ts",
+            stream("clk"), "clk_user", "clk_ts",
+            within = "10 minutes", watermarkDelay = "10 minutes"),
+          "interval_join", rows.toLong + clkRows)
+      }
+      val budgetJson = guarded("token_budget") {
+        // transformWithState supports only the RocksDB provider
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val saved = spark.conf.getOption(key)
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import spark.implicits._
+          drive(graft.stream.TokenBudget.admit(
+              stream("docs").as[graft.stream.BudgetDoc], 500000L).toDF(),
+            "token_budget", rows.toLong)
+        } finally saved match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      }
+      val fmgwsJson = guarded("fmgws") {
+        import spark.implicits._
+        drive(graft.stream.StatefulOps.runningUserStats(
+            stream("imp").select(col("imp_user").as("user_id"),
+              col("imp_ts").as("ts"), col("value"))
+              .as[graft.stream.StatefulOps.KeyedEvent],
+            watermarkDelay = "10 minutes", inactivityTimeoutMs = 3600000L).toDF(),
+          "fmgws", rows.toLong, outputMode = "update")
+      }
+      s"{$joinJson,$budgetJson,$fmgwsJson}"
+    } finally deleteRecursively(base)
+  }
+
   /** Stress-scale block (round-4 verdict item 4): re-times the heavy
     * dedup/text queries on a COPIES×-enlarged corpus (shifted-id
     * copies — the DevStress recipe, built in-process) so
@@ -253,7 +354,13 @@ object Bench {
   def stressBench(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
     val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "8").toInt
-    val nSamples = sys.env.getOrElse("SPARK_GRAFT_STRESS_N", "3").toInt
+    // n=5 (round-7): the r6 simhash "regression" (median 2.68 → 8.93 s)
+    // reproduced at the SAME commit as 1.8-3.0 s medians across three
+    // session shapes — the tier's multi-second outliers ROAM (r6: two
+    // simhash samples; r7 repro: one minhash sample at 6.96 s, one q3
+    // sample at 5.41 s, simhash at floor). With n=3 two roaming
+    // outliers flip a median; with n=5 the median survives two.
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_STRESS_N", "5").toInt
     val names = sys.env.get("SPARK_GRAFT_STRESS_QUERIES")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq("dedup_minhash_pairs", "dedup_simhash_pairs",
@@ -299,18 +406,24 @@ object Bench {
           // checkpoint/observe paths only JIT here)
           spark.catalog.clearCache()
           SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+          def gcMs: Long = {
+            import scala.jdk.CollectionConverters._
+            java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+              .asScala.map(_.getCollectionTime.max(0L)).sum
+          }
+          val gc0 = gcMs
           val samples = (1 to nSamples).map { _ =>
             spark.catalog.clearCache()
             val t0 = System.nanoTime()
             SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
-          // chronological samples + heap to stderr (never the JSON
-          // line): the raw material for attributing a spread — a
-          // monotone drift points at accumulating state, a lone
-          // outlier at GC/compaction jitter
+          // chronological samples + heap + GC delta to stderr (never
+          // the JSON line): the raw material for attributing a spread
+          // — a monotone drift points at accumulating state, a lone
+          // outlier with gc_ms ≈ 0 at external/page-cache jitter
           val rt = Runtime.getRuntime
-          System.err.println(f"[stress] $name samples=${samples.map(s => f"$s%.2f").mkString(",")} heap_used_mb=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}")
+          System.err.println(f"[stress] $name samples=${samples.map(s => f"$s%.2f").mkString(",")} heap_used_mb=${(rt.totalMemory - rt.freeMemory) / (1 << 20)} gc_ms=${gcMs - gc0}")
           Right(samples)
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -318,6 +431,33 @@ object Bench {
         })
       }
       graft.queries.DedupQueries.releaseSignatureCache()
+      graft.queries.SimilarityQueries.releaseCaches()
+      // ANN recall at stress scale (round-6 verdict item 3): the hash
+      // oracle pins sim4/sim5 candidate geometry at sf0.01; nothing
+      // watched whether bucket/cell occupancy drift at 8× erodes
+      // result QUALITY. Recall = |ANN top-k pairs ∩ brute-force
+      // top-k pairs| / |brute| over the SAME stress corpus (identical
+      // probes and tie-breaks — sim1 is the exact baseline). Cheap:
+      // 5 probes × corpus dot products. Floor pinned at 0.9, the
+      // sf0.01 spec level; a value below floor is reported AND counted
+      // in `failed` so a silent quality regression fails the bench.
+      val RecallFloor = 0.9
+      val recalls: Seq[(String, Either[String, Double])] =
+        if (sys.env.contains("SPARK_GRAFT_STRESS_RECALL_SKIP")) Seq.empty
+        else Seq("sim4_lsh_topk", "sim5_ivf_topk").map { name =>
+          name -> (try {
+            val brute = SparkEntry.queries("sim1_topk_bruteforce")(spark, dir)
+              .select("probe_id", "vec_id")
+            val ann = SparkEntry.queries(name)(spark, dir)
+              .select("probe_id", "vec_id")
+            val hit = ann.join(brute, Seq("probe_id", "vec_id")).count()
+            val tot = brute.count()
+            Right(if (tot == 0) 1.0 else hit.toDouble / tot)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          })
+        }
       graft.queries.SimilarityQueries.releaseCaches()
       val medians = results.map { case (k, r) =>
         k -> r.map(s => s.sorted.apply(s.length / 2))
@@ -327,8 +467,65 @@ object Bench {
         "\"" + esc(k) + s"""":[${s.min},${s.max}]"""
       }.mkString("{", ",", "}")
       val total = medians.collect { case (_, Right(t)) => t }.sum
-      s"""{"copies":$copies,"n":$nSamples,"stat":"median","total_sec":$total,"queries":$qs,"spread":$spreads$errJson,"failed":$nErr}"""
+      val (recallJson, nRecallErr) =
+        if (recalls.isEmpty) ("", 0)
+        else {
+          val members = recalls.map {
+            case (k, Right(r)) => "\"" + esc(k) + "\":" + r
+            case (k, Left(_))  => "\"" + esc(k) + "\":null"
+          } :+ s""""floor":$RecallFloor"""
+          val errs = recalls.collect { case (k, Left(e)) => s"$k: $e" } ++
+            recalls.collect { case (k, Right(r)) if r < RecallFloor =>
+              s"$k recall $r below floor $RecallFloor" }
+          errs.foreach(e => System.err.println(s"[stress] RECALL ALERT $e"))
+          (s""","recall":${members.mkString("{", ",", "}")}""", errs.size)
+        }
+      s"""{"copies":$copies,"n":$nSamples,"stat":"median","total_sec":$total,"queries":$qs,"spread":$spreads$recallJson$errJson,"failed":${nErr + nRecallErr}}"""
     } finally deleteRecursively(base)
+  }
+
+  /** Cold-tier block (round-6 verdict item 2): a production dedup run
+    * is single-pass and data-cold, so for cache-building queries the
+    * COLD cost is the real cost — the headline/stress tiers' per-
+    * sample clearCache measures cold DATA but warm JIT, and
+    * dedup_sparse_cosine (whose cost IS its signature-cache build)
+    * was excluded from both, leaving the registry's slowest query
+    * with zero regression tracking. No warm-up pass, tracked caches
+    * dropped before EVERY sample; n=2 with BOTH samples reported
+    * (first ≈ truly cold JIT+data, second ≈ warm-JIT/cold-data — the
+    * spread IS the signal, so no median is taken).
+    */
+  def coldBench(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    val names = sys.env.get("SPARK_GRAFT_COLD_QUERIES")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("dedup_sparse_cosine"))
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_COLD_N", "2").toInt
+    val results = names.map { name =>
+      name -> (try {
+        val samples = (1 to nSamples).map { _ =>
+          graft.queries.DedupQueries.releaseSignatureCache()
+          graft.queries.SimilarityQueries.releaseCaches()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Right(samples)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      })
+    }
+    graft.queries.DedupQueries.releaseSignatureCache()
+    graft.queries.SimilarityQueries.releaseCaches()
+    val qs = results.map {
+      case (k, Right(s)) => "\"" + esc(k) + s"""":[${s.mkString(",")}]"""
+      case (k, Left(_))  => "\"" + esc(k) + "\":null"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) =>
+      "\"" + esc(k) + "\":\"" + esc(e) + "\"" }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    s"""{"n":$nSamples,"stat":"samples_chronological","queries":$qs$errJson,"failed":${errs.size}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -401,10 +598,26 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
+    val streamingStateful: Either[String, Option[String]] =
+      if (sys.env.contains("SPARK_GRAFT_STREAM_SKIP")) Right(None)
+      else try Right(Some(statefulStreamingBench(spark)))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     // stress-scale block: same separate-failure-domain contract
     val stress: Either[String, Option[String]] =
       if (sys.env.contains("SPARK_GRAFT_STRESS_SKIP")) Right(None)
       else try Right(Some(stressBench(spark, sfDir)))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+    // cold tier: same contract (runs last — its cache teardown must
+    // not perturb the other blocks)
+    val cold: Either[String, Option[String]] =
+      if (sys.env.contains("SPARK_GRAFT_COLD_SKIP")) Right(None)
+      else try Right(Some(coldBench(spark, sfDir)))
       catch {
         case scala.util.control.NonFatal(e) =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -423,13 +636,23 @@ object Bench {
       case Right(None)      => ""
       case Left(e)          => s""","streaming_docs_err":"${esc(e)}""""
     }
+    val streamStatefulJson = streamingStateful match {
+      case Right(Some(obj)) => s""","streaming_stateful":$obj"""
+      case Right(None)      => ""
+      case Left(e)          => s""","streaming_stateful_err":"${esc(e)}""""
+    }
     val stressJson = stress match {
       case Right(Some(obj)) => s""","stress8x":$obj"""
       case Right(None)      => ""
       case Left(e)          => s""","stress8x_err":"${esc(e)}""""
     }
+    val coldJson = cold match {
+      case Right(Some(obj)) => s""","cold":$obj"""
+      case Right(None)      => ""
+      case Left(e)          => s""","cold_err":"${esc(e)}""""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$stressJson,"sf":"${esc(sfDir)}","n":$nSamples,"stat":"median","failed":$nErr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$streamStatefulJson$stressJson$coldJson,"sf":"${esc(sfDir)}","n":$nSamples,"stat":"median","failed":$nErr}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()

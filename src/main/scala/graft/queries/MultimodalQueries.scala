@@ -175,5 +175,53 @@ object MultimodalQueries {
              |FROM f GROUP BY 1, 2, 3, 4
              |HAVING count(*) >= 2
              |ORDER BY first_media_id""".stripMargin)),
+
+    // ----- VIDEO, closing the last modality (round-6 verdict item 6):
+    // every 7th doc becomes a REAL RIFF/AVI (syntheticAvi — headers +
+    // movi + idx1, a well-formed file), demuxed by a pure-JVM RIFF
+    // walker (demuxAvi — E105's WAV container family, one level up),
+    // frame-sampled every 2nd frame, each frame decoded: DIB frames
+    // by direct pixel-layout interpretation (lossless ⇒ the oracle
+    // re-derives every pixel from generator arithmetic, m5's
+    // discipline), MJPG frames by the REAL JDK ImageIO JPEG decoder
+    // (m2's path) — lossy, so their pixel fingerprints carry the
+    // documented −1 sentinel while (width, height) still come from
+    // the actual decode and must match the generator's geometry.
+    // Scale: demux+decode is mapPartitions at the codec boundary (the
+    // batched-UDF shape); everything after is per-row arithmetic.
+    QueryDef(
+      "m6_video_frames",
+      (s, d) => Multimodal.extractVideoFrames(
+          Multimodal.mediaWithVideos(s, graft.sources.Tables.table(s, d, "documents")),
+          stride = 2)
+        .toDF()
+        .orderBy("media_id", "frame_idx"),
+      Some("""WITH v AS (
+             |  SELECT doc_id AS media_id,
+             |    CASE WHEN (doc_id // 7) % 2 = 0 THEN 'dib' ELSE 'mjpg' END AS codec,
+             |    CAST(4 + doc_id % 9 AS INT) AS w,
+             |    CAST(3 + doc_id % 6 AS INT) AS h,
+             |    3 + doc_id % 5 AS n_frames
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |fr AS (
+             |  SELECT media_id, codec, w, h, CAST(f.f AS INT) AS frame_idx,
+             |    media_id * 31 + f.f AS fseed
+             |  FROM v, LATERAL (SELECT unnest(range(0, n_frames, 2)) AS f) f),
+             |px AS (
+             |  SELECT media_id, codec, frame_idx, w, h, x.x, y.y,
+             |    (fseed * 1103515245 + x.x * 12345 + y.y * 1013904223) & 16777215 AS v
+             |  FROM fr,
+             |    LATERAL (SELECT unnest(range(0, w)) AS x) x,
+             |    LATERAL (SELECT unnest(range(0, h)) AS y) y),
+             |f AS (
+             |  SELECT media_id, codec, frame_idx, w, h,
+             |    CAST(sum((((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) // 3) AS BIGINT) AS ps,
+             |    CAST(sum(((((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) // 3)
+             |      * (1 + y * w + x)) AS BIGINT) AS ph
+             |  FROM px GROUP BY 1, 2, 3, 4, 5)
+             |SELECT media_id, frame_idx, codec, w AS width, h AS height,
+             |  CASE WHEN codec = 'mjpg' THEN -1 ELSE ps END AS pix_sum,
+             |  CASE WHEN codec = 'mjpg' THEN -1 ELSE ph END AS pix_hash
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
   )
 }

@@ -410,6 +410,91 @@ object ParityQueries {
              |  CAST(min(lev) AS BIGINT) AS best_lev
              |FROM m GROUP BY 1 ORDER BY probe_id""".stripMargin)),
 
+    // ----- J6b: fuzzy join at edit distance ≤ 2 — FastSS depth-2
+    // deletion neighborhoods (round-6 verdict item 5). Real entity
+    // resolution on dirty keys usually needs lev ≤ 2 (a typo plus a
+    // dropped character); the depth-1 index above structurally cannot
+    // see those pairs. Completeness at depth 2 is the same FastSS
+    // argument one level up: if lev(a,b) ≤ 2 there is an alignment
+    // with ≤ 2 edits, and deleting the edited positions on each side
+    // (≤ 2 deletions per side) lands both strings on a COMMON member
+    // of their depth-≤2 deletion sets — so the equi-join on variants
+    // finds every true pair, and the exact integer Levenshtein
+    // re-check drops false candidates identically on both engines.
+    // The blow-up trade documented: per key of length n the variant
+    // set grows from n+1 (depth 1) to 1 + n + n(n−1)/2 — ×~9 for the
+    // 18-char names here (19 → 172) — which buys candidate exactness
+    // at distance 2 while staying an equi-join (never a cartesian).
+    // Probes re-arrive with TWO characters dropped (positions 4 and
+    // 10), so the true match is only reachable at distance 2.
+    QueryDef(
+      "j6b_fuzzy_join_d2",
+      (s, d) => {
+        // {self} ∪ 1-deletion ∪ 2-deletion variants (FastSS depth 2);
+        // 2-deletions enumerated as ordered position pairs i<j over
+        // the ORIGINAL string. Guarded for n<2 — Spark's sequence()
+        // runs DESCENDING when start>stop, which would fabricate
+        // variants for 1-char keys.
+        def delVariants2(c: Column): Column = {
+          val n = length(c)
+          val d1 = transform(sequence(lit(1), n),
+            i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, lit(1000))))
+          val d2 = when(n >= 2, flatten(
+            transform(sequence(lit(1), n - 1), i =>
+              transform(sequence(i + 1, n), j =>
+                concat(c.substr(lit(1), i - 1),
+                  c.substr(i + 1, j - i - 1),
+                  c.substr(j + 1, lit(1000))))))
+          ).otherwise(array().cast("array<string>"))
+          array_distinct(concat(array(c), d1, d2))
+        }
+        val cust = t(s, d, "customer").select("c_custkey", "c_name")
+        val probes = cust.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 800000L).as("probe_id"),
+            concat(substring(col("c_name"), 1, 3),
+              substring(col("c_name"), 5, 5),
+              substring(col("c_name"), 11, 1000)).as("probe_name"))
+        val left = probes.select(col("probe_id"), col("probe_name"),
+          explode(delVariants2(col("probe_name"))).as("v"))
+        val right = cust.select(col("c_custkey"), col("c_name"),
+          explode(delVariants2(col("c_name"))).as("v"))
+        left.join(right, Seq("v"))
+          .select("probe_id", "probe_name", "c_custkey", "c_name").distinct()
+          .withColumn("lev", levenshtein(col("probe_name"), col("c_name")))
+          .filter(col("lev") <= 2)
+          .groupBy("probe_id")
+          .agg(count(lit(1)).as("n_matches"),
+            min("c_custkey").as("best_custkey"),
+            min("lev").cast("long").as("best_lev"))
+          .orderBy("probe_id")
+      },
+      Some("""WITH probes AS (SELECT c_custkey + 800000 AS probe_id,
+             |    substr(c_name, 1, 3) || substr(c_name, 5, 5) || substr(c_name, 11) AS probe_name
+             |  FROM customer WHERE c_custkey % 7 = 0),
+             |lv AS (SELECT probe_id, probe_name, unnest(list_distinct(list_concat(list_concat(
+             |    [probe_name],
+             |    [substr(probe_name, 1, i-1) || substr(probe_name, i+1)
+             |      for i in range(1, len(probe_name)+1)]),
+             |    flatten([[substr(probe_name, 1, i-1) || substr(probe_name, i+1, j-i-1) || substr(probe_name, j+1)
+             |      for j in range(i+1, len(probe_name)+1)] for i in range(1, len(probe_name))])))) AS v
+             |  FROM probes),
+             |rv AS (SELECT c_custkey, c_name, unnest(list_distinct(list_concat(list_concat(
+             |    [c_name],
+             |    [substr(c_name, 1, i-1) || substr(c_name, i+1)
+             |      for i in range(1, len(c_name)+1)]),
+             |    flatten([[substr(c_name, 1, i-1) || substr(c_name, i+1, j-i-1) || substr(c_name, j+1)
+             |      for j in range(i+1, len(c_name)+1)] for i in range(1, len(c_name))])))) AS v
+             |  FROM customer),
+             |cand AS (SELECT DISTINCT probe_id, probe_name, c_custkey, c_name
+             |  FROM lv JOIN rv USING (v)),
+             |m AS (SELECT probe_id, c_custkey,
+             |    levenshtein(probe_name, c_name) AS lev
+             |  FROM cand WHERE levenshtein(probe_name, c_name) <= 2)
+             |SELECT probe_id, count(*) AS n_matches,
+             |  CAST(min(c_custkey) AS BIGINT) AS best_custkey,
+             |  CAST(min(lev) AS BIGINT) AS best_lev
+             |FROM m GROUP BY 1 ORDER BY probe_id""".stripMargin)),
+
     // ----- J5: semi/anti join pair — existence filtering without
     // materializing the match (LeftSemi carries NO right columns and
     // stops at the first match; the anti side is the "never ordered"

@@ -169,6 +169,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out == ((1L, 25, 4, 40)))
   }
 
+  test("syntheticAvi/demuxAvi round-trip: DIB pixels exact, MJPG decodes for REAL") {
+    // DIB: lossless — demuxed frame bytes must BE the generated rows,
+    // and the pixel fingerprints must equal direct generator sums
+    val dib = Multimodal.syntheticAvi(seed = 21L, w = 5, h = 4, nFrames = 4, codec = "DIB ")
+    val (dw, dh, dcodec, dframes) = Multimodal.demuxAvi(dib)
+    assert((dw, dh, dcodec, dframes.length) == ((5, 4, "DIB ", 4)))
+    assert(dframes(2).sameElements(Multimodal.dibFrame(21L * 31 + 2, 5, 4)))
+    // MJPG: every frame is a real JPEG the JDK decoder reads at the
+    // generated geometry
+    val mjpg = Multimodal.syntheticAvi(seed = 14L, w = 7, h = 3, nFrames = 3, codec = "MJPG")
+    val (mw, mh, mcodec, mframes) = Multimodal.demuxAvi(mjpg)
+    assert((mw, mh, mcodec, mframes.length) == ((7, 3, "MJPG", 3)))
+    mframes.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 7 && img.getHeight == 3)
+    }
+    // malformed bytes follow the (0,0,"",empty) error contract
+    assert(Multimodal.demuxAvi("not an avi".getBytes) == ((0, 0, "", Seq.empty)))
+  }
+
+  test("extractVideoFrames: distributed demux, stride sampling, DIB fingerprints exact") {
+    val docs = Seq(
+      (0L, "t0", "en", "web"), (7L, "t7", "en", "web"), (14L, "t14", "de", "web"),
+      (3L, "t3", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Multimodal.extractVideoFrames(
+      Multimodal.mediaWithVideos(spark, docs), stride = 2).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    // ids 0, 7, 14 are videos (every 7th); id 0 and 14 are DIB
+    // ((id/7)%2==0), 7 is MJPG; nFrames = 3+id%5 sampled at stride 2
+    assert(out.map(_.media_id).distinct.toSeq == Seq(0L, 7L, 14L))
+    val by = out.groupBy(_.media_id)
+    assert(by(0L).map(_.frame_idx).toSeq == Seq(0, 2)) // 3 frames
+    assert(by(7L).map(_.frame_idx).toSeq == Seq(0, 2, 4)) // 5 frames
+    assert(by(0L).forall(f => f.codec == "dib" && f.width == 4 && f.height == 3))
+    assert(by(7L).forall(f => f.codec == "mjpg" && f.width == 11 && f.height == 4
+      && f.pix_sum == -1L && f.pix_hash == -1L))
+    // DIB fingerprint equals the direct generator-arithmetic sum
+    val f2 = by(0L).find(_.frame_idx == 2).get
+    var sum = 0L; var hash = 0L
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val v = (0L * 31 + 2) * 1103515245L + x * 12345L + y * 1013904223L
+      val rgb = (v & 0xffffff).toInt
+      val gray = (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+      sum += gray; hash += gray.toLong * (1L + y.toLong * 4 + x)
+    }
+    assert(f2.pix_sum == sum && f2.pix_hash == hash)
+  }
+
   test("SinkReset truncates and recreates all 8 sink tables (S6)") {
     val root = java.nio.file.Files.createTempDirectory("graft_reset").toString
     val sink = new ParquetSnapshotSink(root)
