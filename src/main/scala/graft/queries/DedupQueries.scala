@@ -487,5 +487,64 @@ object DedupQueries {
              |ANTI JOIN corpus ON md5(ingest.text) = md5(corpus.text)
              |GROUP BY 1 ORDER BY source""".stripMargin),
       bench = true),
+
+    // ----- incremental NEAR-dup: new arrivals vs an existing corpus
+    // (dedup_incremental's history discipline applied to the banded
+    // near-dup class; the batch analog of stream/StreamingNearDup).
+    // The asymmetric split is the scale win over the all-pairs query:
+    // candidates are (arrival × history) band collisions only —
+    // arrival-side band keys join against the history index, so daily
+    // work is O(Δ·bands) shuffle regardless of corpus size, and the
+    // history side is exactly the pre-computed signature index a
+    // production pipeline keeps materialized between runs. Per
+    // arrival the output is the dedup DECISION (match count, first
+    // matched history doc, best Jaccard) — what an admission gate
+    // consumes — not the raw pair list.
+    QueryDef(
+      "dedup_incremental_near",
+      (s, d) => {
+        val base = hashed(docs(s, d))
+        val sig = base.select(col("doc_id"),
+          NearDup.minhashSigs(col("hs"), MinhashK).as("ms"))
+        val bandArr = array((0 until NumBands).map { j =>
+          struct(lit(j).as("band"),
+            get(col("ms"), lit(j * BandR)).as("h1"),
+            get(col("ms"), lit(j * BandR + 1)).as("h2"))
+        }: _*)
+        val idx = sig.select(col("doc_id"), explode(bandArr).as("tb"))
+          .select(col("doc_id"), col("tb.band").as("band"),
+            col("tb.h1").as("h1"), col("tb.h2").as("h2"))
+        val cand = idx.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id").as("new_id"), col("band"), col("h1"), col("h2"))
+          .join(idx.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id").as("hist_id"), col("band"), col("h1"), col("h2")),
+            Seq("band", "h1", "h2"))
+          .select("new_id", "hist_id").distinct()
+        val sets = base.select(col("doc_id"), col("hs"))
+        cand
+          .join(sets.select(col("doc_id").as("new_id"), col("hs").as("hs_n")), Seq("new_id"))
+          .join(sets.select(col("doc_id").as("hist_id"), col("hs").as("hs_h")), Seq("hist_id"))
+          .select(col("new_id"), col("hist_id"),
+            round(NearDup.jaccardSorted(col("hs_n"), col("hs_h")), 6).as("jac"))
+          .filter(col("jac") >= JacThreshold)
+          .groupBy("new_id")
+          .agg(count(lit(1)).as("n_matches"),
+            min("hist_id").as("first_match"),
+            max("jac").as("best_jac"))
+          .orderBy("new_id")
+      },
+      Some(s"""$SqlBase,
+              |sig AS (SELECT doc_id, hs, ${NearDup.Sql.minhashCols(mhParams)} FROM h),
+              |m AS (
+              |  SELECT a.doc_id AS new_id, b.doc_id AS hist_id,
+              |    round(${NearDup.Sql.jaccardSql("a.hs", "b.hs")}, 6) AS jac
+              |  FROM sig a JOIN sig b
+              |    ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+              |   AND (${NearDup.Sql.bandEq(MinhashK, BandR)})
+              |  WHERE round(${NearDup.Sql.jaccardSql("a.hs", "b.hs")}, 6) >= $JacThreshold)
+              |SELECT new_id, CAST(count(*) AS BIGINT) AS n_matches,
+              |  CAST(min(hist_id) AS BIGINT) AS first_match,
+              |  max(jac) AS best_jac
+              |FROM m GROUP BY 1 ORDER BY new_id""".stripMargin)),
   )
 }

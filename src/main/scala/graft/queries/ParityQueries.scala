@@ -422,8 +422,11 @@ object ParityQueries {
     // finds every true pair, and the exact integer Levenshtein
     // re-check drops false candidates identically on both engines.
     // The blow-up trade documented: per key of length n the variant
-    // set grows from n+1 (depth 1) to 1 + n + n(n−1)/2 — ×~9 for the
-    // 18-char names here (19 → 172) — which buys candidate exactness
+    // set grows from n+1 (depth 1) to 1 + n + n(n−1)/2 — ×9.05
+    // theoretical for the 18-char names here (19 → 172), ×~6.2
+    // measured after per-key distinct (digit runs make many
+    // 2-deletions coincide; FuzzyJoinPlanSpec locks the band) —
+    // which buys candidate exactness
     // at distance 2 while staying an equi-join (never a cartesian).
     // Probes re-arrive with TWO characters dropped (positions 4 and
     // 10), so the true match is only reachable at distance 2.
