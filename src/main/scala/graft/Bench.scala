@@ -224,15 +224,15 @@ object Bench {
 
   /** Stateful-streaming throughput (round-6 verdict item 4): token
     * budget (transformWithState), interval join (stream-stream with
-    * watermark state), and fMGWS running stats had correctness specs
-    * but no throughput numbers. Each op streams a deterministic
+    * watermark state), fMGWS running stats, and (round 7) streaming
+    * near-dup detection. Each op streams a deterministic
     * generated backlog (parquet files, `maxFilesPerTrigger`-bounded
     * micro-batches) through `Trigger.AvailableNow` into a noop sink
     * and reports rows/s + per-batch latency via [[streamJson]] — the
     * same protocol as the census/docs blocks, so the three numbers
     * are comparable. Ops run sequentially in isolated checkpoint
     * dirs; a sub-op failure is captured per-op (one broken state
-    * operator must not zero the other two numbers).
+    * operator must not zero the other numbers).
     */
   def statefulStreamingBench(spark: org.apache.spark.sql.SparkSession): String = {
     import org.apache.spark.sql.functions._
@@ -265,6 +265,18 @@ object Bench {
           concat(lit("src"), col("id") % 50).as("source"),
           (lit(100L) + col("id") % 400).as("n_tokens"))
         .repartition(nFiles).write.mode("overwrite").parquet(s"$base/docs")
+      // near-dup backlog: 95% of docs are 12 globally-unique tokens
+      // (zero shared shingles — the no-collision fast path the
+      // signature cost dominates); 5% are template re-crawls drawn
+      // from 97 template classes, so collision output is bounded at
+      // ~rows×0.05×bands regardless of backlog size.
+      val tmplText = concat_ws(" ", (0 until 12).map(p =>
+        concat(lit("w"), ((col("id") % 97L) * 12 + p).cast("string"))): _*)
+      val uniqText = concat_ws(" ", (0 until 12).map(p =>
+        concat(lit("u"), (col("id") * 12 + p).cast("string"))): _*)
+      events.select(col("id").as("doc_id"), col("ts"),
+          when(col("id") % 20 === 0, tmplText).otherwise(uniqText).as("text"))
+        .repartition(nFiles).write.mode("overwrite").parquet(s"$base/ndocs")
 
       def stream(dir: String) = spark.readStream
         .schema(spark.read.parquet(s"$base/$dir").schema)
@@ -319,7 +331,12 @@ object Bench {
             watermarkDelay = "10 minutes", inactivityTimeoutMs = 3600000L).toDF(),
           "fmgws", rows.toLong, outputMode = "update")
       }
-      s"{$joinJson,$budgetJson,$fmgwsJson}"
+      val nearDupJson = guarded("near_dup") {
+        drive(graft.stream.StreamingNearDup.detect(
+            stream("ndocs"), "ts", watermarkDelay = "10 minutes").toDF(),
+          "near_dup", rows.toLong)
+      }
+      s"{$joinJson,$budgetJson,$fmgwsJson,$nearDupJson}"
     } finally deleteRecursively(base)
   }
 

@@ -72,6 +72,7 @@ object StreamingNearDup {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (bucket: String, rows: Iterator[BandHit], state: GroupState[BucketState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (rows.isEmpty) Iterator.empty
           else {
             // deterministic within-batch order: smallest doc_id first,
             // so the batch-1 "first arrival" is reproducible
@@ -86,7 +87,13 @@ object StreamingNearDup {
               hit
             }
             state.update(s)
-            state.setTimeoutTimestamp(s.lastMs + stateTtlMs)
+            // TTL past the last hit, clamped ahead of the watermark: a
+            // bucket whose lastMs + TTL already fell behind (possible
+            // when one micro-batch spans hours of event time) is
+            // "already expired" — evict at the next trigger rather
+            // than throw on a timeout in the past.
+            state.setTimeoutTimestamp(math.max(s.lastMs + stateTtlMs,
+              state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }
