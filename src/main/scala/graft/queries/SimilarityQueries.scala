@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Lloyd, Similarity}
+import graft.ext.{Lloyd, Pq, PqModel, Similarity}
 
 /** Similarity-search query surface over `embeddings` (64-dim float
   * vectors; round-1 verdict item "similarity search").
@@ -517,5 +517,39 @@ object SimilarityQueries {
               |FROM c${KmeansRounds + 1} LEFT JOIN members
               |  ON c${KmeansRounds + 1}.cell = members.cell
               |GROUP BY 1, 2 ORDER BY cell""".stripMargin)),
+
+    // ----- product-quantization ADC top-k: the memory-compression ANN
+    // path (IVF prunes WHICH vectors to score; PQ compresses WHAT is
+    // stored — 4 byte codes vs 64 floats per vector, 64×, which is
+    // what lets billion-vector code tables stay executor-resident at
+    // 100 TB). Corpus encode is map-side against plan-literal integer
+    // codebooks (pinned offline artifact graft.ext.PqModel — Lloyd per
+    // subspace, regenerated by DevFitPq); serving builds a per-probe
+    // M×K integer LUT and every stored vector costs M element_at
+    // lookups, not a D-dim dot product. All-integer pipeline
+    // (quantize → encode argmin → LUT → ADC sum → rank) ⇒ the oracle
+    // replays it bit-exactly from the same VALUES literals, so the
+    // approximation GEOMETRY itself is hash-verified; PqSpec pins the
+    // recall-vs-exact floor and the exact-re-rank recovery contract.
+    QueryDef(
+      "sim10_pq_adc_topk",
+      (s, d) => {
+        val qdf = Lloyd.quantized(emb(s, d))
+        val probes = qdf.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("qv").as("probe_qv"))
+        Pq.topK(qdf, probes, PqModel.codebooks, PqModel.subDim, k = 5)
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""WITH ${Pq.Sql.base(PqModel.codebooks, Dim, PqModel.subDim)},
+              |lut AS (SELECT vec_id AS probe_id, m, j, ds FROM dist WHERE vec_id < 5),
+              |adc AS (SELECT l.probe_id, e.vec_id, CAST(sum(l.ds) AS BIGINT) AS adc_dist
+              |  FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.code
+              |  WHERE e.vec_id <> l.probe_id
+              |  GROUP BY 1, 2)
+              |SELECT probe_id, vec_id, adc_dist, rk FROM (
+              |  SELECT probe_id, vec_id, adc_dist,
+              |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS rk
+              |  FROM adc) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin),
+      bench = true),
   )
 }

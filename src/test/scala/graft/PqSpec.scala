@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Lloyd, Pq, PqModel}
+
+/** PQ quality contract: the hash oracle pins the ADC geometry
+  * cross-engine; this spec pins its QUALITY against the exact metric
+  * the approximation targets (integer L2 on the quantized vectors —
+  * same space the codebooks live in).
+  *
+  *  - recall@5: fraction of exact-L2 top-5 recovered by ADC top-5
+  *    directly (the no-re-rank floor);
+  *  - re-rank recovery: exact re-rank of the ADC top-20 candidate set
+  *    must recover (almost) all of exact top-5 — the production
+  *    serving shape (ADC scan → shortlist → exact re-rank), where PQ
+  *    only has to keep true neighbors in the shortlist, not rank them.
+  */
+class PqSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+  private val NumProbes = 20
+  private val K = 5
+  private val Shortlist = 40
+
+  private def exactTopK(qdf: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val dist = aggregate(
+      zip_with(col("qv"), col("probe_qv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("probe_id").orderBy(col("dist"), col("vec_id"))
+    qdf.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("probe_id", "vec_id")
+  }
+
+  test("codes are in range; one code per (vector, subspace)") {
+    val qdf = Lloyd.quantized(
+      graft.sources.Tables.table(spark, sf, "embeddings"))
+    val enc = Pq.encode(qdf, PqModel.codebooks, PqModel.subDim)
+    val n = qdf.count()
+    assert(enc.count() == n * PqModel.numSubspaces)
+    val bad = enc.filter(
+      col("code") < 0 || col("code") >= PqModel.codebookSize).count()
+    assert(bad == 0L)
+  }
+
+  test("ADC recall@5 and exact-re-rank recovery vs exact integer L2") {
+    val qdf = Lloyd.quantized(
+      graft.sources.Tables.table(spark, sf, "embeddings")).cache()
+    try {
+      val probes = qdf.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("qv").as("probe_qv"))
+      val exact = exactTopK(qdf, probes, K).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val adc5 = Pq.topK(qdf, probes, PqModel.codebooks, PqModel.subDim, K)
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & adc5).size.toDouble / exact.size
+      info(f"ADC recall@$K = $recall%.3f")
+
+      // production shape: ADC shortlist → exact re-rank
+      val shortlist = Pq.topK(qdf, probes, PqModel.codebooks, PqModel.subDim,
+          Shortlist).select("probe_id", "vec_id")
+      val dist = aggregate(
+        zip_with(col("qv"), col("probe_qv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+      val w = Window.partitionBy("probe_id").orderBy(col("dist"), col("vec_id"))
+      val rr = shortlist
+        .join(qdf, Seq("vec_id"))
+        .join(probes, Seq("probe_id"))
+        .withColumn("dist", dist)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recovery = (exact & rr).size.toDouble / exact.size
+      info(f"exact-re-rank recovery@$K from ADC top-$Shortlist = $recovery%.3f")
+
+      // measured on this corpus/model: recall 0.49, recovery 0.99
+      // (synthetic near-random 64-dim data is PQ's worst case — no
+      // low intrinsic dimension to exploit; real text embeddings sit
+      // far above this floor). The floors catch a silently degraded
+      // codebook artifact or a broken encode/ADC change.
+      assert(recall >= 0.40, f"ADC recall@$K $recall%.3f below floor 0.40")
+      assert(recovery >= 0.95,
+        f"re-rank recovery@$K $recovery%.3f below floor 0.95")
+    } finally qdf.unpersist()
+  }
+}
