@@ -92,6 +92,41 @@ object Bpe {
       .orderBy("merge_round")
   }
 
+  /** ENCODE with an already-trained merge list (the serving side of
+    * tokenization — [[train]] is the offline fit, this is what a
+    * pipeline runs per document): widen separators once, pad once,
+    * apply every merge in training order as a literal replace, unpad.
+    * Single-pass greedy application per merge, identical left-to-right
+    * semantics both engines (the [[train]] scaladoc's replace
+    * argument). Returns the double-space-separated symbol string;
+    * `split(_, "  ")` gives the token sequence. Pure map-side — the
+    * merge list is a plan literal, nothing shuffles.
+    */
+  def encodeCol(text: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val widened = call_function("replace", text, lit(" "), lit("  "))
+    val padded = concat(lit(" "), widened, lit(" "))
+    val applied = merges.foldLeft(padded) { case (c, (l, r)) =>
+      call_function("replace", c, lit(s" $l  $r "), lit(s" $l $r "))
+    }
+    applied.substr(lit(2), length(applied) - 2)
+  }
+
+  /** SQL escape for merge-token literals. */
+  private def q(s: String): String = s.replace("'", "''")
+
+  /** DuckDB mirror of [[encodeCol]] as a scalar expression over
+    * `textExpr`.
+    */
+  def encodeSql(textExpr: String, merges: Seq[(String, String)]): String = {
+    val widened = s"replace($textExpr, ' ', '  ')"
+    val padded = s"(' ' || $widened || ' ')"
+    val applied = merges.foldLeft(padded) { case (e, (l, r)) =>
+      s"replace($e, ' ${q(l)}  ${q(r)} ', ' ${q(l)} ${q(r)} ')"
+    }
+    s"substring($applied, 2, len($applied) - 2)"
+  }
+
   /** Unrolled DuckDB mirror: d0 widens separators exactly like the
     * Spark side, then each round is (pair-count CTE with the same
     * ORDER BY cnt DESC, l, r LIMIT 1 tie-break) + (padded literal

@@ -971,6 +971,41 @@ object ParityQueries {
              |  FROM lineitem)
              |ORDER BY tbl, chk""".stripMargin)),
 
+    // ----- k-anonymity audit (privacy-risk companion to
+    // audit_contracts; the re-identification check a dataset passes
+    // before leaving a trust boundary): group rows into equivalence
+    // classes over a quasi-identifier tuple (nation, market segment,
+    // account-balance bucket) and emit the class-SIZE histogram — the
+    // dataset's k-anonymity is the first row's class_size (the
+    // smallest class), rows in small classes are the
+    // re-identification risk surface, and publishing gates on
+    // "no class smaller than k". One uniform shuffle on the quasi-key
+    // (map-side partial count), then a histogram agg over |classes|
+    // rows; output bounded by the number of DISTINCT class sizes at
+    // any data scale. The balance bucket is floor(x/1000.0) on
+    // DOUBLE — identical IEEE op both engines, CAST to BIGINT within
+    // range by construction (TPC-H acctbal ∈ [-999.99, 9999.99]).
+    QueryDef(
+      "audit_k_anonymity",
+      (s, d) => {
+        val cls = t(s, d, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+          .agg(count(lit(1)).as("sz"))
+        cls.groupBy("sz")
+          .agg(count(lit(1)).as("n_classes"), sum("sz").as("n_rows"))
+          .select(col("sz").as("class_size"), col("n_classes"), col("n_rows"))
+          .orderBy("class_size")
+      },
+      Some("""WITH cls AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             |    count(*) AS sz
+             |  FROM customer GROUP BY 1, 2, 3)
+             |SELECT sz AS class_size, count(*) AS n_classes,
+             |  CAST(sum(sz) AS BIGINT) AS n_rows
+             |FROM cls GROUP BY 1 ORDER BY class_size""".stripMargin)),
+
     // ----- Headline: TPC-H Q1-style pricing summary over lineitem
     QueryDef(
       "q1_pricing_summary",

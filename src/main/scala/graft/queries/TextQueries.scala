@@ -182,6 +182,44 @@ object TextQueries {
       (s, d) => graft.ext.Bpe.trainDF(s, docs(s, d), "text", 6),
       Some(graft.ext.Bpe.trainSql(6))),
 
+    // ----- BPE ENCODE with the pinned merge list (the serving side
+    // tx8b's training feeds — what a pipeline actually runs per
+    // document to budget sequence tokens): apply graft.ext.BpeModel's
+    // merges in training order as literal replaces (single-pass
+    // greedy, identical left-to-right semantics both engines — the
+    // Bpe.train scaladoc's argument), then count symbols. Pure
+    // map-side per doc (merge list is a plan literal, nothing
+    // shuffles before the per-source agg); output bounded by
+    // |sources|. Compression = bpe/raw tokens — the number a token
+    // -budget planner consumes.
+    QueryDef(
+      "tx25_bpe_encode",
+      (s, d) => {
+        val enc = docs(s, d).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("raw_toks"),
+          size(split(
+            graft.ext.Bpe.encodeCol(col("text"), graft.ext.BpeModel.merges),
+            "  ")).cast("long").as("bpe_toks"))
+        enc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("raw_toks").as("raw_tokens"),
+            sum("bpe_toks").as("bpe_tokens"),
+            round(sum("bpe_toks").cast("double") / sum("raw_toks"), 6)
+              .as("compression"))
+          .orderBy("source")
+      },
+      Some(s"""WITH e AS (SELECT source,
+              |  len(string_split(text, ' ')) AS raw_toks,
+              |  len(string_split(${graft.ext.Bpe.encodeSql("text",
+                   graft.ext.BpeModel.merges)}, '  ')) AS bpe_toks
+              |FROM documents)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(raw_toks) AS BIGINT) AS raw_tokens,
+              |  CAST(sum(bpe_toks) AS BIGINT) AS bpe_tokens,
+              |  round(CAST(sum(bpe_toks) AS DOUBLE) / sum(raw_toks), 6)
+              |    AS compression
+              |FROM e GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // ----- Gopher/C4-style repetition filter: per-doc repeated-token
     // and repeated-2-gram ratios (boilerplate/looped-phrase signal),
     // aggregated per source with the count a threshold gate would
