@@ -461,19 +461,39 @@ object Bench {
       val RecallFloor = 0.9
       val recalls: Seq[(String, Either[String, Double])] =
         if (sys.env.contains("SPARK_GRAFT_STRESS_RECALL_SKIP")) Seq.empty
-        else Seq("sim4_lsh_topk", "sim5_ivf_topk").map { name =>
-          name -> (try {
-            val brute = SparkEntry.queries("sim1_topk_bruteforce")(spark, dir)
-              .select("probe_id", "vec_id")
-            val ann = SparkEntry.queries(name)(spark, dir)
-              .select("probe_id", "vec_id")
-            val hit = ann.join(brute, Seq("probe_id", "vec_id")).count()
-            val tot = brute.count()
-            Right(if (tot == 0) 1.0 else hit.toDouble / tot)
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        else {
+          def recallOf(name: String)(
+              brute: => org.apache.spark.sql.DataFrame): (String, Either[String, Double]) =
+            name -> (try {
+              val b = brute.select("probe_id", "vec_id")
+              val ann = SparkEntry.queries(name)(spark, dir)
+                .select("probe_id", "vec_id")
+              val hit = ann.join(b, Seq("probe_id", "vec_id")).count()
+              val tot = b.count()
+              Right(if (tot == 0) 1.0 else hit.toDouble / tot)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+            })
+          val cosine = Seq("sim4_lsh_topk", "sim5_ivf_topk").map(n =>
+            recallOf(n)(SparkEntry.queries("sim1_topk_bruteforce")(spark, dir)))
+          // sim10 ranks by integer L2 on quantized vectors — its
+          // baseline is the exact search in the SAME metric space,
+          // not the cosine brute force. On the clone-stress corpus
+          // the exact top-k is the probe's identity clones (distance
+          // 0, identical codes, same vec_id tie-break both sides), so
+          // PQ must recover them perfectly — any sub-floor value
+          // means a broken codebook/encode, not benign drift.
+          val pq = Seq(recallOf("sim10_pq_adc_topk") {
+            import org.apache.spark.sql.functions.col
+            val qdf = graft.ext.Lloyd.quantized(
+              graft.sources.Tables.table(spark, dir, "embeddings"))
+            graft.ext.Pq.exactL2TopK(qdf,
+              qdf.filter(col("vec_id") < 5)
+                .select(col("vec_id").as("probe_id"), col("qv").as("probe_qv")),
+              k = 5)
           })
+          cosine ++ pq
         }
       graft.queries.SimilarityQueries.releaseCaches()
       val medians = results.map { case (k, r) =>

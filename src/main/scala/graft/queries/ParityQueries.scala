@@ -1006,6 +1006,44 @@ object ParityQueries {
              |  CAST(sum(sz) AS BIGINT) AS n_rows
              |FROM cls GROUP BY 1 ORDER BY class_size""".stripMargin)),
 
+    // ----- integer-exact PageRank over the customer↔supplier purchase
+    // graph (link-graph centrality as a curation prior — the
+    // RefinedWeb/CCNet-shaped signal where graph position gates
+    // corpus admission). Scaled-long ranks, truncating-div
+    // contributions and damping, pinned 3 rounds: every round is a
+    // pure integer function of the graph, so the oracle replays the
+    // identical iteration as an unrolled CTE (ext/PageRank.Sql) —
+    // float PageRank could never be hash-compared. Per round: one
+    // uniform src-key shuffle + a map-side-partial per-dst sum; the
+    // rank vector stays fully distributed (no driver state).
+    QueryDef(
+      "g1_pagerank",
+      (s, d) => {
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ext.PageRank.ranks(edges, 3)
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("kind"),
+            call_function("div", col("node"), lit(2L)).as("key"),
+            col("rank"))
+          .orderBy(col("rank").desc, col("kind"), col("key"))
+          .limit(20)
+      },
+      Some(s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+              |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+              |${graft.ext.PageRank.Sql.rounds(3)}
+              |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+              |  node // 2 AS key, rank
+              |FROM r3 ORDER BY rank DESC, kind, key LIMIT 20""".stripMargin)),
+
     // ----- Headline: TPC-H Q1-style pricing summary over lineitem
     QueryDef(
       "q1_pricing_summary",

@@ -25,18 +25,6 @@ class PqSpec extends SparkSpec {
   private val K = 5
   private val Shortlist = 40
 
-  private def exactTopK(qdf: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val dist = aggregate(
-      zip_with(col("qv"), col("probe_qv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-    val w = Window.partitionBy("probe_id").orderBy(col("dist"), col("vec_id"))
-    qdf.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("dist", dist)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("probe_id", "vec_id")
-  }
-
   test("codes are in range; one code per (vector, subspace)") {
     val qdf = Lloyd.quantized(
       graft.sources.Tables.table(spark, sf, "embeddings"))
@@ -54,7 +42,7 @@ class PqSpec extends SparkSpec {
     try {
       val probes = qdf.filter(col("vec_id") < NumProbes)
         .select(col("vec_id").as("probe_id"), col("qv").as("probe_qv"))
-      val exact = exactTopK(qdf, probes, K).collect()
+      val exact = Pq.exactL2TopK(qdf, probes, K).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
       val adc5 = Pq.topK(qdf, probes, PqModel.codebooks, PqModel.subDim, K)
