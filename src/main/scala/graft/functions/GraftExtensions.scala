@@ -34,6 +34,13 @@ object GraftFunctions {
         DoubleVecDot(children.head, children(1))
       }),
     (
+      new FunctionIdentifier("vec_l2sq_ll"),
+      new ExpressionInfo(classOf[LongVecL2Sq].getName, "vec_l2sq_ll"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_l2sq_ll expects exactly 2 arguments")
+        LongVecL2Sq(children.head, children(1))
+      }),
+    (
       new FunctionIdentifier("vec_l2norm"),
       new ExpressionInfo(classOf[VecL2Norm].getName, "vec_l2norm"),
       (children: Seq[Expression]) => {

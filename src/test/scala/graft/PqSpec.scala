@@ -25,6 +25,27 @@ class PqSpec extends SparkSpec {
   private val K = 5
   private val Shortlist = 40
 
+  test("native vec_l2sq_ll == HOF squared-L2 exactly on random long vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(300)((
+      Array.fill(8)(rnd.nextInt(40001).toLong - 20000L),
+      Array.fill(8)(rnd.nextInt(40001).toLong - 20000L)))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val diff = df.select(
+        call_function("vec_l2sq_ll", col("a"), col("b")).as("fast"),
+        hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, diff.collect().take(3).mkString(","))
+    // length mismatch -> null (the HOF would throw instead)
+    val m = Seq((Array(1L, 2L), Array(1L))).toDF("a", "b")
+      .select(call_function("vec_l2sq_ll", col("a"), col("b")).as("d"))
+    assert(m.head().isNullAt(0))
+  }
+
   test("codes are in range; one code per (vector, subspace)") {
     val qdf = Lloyd.quantized(
       graft.sources.Tables.table(spark, sf, "embeddings"))
