@@ -46,12 +46,14 @@ object Lloyd {
   /** Map-side assignment against literal centroids: argmin over cells
     * of the integer squared distance, ties to the smaller cell id
     * (array_min over (dist, cell) structs compares lexicographically).
+    * Distances run through the native codegen'd `vec_l2sq_ll`
+    * ([[graft.functions.LongVecL2Sq]]) — bit-identical to the
+    * interpreted HOF formulation (spec-proved), K× per row in the
+    * training hot loop.
     */
   def assignCell(qv: Column, cents: Seq[Seq[Long]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
-      val dist = aggregate(
-        zip_with(qv, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
+      val dist = call_function("vec_l2sq_ll", qv, array(c.map(lit): _*))
       struct(dist.as("dist"), lit(i).as("cell"))
     }
     array_min(array(scored: _*)).getField("cell")
