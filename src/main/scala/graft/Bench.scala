@@ -484,7 +484,11 @@ object Bench {
           // 0, identical codes, same vec_id tie-break both sides), so
           // PQ must recover them perfectly — any sub-floor value
           // means a broken codebook/encode, not benign drift.
-          val pq = Seq(recallOf("sim10_pq_adc_topk") {
+          // sim11 shares the baseline: identical clones land in the
+          // probe's own routed cell, so IVFADC must also recover
+          // them perfectly — a sub-floor value here isolates broken
+          // ROUTING (coarse model/assignment) from broken codes.
+          def exactL2 = {
             import org.apache.spark.sql.functions.col
             val qdf = graft.ext.Lloyd.quantized(
               graft.sources.Tables.table(spark, dir, "embeddings"))
@@ -492,7 +496,9 @@ object Bench {
               qdf.filter(col("vec_id") < 5)
                 .select(col("vec_id").as("probe_id"), col("qv").as("probe_qv")),
               k = 5)
-          })
+          }
+          val pq = Seq("sim10_pq_adc_topk", "sim11_ivfpq_topk")
+            .map(n => recallOf(n)(exactL2))
           cosine ++ pq
         }
       graft.queries.SimilarityQueries.releaseCaches()

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle census over an undirected simple graph — the local
+  * clustering signal (a node's triangle count is the numerator of
+  * its clustering coefficient; graph-shaped corpus curation uses it
+  * the same way PageRank is used as a centrality prior: boilerplate
+  * hubs have huge degree but near-zero closure, genuine communities
+  * close their wedges).
+  *
+  * Algorithm: degree-ordered edge orientation (Ortmann/Brandes'
+  * compact-forward family). Every edge is directed from the
+  * (degree, id)-smaller endpoint to the larger; the orientation is
+  * acyclic under that total order, so each triangle {x,y,z} with
+  * x < y < z (order positions) appears EXACTLY once as out-edges
+  * x→y, x→z plus closing edge y→z — wedge enumeration over ordered
+  * out-neighbor pairs joined against the oriented edge list counts
+  * each triangle once with no post-dedup. The orientation is also
+  * the scale lever: max out-degree is O(√E) on any graph (a node
+  * keeps only edges toward HIGHER-degree peers), so the wedge
+  * blow-up Σ outdeg² is bounded where the naive Σ deg² explodes on
+  * hubs — the difference between feasible and not on a power-law
+  * web graph at 100 TB.
+  *
+  * Shuffle shape: degree agg (one uniform shuffle), two degree
+  * lookups (|nodes| ≪ |edges| ⇒ AQE broadcasts), wedge self-join on
+  * the out-source key, closing join on the (y,z) edge key. All
+  * integer counts ⇒ hash-exact cross-engine.
+  */
+object Triangles {
+
+  /** Per-node degree and triangle count over `edges` (u, v) — an
+    * undirected simple edge list with u < v, one row per edge.
+    * Output (n, deg, tri) covers every node, zero-triangle nodes
+    * included.
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+    val o1 = oriented.select(col("src").as("x"), col("dst").as("y"))
+    val o2 = oriented.select(col("src").as("x"), col("dst").as("z"))
+    val wedges = o1.join(o2, Seq("x")).filter(col("y") =!= col("z"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+    val perN = tri.select(col("x").as("n"))
+      .unionAll(tri.select(col("y").as("n")))
+      .unionAll(tri.select(col("z").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    deg.join(perN, Seq("n"), "left")
+      .select(col("n"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+  }
+}

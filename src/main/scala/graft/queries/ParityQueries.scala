@@ -1044,6 +1044,50 @@ object ParityQueries {
               |  node // 2 AS key, rank
               |FROM r3 ORDER BY rank DESC, kind, key LIMIT 20""".stripMargin)),
 
+    // ----- Graph: triangle census over the part co-purchase graph
+    // (parts are adjacent iff some order contains both). PageRank
+    // (g1) ranks global centrality; triangles measure local closure
+    // — the clustering signal that separates genuine communities
+    // from boilerplate hubs. Degree-ordered orientation bounds the
+    // wedge join at O(E^1.5) with max out-degree O(√E)
+    // (ext/Triangles); all integer counts ⇒ hash-exact.
+    QueryDef(
+      "g2_triangles",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").cast("long").as("u"),
+            col("b.pk").cast("long").as("v"))
+          .distinct()
+        graft.ext.Triangles.perNode(edges)
+          .select(col("n").as("part_key"), col("deg"), col("tri"))
+          .orderBy(col("tri").desc, col("part_key"))
+          .limit(100)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |e AS (SELECT DISTINCT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+             |deg AS (SELECT n, count(*)::BIGINT AS deg FROM (
+             |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+             |o AS (SELECT
+             |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+             |      THEN e.u ELSE e.v END AS src,
+             |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+             |      THEN e.v ELSE e.u END AS dst
+             |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+             |w AS (SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+             |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst <> o2.dst),
+             |tr AS (SELECT x, y, z FROM w JOIN o ON w.y = o.src AND w.z = o.dst),
+             |pn AS (SELECT n, count(*)::BIGINT AS tri FROM (
+             |  SELECT x AS n FROM tr UNION ALL SELECT y FROM tr
+             |  UNION ALL SELECT z FROM tr) GROUP BY 1)
+             |SELECT d.n AS part_key, d.deg, COALESCE(pn.tri, 0)::BIGINT AS tri
+             |FROM deg d LEFT JOIN pn ON d.n = pn.n
+             |ORDER BY tri DESC, part_key LIMIT 100""".stripMargin)),
+
     // ----- Headline: TPC-H Q1-style pricing summary over lineitem
     QueryDef(
       "q1_pricing_summary",

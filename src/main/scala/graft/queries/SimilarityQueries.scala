@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Lloyd, Pq, PqModel, Similarity}
+import graft.ext.{IvfPq, IvfPqModel, Lloyd, Pq, PqModel, Similarity}
 
 /** Similarity-search query surface over `embeddings` (64-dim float
   * vectors; round-1 verdict item "similarity search").
@@ -551,5 +551,39 @@ object SimilarityQueries {
               |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS rk
               |  FROM adc) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin),
       bench = true),
+
+    // ----- IVFADC: IVF routing × PQ codes — the billion-scale ANN
+    // serving architecture (FAISS IndexIVFPQ). sim5 prunes WHICH
+    // vectors to score but stores floats; sim10 compresses storage
+    // 32× but still scans every code; this composes both: probes
+    // route to nprobe of nlist pinned integer coarse cells
+    // (IvfPqModel, Lloyd-fit offline by DevFitIvfPq), and only codes
+    // in routed cells are ADC-scored. All-integer end to end
+    // (route argmin → encode argmin → LUT → ADC → rank), so the
+    // oracle replays routing AND scoring bit-exactly — the recall
+    // loss of the composition itself is pinned cross-engine.
+    QueryDef(
+      "sim11_ivfpq_topk",
+      (s, d) => {
+        val qdf = Lloyd.quantized(emb(s, d))
+        val probes = qdf.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("qv").as("probe_qv"))
+        IvfPq.topK(qdf, probes, IvfPqModel.coarse, PqModel.codebooks,
+            PqModel.subDim, k = 5, nprobe = 3)
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""WITH ${Pq.Sql.base(PqModel.codebooks, Dim, PqModel.subDim)},
+              |${IvfPq.Sql.routing(IvfPqModel.coarse, nprobe = 3, probePred = "vec_id < 5")},
+              |cand AS (SELECT p.probe_id, a.vec_id FROM pcells p
+              |  JOIN asg a USING (cell) WHERE a.vec_id <> p.probe_id),
+              |lut AS (SELECT vec_id AS probe_id, m, j, ds FROM dist WHERE vec_id < 5),
+              |adc AS (SELECT c.probe_id, c.vec_id, CAST(sum(l.ds) AS BIGINT) AS adc_dist
+              |  FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+              |  JOIN lut l ON l.probe_id = c.probe_id AND l.m = e.m AND l.j = e.code
+              |  GROUP BY 1, 2)
+              |SELECT probe_id, vec_id, adc_dist, rk FROM (
+              |  SELECT probe_id, vec_id, adc_dist,
+              |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS rk
+              |  FROM adc) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)),
   )
 }
