@@ -449,6 +449,7 @@ object Bench {
       }
       graft.queries.DedupQueries.releaseSignatureCache()
       graft.queries.SimilarityQueries.releaseCaches()
+      graft.queries.ParityQueries.releaseCaches()
       // ANN recall at stress scale (round-6 verdict item 3): the hash
       // oracle pins sim4/sim5 candidate geometry at sf0.01; nothing
       // watched whether bucket/cell occupancy drift at 8× erodes
@@ -502,6 +503,7 @@ object Bench {
           cosine ++ pq
         }
       graft.queries.SimilarityQueries.releaseCaches()
+      graft.queries.ParityQueries.releaseCaches()
       val medians = results.map { case (k, r) =>
         k -> r.map(s => s.sorted.apply(s.length / 2))
       }
@@ -548,6 +550,7 @@ object Bench {
         val samples = (1 to nSamples).map { _ =>
           graft.queries.DedupQueries.releaseSignatureCache()
           graft.queries.SimilarityQueries.releaseCaches()
+          graft.queries.ParityQueries.releaseCaches()
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -561,6 +564,7 @@ object Bench {
     }
     graft.queries.DedupQueries.releaseSignatureCache()
     graft.queries.SimilarityQueries.releaseCaches()
+    graft.queries.ParityQueries.releaseCaches()
     val qs = results.map {
       case (k, Right(s)) => "\"" + esc(k) + s"""":[${s.mkString(",")}]"""
       case (k, Left(_))  => "\"" + esc(k) + "\":null"
@@ -599,6 +603,7 @@ object Bench {
     // 0.91/0.92 s vs their 0.24-0.35 s steady state)
     graft.queries.DedupQueries.releaseSignatureCache()
     graft.queries.SimilarityQueries.releaseCaches()
+    graft.queries.ParityQueries.releaseCaches()
     spark.catalog.clearCache()
     val results = names.map { name =>
       // One more untimed run IMMEDIATELY before the sample block (the
@@ -623,6 +628,7 @@ object Bench {
     }
     graft.queries.DedupQueries.releaseSignatureCache()
     graft.queries.SimilarityQueries.releaseCaches()
+    graft.queries.ParityQueries.releaseCaches()
 
     // streaming throughput (round-3 verdict item 2): separate failure
     // domain — a streaming error must not zero the batch numbers, but

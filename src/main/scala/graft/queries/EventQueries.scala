@@ -314,5 +314,44 @@ object EventQueries {
              |FROM hourly, st
              |WHERE sd > 0 AND abs(round((cnt - mu) / sd, 6)) > 2.0
              |ORDER BY ws""".stripMargin)),
+
+    // ----- first-order Markov transition matrix over per-user event
+    // sequences — the behavioral-sequence model behind next-event
+    // prediction, bot detection (improbable transition chains), and
+    // session-flow dashboards. Same physics as w5's lag: ONE uniform
+    // user-key shuffle + partition sort, then the transition count
+    // collapses any event volume to ≤ |event_types|² rows, so the
+    // row-normalization pass (per-prev totals) is driver-trivial at
+    // any scale. Counts are exact longs; each probability is a ratio
+    // of two exact integers (double-divided then 6-dp-rounded —
+    // identical IEEE semantics both engines).
+    QueryDef(
+      "t_markov_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val counts = events(s, d)
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("curr"))
+          .agg(count(lit(1)).as("n"))
+        val wp = Window.partitionBy("prev")
+        counts
+          .withColumn("p",
+            round(col("n").cast("double") /
+              sum("n").over(wp).cast("double"), 6))
+          .orderBy("prev", "curr")
+      },
+      Some("""WITH tr AS (SELECT
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev,
+             |    event_type AS curr
+             |  FROM events),
+             |c AS (SELECT prev, curr, count(*)::BIGINT AS n FROM tr
+             |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev, curr, n,
+             |  round(CAST(n AS DOUBLE) /
+             |    CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
+             |FROM c ORDER BY prev, curr""".stripMargin)),
   )
 }

@@ -58,6 +58,16 @@ final class TrackedCache {
   */
 object ParityQueries {
 
+  /** Releasable plan-deduped cache for the iterative graph queries
+    * (k-core peel rounds re-read each shrinking edge set four times);
+    * dropped by Verify/Bench after each registry sweep like the
+    * dedup/similarity caches.
+    */
+  private val tracked = new TrackedCache
+
+  /** Unpersist every cache entry created by this registry (idempotent). */
+  def releaseCaches(): Unit = tracked.release()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.table(s, dir, name)
 
@@ -870,6 +880,60 @@ object ParityQueries {
              |FROM act JOIN fs USING (user_id)
              |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin)),
 
+    // ----- association rules (Agrawal/Srikant support-confidence-lift
+    // over order baskets, a17's co-occurrence completed into the
+    // actual mining output): items are part BRANDS within an order —
+    // the bounded-vocabulary projection that makes rule mining
+    // scale-safe, because the pair space is ≤ |brands|²/2 (300 here)
+    // no matter how many billion orders exist. Basket collapse to
+    // DISTINCT (order, brand) FIRST (a17's discipline), then the
+    // within-order pair self-join (fan-out ≤ 25·24/2 per order), item
+    // supports and the basket total as broadcasts. Every metric is a
+    // ratio of exact integer counts: confidence both directions and
+    // lift = n·s_uv / (s_u·s_v), each computed as one long product
+    // divided by another (all < 2⁵³ ⇒ exact) then 6-dp-rounded, so
+    // both engines hit identical IEEE doubles.
+    QueryDef(
+      "a19_assoc_rules",
+      (s, d) => {
+        val ob = t(s, d, "lineitem")
+          .join(t(s, d, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+        val nOrders = ob.select(countDistinct(col("ok")).as("__n"))
+        val supp = ob.groupBy("b").agg(count(lit(1)).as("s"))
+        ob.select(col("ok"), col("b").as("u"))
+          .join(ob.select(col("ok"), col("b").as("v")), Seq("ok"))
+          .filter(col("u") < col("v"))
+          .groupBy("u", "v")
+          .agg(count(lit(1)).as("s_uv"))
+          .join(broadcast(supp.select(col("b").as("u"), col("s").as("s_u"))), Seq("u"))
+          .join(broadcast(supp.select(col("b").as("v"), col("s").as("s_v"))), Seq("v"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("u"), col("v"), col("s_uv"), col("s_u"), col("s_v"),
+            round(col("s_uv").cast("double") / col("s_u").cast("double"), 6)
+              .as("conf_u_v"),
+            round(col("s_uv").cast("double") / col("s_v").cast("double"), 6)
+              .as("conf_v_u"),
+            round((col("s_uv") * col("__n")).cast("double") /
+              (col("s_u") * col("s_v")).cast("double"), 6).as("lift"))
+          .orderBy(col("lift").desc, col("u"), col("v"))
+      },
+      Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |n AS (SELECT count(DISTINCT ok)::BIGINT AS n FROM ob),
+             |supp AS (SELECT b, count(*)::BIGINT AS s FROM ob GROUP BY 1),
+             |pr AS (SELECT a.b AS u, c.b AS v, count(*)::BIGINT AS s_uv
+             |  FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b GROUP BY 1, 2)
+             |SELECT u, v, s_uv, su.s AS s_u, sv.s AS s_v,
+             |  round(CAST(s_uv AS DOUBLE) / CAST(su.s AS DOUBLE), 6) AS conf_u_v,
+             |  round(CAST(s_uv AS DOUBLE) / CAST(sv.s AS DOUBLE), 6) AS conf_v_u,
+             |  round(CAST(s_uv * (SELECT n FROM n) AS DOUBLE) /
+             |    CAST(su.s * sv.s AS DOUBLE), 6) AS lift
+             |FROM pr JOIN supp su ON pr.u = su.b JOIN supp sv ON pr.v = sv.b
+             |ORDER BY lift DESC, u, v""".stripMargin)),
+
     // ----- event-type co-occurrence (association/market-basket
     // family): for every pair of event types, how many users exhibit
     // BOTH — the support counts behind recommendation and
@@ -1006,6 +1070,61 @@ object ParityQueries {
              |  CAST(sum(sz) AS BIGINT) AS n_rows
              |FROM cls GROUP BY 1 ORDER BY class_size""".stripMargin)),
 
+    // ----- SCD Type-2 dimension-history build (Kimball): turn a
+    // change LOG (each customer's orders carry that period's
+    // priority) into an effective-dated dimension — collapse
+    // consecutive identical values, stamp [valid_from, valid_to)
+    // intervals via lead(), flag the open current row. The warehouse
+    // counterpart of diff_snapshots' CDC: diff tells you WHAT
+    // changed between two versions, SCD2 materializes WHEN every
+    // value held, which is what point-in-time training joins
+    // (as-of against dimension history — j2's shape) consume.
+    // All windows partition by customer ⇒ one uniform-key shuffle,
+    // no global sort; output is the change rows only (bounded by
+    // value-transition count, ≪ event count on low-churn
+    // dimensions). Audit sample custkey % 100 = 0 keeps the dump
+    // bounded at any SF; integer keys + timestamps ⇒ hash-exact.
+    QueryDef(
+      "scd2_history",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val changes = t(s, d, "orders")
+          .filter(col("o_custkey") % 100 === 0)
+          .withColumn("__prev", lag("o_orderpriority", 1).over(w))
+          .filter(col("__prev").isNull ||
+            col("__prev") =!= col("o_orderpriority"))
+        val w2 = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        changes
+          .withColumn("valid_to", lead("o_orderdate", 1).over(w2))
+          .withColumn("version", row_number().over(w2).cast("long"))
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderpriority").as("priority"),
+            col("o_orderdate").as("valid_from"),
+            col("valid_to"),
+            col("valid_to").isNull.as("is_current"),
+            col("version"))
+          .orderBy("custkey", "version")
+      },
+      Some("""WITH log AS (SELECT * FROM orders WHERE o_custkey % 100 = 0),
+             |changes AS (SELECT * FROM (
+             |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM log)
+             |  WHERE prev IS NULL OR prev <> o_orderpriority)
+             |SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             |  o_orderdate AS valid_from,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current,
+             |  row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey)::BIGINT AS version
+             |FROM changes ORDER BY custkey, version""".stripMargin)),
+
     // ----- integer-exact PageRank over the customer↔supplier purchase
     // graph (link-graph centrality as a curation prior — the
     // RefinedWeb/CCNet-shaped signal where graph position gates
@@ -1087,6 +1206,37 @@ object ParityQueries {
              |SELECT d.n AS part_key, d.deg, COALESCE(pn.tri, 0)::BIGINT AS tri
              |FROM deg d LEFT JOIN pn ON d.n = pn.n
              |ORDER BY tri DESC, part_key LIMIT 100""".stripMargin)),
+
+    // ----- Graph: k-core peel over the SUPPORT-THRESHOLDED part
+    // co-purchase graph (edges = pairs sharing ≥ 2 orders — the
+    // one-off co-occurrences g2 counts are exactly the noise a core
+    // decomposition is meant to strip). Four pinned rounds at k = 3;
+    // the per-round (n_removed, n_nodes, n_edges) trajectory IS the
+    // output — it shows the periphery peeling off and, where a round
+    // removes zero, convergence. Integer counts end-to-end; DuckDB
+    // replays the identical peel as an unrolled CTE (KCore.Sql).
+    QueryDef(
+      "g3_kcore",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").cast("long").as("u"),
+            col("b.pk").cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select("u", "v")
+        graft.ext.KCore.peelStats(edges, k = 3, rounds = 4, tracked.apply)
+          .orderBy("round")
+      },
+      Some(s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+              |e0 AS (SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
+              |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |${graft.ext.KCore.Sql.rounds(3, 4)}
+              |${graft.ext.KCore.Sql.select(4)}""".stripMargin)),
 
     // ----- Headline: TPC-H Q1-style pricing summary over lineitem
     QueryDef(
