@@ -20,20 +20,32 @@ import org.apache.spark.sql.functions._
   * so DuckDB replays the identical peel as an unrolled CTE
   * ([[Sql.rounds]]) and must land on identical rows.
   *
+  * Iteration discipline = [[Dedup.checkpointed]], NOT plain caching:
+  * each round's surviving edge set references the previous round
+  * three times (degree agg + two anti joins), so an uncheckpointed
+  * formulation grows the logical plan ~3× per round and Catalyst
+  * analysis/optimization goes exponential — the round-7 first cut
+  * (TrackedCache only) spent 256 s OPTIMIZING 3.4k edges at sf0.01;
+  * lineage-cut per round it is sub-second. Each superseded round's
+  * blocks are released by their own RDD handle (the CC discipline).
+  *
+  * Per-round stats are collected eagerly as driver scalars — one
+  * (n_removed, n_nodes, n_edges) long-triple per round, the same
+  * bounded-driver-state contract as [[Lloyd]]/[[Bpe]] model state —
+  * and the result frame is a literal of those R rows, so the returned
+  * plan is leaf-only and every intermediate block is already
+  * released. Construction therefore EXECUTES the peel (R Spark jobs),
+  * like every iterative operator here.
+  *
   * Spark shape per round: one degree aggregation over the remaining
   * edges (uniform-key shuffle), a sub-k filter, two anti joins to
   * drop incident edges (the removed set is ≤ \|nodes\| and shrinks
-  * fast — AQE broadcasts it), and three scalar aggregates for the
-  * round's stats row. Each round's edge set is persisted through the
-  * caller's [[graft.queries.TrackedCache]]: the peel re-reads e_r
-  * once for degrees, twice for stats, and once as the next round's
-  * input, so an uncached formulation would recompute the (shrinking)
-  * graph O(R) times. At production scale the peel is frontier-able
-  * exactly like [[Dedup.connectedComponents]] — only neighbors of
-  * removed nodes can change degree — but the pinned-round full
-  * recompute IS the oracle-replayable form, and R is small (core
-  * gating uses shallow peels; full degeneracy ordering would iterate
-  * to fixpoint with the frontier discipline).
+  * fast — AQE broadcasts it), then three scalar counts over the
+  * in-memory checkpointed round. At production scale the peel is
+  * frontier-able exactly like [[Dedup.connectedComponents]] — only
+  * neighbors of removed nodes can change degree — but the
+  * pinned-round full recompute IS the oracle-replayable form, and R
+  * is small (core gating uses shallow peels).
   *
   * Output: one row per round — (round, n_removed, n_nodes, n_edges),
   * node/edge counts AFTER the round's deletions. Bounded by R at any
@@ -42,52 +54,62 @@ import org.apache.spark.sql.functions._
 object KCore {
 
   /** R pinned peel rounds at threshold k over an undirected simple
-    * edge list (u, v), u < v, one row per edge. `cache` persists each
-    * round's shrinking edge set (released by the owning registry).
+    * edge list (u, v), u < v, one row per edge. Executes the peel
+    * eagerly (R rounds, a few small jobs each); returns a literal
+    * R-row frame.
     */
-  def peelStats(edges: DataFrame, k: Int, rounds: Int,
-      cache: DataFrame => DataFrame): DataFrame = {
-    var e = cache(edges)
-    val stats = (1 to rounds).map { r =>
+  def peelStats(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var (e, eRdd) = Dedup.checkpointed(edges.select("u", "v"))
+    val rows = (1 to rounds).map { r =>
       val deg = e.select(col("u").as("n"))
         .unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
       val bad = deg.filter(col("dg") < k).select("n")
-      val next = cache(
+      val (next, nextRdd) = Dedup.checkpointed(
         e.join(bad.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
           .join(bad.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
           .select("u", "v"))
+      val nRemoved = bad.count()
+      val nEdges = next.count()
       val nNodes = next.select(col("u").as("n"))
         .unionAll(next.select(col("v").as("n")))
         .agg(countDistinct(col("n")).as("n_nodes"))
-      val row = bad.agg(count(lit(1)).as("n_removed"))
-        .crossJoin(broadcast(nNodes))
-        .crossJoin(broadcast(next.agg(count(lit(1)).as("n_edges"))))
-        .select(lit(r.toLong).as("round"), col("n_removed"),
-          col("n_nodes"), col("n_edges"))
-      e = next
-      row
+        .head().getLong(0)
+      eRdd.unpersist(blocking = false)
+      e = next; eRdd = nextRdd
+      (r.toLong, nRemoved, nNodes, nEdges)
     }
-    stats.reduce(_ unionAll _)
+    eRdd.unpersist(blocking = false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    rows.toDF("round", "n_removed", "n_nodes", "n_edges")
   }
 
   /** DuckDB mirror: unrolled rounds over a CTE `e0` (u, v) — emits
     * `d1/bad1/e1/s1 … s{rounds}` with the identical peel; select
     * `SELECT * FROM s1 UNION ALL … ORDER BY round` after it.
+    *
+    * Every CTE is `AS MATERIALIZED` — the SQL twin of the Spark-side
+    * lineage cut. Each round references the previous round's edge set
+    * three times and its own `bad` set three times; left to inline
+    * those, DuckDB's planner gets the same ~3^R expression blow-up
+    * Catalyst did, and on this 4-round mirror it heap-corrupts and
+    * segfaults (round-7 finding; `e0 AS MATERIALIZED` is required at
+    * the call site for the same reason).
     */
   object Sql {
 
     def rounds(k: Int, n: Int): String =
       (1 to n).map { r =>
         val p = r - 1
-        s"""d$r AS (SELECT n, count(*) AS dg FROM (
+        s"""d$r AS MATERIALIZED (SELECT n, count(*) AS dg FROM (
            |  SELECT u AS n FROM e$p UNION ALL SELECT v FROM e$p) GROUP BY 1),
-           |bad$r AS (SELECT n FROM d$r WHERE dg < $k),
-           |e$r AS (SELECT e.u, e.v FROM e$p e
+           |bad$r AS MATERIALIZED (SELECT n FROM d$r WHERE dg < $k),
+           |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e$p e
            |  LEFT JOIN bad$r bu ON e.u = bu.n
            |  LEFT JOIN bad$r bv ON e.v = bv.n
            |  WHERE bu.n IS NULL AND bv.n IS NULL),
-           |s$r AS (SELECT CAST($r AS BIGINT) AS round,
+           |s$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS round,
            |  (SELECT count(*) FROM bad$r)::BIGINT AS n_removed,
            |  (SELECT count(DISTINCT n) FROM (
            |    SELECT u AS n FROM e$r UNION ALL SELECT v FROM e$r))::BIGINT AS n_nodes,

@@ -1125,6 +1125,82 @@ object ParityQueries {
              |    ORDER BY o_orderdate, o_orderkey)::BIGINT AS version
              |FROM changes ORDER BY custkey, version""".stripMargin)),
 
+    // ----- point-in-time (PIT) correct dimension join — the CONSUMER
+    // of scd2_history's effective-dated dimension, and the feature-
+    // leakage guard of every training pipeline: each fact row must see
+    // the dimension value valid AT FACT TIME, never a later one. Facts
+    // are lineitem shipments (ship date), dimension is the customer's
+    // order-priority history; ~2/3 of shipments consume a DIFFERENT
+    // version than their own order's (the fixture genuinely
+    // interleaves), and shipments dated before the customer's first
+    // version keep NULL — the "feature not yet known" bucket a naive
+    // latest-value join would silently leak into.
+    //
+    // Shape: NOT a range join — the union-window as-of. History rows
+    // (tag 0) and fact rows (tag 1) union into one stream keyed by
+    // customer, sorted (ts, tag, seq); last_value(IGNORE NULLS) over
+    // the running frame stamps each fact with the version in effect.
+    // ONE uniform custkey shuffle + partition sort for ANY number of
+    // facts and versions — no interval explosion, no per-fact probe;
+    // at 100 TB this is the only as-of shape that stays a single
+    // exchange. The (ts, tag, seq) sort is totally pinned: same-date
+    // version changes order by orderkey, facts sort after the
+    // version taking effect that date. Quantities are integral
+    // doubles ⇒ the 2-dp-rounded sum is exact cross-engine.
+    QueryDef(
+      "j7_pit_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wl = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val changes = t(s, d, "orders")
+          .withColumn("__prev", lag("o_orderpriority", 1).over(wl))
+          .filter(col("__prev").isNull ||
+            col("__prev") =!= col("o_orderpriority"))
+          .select(col("o_custkey").as("ck"), col("o_orderdate").as("ts"),
+            col("o_orderkey").as("seq"),
+            col("o_orderpriority").as("prio"))
+        val facts = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("ck"), col("l_shipdate").as("ts"),
+            col("l_orderkey").as("seq"), col("l_quantity").as("qty"))
+        val u = changes
+          .select(col("ck"), col("ts"), lit(0).as("tag"), col("seq"),
+            col("prio"), lit(null).cast("double").as("qty"))
+          .unionAll(facts.select(col("ck"), col("ts"), lit(1).as("tag"),
+            col("seq"), lit(null).cast("string").as("prio"), col("qty")))
+        val w = Window.partitionBy("ck").orderBy("ts", "tag", "seq")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("pit_prio",
+            last("prio", ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .groupBy(col("pit_prio").as("prio"))
+          .agg(count(lit(1)).as("n_ship"),
+            round(sum("qty"), 2).as("sum_qty"))
+          .orderBy(asc_nulls_first("prio"))
+      },
+      Some("""WITH changes AS (SELECT * FROM (
+             |  SELECT o_custkey AS ck, o_orderdate AS ts, o_orderkey AS seq,
+             |    o_orderpriority AS prio,
+             |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM orders) WHERE prev IS NULL OR prev <> prio),
+             |facts AS (SELECT o.o_custkey AS ck, l.l_shipdate AS ts,
+             |    l.l_orderkey AS seq, l.l_quantity AS qty
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+             |u AS (
+             |  SELECT ck, ts, 0 AS tag, seq, prio, NULL::DOUBLE AS qty FROM changes
+             |  UNION ALL
+             |  SELECT ck, ts, 1 AS tag, seq, NULL, qty FROM facts),
+             |pit AS (SELECT ck, tag, qty,
+             |  last_value(prio IGNORE NULLS) OVER (PARTITION BY ck
+             |    ORDER BY ts, tag, seq
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prio
+             |  FROM u)
+             |SELECT prio, count(*)::BIGINT AS n_ship, round(sum(qty), 2) AS sum_qty
+             |FROM pit WHERE tag = 1 GROUP BY 1
+             |ORDER BY prio NULLS FIRST""".stripMargin)),
+
     // ----- integer-exact PageRank over the customer↔supplier purchase
     // graph (link-graph centrality as a curation prior — the
     // RefinedWeb/CCNet-shaped signal where graph position gates
@@ -1228,11 +1304,11 @@ object ParityQueries {
           .agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2)
           .select("u", "v")
-        graft.ext.KCore.peelStats(edges, k = 3, rounds = 4, tracked.apply)
+        graft.ext.KCore.peelStats(edges, k = 3, rounds = 4)
           .orderBy("round")
       },
-      Some(s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-              |e0 AS (SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
+      Some(s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+              |e0 AS MATERIALIZED (SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
               |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
               |  GROUP BY 1, 2 HAVING count(*) >= 2),
               |${graft.ext.KCore.Sql.rounds(3, 4)}

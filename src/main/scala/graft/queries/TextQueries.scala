@@ -281,6 +281,56 @@ object TextQueries {
              |FROM scored GROUP BY 1
              |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // ----- TextRank keyword extraction (Mihalcea/Tarau) — corpus
+    // keywords as the stationary weight of the word co-occurrence
+    // graph, [[graft.ext.PageRank]]'s integer iteration REUSED over a
+    // text-derived graph (tx-family meets the g-family): adjacent
+    // content-word pairs (len ≥ 4, the classic stopword proxy) become
+    // symmetric edges, 3 pinned rounds of the scaled-long update rank
+    // every word, top 20 emitted. Degree-hub words ≠ top ranks —
+    // rank flows from DIVERSE neighborhoods, which is exactly why
+    // TextRank beats raw frequency for keywords. Scale: the pair
+    // explode is corpus-linear but collapses to the DISTINCT edge
+    // set (vocab-bounded, ≪ corpus at any SF) BEFORE the iteration,
+    // so every PageRank round runs on the vocabulary graph, not the
+    // token stream; ranks are exact longs ⇒ the oracle replays the
+    // iteration via PageRank.Sql's unrolled CTE. The zip_with/slice
+    // pair build is a HOF (interpreted — tx9's documented trade;
+    // acceptable off the bench path, and the explode feeds straight
+    // into a DISTINCT so nothing wide survives it).
+    QueryDef(
+      "tx27_textrank",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val pairs = docs(s, d)
+          .select(explode(zip_with(
+            slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+            slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (a, b) => struct(a.as("u"), b.as("v")))).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+          .filter(length(col("u")) >= 4 && length(col("v")) >= 4 &&
+            col("u") =!= col("v"))
+        val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+          .distinct()
+        graft.ext.PageRank.ranks(edges, 3)
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
+          .select(col("node").as("word"), col("rank"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+              |tok AS MATERIALIZED (SELECT doc_id, unnest(a) AS w,
+              |  generate_subscripts(a, 1) AS i FROM t),
+              |pr AS MATERIALIZED (SELECT x.w AS u, y.w AS v
+              |  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+              |  WHERE len(x.w) >= 4 AND len(y.w) >= 4 AND x.w <> y.w),
+              |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+              |  SELECT u AS src, v AS dst FROM pr
+              |  UNION ALL SELECT v, u FROM pr)),
+              |${graft.ext.PageRank.Sql.rounds(3)}
+              |SELECT node AS word, rank FROM r3
+              |ORDER BY rank DESC, word LIMIT 20""".stripMargin)),
+
     // ----- Gopher/C4-style repetition filter: per-doc repeated-token
     // and repeated-2-gram ratios (boilerplate/looped-phrase signal),
     // aggregated per source with the count a threshold gate would

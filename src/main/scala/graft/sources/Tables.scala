@@ -2,18 +2,27 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the test corpus (TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-  * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
-  * Sessions built via [[graft.Sessions]] set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (never
-  * mutated here — a loader flipping session conf is a cross-query
-  * surprise); the nanos arrive as raw longs and convert to Spark's
-  * microsecond TimestampType in-plan — a codegen'd integer division,
-  * no UDF, precision loss only below 1 µs.
+  * `events.ts` normalizes to Spark's session-zone TimestampType
+  * whatever the fixture generation stored physically — the engine
+  * surface (window buckets, unix_micros arithmetic, as-of bucketing)
+  * is written against TIMESTAMP and must not care which driver
+  * generation produced the files:
+  *  - parquet TIMESTAMP(NANOS) (rounds ≤ 6): Spark's vectorized
+  *    reader rejects it outright ([PARQUET_TYPE_ILLEGAL]); Sessions
+  *    sets `spark.sql.legacy.parquet.nanosAsLong=true` at build time
+  *    (never mutated here — a loader flipping session conf is a
+  *    cross-query surprise), the nanos arrive as raw longs and
+  *    convert in-plan (codegen'd integer division, precision loss
+  *    only below 1 µs);
+  *  - parquet timestamp[us] without UTC adjustment (round-7
+  *    regeneration): arrives as TIMESTAMP_NTZ; cast to TimestampType
+  *    reinterprets the wall clock in the session zone (pinned UTC) —
+  *    identical micros, and the five ts-arithmetic queries that
+  *    require TIMESTAMP (f4/w5/p9/j3/j2b) keep working unchanged.
   */
 object Tables {
 
@@ -24,9 +33,13 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** All corpus table names (TESTDATA.md). */
