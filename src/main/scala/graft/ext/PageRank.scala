@@ -63,6 +63,38 @@ object PageRank {
     r
   }
 
+  /** Personalized (seed-teleport) variant — the trusted-seed trust
+    * propagation of TrustRank/SmartSelect-style curation: teleport
+    * mass returns ONLY to seed nodes (rank_0 = Scale·seed; per round
+    * rank = seed·Base + div(85·Σ contrib, 100)), so rank measures
+    * proximity to the trusted set instead of global centrality —
+    * non-seed nodes hold rank only insofar as seed mass flows to
+    * them. Same exact-integer discipline as [[ranks]]; `seedPred` is
+    * a predicate over `col("node")` evaluated once into an 0/1 seed
+    * column (both engines), keeping every round a pure integer
+    * function of (edges, seeds).
+    */
+  def personalizedRanks(edges: DataFrame, seedPred: Column,
+      rounds: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .withColumn("seed", when(seedPred, lit(1L)).otherwise(lit(0L)))
+    var r = nodes.select(col("node"), (col("seed") * Scale).as("rank"))
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          call_function("div", col("rank"), col("d")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("seed") * Base + call_function("div",
+            lit(DampNum) * coalesce(col("s"), lit(0L)), lit(100L))).as("rank"))
+    }
+    r
+  }
+
   /** DuckDB mirror: unrolled rounds over CTEs `edges` (src, dst),
     * `deg`, `nodes`, `r0` … `r{rounds}` — identical integer update.
     */
@@ -80,6 +112,29 @@ object PageRank {
            |  JOIN deg d ON e.src = d.src GROUP BY 1),
            |r$k AS (SELECT n.node,
            |    CAST($Base + ($DampNum * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
+      }
+      (base +: steps).mkString(",\n")
+    }
+
+    /** Personalized mirror of [[personalizedRanks]]: `seedSql` is a
+      * predicate over bare `node`, folded once into a 0/1 `seed`
+      * column so the round CTEs never re-evaluate it ambiguously.
+      */
+    def personalizedRounds(n: Int, seedSql: String): String = {
+      val base =
+        s"""deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+           |nodes AS (SELECT node,
+           |    CASE WHEN $seedSql THEN 1 ELSE 0 END AS seed
+           |  FROM (SELECT DISTINCT src AS node FROM edges)),
+           |r0 AS (SELECT node, CAST(seed * $Scale AS BIGINT) AS rank FROM nodes)""".stripMargin
+      val steps = (1 to n).map { k =>
+        val p = k - 1
+        s"""c$k AS (SELECT e.dst AS node, CAST(sum(r.rank // d.d) AS BIGINT) AS s
+           |  FROM edges e JOIN r$p r ON e.src = r.node
+           |  JOIN deg d ON e.src = d.src GROUP BY 1),
+           |r$k AS (SELECT n.node,
+           |    CAST(n.seed * $Base + ($DampNum * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
            |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
       }
       (base +: steps).mkString(",\n")

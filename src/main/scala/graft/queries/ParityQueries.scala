@@ -1239,6 +1239,51 @@ object ParityQueries {
               |  node // 2 AS key, rank
               |FROM r3 ORDER BY rank DESC, kind, key LIMIT 20""".stripMargin)),
 
+    // ----- PERSONALIZED PageRank over the same purchase graph
+    // (TrustRank-flavored seed expansion — the curation move where a
+    // TRUSTED set is known a priori and admission is gated on
+    // proximity to it, not on global centrality): teleport mass
+    // returns only to the seed suppliers (suppkey ≡ 0 mod 7), so a
+    // customer ranks by how much trusted-supplier mass reaches it
+    // through actual purchases — g1's global hubs drop away unless
+    // they genuinely trade with the trusted set. Same integer
+    // discipline and per-round shape as g1 (scaled longs, truncating
+    // div, pinned 3 rounds, rank vector fully distributed), seed
+    // membership folded once into a 0/1 column both engines.
+    QueryDef(
+      "g4_ppr_seeds",
+      (s, d) => {
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ext.PageRank.personalizedRanks(edges,
+            col("node") % 2 === 1 &&
+              call_function("div", col("node"), lit(2L)) % 7 === 0,
+            rounds = 3)
+          .filter(col("rank") > 0)
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("kind"),
+            call_function("div", col("node"), lit(2L)).as("key"),
+            col("rank"))
+          .orderBy(col("rank").desc, col("kind"), col("key"))
+          .limit(20)
+      },
+      Some(s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+              |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+              |${graft.ext.PageRank.Sql.personalizedRounds(3,
+                  "node % 2 = 1 AND (node // 2) % 7 = 0")}
+              |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+              |  node // 2 AS key, rank
+              |FROM r3 WHERE rank > 0
+              |ORDER BY rank DESC, kind, key LIMIT 20""".stripMargin)),
+
     // ----- Graph: triangle census over the part co-purchase graph
     // (parts are adjacent iff some order contains both). PageRank
     // (g1) ranks global centrality; triangles measure local closure

@@ -585,5 +585,60 @@ object SimilarityQueries {
               |  SELECT probe_id, vec_id, adc_dist,
               |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS rk
               |  FROM adc) WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)),
+
+    // ----- hybrid retrieval via reciprocal-rank fusion (Cormack/
+    // Clarke/Buettcher RRF, k = 60) — the fusion step every modern
+    // curation stack runs between its lexical index and its dense
+    // index, because the two retrievers fail DIFFERENTLY (BM25 misses
+    // paraphrase, cosine misses rare exact terms) and 1/(60+rank)
+    // fusion is rank-only, so no score calibration across systems is
+    // needed. Lists: tx26's shared BM25 scorer (TextQueries.bm25Scores
+    // — ONE definition, the two registrations cannot drift) top-20 vs
+    // dense cosine top-20 for probe vec 7 (doc_id ↔ vec_id is the
+    // fixture's 1:1 doc↔embedding correspondence); full-outer on the
+    // doc key, contributions coalesced in pinned textual order, round
+    // 6. Both lists are bounded (≤ 20 rows each) BEFORE the fusion
+    // join, so the fusion itself is driver-trivial at any corpus
+    // scale; ranks are exact longs from row_number with id
+    // tie-breaks ⇒ the whole query is hash-stable cross-engine.
+    QueryDef(
+      "sim12_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docsDf = graft.sources.Tables.table(s, d, "documents")
+        val wl = Window.orderBy(col("bm25").desc, col("doc_id"))
+        val lex = TextQueries.bm25Scores(docsDf, Seq("spark", "vector", "slow"))
+          .withColumn("rk_lex", row_number().over(wl).cast("long"))
+          .filter(col("rk_lex") <= 20)
+          .select("doc_id", "rk_lex")
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") === 7)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val dense = Similarity.bruteForceTopK(e, probes, 20)
+          .select(col("vec_id").as("doc_id"), col("rk").as("rk_dense"))
+        lex.join(dense, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + col("rk_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rk_dense")), lit(0.0)), 6))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+          .select("doc_id", "rrf", "rk_lex", "rk_dense")
+      },
+      Some(s"""WITH ${graft.queries.TextQueries.bm25Sql("'spark', 'vector', 'slow'")},
+              |sc AS (SELECT doc_id, round(sum(w), 6) AS bm25 FROM scored GROUP BY 1),
+              |lex AS (SELECT doc_id, rk_lex FROM (
+              |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk_lex
+              |  FROM sc) WHERE rk_lex <= 20),
+              |dense AS (SELECT vec_id AS doc_id, rk AS rk_dense FROM (
+              |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk FROM (
+              |    SELECT e.vec_id, round(${cosSql("p", "e")}, 6) AS cos
+              |    FROM embeddings e JOIN embeddings p
+              |      ON p.vec_id = 7 AND e.vec_id <> 7)) WHERE rk <= 20)
+              |SELECT doc_id,
+              |  round(COALESCE(1.0::DOUBLE / (60 + rk_lex), 0.0)
+              |      + COALESCE(1.0::DOUBLE / (60 + rk_dense), 0.0), 6) AS rrf,
+              |  rk_lex, rk_dense
+              |FROM lex FULL OUTER JOIN dense USING (doc_id)
+              |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }

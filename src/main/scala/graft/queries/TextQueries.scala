@@ -20,6 +20,58 @@ object TextQueries {
 
   import TextAnalysis.{Sql => TS}
 
+  /** Shared BM25 scorer (k1 = 1.2, b = 0.75, Lucene +1-idf always-
+    * positive variant) — one definition consumed by tx26 (lexical
+    * retrieval) AND sim12 (hybrid RRF fusion), so the two can never
+    * drift. Returns (doc_id, bm25 6-dp, n_terms). Inverted-index
+    * discipline: the term-IN predicate sits INSIDE the posting build
+    * (shuffle carries only matching postings); df + corpus stats are
+    * scalar broadcasts; float literals pinned to the same decimal
+    * strings as [[bm25Sql]].
+    */
+  def bm25Scores(base: DataFrame, qterms: Seq[String]): DataFrame = {
+    val dl = base.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      avg(col("dl").cast("double")).as("__avgdl"))
+    val post = base
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = post.groupBy("term").agg(count(lit(1)).as("__df"))
+    post
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      // literals pinned to the same decimal strings as the SQL
+      // (computing k1+1.0 in Scala could differ from parsing
+      // "2.2" by one ulp); 1−b = 0.25 is exact binary either way
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("__avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("w"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+  }
+
+  /** DuckDB mirror of [[bm25Scores]]: CTEs `dl/stats/post/df/scored`;
+    * select `doc_id, round(sum(w), 6), count(*)` from `scored` after.
+    */
+  def bm25Sql(qtermsIn: String): String =
+    s"""dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+       |  FROM documents),
+       |stats AS (SELECT count(*)::BIGINT AS n, avg(dl::DOUBLE) AS avgdl FROM dl),
+       |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term IN ($qtermsIn) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+       |scored AS (SELECT p.doc_id,
+       |    ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+       |      * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS w
+       |  FROM post p JOIN df f ON p.term = f.term
+       |  JOIN dl d ON p.doc_id = d.doc_id CROSS JOIN stats s)""".stripMargin
+
   /** Chunk geometry shared by tx11 (chunking) and tx13 (passage
     * dedup) — one definition, interpolated into both oracle mirrors.
     */
@@ -236,50 +288,12 @@ object TextQueries {
     // discipline as tx10's ln-idf.
     QueryDef(
       "tx26_bm25",
-      (s, d) => {
-        val qterms = Seq("spark", "vector", "slow")
-        val k1 = 1.2; val b = 0.75
-        val base = docs(s, d)
-        val dl = base.select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("__n"),
-          avg(col("dl").cast("double")).as("__avgdl"))
-        val post = base
-          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-          .filter(col("term").isin(qterms: _*))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = post.groupBy("term").agg(count(lit(1)).as("__df"))
-        val scored = post
-          .join(broadcast(df), Seq("term"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .withColumn("idf",
-            log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
-          // literals pinned to the same decimal strings as the SQL
-          // (computing k1+1.0 in Scala could differ from parsing
-          // "2.2" by one ulp); 1−b = 0.25 is exact binary either way
-          .withColumn("w",
-            col("idf") * (col("tf") * lit(2.2)) /
-              (col("tf") + lit(k1) * (lit(0.25) + lit(b) * col("dl") / col("__avgdl"))))
-          .groupBy("doc_id")
-          .agg(round(sum("w"), 6).as("bm25"), count(lit(1)).as("n_terms"))
-        scored.orderBy(col("bm25").desc, col("doc_id")).limit(20)
-      },
-      Some("""WITH dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
-             |  FROM documents),
-             |stats AS (SELECT count(*)::BIGINT AS n, avg(dl::DOUBLE) AS avgdl FROM dl),
-             |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-             |  WHERE term IN ('spark', 'vector', 'slow') GROUP BY 1, 2),
-             |df AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
-             |scored AS (SELECT p.doc_id,
-             |    ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
-             |      * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS w
-             |  FROM post p JOIN df f ON p.term = f.term
-             |  JOIN dl d ON p.doc_id = d.doc_id CROSS JOIN stats s)
-             |SELECT doc_id, round(sum(w), 6) AS bm25, count(*)::BIGINT AS n_terms
-             |FROM scored GROUP BY 1
-             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+      (s, d) => bm25Scores(docs(s, d), Seq("spark", "vector", "slow"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20),
+      Some(s"""WITH ${bm25Sql("'spark', 'vector', 'slow'")}
+              |SELECT doc_id, round(sum(w), 6) AS bm25, count(*)::BIGINT AS n_terms
+              |FROM scored GROUP BY 1
+              |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
 
     // ----- TextRank keyword extraction (Mihalcea/Tarau) — corpus
     // keywords as the stationary weight of the word co-occurrence

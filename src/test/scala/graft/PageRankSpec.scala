@@ -48,4 +48,31 @@ class PageRankSpec extends SparkSpec {
     // so no rank can exceed nodes * Scale (loose sanity bound)
     assert(rows.forall(_.getLong(2) >= PageRank.Base))
   }
+
+  test("personalized ranks match a plain-Scala replay and localize to seeds") {
+    // two components: seed-side path 1-2-3, far pair 10-11 (no seed)
+    val und = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val rounds = 3
+    val got = PageRank
+      .personalizedRanks(edges, col("node") === 1L, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val seed = Set(1L)
+    var rank = adj.keys.map(n => n -> (if (seed(n)) PageRank.Scale else 0L)).toMap
+    for (_ <- 1 to rounds) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, vs) <- adj; v <- vs) contrib(v) += rank(u) / deg(u)
+      rank = adj.keys.map(n =>
+        n -> ((if (seed(n)) PageRank.Base else 0L) +
+          PageRank.DampNum * contrib(n) / 100L)).toMap
+    }
+    assert(got == rank, s"got $got expected $rank")
+    // mass localizes: the disconnected component holds zero rank
+    // while every node reachable from the seed holds some
+    assert(got(10L) == 0L && got(11L) == 0L)
+    assert(got(1L) > 0L && got(2L) > 0L && got(3L) > 0L)
+  }
 }
