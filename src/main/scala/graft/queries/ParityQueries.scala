@@ -1125,6 +1125,121 @@ object ParityQueries {
              |    ORDER BY o_orderdate, o_orderkey)::BIGINT AS version
              |FROM changes ORDER BY custkey, version""".stripMargin)),
 
+    // ----- month-over-month rank-movement trending (the "movers"
+    // analytic behind merchandising and anomaly triage — absolute
+    // sales say WHO is big, rank DELTA says whose position is
+    // CHANGING): brand×month quantity sums (bounded: \|brands\| ×
+    // \|months\| regardless of lineitem volume — the agg collapses
+    // first), rank within month (qty desc, brand tie-break), delta
+    // vs the brand's previous-month rank via lag. Ranks and deltas
+    // are pure integers; quantities are integral doubles so the
+    // ranking key is exact. Output restricted to the final year;
+    // two bounded-key shuffles (brand-month agg, then month
+    // partition ranks over \|brands\| rows each).
+    QueryDef(
+      "a20_trending",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bm = t(s, d, "lineitem")
+          .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"),
+            date_trunc("month", col("l_shipdate")).as("month"))
+          .agg(sum("l_quantity").as("qty"))
+        val wr = Window.partitionBy("month")
+          .orderBy(col("qty").desc, col("brand"))
+        val wb = Window.partitionBy("brand").orderBy("month")
+        bm.withColumn("rk", rank().over(wr).cast("long"))
+          .withColumn("prev_rk", lag("rk", 1).over(wb))
+          .withColumn("rank_delta", col("prev_rk") - col("rk"))
+          .filter(col("month") >= to_date(lit("2001-01-01")))
+          .select(to_date(col("month")).as("month"), col("brand"),
+            col("qty"), col("rk"), col("prev_rk"), col("rank_delta"))
+          .orderBy("month", "rk", "brand")
+      },
+      Some("""WITH bm AS (SELECT p_brand AS brand,
+             |    date_trunc('month', l_shipdate) AS month,
+             |    sum(l_quantity) AS qty
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |r AS (SELECT brand, month, qty,
+             |    rank() OVER (PARTITION BY month ORDER BY qty DESC, brand)::BIGINT AS rk
+             |  FROM bm),
+             |x AS (SELECT brand, month, qty, rk,
+             |    lag(rk) OVER (PARTITION BY brand ORDER BY month) AS prev_rk
+             |  FROM r)
+             |SELECT CAST(month AS DATE) AS month, brand, qty, rk, prev_rk,
+             |  prev_rk - rk AS rank_delta
+             |FROM x WHERE month >= DATE '2001-01-01'
+             |ORDER BY month, rk, brand""".stripMargin)),
+
+    // ----- incremental SCD2 MERGE — the OPERATIONAL form of
+    // scd2_history (a warehouse never rebuilds a dimension from the
+    // full log; it merges each day's change batch into the standing
+    // history): inputs are the existing history's change points
+    // (what a production run reads from the dimension table) plus an
+    // APPEND-ONLY batch (every batch row dated after the history cut
+    // — the standard warehouse contract; LATE-arriving mid-history
+    // rows need the full-rebuild path, because a late row can
+    // resurrect a previously-collapsed log row as a new change
+    // point, information the change-point set no longer carries).
+    // Merge = union the two change streams and re-run the identical
+    // lag-collapse/lead-stamp per key: within old history nothing
+    // re-collapses (change points already alternate), at the
+    // boundary a batch row matching the open version collapses away,
+    // open intervals close. THE CHECK IS THE POINT: the oracle is
+    // the FULL REBUILD over the complete log — hash equality proves
+    // merge(history, batch) ≡ rebuild(full log) row-for-row,
+    // version numbers included. Same single uniform-key shuffle as
+    // the build; per-merge cost is O(touched keys' histories), not
+    // O(log).
+    QueryDef(
+      "scd2_merge",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cut = to_date(lit("1998-01-01"))
+        val log = t(s, d, "orders").filter(col("o_custkey") % 100 === 0)
+        val wl = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        // existing history change points (stored dimension, replayed)
+        val hist = log.filter(col("o_orderdate") < cut)
+          .withColumn("__prev", lag("o_orderpriority", 1).over(wl))
+          .filter(col("__prev").isNull ||
+            col("__prev") =!= col("o_orderpriority"))
+          .select(col("o_custkey").as("ck"), col("o_orderpriority").as("prio"),
+            col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+        // append-only late batch
+        val batch = log.filter(col("o_orderdate") >= cut)
+          .select(col("o_custkey").as("ck"), col("o_orderpriority").as("prio"),
+            col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+        val wm = Window.partitionBy("ck").orderBy("ts", "seq")
+        hist.unionAll(batch)
+          .withColumn("__prev", lag("prio", 1).over(wm))
+          .filter(col("__prev").isNull || col("__prev") =!= col("prio"))
+          .withColumn("valid_to", lead("ts", 1).over(wm))
+          .withColumn("version", row_number().over(wm).cast("long"))
+          .select(col("ck").as("custkey"), col("prio").as("priority"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"), col("version"))
+          .orderBy("custkey", "version")
+      },
+      // the full rebuild — scd2_history's exact SQL: merge must equal it
+      Some("""WITH log AS (SELECT * FROM orders WHERE o_custkey % 100 = 0),
+             |changes AS (SELECT * FROM (
+             |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM log)
+             |  WHERE prev IS NULL OR prev <> o_orderpriority)
+             |SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             |  o_orderdate AS valid_from,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current,
+             |  row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey)::BIGINT AS version
+             |FROM changes ORDER BY custkey, version""".stripMargin)),
+
     // ----- point-in-time (PIT) correct dimension join — the CONSUMER
     // of scd2_history's effective-dated dimension, and the feature-
     // leakage guard of every training pipeline: each fact row must see

@@ -345,6 +345,126 @@ object TextQueries {
               |SELECT node AS word, rank FROM r3
               |ORDER BY rank DESC, word LIMIT 20""".stripMargin)),
 
+    // ----- classifier eval metrics at corpus scale (the
+    // precision/recall/F1 sheet every gate ships with — tx20 proves
+    // the learned gate SCORES exactly; this proves the engine can
+    // EVALUATE it against a reference labeling without leaving
+    // Spark): predictions = the pinned logreg gate (score > 0),
+    // reference = the heuristic quality label the fit bootstrapped
+    // from (q above corpus median — the seed-label discipline of
+    // QualityClassifier.fit). One corpus scan computes both signals
+    // per row, the median is a 1-row broadcast (w7's exact-percentile
+    // pattern), and the confusion counts collapse everything to FOUR
+    // longs before any ratio — precision/recall/F1/accuracy are each
+    // ONE long-ratio division then round 6 (F1 as 2tp/(2tp+fp+fn),
+    // never the precision·recall float composition), with NULLIF
+    // pinning the degenerate zero-denominator case to NULL on both
+    // engines.
+    QueryDef(
+      "tx28_eval_metrics",
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"),
+            graft.ext.QualityClassifier.scoreParts(
+              size(col("__toks")), size(array_distinct(col("__toks"))),
+              TextAnalysis.wordFreqs(col("__toks"),
+                graft.ext.QualityClassifier.featureWords)).as("score"),
+            TextAnalysis.qualityScoreTokens(col("__toks")).as("q"))
+        val med = base.agg(expr("percentile(q, 0.5)").as("__med"))
+        val c = base.crossJoin(broadcast(med))
+          .select((col("score") > 0).as("pred"),
+            (col("q") > col("__med")).as("label"))
+          .agg(
+            sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+            sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("pred") && !col("label"), 1L).otherwise(0L)).as("tn"))
+        c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("tp").cast("double") /
+            expr("nullif(tp + fp, 0)"), 6).as("prec"),
+          round(col("tp").cast("double") /
+            expr("nullif(tp + fn, 0)"), 6).as("recall"),
+          round((col("tp") * 2).cast("double") /
+            expr("nullif(tp * 2 + fp + fn, 0)"), 6).as("f1"),
+          round((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    ${graft.ext.QualityClassifier.Sql.scoreSql} AS score,
+              |    ${TS.qualityScore} AS q
+              |  FROM documents),
+              |med AS (SELECT quantile_cont(q, 0.5) AS m FROM t),
+              |c AS (SELECT
+              |  CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |  CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |  CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              |  CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              |  FROM (SELECT score > 0 AS pred,
+              |          q > (SELECT m FROM med) AS label FROM t))
+              |SELECT tp, fp, fn, tn,
+              |  round(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS prec,
+              |  round(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
+              |  round(CAST(tp * 2 AS DOUBLE) / NULLIF(tp * 2 + fp + fn, 0), 6) AS f1,
+              |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+              |FROM c""".stripMargin)),
+
+    // ----- classifier calibration curve (reliability diagram data —
+    // tx28 says how often the gate is right; this says whether its
+    // SCORE means anything, i.e. do higher-scored buckets actually
+    // contain more positives, which is what threshold tuning and
+    // score-weighted sampling consume): ten equal-WIDTH score buckets
+    // between the corpus min and max — fixed arithmetic bucketing
+    // from two 1-row broadcasts, NOT ntile (an exact decile needs a
+    // global sort; the reliability literature's equal-width variant
+    // needs only min/max, identical IEEE both engines, and keeps the
+    // pass map-side) — then per bucket the positive RATE (exact long
+    // ratio) vs the mean score (6-dp avg). Monotone rate-vs-bucket ⇒
+    // well-calibrated ordering; bucket counts expose where the score
+    // mass sits. Output ≤ 10 rows at any corpus scale.
+    QueryDef(
+      "tx29_calibration",
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"),
+            graft.ext.QualityClassifier.scoreParts(
+              size(col("__toks")), size(array_distinct(col("__toks"))),
+              TextAnalysis.wordFreqs(col("__toks"),
+                graft.ext.QualityClassifier.featureWords)).as("score"),
+            TextAnalysis.qualityScoreTokens(col("__toks")).as("q"))
+        val med = base.agg(expr("percentile(q, 0.5)").as("__med"))
+        val ext = base.agg(min("score").as("__lo"), max("score").as("__hi"))
+        base.crossJoin(broadcast(med)).crossJoin(broadcast(ext))
+          .filter(col("__hi") > col("__lo"))
+          .select(
+            least(floor((col("score") - col("__lo")) * 10.0 /
+              (col("__hi") - col("__lo"))), lit(9.0)).cast("long").as("bucket"),
+            col("score"), (col("q") > col("__med")).as("label"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(avg("score"), 6).as("mean_score"),
+            sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+          .withColumn("pos_rate",
+            round(col("n_pos").cast("double") / col("n"), 6))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    ${graft.ext.QualityClassifier.Sql.scoreSql} AS score,
+              |    ${TS.qualityScore} AS q
+              |  FROM documents),
+              |med AS (SELECT quantile_cont(q, 0.5) AS m FROM t),
+              |ext AS (SELECT min(score) AS lo, max(score) AS hi FROM t)
+              |SELECT CAST(least(floor((score - (SELECT lo FROM ext)) * 10.0 /
+              |    ((SELECT hi FROM ext) - (SELECT lo FROM ext))), 9.0) AS BIGINT) AS bucket,
+              |  count(*) AS n,
+              |  round(avg(score), 6) AS mean_score,
+              |  CAST(sum(CASE WHEN q > (SELECT m FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+              |  round(CAST(sum(CASE WHEN q > (SELECT m FROM med) THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / count(*), 6) AS pos_rate
+              |FROM t WHERE (SELECT hi FROM ext) > (SELECT lo FROM ext)
+              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ----- Gopher/C4-style repetition filter: per-doc repeated-token
     // and repeated-2-gram ratios (boilerplate/looped-phrase signal),
     // aggregated per source with the count a threshold gate would
