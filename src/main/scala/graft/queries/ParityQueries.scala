@@ -1086,28 +1086,14 @@ object ParityQueries {
     // bounded at any SF; integer keys + timestamps ⇒ hash-exact.
     QueryDef(
       "scd2_history",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("o_custkey")
-          .orderBy("o_orderdate", "o_orderkey")
-        val changes = t(s, d, "orders")
-          .filter(col("o_custkey") % 100 === 0)
-          .withColumn("__prev", lag("o_orderpriority", 1).over(w))
-          .filter(col("__prev").isNull ||
-            col("__prev") =!= col("o_orderpriority"))
-        val w2 = Window.partitionBy("o_custkey")
-          .orderBy("o_orderdate", "o_orderkey")
-        changes
-          .withColumn("valid_to", lead("o_orderdate", 1).over(w2))
-          .withColumn("version", row_number().over(w2).cast("long"))
-          .select(col("o_custkey").as("custkey"),
-            col("o_orderpriority").as("priority"),
-            col("o_orderdate").as("valid_from"),
-            col("valid_to"),
-            col("valid_to").isNull.as("is_current"),
-            col("version"))
-          .orderBy("custkey", "version")
-      },
+      (s, d) => graft.ops.Scd2.build(
+          t(s, d, "orders").filter(col("o_custkey") % 100 === 0),
+          "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderpriority").as("priority"),
+          col("valid_from"), col("valid_to"), col("is_current"),
+          col("version"))
+        .orderBy("custkey", "version"),
       Some("""WITH log AS (SELECT * FROM orders WHERE o_custkey % 100 = 0),
              |changes AS (SELECT * FROM (
              |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
@@ -1172,6 +1158,100 @@ object ParityQueries {
              |FROM x WHERE month >= DATE '2001-01-01'
              |ORDER BY month, rk, brand""".stripMargin)),
 
+    // ----- Pareto / ABC classification (the 80-15-5 inventory cut —
+    // which products carry the volume; the curation analog: which
+    // sources carry the corpus): parts ranked by total quantity, a
+    // running cumulative sum assigns A (≤ 80% of volume), B (≤ 95%),
+    // C (tail). EXACTNESS TRICK: quantities are integral ⇒ cast to
+    // long and compare cum·100 ≤ total·80 in INTEGER arithmetic — the
+    // class boundary can never float-drift cross-engine, where a
+    // cumulative DOUBLE share comparison could flip a boundary part.
+    // The per-part agg collapses lineitem volume to the part grid
+    // FIRST; the rank/cumsum window then runs on \|parts\| rows — a
+    // DIMENSION, ≪ facts at any scale (documented single-partition
+    // window on the collapsed grid). Output: 3 class rows.
+    QueryDef(
+      "a21_pareto_abc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pq = t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum("l_quantity").cast("long").as("q"))
+        val tot = pq.agg(sum("q").as("__tot"))
+        val w = Window.orderBy(col("q").desc, col("pk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pq.withColumn("cum", sum("q").over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("cls",
+            when(col("cum") * 100 <= col("__tot") * 80, "A")
+              .when(col("cum") * 100 <= col("__tot") * 95, "B")
+              .otherwise("C"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum("q").as("sum_qty"),
+            round(sum("q").cast("double") / first("__tot"), 6).as("share"))
+          .orderBy("cls")
+      },
+      Some("""WITH pq AS (SELECT l_partkey AS pk,
+             |    CAST(sum(l_quantity) AS BIGINT) AS q
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT CAST(sum(q) AS BIGINT) AS t FROM pq),
+             |c AS (SELECT pk, q,
+             |    sum(q) OVER (ORDER BY q DESC, pk
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM pq)
+             |SELECT CASE WHEN cum * 100 <= (SELECT t FROM tot) * 80 THEN 'A'
+             |            WHEN cum * 100 <= (SELECT t FROM tot) * 95 THEN 'B'
+             |            ELSE 'C' END AS cls,
+             |  count(*) AS n_parts, CAST(sum(q) AS BIGINT) AS sum_qty,
+             |  round(CAST(sum(q) AS DOUBLE) / (SELECT t FROM tot), 6) AS share
+             |FROM c GROUP BY 1 ORDER BY cls""".stripMargin)),
+
+    // ----- key-skew audit (the shuffle-health observability every
+    // 100 TB job needs BEFORE it runs — a hot key that holds 30% of
+    // a join/agg input is the single most common large-job killer;
+    // ops/Skew.scala holds the mitigation, this measures the
+    // condition): per-key counts (one uniform shuffle, collapses any
+    // volume to \|keys\|), then three exact-integer concentration
+    // signals over the bounded key grid — top-1/top-10 share (long
+    // ratios), and the Gini coefficient via the sorted-rank formula
+    // G = (2·Σ i·cᵢ)/(n·Σcᵢ) − (n+1)/n with cᵢ ascending (count,
+    // key)-pinned: every term a product/sum of exact longs, one
+    // double division at the end, round 6.
+    QueryDef(
+      "audit_key_skew",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val kc = t(s, d, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c"), col("user_id"))
+        val ranked = kc
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        ranked.agg(
+            count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+            max("c").as("top1"),
+            sum(when(col("i") > col("n") - 10, col("c")).otherwise(0L)).as("top10"),
+            sum(col("i") * col("c")).as("__ic"))
+          .select(col("n_keys"), col("n_rows"),
+            round(col("top1").cast("double") / col("n_rows"), 6).as("top1_share"),
+            round(col("top10").cast("double") / col("n_rows"), 6).as("top10_share"),
+            round(lit(2.0) * col("__ic") / (col("n_keys") * col("n_rows")).cast("double")
+              - (col("n_keys") + 1).cast("double") / col("n_keys"), 6).as("gini"))
+      },
+      Some("""WITH kc AS (SELECT user_id, count(*)::BIGINT AS c
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT user_id, c,
+             |    row_number() OVER (ORDER BY c, user_id)::BIGINT AS i,
+             |    count(*) OVER ()::BIGINT AS n
+             |  FROM kc)
+             |SELECT count(*)::BIGINT AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+             |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
+             |  round(CAST(sum(CASE WHEN i > n - 10 THEN c ELSE 0 END) AS DOUBLE)
+             |    / sum(c), 6) AS top10_share,
+             |  round(2.0 * sum(i * c) / (count(*) * CAST(sum(c) AS DOUBLE))
+             |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+             |FROM r""".stripMargin)),
+
     // ----- incremental SCD2 MERGE — the OPERATIONAL form of
     // scd2_history (a warehouse never rebuilds a dimension from the
     // full log; it merges each day's change batch into the standing
@@ -1195,31 +1275,22 @@ object ParityQueries {
     QueryDef(
       "scd2_merge",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val cut = to_date(lit("1998-01-01"))
         val log = t(s, d, "orders").filter(col("o_custkey") % 100 === 0)
-        val wl = Window.partitionBy("o_custkey")
-          .orderBy("o_orderdate", "o_orderkey")
+        val cols = Seq("o_custkey", "o_orderpriority", "o_orderdate",
+          "o_orderkey")
         // existing history change points (stored dimension, replayed)
-        val hist = log.filter(col("o_orderdate") < cut)
-          .withColumn("__prev", lag("o_orderpriority", 1).over(wl))
-          .filter(col("__prev").isNull ||
-            col("__prev") =!= col("o_orderpriority"))
-          .select(col("o_custkey").as("ck"), col("o_orderpriority").as("prio"),
-            col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+        val hist = graft.ops.Scd2.changePoints(
+          log.filter(col("o_orderdate") < cut),
+          cols(0), cols(1), cols(2), cols(3))
         // append-only late batch
         val batch = log.filter(col("o_orderdate") >= cut)
-          .select(col("o_custkey").as("ck"), col("o_orderpriority").as("prio"),
-            col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
-        val wm = Window.partitionBy("ck").orderBy("ts", "seq")
-        hist.unionAll(batch)
-          .withColumn("__prev", lag("prio", 1).over(wm))
-          .filter(col("__prev").isNull || col("__prev") =!= col("prio"))
-          .withColumn("valid_to", lead("ts", 1).over(wm))
-          .withColumn("version", row_number().over(wm).cast("long"))
-          .select(col("ck").as("custkey"), col("prio").as("priority"),
-            col("ts").as("valid_from"), col("valid_to"),
-            col("valid_to").isNull.as("is_current"), col("version"))
+        graft.ops.Scd2.merge(hist, batch,
+            cols(0), cols(1), cols(2), cols(3))
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderpriority").as("priority"),
+            col("valid_from"), col("valid_to"), col("is_current"),
+            col("version"))
           .orderBy("custkey", "version")
       },
       // the full rebuild — scd2_history's exact SQL: merge must equal it
@@ -1265,30 +1336,17 @@ object ParityQueries {
     QueryDef(
       "j7_pit_join",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val wl = Window.partitionBy("o_custkey")
-          .orderBy("o_orderdate", "o_orderkey")
-        val changes = t(s, d, "orders")
-          .withColumn("__prev", lag("o_orderpriority", 1).over(wl))
-          .filter(col("__prev").isNull ||
-            col("__prev") =!= col("o_orderpriority"))
-          .select(col("o_custkey").as("ck"), col("o_orderdate").as("ts"),
-            col("o_orderkey").as("seq"),
-            col("o_orderpriority").as("prio"))
+        val hist = graft.ops.Scd2.changePoints(t(s, d, "orders"),
+            "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+          .select(col("o_custkey").as("ck"),
+            col("o_orderpriority").as("prio"),
+            col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
         val facts = t(s, d, "lineitem")
           .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("ck"), col("l_shipdate").as("ts"),
             col("l_orderkey").as("seq"), col("l_quantity").as("qty"))
-        val u = changes
-          .select(col("ck"), col("ts"), lit(0).as("tag"), col("seq"),
-            col("prio"), lit(null).cast("double").as("qty"))
-          .unionAll(facts.select(col("ck"), col("ts"), lit(1).as("tag"),
-            col("seq"), lit(null).cast("string").as("prio"), col("qty")))
-        val w = Window.partitionBy("ck").orderBy("ts", "tag", "seq")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        u.withColumn("pit_prio",
-            last("prio", ignoreNulls = true).over(w))
-          .filter(col("tag") === 1)
+        graft.ops.Scd2.pitStamp(hist, facts,
+            "ck", "prio", "ts", "seq", asOfCol = "pit_prio")
           .groupBy(col("pit_prio").as("prio"))
           .agg(count(lit(1)).as("n_ship"),
             round(sum("qty"), 2).as("sum_qty"))
