@@ -546,5 +546,67 @@ object DedupQueries {
               |  CAST(min(hist_id) AS BIGINT) AS first_match,
               |  max(jac) AS best_jac
               |FROM m GROUP BY 1 ORDER BY new_id""".stripMargin)),
+
+    // ----- golden-record survivorship (the MDM step AFTER clustering:
+    // dedup_components says WHICH records are the same entity, this
+    // says what the ONE surviving record looks like — per-field merge
+    // rules instead of blanket keep-min-id): per near-dup cluster,
+    // id = min member (stable canonical), source/lang = majority vote
+    // with a pinned tie-break (count desc, value asc — deterministic
+    // where a bare mode() is engine-defined), n_chars = max (the
+    // keep-the-longest content rule). SCALE: members ≤ corpus, per-
+    // field votes are per-cluster aggs on uniform keys (cluster sizes
+    // are the CC output the size-histogram query already bounds), the
+    // vote rank runs on \|cluster × distinct-values\| rows — no new
+    // shuffle class beyond the CC build itself. Oracle replays the
+    // vote over the same RECURSIVE-CTE components.
+    QueryDef(
+      "dedup_golden_record",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val edges = minhashPairs(s, d).filter(col("jac") >= JacThreshold)
+        val comps = graft.ext.Dedup.connectedComponents(edges, "a_id", "b_id")
+          .select(col("node").as("doc_id"), col("comp").as("component"))
+        val mem = docs(s, d).join(comps, "doc_id")
+        val agg = mem.groupBy("component").agg(
+          min("doc_id").as("golden_id"),
+          count(lit(1)).as("n_members"),
+          max("n_chars").as("max_chars"))
+        def majority(field: String): DataFrame = {
+          val w = Window.partitionBy("component")
+            .orderBy(col("__c").desc, col(field))
+          mem.groupBy("component", field).agg(count(lit(1)).as("__c"))
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") === 1)
+            .select(col("component"), col(field))
+        }
+        agg.join(majority("source"), "component")
+          .join(majority("lang"), "component")
+          .select("component", "golden_id", "n_members", "source",
+            "lang", "max_chars")
+          .orderBy("component")
+      },
+      Some(s"""${SqlBase.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |$PairsSql,
+              |mem AS (SELECT c.component, d.doc_id, d.source, d.lang, d.n_chars
+              |        FROM comp c JOIN documents d USING (doc_id)),
+              |agg AS (SELECT component, min(doc_id) AS golden_id,
+              |        CAST(count(*) AS BIGINT) AS n_members,
+              |        max(n_chars) AS max_chars
+              |        FROM mem GROUP BY 1),
+              |src AS (SELECT component, source FROM (
+              |    SELECT component, source,
+              |      row_number() OVER (PARTITION BY component
+              |        ORDER BY count(*) DESC, source) AS rk
+              |    FROM mem GROUP BY component, source) WHERE rk = 1),
+              |lng AS (SELECT component, lang FROM (
+              |    SELECT component, lang,
+              |      row_number() OVER (PARTITION BY component
+              |        ORDER BY count(*) DESC, lang) AS rk
+              |    FROM mem GROUP BY component, lang) WHERE rk = 1)
+              |SELECT a.component, a.golden_id, a.n_members, s.source,
+              |  l.lang, a.max_chars
+              |FROM agg a JOIN src s USING (component) JOIN lng l USING (component)
+              |ORDER BY component""".stripMargin)),
   )
 }

@@ -353,5 +353,63 @@ object EventQueries {
              |  round(CAST(n AS DOUBLE) /
              |    CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
              |FROM c ORDER BY prev, curr""".stripMargin)),
+
+    // ----- corpus-mix drift between two time slices (the monitoring
+    // check a continuously-fed pipeline runs before admitting a new
+    // batch: "did the event/type/source mix shift?"): event_type
+    // distribution before vs after a cut, compared per type by total-
+    // variation contribution \|p−q\|/2 and Jensen-Shannon term
+    // ½(p·ln(p/m)+q·ln(q/m)) with m=(p+q)/2 (JSD in nats; the
+    // symmetric, always-finite divergence — KL alone is infinite on a
+    // vanishing class, exactly the case drift detection must handle).
+    // SCALE: one uniform-key agg collapses any event volume to
+    // \|event_types\| rows; both totals are a 1-row broadcast; the
+    // divergence arithmetic runs on the bounded type grid. EXACTNESS:
+    // counts exact longs, p/q each ONE double division, ln in
+    // identical textual order both engines, round 6; a type absent
+    // from one half contributes via explicit CASE (p=0 ⇒ term 0),
+    // never ln(0).
+    QueryDef(
+      "t_drift_mix",
+      (s, d) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val cnts = events(s, d).groupBy("event_type").agg(
+          sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n_before"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_after"))
+        val tots = cnts.agg(sum("n_before").as("__tb"), sum("n_after").as("__ta"))
+        cnts.crossJoin(broadcast(tots))
+          .withColumn("__p", col("n_before").cast("double") / col("__tb"))
+          .withColumn("__q", col("n_after").cast("double") / col("__ta"))
+          .withColumn("__m", (col("__p") + col("__q")) / lit(2.0))
+          .select(col("event_type"), col("n_before"), col("n_after"),
+            round(col("__p"), 6).as("p_before"),
+            round(col("__q"), 6).as("p_after"),
+            round(abs(col("__p") - col("__q")) / lit(2.0), 6).as("tv_term"),
+            round((when(col("__p") > 0, col("__p") * log(col("__p") / col("__m")))
+                .otherwise(lit(0.0)) +
+              when(col("__q") > 0, col("__q") * log(col("__q") / col("__m")))
+                .otherwise(lit(0.0))) / lit(2.0), 6).as("jsd_term"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type,
+             |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+             |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+             |             CAST(sum(n_after) AS BIGINT) AS ta FROM c),
+             |x AS (SELECT event_type, n_before, n_after,
+             |    CAST(n_before AS DOUBLE) / tb AS p,
+             |    CAST(n_after AS DOUBLE) / ta AS q
+             |  FROM c, t)
+             |SELECT event_type, n_before, n_after,
+             |  round(p, 6) AS p_before, round(q, 6) AS p_after,
+             |  round(abs(p - q) / 2.0, 6) AS tv_term,
+             |  round(((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+             |          ELSE 0.0 END) +
+             |         (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+             |          ELSE 0.0 END)) / 2.0, 6) AS jsd_term
+             |FROM x ORDER BY event_type""".stripMargin)),
   )
 }

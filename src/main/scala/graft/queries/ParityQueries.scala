@@ -1252,6 +1252,52 @@ object ParityQueries {
              |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
              |FROM r""".stripMargin)),
 
+    // ----- Benford first-digit audit (the fabricated-data smell test
+    // finance/fraud teams run on any money-like measure — natural
+    // multi-scale amounts follow P(d) = log10(1+1/d); a flat or
+    // spiked first-digit histogram flags synthetic or truncated
+    // feeds): digit extracted ARITHMETICALLY — amount·100 rounded to
+    // exact integer cents, then the first character of the INTEGER's
+    // string form, because integer→string is exact in both engines
+    // while double→string formatting is engine-defined. SCALE: one
+    // 9-bucket agg collapses any volume map-side; the expectation and
+    // χ² arithmetic run on 9 rows. EXACTNESS: counts exact longs,
+    // observed share one double division, ln-based expectation in
+    // identical textual order both engines, round 6.
+    QueryDef(
+      "audit_benford",
+      (s, d) => {
+        val digits = t(s, d, "orders")
+          .select(substring(round(col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("cnt"))
+        val tot = digits.agg(sum("cnt").as("__t"))
+        digits.crossJoin(broadcast(tot))
+          .withColumn("__obs", col("cnt").cast("double") / col("__t"))
+          .withColumn("__exp",
+            log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+          .select(col("digit"), col("cnt"),
+            round(col("__obs"), 6).as("obs_share"),
+            round(col("__exp"), 6).as("exp_share"),
+            round((col("__obs") - col("__exp")) * (col("__obs") - col("__exp"))
+              / col("__exp"), 6).as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some("""WITH dg AS (SELECT
+             |    substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+             |      1, 1) AS digit,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM orders GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM dg),
+             |x AS (SELECT digit, cnt,
+             |    CAST(cnt AS DOUBLE) / tt AS obs,
+             |    ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expd
+             |  FROM dg, t)
+             |SELECT digit, cnt, round(obs, 6) AS obs_share,
+             |  round(expd, 6) AS exp_share,
+             |  round((obs - expd) * (obs - expd) / expd, 6) AS chi2_term
+             |FROM x ORDER BY digit""".stripMargin)),
+
     // ----- incremental SCD2 MERGE — the OPERATIONAL form of
     // scd2_history (a warehouse never rebuilds a dimension from the
     // full log; it merges each day's change batch into the standing

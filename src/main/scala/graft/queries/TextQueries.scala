@@ -1542,5 +1542,72 @@ object TextQueries {
              |SELECT p.token, CAST(coalesce(ex.cnt, 0) AS BIGINT) AS exact_cnt,
              |  true AS within_bound
              |FROM probes p LEFT JOIN ex USING (token) ORDER BY token""".stripMargin)),
+
+    // ----- distinctive terms per source via Dunning's log-likelihood
+    // G² (the corpus-comparison statistic behind "what vocabulary
+    // makes THIS source different" — keyness analysis; TF-IDF says
+    // what is frequent-here-rare-there per DOCUMENT, G² says what is
+    // statistically OVER-represented in a SLICE vs the rest, the tool
+    // for auditing a crawl source's topical fingerprint before it is
+    // mixed in). 2×2 contingency per term: (a = in-target count, b =
+    // rest count, c/d = all OTHER tokens per side); G² = 2·Σ O·ln(O/E).
+    // SCALE: the token explode collapses to the vocab grid in one
+    // uniform-key shuffle (partial agg shrinks it map-side); corpus
+    // totals are a 1-row broadcast; the rank runs on \|vocab| rows.
+    // EXACTNESS: every O and every E-numerator is an exact LONG
+    // (ta·(a+b) ≤ ~1e12 ≪ 2^63), ONE double division per E, ln
+    // applied in identical textual order both engines, round 6;
+    // zero cells contribute exactly 0 via an explicit CASE, never
+    // ln(0). Top-15 pinned by (g2 desc, term).
+    QueryDef(
+      "tx30_distinctive_terms",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        val tok = docs(s, d).select(
+          (col("source") === "src0").as("in_t"),
+          explode(split(col("text"), " ")).as("term"))
+        val counts = tok.groupBy("term").agg(
+          sum(when(col("in_t"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("in_t"), 1L).otherwise(0L)).as("b"))
+        val tots = counts.agg(sum("a").as("__ta"), sum("b").as("__tb"))
+        def cell(o: Column, e: Column): Column =
+          when(o > 0, o.cast("double") * log(o.cast("double") / e)).otherwise(lit(0.0))
+        counts.filter(col("a") + col("b") >= 5)
+          .crossJoin(broadcast(tots))
+          .withColumn("__n", (col("__ta") + col("__tb")).cast("double"))
+          .withColumn("__ca", col("__ta") - col("a"))
+          .withColumn("__db", col("__tb") - col("b"))
+          .withColumn("g2", round(lit(2.0) * (
+            cell(col("a"), col("__ta") * (col("a") + col("b")) / col("__n")) +
+            cell(col("b"), col("__tb") * (col("a") + col("b")) / col("__n")) +
+            cell(col("__ca"), col("__ta") * (col("__ca") + col("__db")) / col("__n")) +
+            cell(col("__db"), col("__tb") * (col("__ca") + col("__db")) / col("__n"))), 6))
+          .select(col("term"), col("a").as("cnt_target"),
+            col("b").as("cnt_rest"), col("g2"))
+          .orderBy(col("g2").desc, col("term"))
+          .limit(15)
+      },
+      Some("""WITH tok AS (SELECT (source = 'src0') AS in_t,
+             |    unnest(string_split(text, ' ')) AS term FROM documents),
+             |c AS (SELECT term,
+             |    CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |    CAST(sum(CASE WHEN NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS b
+             |  FROM tok GROUP BY 1),
+             |t AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+             |             CAST(sum(b) AS BIGINT) AS tb FROM c),
+             |x AS (SELECT term, a, b, ta, tb,
+             |    CAST(ta + tb AS DOUBLE) AS n, ta - a AS ca, tb - b AS db
+             |  FROM c, t WHERE a + b >= 5)
+             |SELECT term, a AS cnt_target, b AS cnt_rest,
+             |  round(2.0 * (
+             |    (CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+             |       * ln(CAST(a AS DOUBLE) / (ta * (a + b) / n)) ELSE 0.0 END) +
+             |    (CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+             |       * ln(CAST(b AS DOUBLE) / (tb * (a + b) / n)) ELSE 0.0 END) +
+             |    (CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE)
+             |       * ln(CAST(ca AS DOUBLE) / (ta * (ca + db) / n)) ELSE 0.0 END) +
+             |    (CASE WHEN db > 0 THEN CAST(db AS DOUBLE)
+             |       * ln(CAST(db AS DOUBLE) / (tb * (ca + db) / n)) ELSE 0.0 END)), 6) AS g2
+             |FROM x ORDER BY g2 DESC, term LIMIT 15""".stripMargin)),
   )
 }
