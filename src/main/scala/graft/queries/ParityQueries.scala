@@ -1070,6 +1070,39 @@ object ParityQueries {
              |  CAST(sum(sz) AS BIGINT) AS n_rows
              |FROM cls GROUP BY 1 ORDER BY class_size""".stripMargin)),
 
+    // ----- l-diversity audit (the companion k-anonymity misses:
+    // a class can be large yet have every member share ONE sensitive
+    // value — group size protects against re-identification, value
+    // DIVERSITY against attribute disclosure): equivalence classes
+    // over the quasi-identifier (nation, balance bucket), l = number
+    // of DISTINCT sensitive values (market segment) per class; the
+    // dataset's l-diversity is the first row's l, publishing gates on
+    // "no class below l". Same physics as audit_k_anonymity — one
+    // uniform quasi-key shuffle (countDistinct partial-aggregates
+    // map-side), histogram over \|classes\| rows, output bounded by
+    // \|distinct l values\| ≤ \|sensitive domain\| at any scale;
+    // exact integers end to end.
+    QueryDef(
+      "audit_l_diversity",
+      (s, d) => {
+        val cls = t(s, d, "customer")
+          .groupBy(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+          .agg(countDistinct(col("c_mktsegment")).as("l"),
+            count(lit(1)).as("sz"))
+        cls.groupBy("l")
+          .agg(count(lit(1)).as("n_classes"), sum("sz").as("n_rows"))
+          .orderBy("l")
+      },
+      Some("""WITH cls AS (
+             |  SELECT c_nationkey,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+             |    count(*) AS sz
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT l, count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows
+             |FROM cls GROUP BY 1 ORDER BY l""".stripMargin)),
+
     // ----- SCD Type-2 dimension-history build (Kimball): turn a
     // change LOG (each customer's orders carry that period's
     // priority) into an effective-dated dimension — collapse
