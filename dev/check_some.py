@@ -45,8 +45,9 @@ def main():
             for c in exp.columns:
                 if not exp[c].equals(got[c]):
                     ne = (exp[c].astype(str) != got[c].astype(str))
-                    if ne.any():
-                        diff_cols.append((c, int(ne.sum())))
+                    # dtype-only mismatches (0 string diffs) count too:
+                    # the driver's hash compare is type-sensitive
+                    diff_cols.append((c, int(ne.sum())))
             if diff_cols:
                 print(f"FAIL {name}: value mismatch {diff_cols}")
                 for c, _ in diff_cols[:2]:

@@ -411,5 +411,128 @@ object EventQueries {
              |         (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
              |          ELSE 0.0 END)) / 2.0, 6) AS jsd_term
              |FROM x ORDER BY event_type""".stripMargin)),
+
+    // ----- calendar gap-fill + linear interpolation: the sparse-to-
+    // dense time-series repair every monitoring/trending consumer
+    // needs before it can difference or seasonal-adjust (a missing
+    // hour read as zero poisons a rate chart; read as interpolated it
+    // degrades gracefully). Physics: the first agg collapses any
+    // event volume to |observed hours| rows; the calendar spine is
+    // `sequence` over the OBSERVED [min,max] hour (so both edges are
+    // anchored and prev/next always exist); the fill pass is a window
+    // over the bounded spine — driver-trivial at any scale, like
+    // t_rate_anomaly. Interpolation is exact integer arithmetic:
+    // filled = pv + ((nv-pv)*(hr-ph)) div (nh-ph) on epoch-hour longs
+    // (Spark `div` and DuckDB `//` both truncate toward zero on
+    // BIGINT — verified, so a falling segment's negative numerator
+    // rounds identically cross-engine).
+    QueryDef(
+      "t_gap_fill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = events(s, d)
+          .filter(col("event_type") === "error" && col("value") > 150.0 &&
+            col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+          .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hsec"))
+          .agg(count(lit(1)).as("cnt"))
+          .select((col("hsec") / 3600).cast("long").as("hr"), col("cnt"))
+        val spine = hourly
+          .agg(min("hr").as("__lo"), max("hr").as("__hi"))
+          .select(explode(sequence(col("__lo"), col("__hi"))).as("hr"))
+        val wPrev = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = Window.orderBy("hr").rowsBetween(0, Window.unboundedFollowing)
+        spine.join(hourly, Seq("hr"), "left")
+          .withColumn("pv", last(col("cnt"), ignoreNulls = true).over(wPrev))
+          .withColumn("ph", last(when(col("cnt").isNotNull, col("hr")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("cnt"), ignoreNulls = true).over(wNext))
+          .withColumn("nh", first(when(col("cnt").isNotNull, col("hr")),
+            ignoreNulls = true).over(wNext))
+          .select(
+            timestamp_seconds(col("hr") * 3600).as("hour"),
+            when(col("cnt").isNotNull, col("cnt"))
+              .otherwise(expr("pv + ((nv - pv) * (hr - ph)) div (nh - ph)"))
+              .as("cnt_filled"),
+            col("cnt").isNotNull.as("observed"))
+          .orderBy("hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |         count(*) AS cnt
+             |  FROM events
+             |  WHERE event_type = 'error' AND value > 150
+             |    AND ts < TIMESTAMP '2024-01-15 00:00:00'
+             |  GROUP BY 1),
+             |spine AS (SELECT unnest(generate_series(min(hr), max(hr))) AS hr
+             |          FROM hourly),
+             |f AS (SELECT s.hr, h.cnt,
+             |  last_value(h.cnt IGNORE NULLS) OVER
+             |    (ORDER BY s.hr ROWS UNBOUNDED PRECEDING) AS pv,
+             |  last_value(CASE WHEN h.cnt IS NOT NULL THEN s.hr END IGNORE NULLS)
+             |    OVER (ORDER BY s.hr ROWS UNBOUNDED PRECEDING) AS ph,
+             |  first_value(h.cnt IGNORE NULLS) OVER
+             |    (ORDER BY s.hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |  first_value(CASE WHEN h.cnt IS NOT NULL THEN s.hr END IGNORE NULLS)
+             |    OVER (ORDER BY s.hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+             |  FROM spine s LEFT JOIN hourly h USING (hr))
+             |SELECT make_timestamp(hr * 3600 * 1000000) AS hour,
+             |  CASE WHEN cnt IS NOT NULL THEN cnt
+             |       ELSE pv + ((nv - pv) * (hr - ph)) // (nh - ph) END AS cnt_filled,
+             |  cnt IS NOT NULL AS observed
+             |FROM f ORDER BY hour""".stripMargin)),
+
+    // ----- two-proportion A/B z-test: the experiment read-out every
+    // product analytics stack ships (arm = deterministic user split,
+    // conversion = purchase events). One aggregation collapses any
+    // event volume to a single row of four exact longs; the z
+    // statistic uses only +,-,*,/ and sqrt — ALL correctly-rounded
+    // IEEE-754 operations, so the double is bit-identical cross-
+    // engine before the 6-dp pin. The pooled-variance guard (0 < p
+    // < 1) pins the degenerate all-converted/none-converted fixture
+    // to an explicit NULL rather than an engine-defined 0/0.
+    QueryDef(
+      "a22_ab_test",
+      (s, d) => {
+        val agg = events(s, d)
+          .withColumn("arm", pmod(col("user_id"), lit(2L)))
+          .agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") === 0 && col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("x_a"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("arm") === 1 && col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("x_b"))
+        agg
+          .withColumn("pa", col("x_a").cast("double") / col("n_a"))
+          .withColumn("pb", col("x_b").cast("double") / col("n_b"))
+          .withColumn("pp",
+            (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")))
+          .withColumn("z",
+            when(col("pp") > 0.0 && col("pp") < 1.0,
+              round((col("pa") - col("pb")) /
+                sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                  (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)))
+          .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+            round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
+            col("z"), (abs(col("z")) > 1.959964).as("significant"))
+      },
+      Some("""WITH agg AS (SELECT
+             |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |  CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+             |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |  CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+             |  FROM events),
+             |x AS (SELECT *,
+             |  CAST(x_a AS DOUBLE) / n_a AS pa, CAST(x_b AS DOUBLE) / n_b AS pb,
+             |  CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp FROM agg),
+             |zz AS (SELECT *,
+             |  CASE WHEN pp > 0 AND pp < 1 THEN
+             |    round((pa - pb) / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 6)
+             |  END AS z FROM x)
+             |SELECT n_a, x_a, n_b, x_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+             |  z, abs(z) > 1.959964 AS significant
+             |FROM zz""".stripMargin)),
   )
 }

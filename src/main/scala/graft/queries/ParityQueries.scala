@@ -1718,5 +1718,110 @@ object ParityQueries {
              |      FROM lineitem GROUP BY 1) ON o_orderkey = l_orderkey
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
       bench = true),
+
+    // ----- Fellegi-Sunter record-linkage scoring (the probabilistic-
+    // match layer ABOVE j6's candidate generation — blocking says which
+    // pairs to look at, this says how much the field evidence supports
+    // "same entity"; the Splink/dedupe.io architecture). Blocking key =
+    // (nation, $1000 balance band) bounds every block by construction —
+    // the pair fan-out is Σ|block|², never |customer|², and the band
+    // arithmetic is exact cents (Spark `div` ≡ DuckDB `//` on BIGINT,
+    // both truncate — verified). Per-field agreement weights are
+    // PINNED scaled-integer log-likelihood ratios (×1000) so the score
+    // is an exact long: close-balance (<$100) +2400/-600, same
+    // mktsegment +1100/-900, same balance sign +300/-1200; class
+    // thresholds match ≥ 2600 > possible ≥ 0 > nonmatch. Output is
+    // class-level (3 rows at any scale). The standard blocking
+    // trade-off applies: cross-band near pairs are unseen — the j6
+    // FastSS neighborhood pattern is the recall-completing alternative.
+    QueryDef(
+      "j8_record_linkage",
+      (s, d) => {
+        val c = t(s, d, "customer").select(
+          col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+          .withColumn("band", expr("cents div 100000"))
+        val pairs = c.as("a").join(c.as("b"),
+          col("a.nk") === col("b.nk") && col("a.band") === col("b.band") &&
+            col("a.ck") < col("b.ck"))
+        pairs
+          .withColumn("score",
+            when(abs(col("a.cents") - col("b.cents")) < 10000L, 2400L).otherwise(-600L) +
+            when(col("a.seg") === col("b.seg"), 1100L).otherwise(-900L) +
+            when((col("a.cents") < 0L) === (col("b.cents") < 0L), 300L).otherwise(-1200L))
+          .withColumn("cls",
+            when(col("score") >= 2600L, "match")
+              .when(col("score") >= 0L, "possible")
+              .otherwise("nonmatch"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_pairs"),
+            min("score").as("min_score"), max("score").as("max_score"))
+          .orderBy("cls")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+             |    c_mktsegment AS seg,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band
+             |  FROM customer),
+             |p AS (SELECT
+             |    (CASE WHEN abs(a.cents - b.cents) < 10000 THEN 2400 ELSE -600 END) +
+             |    (CASE WHEN a.seg = b.seg THEN 1100 ELSE -900 END) +
+             |    (CASE WHEN (a.cents < 0) = (b.cents < 0) THEN 300 ELSE -1200 END)
+             |      AS score
+             |  FROM c a JOIN c b
+             |    ON a.nk = b.nk AND a.band = b.band AND a.ck < b.ck)
+             |SELECT CASE WHEN score >= 2600 THEN 'match'
+             |            WHEN score >= 0 THEN 'possible'
+             |            ELSE 'nonmatch' END AS cls,
+             |  count(*) AS n_pairs, CAST(min(score) AS BIGINT) AS min_score,
+             |  CAST(max(score) AS BIGINT) AS max_score
+             |FROM p GROUP BY 1 ORDER BY cls""".stripMargin)),
+
+    // ----- blocked sorted-neighborhood candidate generation (the
+    // recall-completing alternative j8's banding trades away: banding
+    // misses near pairs straddling a band edge; sorting within the
+    // block and pairing each record with its w nearest SORT neighbors
+    // sees every close-balance pair regardless of band geometry —
+    // Hernández/Stolfo's merge/purge method). Scale shape: partition
+    // by nation (the blocking key — per-partition sort, NEVER a global
+    // single-partition window), lag(1)/lag(2) emit ≤ w·|customer|
+    // candidate pairs linearly. Output is nation-level evidence
+    // counts (≤ |nations| rows at any scale): candidate pairs seen,
+    // close-balance pairs among them (the pairs banding may miss),
+    // exact cents arithmetic throughout.
+    QueryDef(
+      "j8b_sorted_neighborhood",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = t(s, d, "customer").select(
+          col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy("nk").orderBy(col("cents"), col("ck"))
+        val lagged = c
+          .withColumn("pc1", lag(col("cents"), 1).over(w))
+          .withColumn("pc2", lag(col("cents"), 2).over(w))
+        val pairs =
+          lagged.filter(col("pc1").isNotNull)
+            .select(col("nk"), (col("cents") - col("pc1")).as("gap"))
+          .unionAll(lagged.filter(col("pc2").isNotNull)
+            .select(col("nk"), (col("cents") - col("pc2")).as("gap")))
+        pairs.groupBy("nk")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("gap") < 10000L, 1L).otherwise(0L)).as("n_close"))
+          .orderBy("nk")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+             |l AS (SELECT nk, cents,
+             |    lag(cents, 1) OVER (PARTITION BY nk ORDER BY cents, ck) AS pc1,
+             |    lag(cents, 2) OVER (PARTITION BY nk ORDER BY cents, ck) AS pc2
+             |  FROM c),
+             |p AS (SELECT nk, cents - pc1 AS gap FROM l WHERE pc1 IS NOT NULL
+             |      UNION ALL
+             |      SELECT nk, cents - pc2 AS gap FROM l WHERE pc2 IS NOT NULL)
+             |SELECT nk, count(*) AS n_pairs,
+             |  CAST(sum(CASE WHEN gap < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+             |FROM p GROUP BY 1 ORDER BY nk""".stripMargin)),
   )
 }

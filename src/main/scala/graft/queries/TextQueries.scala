@@ -1609,5 +1609,210 @@ object TextQueries {
              |    (CASE WHEN db > 0 THEN CAST(db AS DOUBLE)
              |       * ln(CAST(db AS DOUBLE) / (tb * (ca + db) / n)) ELSE 0.0 END)), 6) AS g2
              |FROM x ORDER BY g2 DESC, term LIMIT 15""".stripMargin)),
+
+    // ----- skyline (Pareto-frontier) document selection: multi-
+    // objective curation without a weighting function — keep every doc
+    // not dominated in (length, vocabulary richness); any scalarized
+    // quality cut (tx18's curriculum, tx20's gate) discards docs some
+    // other trade-off would keep, the skyline is exactly the set of
+    // docs SOME monotone preference would pick. Dims are exact longs:
+    // d1 = token count, d2 = distinct-token ratio ×10⁶ (integer div —
+    // both positive, Spark `div` ≡ DuckDB `//`). Scale shape: the
+    // naive dominance check is an all-pairs anti-join; instead the
+    // groupBy(d1) collapses any corpus to ≤|distinct lengths| rows
+    // (bounded by max doc length, NOT corpus size), the running-max
+    // frontier scan is a window over that bounded set, and the
+    // frontier joins back broadcast — one uniform-key shuffle total.
+    // 2-D dominance: (d1,d2) is dominated iff a strictly-longer
+    // length class reaches ≥ d2 (m_gt ≥ d2) or its own length class
+    // reaches > d2 (d2 < max within class); equal pairs dominate
+    // neither way and all survive.
+    QueryDef(
+      "tx31_skyline",
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("d1"),
+            expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) " +
+              "* 1000000) div CAST(size(split(text, ' ')) AS BIGINT)").as("d2"))
+          .filter(col("d1") > 0L)
+        val classes = base.groupBy("d1").agg(max("d2").as("m2"))
+        val wGt = Window.orderBy(col("d1").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val frontier = classes
+          .withColumn("m_gt", max("m2").over(wGt))
+          .filter(col("m_gt").isNull || col("m_gt") < col("m2"))
+          .select(col("d1").as("f_d1"), col("m2").as("f_m2"))
+        base.join(broadcast(frontier),
+            col("d1") === col("f_d1") && col("d2") === col("f_m2"))
+          .select(col("doc_id"), col("d1").as("n_tokens"),
+            col("d2").as("distinct_ratio_ppm"))
+          .orderBy("n_tokens", "doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS d1,
+             |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |     * 1000000) // CAST(len(string_split(text, ' ')) AS BIGINT) AS d2
+             |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+             |cls AS (SELECT d1, max(d2) AS m2 FROM base GROUP BY 1),
+             |fr AS (SELECT d1, m2, max(m2) OVER (ORDER BY d1 DESC
+             |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt
+             |  FROM cls)
+             |SELECT b.doc_id, b.d1 AS n_tokens, b.d2 AS distinct_ratio_ppm
+             |FROM base b JOIN fr f ON b.d1 = f.d1 AND b.d2 = f.m2
+             |WHERE f.m_gt IS NULL OR f.m_gt < f.m2
+             |ORDER BY n_tokens, doc_id""".stripMargin)),
+
+    // ----- weighted priority sampling (Duffield/Thorup priority-
+    // sampling shape, integer-exact priority): size-biased doc
+    // sampling — longer docs proportionally likelier — for corpus
+    // inspection and token-weighted eval draws, where sample_exact_k's
+    // uniform draw under-represents exactly the docs holding most of
+    // the tokens. Deterministic: u = poly-hash(doc_id) mod 2²⁰ (the
+    // registry's pinned charHash, SQL-mirrored), priority =
+    // (w << 20) div (u+1) — exact longs end to end (w ≤ n_chars
+    // ~10⁴ ⇒ priority < 2⁵⁵, no overflow), monotone in w at fixed u,
+    // so inclusion probability rises with weight. Global top-k by
+    // (priority, doc_id) is a TakeOrdered — per-partition heads +
+    // driver merge of k rows, NO full sort shuffle at any scale.
+    QueryDef(
+      "sample_weighted_priority",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), col("n_chars").as("w"),
+          graft.ext.NearDup.charHash(col("doc_id").cast("string")).as("h"))
+        .withColumn("priority",
+          expr("(w * 1048576) div ((h % 1048576) + 1)"))
+        .select(col("doc_id"), col("w"), col("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(50),
+      Some(s"""SELECT doc_id, n_chars AS w,
+              |  (n_chars * 1048576) //
+              |    ((${graft.ext.NearDup.Sql.charHashSql("CAST(doc_id AS VARCHAR)")}) % 1048576 + 1)
+              |    AS priority
+              |FROM documents
+              |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // ----- exact phrase search via positional postings (the retrieval
+    // primitive BM25's bag-of-words scoring cannot express — "data
+    // slow" as an ADJACENT pair, the quote-query / exact-match lookup
+    // of decontamination and attribution audits). Inverted-index
+    // discipline like tx26: the term-IN predicate sits inside the
+    // posting build, so the shuffle carries only the queried terms'
+    // postings (term-selectivity-bounded, never the full corpus); the
+    // adjacency check is an equi-join on (doc, pos+1) — posting-list
+    // intersection as a join, exactly how Lucene executes phrases.
+    // Positions are engine-local (Spark 0-based, DuckDB 1-based) but
+    // only the +1 DELTA is compared, so the convention cancels.
+    QueryDef(
+      "tx32_phrase_search",
+      (s, d) => {
+        val Seq(w0, w1) = Seq("data", "slow")
+        val posts = docs(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .filter(col("term").isin(w0, w1))
+        posts.filter(col("term") === w0)
+          .select(col("doc_id"), col("pos"))
+          .join(posts.filter(col("term") === w1)
+              .select(col("doc_id").as("d2"), col("pos").as("p2")),
+            col("d2") === col("doc_id") && col("p2") === col("pos") + 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy(col("n_hits").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |p AS (SELECT doc_id, i AS pos, toks[i] AS term
+             |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+             |  WHERE toks[i] IN ('data', 'slow'))
+             |SELECT a.doc_id AS doc_id, count(*) AS n_hits
+             |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |WHERE a.term = 'data' AND b.term = 'slow'
+             |GROUP BY 1 ORDER BY n_hits DESC, a.doc_id LIMIT 20""".stripMargin)),
+
+    // ----- lexical complexity per source (reading-difficulty audit —
+    // the Flesch-family signal with the fixture's no-punctuation
+    // sentence term dropped): syllables approximated as vowel GROUPS
+    // (the standard heuristic), polysyllabic = ≥3 groups. All counts
+    // exact longs from per-token regexp over character classes only
+    // (Java and RE2 agree); the two ratios are 6-dp-pinned ratios of
+    // exact integer sums. Pure per-row Column arithmetic + one
+    // source-key aggregation — scalars-only shuffle at any scale.
+    QueryDef(
+      "tx33_lexical_complexity",
+      (s, d) => {
+        val sylOf = (t: org.apache.spark.sql.Column) =>
+          size(regexp_extract_all(lower(t), lit("[aeiou]+"), lit(0))).cast("long")
+        docs(s, d)
+          .select(col("source"), split(col("text"), " ").as("toks"))
+          .select(col("source"),
+            size(col("toks")).cast("long").as("ntok"),
+            aggregate(transform(col("toks"), sylOf), lit(0L), (a, x) => a + x)
+              .as("syl"),
+            size(filter(col("toks"), t => sylOf(t) >= 3L)).cast("long").as("poly"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ntok").as("total_tokens"),
+            round(sum("syl").cast("double") / sum("ntok"), 6)
+              .as("avg_syllables_per_token"),
+            round(sum("poly").cast("double") / sum("ntok"), 6)
+              .as("pct_polysyllabic"))
+          .orderBy("source")
+      },
+      Some("""WITH x AS (SELECT source,
+             |    CAST(len(toks) AS BIGINT) AS ntok,
+             |    CAST(list_sum(list_transform(toks,
+             |      t -> len(regexp_extract_all(lower(t), '[aeiou]+')))) AS BIGINT) AS syl,
+             |    CAST(len(list_filter(toks,
+             |      t -> len(regexp_extract_all(lower(t), '[aeiou]+')) >= 3)) AS BIGINT) AS poly
+             |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             |  round(CAST(sum(syl) AS DOUBLE) / sum(ntok), 6) AS avg_syllables_per_token,
+             |  round(CAST(sum(poly) AS DOUBLE) / sum(ntok), 6) AS pct_polysyllabic
+             |FROM x GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ----- per-doc shingle novelty rolled up per source (the INVERSE
+    // of tx22's duplicated-n-gram coverage: what fraction of a doc's
+    // distinct 3-shingles appear in NO other doc — the freshness
+    // signal boilerplate-heavy sources score low on). Reuses the
+    // pinned shingle-hash-set builder (native one-pass Spark side,
+    // list-comprehension mirror DuckDB side — dedup on hashes, so a
+    // P-collision merges identically cross-engine). Physics: explode
+    // distinct shingle hashes (Σ|shingles| rows), df count + join
+    // back on the uniform hash key, then the per-doc ratio collapses
+    // to ≤|sources| rows — two uniform-key shuffles, no pair
+    // enumeration, so no df cap is needed (tx22's argument).
+    QueryDef(
+      "tx34_shingle_novelty",
+      (s, d) => {
+        val e = docs(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(graft.ext.NearDup.shingleHashSet(
+              TextAnalysis.tokens(col("text")), 3)).as("h"))
+        val dfc = e.groupBy("h").agg(count(lit(1)).as("df"))
+        e.join(dfc, "h")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_uni"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("n_uni").cast("double") / col("n_sh")), 6)
+              .as("avg_novelty"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+              |    FROM documents),
+              |sets AS (SELECT doc_id, source,
+              |    ${graft.ext.NearDup.Sql.shingleSet(3)} AS s FROM t),
+              |e AS (SELECT doc_id, source, unnest(list_distinct(
+              |    ${graft.ext.NearDup.Sql.hashSet})) AS h FROM sets),
+              |dfc AS (SELECT h, count(*) AS df FROM e GROUP BY 1),
+              |p AS (SELECT doc_id, source, count(*) AS n_sh,
+              |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni
+              |  FROM e JOIN dfc USING (h) GROUP BY 1, 2)
+              |SELECT source, count(*) AS n_docs,
+              |  round(avg(CAST(n_uni AS DOUBLE) / n_sh), 6) AS avg_novelty
+              |FROM p GROUP BY 1 ORDER BY source""".stripMargin)),
   )
 }
