@@ -608,5 +608,72 @@ object DedupQueries {
               |  l.lang, a.max_chars
               |FROM agg a JOIN src s USING (component) JOIN lng l USING (component)
               |ORDER BY component""".stripMargin)),
+
+    // ----- prefix-filtering set-similarity join (Chaudhuri/Ganti/
+    // Kaushik AllPairs; the THIRD standard candidate strategy next to
+    // minhash banding and the sparse-cosine inverted index): order
+    // each doc's shingle hashes by global df ascending (rarest first,
+    // tie by hash — a single sortable integer key df·2³⁰+h, no struct
+    // sort semantics cross-engine), keep the PREFIX of length
+    // |s| − ⌈0.8·|s|⌉ + 1; two sets with Jaccard ≥ 0.8 MUST share a
+    // prefix token (pigeonhole on the ⌈τ|s|⌉ overlap bound), so the
+    // candidate join runs only on prefix tokens — which are the
+    // globally RAREST by construction: boilerplate shingles fall
+    // outside every prefix, the AllPairs argument that bounds fan-out
+    // without sparse-cosine's hard df cap. Verification is exact
+    // integer arithmetic: 5·|∩| ≥ 4·|∪| — no float threshold.
+    // Ceil on longs: ⌈4s/5⌉ = (4s+4) div 5, exact both engines.
+    QueryDef(
+      "dedup_prefix_filter",
+      (s, d) => {
+        val base = hashed(docs(s, d)).filter(size(col("hs")) > 0)
+        val e = base.select(col("doc_id"), explode(col("hs")).as("h"))
+        val dfc = e.groupBy("h").agg(count(lit(1)).as("df"))
+        val keyed = e.join(dfc, "h")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("df") * 1073741824L + col("h")))
+            .as("ks"))
+        val pfx = keyed
+          .select(col("doc_id"),
+            explode(slice(col("ks"), lit(1),
+              expr("size(ks) - (4 * size(ks) + 4) div 5 + 1").cast("int")))
+              .as("k"))
+          .select(col("doc_id"), pmod(col("k"), lit(1073741824L)).as("h"))
+        val cand = pfx.as("a").join(pfx.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val withSets = cand
+          .join(base.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), "a_id")
+          .join(base.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), "b_id")
+          .withColumn("inter",
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+          .withColumn("uni",
+            size(col("hs_a")).cast("long") + size(col("hs_b")) - col("inter"))
+        withSets.filter(col("inter") * 5L >= col("uni") * 4L)
+          .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""$SqlBase,
+              |e AS (SELECT doc_id, unnest(hs) AS hh FROM h WHERE len(hs) > 0),
+              |dfc AS (SELECT hh, count(*) AS df FROM e GROUP BY 1),
+              |keyed AS (SELECT doc_id,
+              |    list_sort(list(df * 1073741824 + hh)) AS ks
+              |  FROM e JOIN dfc USING (hh) GROUP BY doc_id),
+              |pfx AS (SELECT doc_id,
+              |    unnest(ks[1 : len(ks) - (4 * len(ks) + 4) // 5 + 1]) % 1073741824
+              |      AS hh
+              |  FROM keyed),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM pfx a JOIN pfx b
+              |    ON a.hh = b.hh AND a.doc_id < b.doc_id),
+              |sc AS (SELECT a_id, b_id,
+              |    CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+              |    CAST(len(ha.hs) + len(hb.hs)
+              |      - len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS uni
+              |  FROM cand JOIN h ha ON ha.doc_id = a_id
+              |            JOIN h hb ON hb.doc_id = b_id)
+              |SELECT a_id, b_id, inter, uni FROM sc
+              |WHERE inter * 5 >= uni * 4 ORDER BY a_id, b_id""".stripMargin)),
   )
 }

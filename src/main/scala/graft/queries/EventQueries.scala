@@ -534,5 +534,69 @@ object EventQueries {
              |SELECT n_a, x_a, n_b, x_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
              |  z, abs(z) > 1.959964 AS significant
              |FROM zz""".stripMargin)),
+
+    // ----- EWMA burst detection over the hourly event rate (the
+    // drift-ADAPTIVE alarm t_rate_anomaly's global z-score is not: a
+    // corpus that doubles its baseline over a month keeps tripping a
+    // fixed-mean z, while EWMA tracks the level and flags only
+    // departures from the RECENT rate). α = 1/2 — a dyadic rational,
+    // so every fold step `0.5·(x + acc)` is two correctly-rounded
+    // IEEE ops; both engines fold the SAME values in the SAME
+    // chronological order (Spark `aggregate` HOF ≡ DuckDB
+    // `list_reduce`, both left folds) ⇒ bit-identical doubles before
+    // the 6-dp pin. Physics: the first agg collapses any event volume
+    // to |hours| rows; the per-hour prev-EWMA is a nested fold over
+    // the bounded sorted series (O(|hours|²) arithmetic INSIDE one
+    // row — |hours| is history length, never data volume). Flag =
+    // count outside [0.8, 1.25]× the PRIOR hour's EWMA — the band is
+    // the exact rational 4/5 expressed as integer-scaled compares
+    // (4·cnt > 5·pe) on bit-identical doubles, chosen so the alarm
+    // fires at every fixture SF (high volume smooths the hourly rate:
+    // at sf0.1 the max departure is 1.41×, so a 2× band never fires
+    // and the oracle would gate a permanently-empty result).
+    QueryDef(
+      "t_ewma_burst",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        hourly
+          .agg(sort_array(collect_list(struct(col("hr"), col("cnt")))).as("xs"))
+          .select(explode(expr(
+            """transform(sequence(2, size(xs)), t -> named_struct(
+              |  'hr', xs[t-1].hr, 'cnt', xs[t-1].cnt,
+              |  'pe', aggregate(slice(xs, 2, t - 2),
+              |    CAST(xs[0].cnt AS DOUBLE),
+              |    (acc, x) -> 0.5D * (CAST(x.cnt AS DOUBLE) + acc))))
+              |""".stripMargin)).as("r"))
+          .select(timestamp_seconds(col("r.hr") * 3600).as("hour"),
+            col("r.cnt"), col("r.pe"))
+          .filter(col("cnt").cast("double") * 4.0 > lit(5.0) * col("pe") ||
+            col("cnt").cast("double") * 5.0 < lit(4.0) * col("pe"))
+          .select(col("hour"), col("cnt"), round(col("pe"), 6).as("ewma_prev"))
+          .orderBy("hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |packed AS (SELECT list_sort(list(struct_pack(hr := hr, cnt := cnt)))
+             |    AS xs FROM hourly),
+             |f AS (SELECT unnest(list_transform(range(2, len(xs) + 1),
+             |    t -> struct_pack(
+             |      hr := xs[t].hr, cnt := xs[t].cnt,
+             |      pe := list_reduce(
+             |        list_prepend(CAST(xs[1].cnt AS DOUBLE),
+             |          list_transform(xs[2 : t - 1],
+             |            x -> CAST(x.cnt AS DOUBLE))),
+             |        (acc, x) -> 0.5 * (x + acc)))), recursive := true)
+             |  FROM packed)
+             |SELECT make_timestamp(hr * 3600 * 1000000) AS hour, cnt,
+             |  round(pe, 6) AS ewma_prev
+             |FROM f
+             |WHERE CAST(cnt AS DOUBLE) * 4.0 > 5.0 * pe
+             |   OR CAST(cnt AS DOUBLE) * 5.0 < 4.0 * pe
+             |ORDER BY hour""".stripMargin)),
   )
 }

@@ -1814,5 +1814,62 @@ object TextQueries {
               |SELECT source, count(*) AS n_docs,
               |  round(avg(CAST(n_uni AS DOUBLE) / n_sh), 6) AS avg_novelty
               |FROM p GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ----- compaction planning via next-fit-decreasing bin packing
+    // (the small-files planner behind Delta OPTIMIZE / Iceberg
+    // rewrite_data_files: given a partition's file manifest, how many
+    // target-size output files and how full do they run): docs stand
+    // in for files (size = n_chars), source for the partition.
+    // Determinism: items sorted size-DESC tie id-ASC via one sortable
+    // integer key (10⁶−size)·2³⁰+id — no struct-sort semantics risk;
+    // the next-fit fold is a single-integer-encoded accumulator
+    // bins·10¹²+fill stepped with pure integer arithmetic, so Spark
+    // `aggregate` ≡ DuckDB `list_reduce` exactly (both left folds).
+    // Scale shape: a real compaction planner folds over per-partition
+    // FILE MANIFESTS (10³-10⁶ entries), not data — the per-source
+    // collect is manifest-bounded, the fold O(|manifest|), and
+    // partitions plan in parallel; the doc corpus here is the
+    // manifest stand-in. Capacity 50 000 chars.
+    QueryDef(
+      "layout_compaction",
+      (s, d) => {
+        val cap = 50000L
+        docs(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("n_chars")).as("total_chars"),
+            sort_array(collect_list(
+              (lit(1000000L) - col("n_chars")) * 1073741824L + col("doc_id")))
+              .as("ks"))
+          .withColumn("acc", expr(
+            s"""aggregate(ks, 1000000000000L, (acc, k) ->
+               |  IF(pmod(acc, 1000000000000L) + (1000000L - (k div 1073741824L)) > ${cap}L,
+               |     (acc div 1000000000000L + 1) * 1000000000000L
+               |       + (1000000L - (k div 1073741824L)),
+               |     acc + (1000000L - (k div 1073741824L))))
+               |""".stripMargin))
+          .select(col("source"), col("n_files"), col("total_chars"),
+            expr("acc div 1000000000000L").as("n_bins"),
+            round(col("total_chars").cast("double") /
+              (expr("acc div 1000000000000L") * cap), 6).as("fill_pct"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (SELECT source, count(*) AS n_files,
+             |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |    list_sort(list((1000000 - n_chars) * 1073741824 + doc_id)) AS ks
+             |  FROM documents GROUP BY 1),
+             |f AS (SELECT source, n_files, total_chars,
+             |    list_reduce(list_prepend(CAST(1000000000000 AS BIGINT), ks),
+             |      (acc, k) -> CASE
+             |        WHEN acc % 1000000000000 + (1000000 - k // 1073741824) > 50000
+             |        THEN (acc // 1000000000000 + 1) * 1000000000000
+             |             + (1000000 - k // 1073741824)
+             |        ELSE acc + (1000000 - k // 1073741824) END) AS acc
+             |  FROM g)
+             |SELECT source, n_files, total_chars,
+             |  acc // 1000000000000 AS n_bins,
+             |  round(CAST(total_chars AS DOUBLE) / ((acc // 1000000000000) * 50000), 6)
+             |    AS fill_pct
+             |FROM f ORDER BY source""".stripMargin)),
   )
 }
