@@ -157,6 +157,65 @@ object DedupQueries {
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY 1)""".stripMargin
 
+  /** Exact-COMPLETE Jaccard ≥ 0.8 pairs via AllPairs prefix filtering
+    * — the shared body of `dedup_prefix_filter` (which emits it) and
+    * `dedup_banding_recall` (which uses it as ground truth). Returns
+    * (a_id, b_id, inter, uni), unordered; completeness argument in
+    * the dedup_prefix_filter scaladoc (pigeonhole on the df-ordered
+    * prefix of length |s| − ⌈0.8|s|⌉ + 1).
+    */
+  private def prefixFilterPairs(s: SparkSession, d: String): DataFrame = {
+    val base = hashed(docs(s, d)).filter(size(col("hs")) > 0)
+    val e = base.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfc = e.groupBy("h").agg(count(lit(1)).as("df"))
+    val keyed = e.join(dfc, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("df") * 1073741824L + col("h")))
+        .as("ks"))
+    val pfx = keyed
+      .select(col("doc_id"),
+        explode(slice(col("ks"), lit(1),
+          expr("size(ks) - (4 * size(ks) + 4) div 5 + 1").cast("int")))
+          .as("k"))
+      .select(col("doc_id"), pmod(col("k"), lit(1073741824L)).as("h"))
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("hs_a")).cast("long") + size(col("hs_b")) - col("inter"))
+      .filter(col("inter") * 5L >= col("uni") * 4L)
+  }
+
+  /** Oracle CTE suite mirroring [[prefixFilterPairs]], ending in `pf`
+    * with (a_id, b_id, inter, uni).
+    */
+  private lazy val PrefixFilterSql =
+    """e AS (SELECT doc_id, unnest(hs) AS hh FROM h WHERE len(hs) > 0),
+      |dfc AS (SELECT hh, count(*) AS df FROM e GROUP BY 1),
+      |keyed AS (SELECT doc_id,
+      |    list_sort(list(df * 1073741824 + hh)) AS ks
+      |  FROM e JOIN dfc USING (hh) GROUP BY doc_id),
+      |pfx AS (SELECT doc_id,
+      |    unnest(ks[1 : len(ks) - (4 * len(ks) + 4) // 5 + 1]) % 1073741824
+      |      AS hh
+      |  FROM keyed),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM pfx a JOIN pfx b
+      |    ON a.hh = b.hh AND a.doc_id < b.doc_id),
+      |pf AS (SELECT * FROM (SELECT a_id, b_id,
+      |    CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+      |    CAST(len(ha.hs) + len(hb.hs)
+      |      - len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS uni
+      |  FROM cand JOIN h ha ON ha.doc_id = a_id
+      |            JOIN h hb ON hb.doc_id = b_id)
+      |  WHERE inter * 5 >= uni * 4)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- banded MinHash: explode to (band, signature) keys, shuffle
@@ -625,55 +684,49 @@ object DedupQueries {
     // Ceil on longs: ⌈4s/5⌉ = (4s+4) div 5, exact both engines.
     QueryDef(
       "dedup_prefix_filter",
+      (s, d) => prefixFilterPairs(s, d)
+        .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+        .orderBy("a_id", "b_id"),
+      Some(s"""$SqlBase,
+              |$PrefixFilterSql
+              |SELECT a_id, b_id, inter, uni FROM pf
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ----- banding-recall measurement (the quality gauge the hash
+    // oracle cannot express alone: dedup_minhash_pairs pins WHICH
+    // candidates banding yields, this measures HOW MANY of the true
+    // pairs it finds). Ground truth = prefixFilterPairs — exact AND
+    // complete at J ≥ 0.8 by the pigeonhole lemma, so recall is
+    // measurable WITHOUT an all-pairs sweep at any scale (both sides
+    // are candidate-bounded plans). 16-sig/8-band×2-row banding
+    // catches a J=0.8 pair with p = 1-(1-0.8²)^8 ≈ 0.9997 per the
+    // S-curve, so recall must sit near 1.0 — a drop is a broken
+    // signature/banding change, which is exactly what a regression
+    // gate wants to see. One summary row at any scale.
+    QueryDef(
+      "dedup_banding_recall",
       (s, d) => {
-        val base = hashed(docs(s, d)).filter(size(col("hs")) > 0)
-        val e = base.select(col("doc_id"), explode(col("hs")).as("h"))
-        val dfc = e.groupBy("h").agg(count(lit(1)).as("df"))
-        val keyed = e.join(dfc, "h")
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(col("df") * 1073741824L + col("h")))
-            .as("ks"))
-        val pfx = keyed
-          .select(col("doc_id"),
-            explode(slice(col("ks"), lit(1),
-              expr("size(ks) - (4 * size(ks) + 4) div 5 + 1").cast("int")))
-              .as("k"))
-          .select(col("doc_id"), pmod(col("k"), lit(1073741824L)).as("h"))
-        val cand = pfx.as("a").join(pfx.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        val withSets = cand
-          .join(base.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), "a_id")
-          .join(base.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), "b_id")
-          .withColumn("inter",
-            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
-          .withColumn("uni",
-            size(col("hs_a")).cast("long") + size(col("hs_b")) - col("inter"))
-        withSets.filter(col("inter") * 5L >= col("uni") * 4L)
-          .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
-          .orderBy("a_id", "b_id")
+        val truth = prefixFilterPairs(s, d).select("a_id", "b_id")
+        val banded = minhashCandidates(s, d).select("a_id", "b_id")
+        val hits = banded.join(truth, Seq("a_id", "b_id"))
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(banded.agg(count(lit(1)).as("n_banded")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(col("n_truth"), col("n_banded"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
       },
       Some(s"""$SqlBase,
-              |e AS (SELECT doc_id, unnest(hs) AS hh FROM h WHERE len(hs) > 0),
-              |dfc AS (SELECT hh, count(*) AS df FROM e GROUP BY 1),
-              |keyed AS (SELECT doc_id,
-              |    list_sort(list(df * 1073741824 + hh)) AS ks
-              |  FROM e JOIN dfc USING (hh) GROUP BY doc_id),
-              |pfx AS (SELECT doc_id,
-              |    unnest(ks[1 : len(ks) - (4 * len(ks) + 4) // 5 + 1]) % 1073741824
-              |      AS hh
-              |  FROM keyed),
-              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-              |  FROM pfx a JOIN pfx b
-              |    ON a.hh = b.hh AND a.doc_id < b.doc_id),
-              |sc AS (SELECT a_id, b_id,
-              |    CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
-              |    CAST(len(ha.hs) + len(hb.hs)
-              |      - len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS uni
-              |  FROM cand JOIN h ha ON ha.doc_id = a_id
-              |            JOIN h hb ON hb.doc_id = b_id)
-              |SELECT a_id, b_id, inter, uni FROM sc
-              |WHERE inter * 5 >= uni * 4 ORDER BY a_id, b_id""".stripMargin)),
+              |$PrefixFilterSql,
+              |sig AS (SELECT doc_id, hs, ${NearDup.Sql.minhashCols(mhParams)} FROM h),
+              |banded AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM sig a JOIN sig b
+              |    ON a.doc_id < b.doc_id AND (${NearDup.Sql.bandEq(MinhashK, BandR)})),
+              |tr AS (SELECT count(*) AS n_truth FROM pf),
+              |bd AS (SELECT count(*) AS n_banded FROM banded),
+              |ht AS (SELECT count(*) AS n_hits
+              |  FROM banded JOIN pf USING (a_id, b_id))
+              |SELECT n_truth, n_banded, n_hits,
+              |  round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
+              |FROM tr, bd, ht""".stripMargin)),
   )
 }
