@@ -543,7 +543,10 @@ object Bench {
   def coldBench(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
     val names = sys.env.get("SPARK_GRAFT_COLD_QUERIES")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq("dedup_sparse_cosine"))
+      // both are single-pass cache-building dedup sweeps whose cold
+      // cost IS the production cost (round-7: prefix filter joined
+      // sparse cosine as the second df-driven candidate strategy)
+      .getOrElse(Seq("dedup_sparse_cosine", "dedup_prefix_filter"))
     val nSamples = sys.env.getOrElse("SPARK_GRAFT_COLD_N", "2").toInt
     val results = names.map { name =>
       name -> (try {

@@ -598,5 +598,64 @@ object EventQueries {
              |WHERE CAST(cnt AS DOUBLE) * 4.0 > 5.0 * pe
              |   OR CAST(cnt AS DOUBLE) * 5.0 < 4.0 * pe
              |ORDER BY hour""".stripMargin)),
+
+    // ----- OLS trend slope per event type (the "is this feed growing
+    // or decaying" read-out behind every monitoring dashboard's trend
+    // arrow): closed-form least squares over (hour index, hourly
+    // count). All five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    // are EXACT longs — x is the hour offset from the global minimum
+    // hour (rebased so Σx² stays ≪ 2⁶³), y an exact count — so slope
+    // and intercept are single divisions of exact integers, 6-dp-
+    // pinned. Physics: the hourly agg collapses any volume to
+    // |types|·|hours| rows; the stats agg collapses that to |types|
+    // rows; the global min-hour is a 1-row broadcast. Denominator
+    // n·Σx²−(Σx)² = 0 only when a type has a single distinct hour —
+    // guarded explicitly to NULL on both sides.
+    QueryDef(
+      "t_trend_slope",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+              .cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val lo = hourly.agg(min("hr").as("__lo"))
+        val stats = hourly.crossJoin(broadcast(lo))
+          .withColumn("x", col("hr") - col("__lo"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"),
+            sum("x").as("sx"), sum("cnt").as("sy"),
+            sum(col("x") * col("cnt")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+        stats
+          .withColumn("den", col("n_hours") * col("sxx") - col("sx") * col("sx"))
+          .select(col("event_type"), col("n_hours"),
+            when(col("den") =!= 0L,
+              round((col("n_hours") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") / col("den"), 6)).as("slope"),
+            when(col("den") =!= 0L,
+              round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+                .cast("double") / col("den"), 6)).as("intercept"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type,
+             |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |lo AS (SELECT min(hr) AS lo FROM hourly),
+             |st AS (SELECT event_type, count(*) AS n_hours,
+             |    CAST(sum(hr - lo) AS BIGINT) AS sx,
+             |    CAST(sum(cnt) AS BIGINT) AS sy,
+             |    CAST(sum((hr - lo) * cnt) AS BIGINT) AS sxy,
+             |    CAST(sum((hr - lo) * (hr - lo)) AS BIGINT) AS sxx
+             |  FROM hourly, lo GROUP BY 1),
+             |dd AS (SELECT *, n_hours * sxx - sx * sx AS den FROM st)
+             |SELECT event_type, n_hours,
+             |  CASE WHEN den <> 0 THEN
+             |    round(CAST(n_hours * sxy - sx * sy AS DOUBLE) / den, 6) END AS slope,
+             |  CASE WHEN den <> 0 THEN
+             |    round(CAST(sy * sxx - sx * sxy AS DOUBLE) / den, 6) END AS intercept
+             |FROM dd ORDER BY event_type""".stripMargin)),
   )
 }

@@ -1871,5 +1871,63 @@ object TextQueries {
              |  round(CAST(total_chars AS DOUBLE) / ((acc // 1000000000000) * 50000), 6)
              |    AS fill_pct
              |FROM f ORDER BY source""".stripMargin)),
+
+    // ----- merkle-bucket snapshot reconciliation (the anti-entropy
+    // primitive UNDER diff_snapshots: row-level full-outer diff reads
+    // both snapshots end to end; bucketed digests compare 64 hashes
+    // first and row-diff only the buckets that differ — the
+    // rsync/Dynamo/Cassandra repair shape, and at 100 TB the only
+    // affordable way to re-sync a mostly-identical replica). Buckets
+    // key on doc_id (both sides agree by construction); per-bucket
+    // digest = md5 over the SORTED "id:fp" lines (ASCII-only strings,
+    // binary sort order identical cross-engine). Sparse drift
+    // fixture: ~1% changed (%97), removed (%89), added (%93 shifted)
+    // — so differing buckets are a strict subset, proving the digest
+    // actually discriminates. Output ≤ 64 rows at any scale.
+    QueryDef(
+      "diff_merkle_buckets",
+      (s, d) => {
+        val fp = TextAnalysis.fingerprint(col("text"))
+        val old = docs(s, d).select(col("doc_id"), fp.as("fp"))
+        val nw = docs(s, d)
+          .filter(col("doc_id") % 89 =!= 0)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(
+              when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))).as("fp"))
+          .unionAll(docs(s, d).filter(col("doc_id") % 93 === 0)
+            .select((col("doc_id") + 900000L).as("doc_id"), fp.as("fp")))
+        def digest(df: DataFrame, n: String, h: String): DataFrame =
+          df.groupBy(pmod(col("doc_id"), lit(64L)).as("bucket"))
+            .agg(count(lit(1)).as(n),
+              md5(concat_ws("|", sort_array(collect_list(
+                concat_ws(":", col("doc_id"), col("fp")))))).as(h))
+        digest(old, "n_old", "h_old")
+          .join(digest(nw, "n_new", "h_new"), Seq("bucket"), "full_outer")
+          .filter(col("h_old").isNull || col("h_new").isNull ||
+            col("h_old") =!= col("h_new"))
+          .select(col("bucket"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .orderBy("bucket")
+      },
+      Some("""WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+             |nw AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 97 = 0 THEN text || ' v2' ELSE text END) AS fp
+             |  FROM documents WHERE doc_id % 89 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 900000, md5(text) FROM documents WHERE doc_id % 93 = 0),
+             |ob AS (SELECT doc_id % 64 AS bucket, count(*) AS n_old,
+             |    md5(string_agg(doc_id || ':' || fp, '|'
+             |      ORDER BY doc_id || ':' || fp)) AS h_old
+             |  FROM old GROUP BY 1),
+             |nb AS (SELECT doc_id % 64 AS bucket, count(*) AS n_new,
+             |    md5(string_agg(doc_id || ':' || fp, '|'
+             |      ORDER BY doc_id || ':' || fp)) AS h_new
+             |  FROM nw GROUP BY 1)
+             |SELECT bucket, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+             |FROM ob FULL OUTER JOIN nb USING (bucket)
+             |WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new
+             |ORDER BY bucket""".stripMargin)),
   )
 }
