@@ -657,5 +657,103 @@ object EventQueries {
              |  CASE WHEN den <> 0 THEN
              |    round(CAST(sy * sxx - sx * sxy AS DOUBLE) / den, 6) END AS intercept
              |FROM dd ORDER BY event_type""".stripMargin)),
+
+    // ----- multi-touch attribution (first / last / linear credit —
+    // the marketing-analytics read j2's as-of join gives only the
+    // last-touch slice of): every view/click inside the 7-day window
+    // before a user's purchase is a touch; first-touch credits the
+    // opener, last-touch the closer, linear splits 1/n. Physics: the
+    // touch↔conversion pairing is an EQUI-join on user_id with the
+    // time window as residual predicates (never a product — user
+    // timelines are bounded, the fan-out is touches×conversions per
+    // user); ranking windows partition by conversion id. Credits are
+    // exact longs for first/last; linear is Σ(1/n) 6-dp-pinned
+    // (absolute float-order error ~10⁻¹⁶·rows, far under the pin).
+    // Ties inside a conversion pin on (ts, event_id) both sides.
+    QueryDef(
+      "a23_attribution_models",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val conv = events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+        val touch = events(s, d)
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("channel"))
+        val tc = touch.join(conv, Seq("user_id"))
+          .filter(col("ts") < col("cts") &&
+            col("ts") >= col("cts") - expr("INTERVAL 7 DAYS"))
+        val byConv = Window.partitionBy("cid")
+        val first = Window.partitionBy("cid").orderBy(col("ts"), col("event_id"))
+        val last = Window.partitionBy("cid")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        tc
+          .withColumn("rn_f", row_number().over(first))
+          .withColumn("rn_l", row_number().over(last))
+          .withColumn("n", count(lit(1)).over(byConv))
+          .groupBy("channel")
+          .agg(sum(when(col("rn_f") === 1, 1L).otherwise(0L)).as("credit_first"),
+            sum(when(col("rn_l") === 1, 1L).otherwise(0L)).as("credit_last"),
+            round(sum(lit(1.0) / col("n")), 6).as("credit_linear"),
+            count(lit(1)).as("n_touches"))
+          .orderBy("channel")
+      },
+      Some("""WITH conv AS (SELECT user_id, ts AS cts, event_id AS cid
+             |  FROM events WHERE event_type = 'purchase'),
+             |touch AS (SELECT user_id, ts, event_id, event_type AS channel
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |tc AS (SELECT t.channel, t.ts, t.event_id, c.cid
+             |  FROM touch t JOIN conv c ON t.user_id = c.user_id
+             |  WHERE t.ts < c.cts AND t.ts >= c.cts - INTERVAL 7 DAY),
+             |r AS (SELECT channel,
+             |    row_number() OVER (PARTITION BY cid ORDER BY ts, event_id) AS rn_f,
+             |    row_number() OVER (PARTITION BY cid
+             |      ORDER BY ts DESC, event_id DESC) AS rn_l,
+             |    count(*) OVER (PARTITION BY cid) AS n
+             |  FROM tc)
+             |SELECT channel,
+             |  CAST(sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS credit_first,
+             |  CAST(sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS credit_last,
+             |  round(sum(1.0 / n), 6) AS credit_linear,
+             |  count(*) AS n_touches
+             |FROM r GROUP BY 1 ORDER BY channel""".stripMargin)),
+
+    // ----- time-weighted average per user (trapezoidal TWAP — the
+    // right mean for IRREGULARLY-sampled series, where the plain avg
+    // over-weights chatty periods; the standard read for sensor/
+    // position/price telemetry). Interval weights are exact micros
+    // (longs); per-user trapezoid terms (v_i+v_{i+1})/2·dt sum in ONE
+    // user partition each (lead window + agg share the user_id
+    // shuffle). The rank pins ties on the 6-dp ROUNDED value then
+    // user_id, so the top-10 cut is cross-engine stable. Single-event
+    // users (Σdt = 0) are excluded by construction.
+    QueryDef(
+      "w9_time_weighted_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val seg = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("nts", lead(col("ts"), 1).over(w))
+          .withColumn("nv", lead(col("value"), 1).over(w))
+          .filter(col("nts").isNotNull)
+          .withColumn("dt", unix_micros(col("nts")) - unix_micros(col("ts")))
+        seg.groupBy("user_id")
+          .agg((count(lit(1)) + 1).as("n_events"),
+            round(sum((col("value") + col("nv")) / 2.0 * col("dt")) /
+              sum(col("dt")), 6).as("twap"))
+          .orderBy(col("twap").desc, col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH seg AS (SELECT user_id, value,
+             |    lead(ts) OVER w AS nts, lead(value) OVER w AS nv,
+             |    CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT) AS dt
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |t AS (SELECT user_id, count(*) + 1 AS n_events,
+             |    round(sum((value + nv) / 2.0 * dt) / sum(dt), 6) AS twap
+             |  FROM seg WHERE nts IS NOT NULL GROUP BY 1)
+             |SELECT user_id, n_events, twap FROM t
+             |ORDER BY twap DESC, user_id LIMIT 10""".stripMargin)),
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-shape locks for the round-7 selection/linkage/similarity
+  * operators: each one's scale story is a specific join/window
+  * physics, and a planner or code change that silently degrades it to
+  * a product or a global single-partition sort would still hash-match
+  * the oracle — these asserts are the only guard.
+  */
+class Round7PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("skyline / linkage / prefix-filter plans contain no cartesian or BNLJ") {
+    // dedup_banding_recall is exempt: its three 1-row count aggregates
+    // combine via crossJoin (the registry's scalar-broadcast pattern),
+    // which plans as a BNLJ over single rows — not a data product.
+    Seq("tx31_skyline", "j8_record_linkage", "j8b_sorted_neighborhood",
+      "dedup_prefix_filter", "tx32_phrase_search")
+      .foreach { q =>
+        val plan = executedPlan(q)
+        assert(!plan.contains("CartesianProduct"),
+          s"$q plan has a cartesian product:\n${plan.take(2000)}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q plan has a nested-loop join:\n${plan.take(2000)}")
+        graft.queries.DedupQueries.releaseSignatureCache()
+      }
+  }
+
+  test("skyline frontier joins back as a broadcast") {
+    val plan = executedPlan("tx31_skyline")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier join-back is not broadcast:\n${plan.take(2000)}")
+  }
+
+  test("sorted-neighborhood window partitions by the blocking key") {
+    // the per-nation window must NOT collapse to a global
+    // single-partition sort — that is the whole point of blocking
+    val plan = executedPlan("j8b_sorted_neighborhood")
+    assert(plan.contains("hashpartitioning(nk"),
+      s"window not partitioned by nk:\n${plan.take(2000)}")
+  }
+}
