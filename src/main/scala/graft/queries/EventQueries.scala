@@ -755,5 +755,131 @@ object EventQueries {
              |  FROM seg WHERE nts IS NOT NULL GROUP BY 1)
              |SELECT user_id, n_events, twap FROM t
              |ORDER BY twap DESC, user_id LIMIT 10""".stripMargin)),
+
+    // ----- chi-square independence test (the categorical companion to
+    // a22's two-proportion z: is event-type mix independent of the
+    // experiment arm?): contingency cells are exact longs, expected
+    // counts exact-integer ratios (row·col/N as doubles of ≤2⁵³
+    // ints), χ² = Σ(o−e)²/e over ≤ |types|·2 cells — the cell agg
+    // collapses any event volume first, so the statistic is driver-
+    // trivial at any scale; 6-dp pin absorbs the ≤10-element float
+    // sum order. dof from the observed margins.
+    QueryDef(
+      "a24_chi_square",
+      (s, d) => {
+        val cells = events(s, d)
+          .groupBy(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"))
+          .agg(count(lit(1)).as("o"))
+        val rows = cells.groupBy("event_type").agg(sum("o").as("rt"))
+        val cols = cells.groupBy("arm").agg(sum("o").as("ct"))
+        val tot = cells.agg(sum("o").as("n"),
+          countDistinct("event_type").as("r"), countDistinct("arm").as("c"))
+        cells.join(rows, "event_type").join(cols, "arm")
+          .crossJoin(broadcast(tot))
+          .withColumn("e",
+            (col("rt") * col("ct")).cast("double") / col("n"))
+          .withColumn("term",
+            (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+          .groupBy("n", "r", "c")
+          .agg(round(sum("term"), 6).as("chi2"))
+          .select(col("n"), round(col("chi2"), 6).as("chi2"),
+            ((col("r") - 1) * (col("c") - 1)).as("dof"))
+      },
+      Some("""WITH cells AS (SELECT event_type, user_id % 2 AS arm,
+             |    count(*) AS o FROM events GROUP BY 1, 2),
+             |rw AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+             |  FROM cells GROUP BY 1),
+             |cl AS (SELECT arm, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+             |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+             |    CAST(count(DISTINCT arm) AS BIGINT) AS c FROM cells)
+             |SELECT n, round(sum((o - e) * (o - e) / e), 6) AS chi2,
+             |  (r - 1) * (c - 1) AS dof
+             |FROM (SELECT cells.o, n, r, c,
+             |        CAST(rt * ct AS DOUBLE) / n AS e
+             |      FROM cells JOIN rw USING (event_type) JOIN cl USING (arm), tt)
+             |GROUP BY n, r, c""".stripMargin)),
+
+    // ----- per-user sequence likelihood under the corpus Markov model
+    // (bot/anomaly detection BUILT ON t_markov_transitions: a user
+    // whose event chain is improbable under the population's
+    // transition matrix is automated, broken, or adversarial — the
+    // improbable-chain signal). Score = mean ln(n_trans/row_total)
+    // over the user's transitions; each log argument is a ratio of
+    // exact longs (the matrix is ≤ |types|² cells, broadcast), so
+    // both engines take ln of IDENTICAL doubles (tx30's precedent),
+    // 6-dp-pinned after the mean. Bottom-10 cut ranks on the ROUNDED
+    // score then user_id. One user-key shuffle + a broadcast join.
+    QueryDef(
+      "t_sequence_likelihood",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = events(s, d)
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("user_id"), col("prev"), col("event_type").as("curr"))
+        val matrix = trans.groupBy("prev", "curr").agg(count(lit(1)).as("mn"))
+          .withColumn("mt",
+            sum("mn").over(Window.partitionBy("prev")))
+        trans.join(broadcast(matrix), Seq("prev", "curr"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_trans"),
+            round(sum(log(col("mn").cast("double") / col("mt"))) /
+              count(lit(1)), 6).as("avg_ll"))
+          .orderBy(col("avg_ll"), col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH tr AS (SELECT user_id,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev,
+             |    event_type AS curr
+             |  FROM events),
+             |t2 AS (SELECT user_id, prev, curr FROM tr WHERE prev IS NOT NULL),
+             |m AS (SELECT prev, curr, count(*)::BIGINT AS mn,
+             |    CAST(sum(count(*)) OVER (PARTITION BY prev) AS BIGINT) AS mt
+             |  FROM t2 GROUP BY prev, curr)
+             |SELECT user_id, count(*) AS n_trans,
+             |  round(sum(ln(CAST(mn AS DOUBLE) / mt)) / count(*), 6) AS avg_ll
+             |FROM t2 JOIN m USING (prev, curr)
+             |GROUP BY 1 ORDER BY avg_ll, user_id LIMIT 10""".stripMargin)),
+
+    // ----- time-to-convert distribution (funnel latency: how long
+    // from first signup to first purchase): per-user anchor pair via
+    // two min-aggregates (first signup, then first purchase AFTER
+    // it — the order constraint is what makes it a funnel, not a
+    // join of independent minima); latency in exact whole hours
+    // (micros div — both engines truncate on BIGINT); exact
+    // percentiles over the ≤|users| converter set, a12's idiom.
+    QueryDef(
+      "a26_time_to_convert",
+      (s, d) => {
+        val su = events(s, d).filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("s_us"))
+        val pu = events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        su.join(pu, Seq("user_id"))
+          .filter(col("p_us") >= col("s_us"))
+          .groupBy("user_id").agg(min("p_us").as("p_us"), min("s_us").as("s_us"))
+          .withColumn("hours", expr("(p_us - s_us) div 3600000000"))
+          .agg(count(lit(1)).as("n_converters"),
+            round(expr("percentile(hours, 0.5)"), 6).as("p50_hours"),
+            round(expr("percentile(hours, 0.9)"), 6).as("p90_hours"),
+            round(avg(col("hours").cast("double")), 6).as("avg_hours"))
+      },
+      Some("""WITH su AS (SELECT user_id,
+             |    min(epoch_us(ts)) AS s_us
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |pp AS (SELECT e.user_id,
+             |    min(epoch_us(e.ts)) AS p_us, min(su.s_us) AS s_us
+             |  FROM events e JOIN su ON e.user_id = su.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s_us
+             |  GROUP BY 1),
+             |h AS (SELECT user_id, (p_us - s_us) // 3600000000 AS hours FROM pp)
+             |SELECT count(*) AS n_converters,
+             |  round(quantile_cont(hours, 0.5), 6) AS p50_hours,
+             |  round(quantile_cont(hours, 0.9), 6) AS p90_hours,
+             |  round(avg(CAST(hours AS DOUBLE)), 6) AS avg_hours
+             |FROM h""".stripMargin)),
   )
 }

@@ -1929,5 +1929,54 @@ object TextQueries {
              |FROM ob FULL OUTER JOIN nb USING (bucket)
              |WHERE h_old IS NULL OR h_new IS NULL OR h_old <> h_new
              |ORDER BY bucket""".stripMargin)),
+
+    // ----- source-concentration audit: Shannon entropy + Gini over
+    // the per-source doc distribution (the scalar health numbers
+    // behind t_drift_mix's per-type terms and a21's Pareto cut — one
+    // diversified-corpus gauge a mixing policy can threshold on).
+    // Entropy terms are p·ln(p) on exact-integer ratios (tx30's ln
+    // precedent, 6-dp pin); the Gini numerator Σ(2i−S−1)·nᵢ is EXACT
+    // longs — rank i from a window over the ≤|sources| aggregate
+    // (bounded like the skyline frontier, never data-sized), ties
+    // pinned by source name. One source-key shuffle total.
+    QueryDef(
+      "a25_source_entropy",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bySrc = docs(s, d).groupBy("source").agg(count(lit(1)).as("n"))
+        val ranked = bySrc
+          .withColumn("i", row_number()
+            .over(Window.orderBy(col("n"), col("source"))).cast("long"))
+        // H = ln N − (Σ n·ln n)/N (the algebraic form that keeps every
+        // log argument an exact integer); Gini from Σ i·nᵢ exact longs
+        ranked
+          .agg(count(lit(1)).as("s"), sum("n").as("nn"),
+            sum(col("n").cast("double") * log(col("n").cast("double")))
+              .as("snln"),
+            sum(col("i") * col("n")).as("sin"))
+          .select(col("s").as("n_sources"), col("nn").as("n_docs"),
+            round(log(col("nn").cast("double")) -
+              col("snln") / col("nn"), 6).as("entropy"),
+            when(col("s") > 1L,
+              round((log(col("nn").cast("double")) - col("snln") / col("nn")) /
+                log(col("s").cast("double")), 6)).as("entropy_norm"),
+            round((lit(2L) * col("sin") - (col("s") + 1L) * col("nn"))
+              .cast("double") / (col("s") * col("nn")), 6).as("gini"))
+      },
+      Some("""WITH bs AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |r AS (SELECT n,
+             |    CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i
+             |  FROM bs),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS s,
+             |    CAST(sum(n) AS BIGINT) AS nn,
+             |    sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln,
+             |    CAST(sum(i * n) AS BIGINT) AS sin FROM r)
+             |SELECT s AS n_sources, nn AS n_docs,
+             |  round(ln(CAST(nn AS DOUBLE)) - snln / nn, 6) AS entropy,
+             |  CASE WHEN s > 1 THEN
+             |    round((ln(CAST(nn AS DOUBLE)) - snln / nn)
+             |      / ln(CAST(s AS DOUBLE)), 6) END AS entropy_norm,
+             |  round(CAST(2 * sin - (s + 1) * nn AS DOUBLE) / (s * nn), 6) AS gini
+             |FROM a""".stripMargin)),
   )
 }
