@@ -881,5 +881,98 @@ object EventQueries {
              |  round(quantile_cont(hours, 0.9), 6) AS p90_hours,
              |  round(avg(CAST(hours AS DOUBLE)), 6) AS avg_hours
              |FROM h""".stripMargin)),
+
+    // ----- population stability index over value quintiles (PSI —
+    // the model-monitoring drift standard next to t_drift_mix's JSD:
+    // credit-scoring/ML ops threshold on PSI < 0.1/0.25): band edges
+    // are EXACT quintiles of the BEFORE slice (1-row broadcast), both
+    // slices then bucket against those fixed edges — the asymmetry is
+    // the point, drift is measured against the baseline's geometry.
+    // Counts exact longs; each term (p−q)·ln(p/q) takes ln of a ratio
+    // of exact-integer ratios (identical doubles both engines), 6-dp
+    // pin. Zero-count cells pinned to a 0 term explicitly (the
+    // standard ±0.5-count smoothing is a modeling choice; the fixture
+    // has none, and an explicit pin beats engine-defined ln(0)).
+    QueryDef(
+      "t_psi_drift",
+      (s, d) => {
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val before = events(s, d).filter(col("ts") < cut)
+        val edges = before.agg(
+          expr("percentile(value, array(0.2, 0.4, 0.6, 0.8))").as("e"))
+        val banded = events(s, d).crossJoin(broadcast(edges))
+          .withColumn("band",
+            when(col("value") <= element_at(col("e"), 1), 1L)
+              .when(col("value") <= element_at(col("e"), 2), 2L)
+              .when(col("value") <= element_at(col("e"), 3), 3L)
+              .when(col("value") <= element_at(col("e"), 4), 4L)
+              .otherwise(5L))
+          .groupBy("band")
+          .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("na"))
+        val tots = banded.agg(sum("nb").as("tb"), sum("na").as("ta"))
+        banded.crossJoin(broadcast(tots))
+          .withColumn("p", col("nb").cast("double") / col("tb"))
+          .withColumn("q", col("na").cast("double") / col("ta"))
+          .withColumn("term",
+            when(col("nb") > 0L && col("na") > 0L,
+              (col("p") - col("q")) * log(col("p") / col("q")))
+              .otherwise(lit(0.0)))
+          .agg(sum("nb").as("n_before"), sum("na").as("n_after"),
+            round(sum("term"), 6).as("psi"))
+      },
+      Some("""WITH e AS (SELECT quantile_cont(value, [0.2, 0.4, 0.6, 0.8]) AS e
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+             |b AS (SELECT CASE WHEN value <= e[1] THEN 1 WHEN value <= e[2] THEN 2
+             |        WHEN value <= e[3] THEN 3 WHEN value <= e[4] THEN 4
+             |        ELSE 5 END AS band,
+             |      CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             |      CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS na
+             |  FROM events, e GROUP BY 1),
+             |t AS (SELECT CAST(sum(nb) AS BIGINT) AS tb,
+             |             CAST(sum(na) AS BIGINT) AS ta FROM b)
+             |SELECT CAST(sum(nb) AS BIGINT) AS n_before,
+             |  CAST(sum(na) AS BIGINT) AS n_after,
+             |  round(sum(CASE WHEN nb > 0 AND na > 0 THEN
+             |    (CAST(nb AS DOUBLE) / tb - CAST(na AS DOUBLE) / ta)
+             |    * ln((CAST(nb AS DOUBLE) / tb) / (CAST(na AS DOUBLE) / ta))
+             |    ELSE 0.0 END), 6) AS psi
+             |FROM b, t""".stripMargin)),
+
+    // ----- trimmed mean per event type (the robust center W7's MAD
+    // outlier flagging does not itself provide — drop the top and
+    // bottom 10% BY RANK, exact cut): ranks pin ties on (value,
+    // event_id) so the trim boundary is identical cross-engine even
+    // with duplicated values; cut counts are exact integer floors of
+    // n/10. One event_type-partitioned window + the same-key agg —
+    // a single uniform shuffle, no global sort.
+    QueryDef(
+      "w10_trimmed_mean",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        events(s, d)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy("event_type")).cast("long"))
+          .filter(col("rk") > expr("n div 10") &&
+            col("rk") <= col("n") - expr("n div 10"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_kept"),
+            round(avg("value"), 6).as("trimmed_mean"))
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (SELECT event_type, value,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value, event_id) AS BIGINT) AS rk,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_kept,
+             |  round(avg(value), 6) AS trimmed_mean
+             |FROM r WHERE rk > n // 10 AND rk <= n - n // 10
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
   )
 }

@@ -1978,5 +1978,46 @@ object TextQueries {
              |      / ln(CAST(s AS DOUBLE)), 6) END AS entropy_norm,
              |  round(CAST(2 * sin - (s + 1) * nn AS DOUBLE) / (s * nn), 6) AS gini
              |FROM a""".stripMargin)),
+
+    // ----- proportional sample allocation via largest-remainder
+    // (Hamilton) apportionment: split a budget of k=100 draws across
+    // sources ∝ doc counts with EXACT integer arithmetic — floor the
+    // quota k·nₕ/N (integer div), then hand the leftover seats to the
+    // largest remainders (k·nₕ mod N compared as exact longs, ties by
+    // source name). The allocation step every stratified sampler runs
+    // before the per-stratum draw (sample_exact_k consumes exactly
+    // such budgets); floats never appear, so there is no .5-rounding
+    // drift cross-engine. Window ranks over the ≤|sources| aggregate
+    // — bounded like the skyline frontier. Invariant Σalloc = k holds
+    // by construction (floors + exactly-leftover remainders).
+    QueryDef(
+      "sample_allocation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 100L
+        val bySrc = docs(s, d).groupBy("source").agg(count(lit(1)).as("n"))
+        // floor quotas + leftover computed from the same exact ints
+        val base = bySrc.crossJoin(broadcast(bySrc.agg(sum("n").as("nn"))))
+          .withColumn("fl", expr(s"(${k}L * n) div nn"))
+          .withColumn("rem", expr(s"(${k}L * n) % nn"))
+        val leftover = base.agg((lit(k) - sum("fl")).as("lo"))
+        base.crossJoin(broadcast(leftover))
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+          .select(col("source"), col("n").as("n_docs"),
+            (col("fl") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+              .as("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH bs AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM bs),
+             |b AS (SELECT source, n, (100 * n) // nn AS fl, (100 * n) % nn AS rem
+             |  FROM bs, t),
+             |lo AS (SELECT 100 - CAST(sum(fl) AS BIGINT) AS lo FROM b),
+             |r AS (SELECT *, CAST(row_number() OVER
+             |    (ORDER BY rem DESC, source) AS BIGINT) AS rk FROM b)
+             |SELECT source, n AS n_docs,
+             |  CAST(fl + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |FROM r, lo ORDER BY source""".stripMargin)),
   )
 }
