@@ -1823,5 +1823,88 @@ object ParityQueries {
              |SELECT nk, count(*) AS n_pairs,
              |  CAST(sum(CASE WHEN gap < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
              |FROM p GROUP BY 1 ORDER BY nk""".stripMargin)),
+
+    // ----- TPC-H Q5 shape: local supplier volume — revenue where the
+    // ordering customer and the supplying supplier share a nation,
+    // restricted to one region and one order year. The canonical
+    // star-join stress: TWO fact tables (orders, lineitem) join on
+    // orderkey (the only big-big shuffle), every dimension
+    // (customer, supplier, nation, region) broadcasts, and the
+    // c_nationkey = s_nationkey equality is a residual predicate on
+    // broadcast columns, never a join fan-out. Year + region filters
+    // push into the scans. Revenue sums are 2-dp-pinned like q1/q3.
+    QueryDef(
+      "q5_local_supplier_volume",
+      (s, d) => {
+        val y0 = lit("1997-01-01 00:00:00").cast("timestamp")
+        val y1 = lit("1998-01-01 00:00:00").cast("timestamp")
+        val asia = t(s, d, "region").filter(col("r_name") === "ASIA")
+        val nat = t(s, d, "nation")
+          .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM orders
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin),
+      bench = true),
+
+    // ----- TPC-H Q10 shape: returned-item revenue per customer (the
+    // churn-investigation read: who returned the most value this
+    // quarter). One fact-fact shuffle (orders⋈lineitem on orderkey,
+    // both sides date/flag-filtered AT THE SCAN), customer + nation
+    // broadcast, top-20 by 2-dp-pinned revenue with custkey ties —
+    // a TakeOrdered, never a global sort.
+    QueryDef(
+      "q10_returned_revenue",
+      (s, d) => {
+        val q0 = lit("1997-01-01 00:00:00").cast("timestamp")
+        val q1d = lit("1997-04-01 00:00:00").cast("timestamp")
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= q0 && col("o_orderdate") < q1d)
+          .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM orders
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
   )
 }
