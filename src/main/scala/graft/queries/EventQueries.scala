@@ -974,5 +974,44 @@ object EventQueries {
              |  round(avg(value), 6) AS trimmed_mean
              |FROM r WHERE rk > n // 10 AND rk <= n - n // 10
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ----- transition dwell time (the TIMING layer over
+    // t_markov_transitions' structure: how long users sit between
+    // consecutive steps — the slow-step finder of product-flow
+    // analysis). Same one user-key shuffle + lag window; per-pair
+    // stats collapse to ≤|types|² rows. Dwell is exact whole seconds
+    // (micros div, both engines truncate); avg is a ratio of exact
+    // integer sums 6-dp-pinned; p50 exact percentile (a12 idiom) on
+    // longs.
+    QueryDef(
+      "t_transition_dwell",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, d)
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .withColumn("pus", lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("dwell_s",
+            expr("(unix_micros(ts) - pus) div 1000000"))
+          .groupBy(col("prev"), col("event_type").as("curr"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("dwell_s").cast("double")), 6).as("avg_dwell_s"),
+            round(expr("percentile(dwell_s, 0.5)"), 6).as("p50_dwell_s"))
+          .orderBy("prev", "curr")
+      },
+      Some("""WITH tr AS (SELECT
+             |    lag(event_type) OVER w AS prev,
+             |    lag(epoch_us(ts)) OVER w AS pus,
+             |    event_type AS curr, epoch_us(ts) AS us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |d AS (SELECT prev, curr,
+             |    CAST(us - pus AS BIGINT) // 1000000 AS dwell_s
+             |  FROM tr WHERE prev IS NOT NULL)
+             |SELECT prev, curr, count(*) AS n,
+             |  round(avg(CAST(dwell_s AS DOUBLE)), 6) AS avg_dwell_s,
+             |  round(quantile_cont(dwell_s, 0.5), 6) AS p50_dwell_s
+             |FROM d GROUP BY 1, 2 ORDER BY prev, curr""".stripMargin)),
   )
 }

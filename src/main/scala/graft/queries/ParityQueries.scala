@@ -1906,5 +1906,78 @@ object ParityQueries {
              |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
              |GROUP BY 1, 2, 3
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ----- RFM segmentation (the CRM workhorse: score every customer
+    // 1-5 on Recency / Frequency / Monetary, read the segment
+    // histogram): recency = exact whole days from a PINNED reference
+    // instant (never now() — determinism), frequency = order count,
+    // monetary = exact cents (round-then-cast both engines — a bare
+    // double→long cast truncates on Spark and rounds on DuckDB).
+    // Scores bucket against exact QUINTILE EDGES broadcast from one
+    // row (tx24's calibration physics) rather than ntile — a global
+    // ntile window is a single-partition sort over every customer,
+    // the thing a 10⁹-customer frame cannot do; edge-bucketing is
+    // map-side with value>edge integer compares on exact longs.
+    // Output ≤125 segment rows at any scale.
+    QueryDef(
+      "a27_rfm_segments",
+      (s, d) => {
+        val percust = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          // NTZ → session-zone timestamp (pinned UTC ⇒ identical
+          // micros; the fixture stores orderdate as TIMESTAMP_NTZ)
+          .agg(max(unix_micros(col("o_orderdate").cast("timestamp")))
+              .as("last_us"),
+            count(lit(1)).as("freq"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .withColumn("rec_days",
+            expr("(unix_micros(TIMESTAMP '1999-01-01 00:00:00') - last_us)" +
+              " div 86400000000"))
+        val edges = percust.agg(
+          expr("percentile(rec_days, array(0.2, 0.4, 0.6, 0.8))").as("re"),
+          expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fe"),
+          expr("percentile(cents, array(0.2, 0.4, 0.6, 0.8))").as("me"))
+        def score(v: Column, e: String): Column =
+          (lit(1L) + (0 until 4).map(i =>
+            when(v.cast("double") > element_at(col(e), i + 1), 1L)
+              .otherwise(0L)).reduce(_ + _)).as("__s")
+        percust.crossJoin(broadcast(edges))
+          // recency: LOWER days = better → invert so 5 = most recent
+          .withColumn("r", lit(6L) - score(col("rec_days"), "re"))
+          .withColumn("f", score(col("freq"), "fe"))
+          .withColumn("m", score(col("cents"), "me"))
+          .groupBy("r", "f", "m")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum("cents").cast("double") / 100.0, 2).as("total_spend"))
+          .orderBy("r", "f", "m")
+      },
+      Some("""WITH pc AS (SELECT o_custkey,
+             |    max(epoch_us(o_orderdate)) AS last_us,
+             |    count(*) AS freq,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |    (epoch_us(TIMESTAMP '1999-01-01 00:00:00')
+             |      - max(epoch_us(o_orderdate))) // 86400000000 AS rec_days
+             |  FROM orders GROUP BY 1),
+             |e AS (SELECT quantile_cont(rec_days, [0.2, 0.4, 0.6, 0.8]) AS re,
+             |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fe,
+             |    quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS me FROM pc),
+             |seg AS (SELECT cents,
+             |    6 - (1 + (CASE WHEN rec_days > re[1] THEN 1 ELSE 0 END)
+             |           + (CASE WHEN rec_days > re[2] THEN 1 ELSE 0 END)
+             |           + (CASE WHEN rec_days > re[3] THEN 1 ELSE 0 END)
+             |           + (CASE WHEN rec_days > re[4] THEN 1 ELSE 0 END)) AS r,
+             |    1 + (CASE WHEN freq > fe[1] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN freq > fe[2] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN freq > fe[3] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN freq > fe[4] THEN 1 ELSE 0 END) AS f,
+             |    1 + (CASE WHEN cents > me[1] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN cents > me[2] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN cents > me[3] THEN 1 ELSE 0 END)
+             |      + (CASE WHEN cents > me[4] THEN 1 ELSE 0 END) AS m
+             |  FROM pc, e)
+             |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+             |  CAST(m AS BIGINT) AS m, count(*) AS n_customers,
+             |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_spend
+             |FROM seg GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin)),
   )
 }
