@@ -1907,6 +1907,96 @@ object ParityQueries {
              |GROUP BY 1, 2, 3
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // ----- TPC-H Q18 shape: large-order customers (the whale-finder —
+    // which orders move abnormal volume, and who placed them).
+    // AGGREGATE-BEFORE-JOIN is the whole plan lesson: sum(l_quantity)
+    // per orderkey FIRST (one uniform orderkey shuffle with map-side
+    // partials), the HAVING cut collapses the fact table to the rare
+    // whales, and only then does the join back to orders/customer
+    // run. The groupBy output is already hash-partitioned on
+    // l_orderkey, so the orders⋈whales join reuses that partitioning
+    // — orders shuffles once, the agg side never re-exchanges
+    // (Round7PlanSpec locks this). The whale side is NOT broadcast on
+    // purpose: its size is selectivity-dependent (at 100 TB a 0.3%
+    // cut is still tens of millions of keys), so the shuffle join
+    // with a reused exchange is the shape that survives scale, and
+    // AQE is free to demote it to broadcast when the cut is tiny.
+    // Quantities are whole-valued doubles (1..50) ⇒ sums exact;
+    // top-100 via TakeOrdered on (totalprice desc, orderkey), never
+    // a global sort.
+    QueryDef(
+      "q18_large_orders",
+      (s, d) => {
+        val whales = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        t(s, d, "orders")
+          .join(whales, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("totalprice"),
+            round(col("sum_qty"), 1).as("sum_qty"))
+          .orderBy(col("totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+             |  round(o_totalprice, 2) AS totalprice,
+             |  round(sum_qty, 1) AS sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) w
+             |  ON o_orderkey = w.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ----- TPC-H Q14 shape: promotion revenue share (the campaign
+    // read-out: what fraction of this window's revenue came from
+    // promo-typed parts). One broadcast join (part is the dimension),
+    // the shipdate window pushes to the lineitem scan, and the whole
+    // query collapses map-side to ONE row. Determinism: per-row
+    // revenue pinned to exact cents (round(x*100) then cast — the
+    // j8/a27 idiom; bare double→long truncates on Spark and rounds
+    // on DuckDB), so both sums are exact longs and the share is one
+    // 6-dp-pinned division of exact integers — no float-sum order
+    // sensitivity at any parallelism.
+    QueryDef(
+      "q14_promo_revenue",
+      (s, d) => {
+        val m0 = lit("1997-01-01 00:00:00").cast("timestamp")
+        val m1 = lit("1997-03-01 00:00:00").cast("timestamp")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= m0 && col("l_shipdate") < m1)
+          .join(broadcast(t(s, d, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long").as("cents"),
+            (col("p_type") === "PROMO").as("is_promo"))
+          .agg(
+            sum(when(col("is_promo"), col("cents")).otherwise(0L))
+              .as("promo_cents"),
+            sum(col("cents")).as("total_cents"))
+          .select(col("promo_cents"), col("total_cents"),
+            round(col("promo_cents").cast("double") * 100 /
+              col("total_cents"), 6).as("promo_pct"))
+      },
+      Some("""WITH f AS (SELECT
+             |  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             |    AS cents,
+             |  p_type = 'PROMO' AS is_promo
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00')
+             |SELECT promo_cents, total_cents,
+             |  round(CAST(promo_cents AS DOUBLE) * 100 / total_cents, 6)
+             |    AS promo_pct
+             |FROM (SELECT
+             |  CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
+             |    AS promo_cents,
+             |  CAST(sum(cents) AS BIGINT) AS total_cents FROM f)""".stripMargin)),
+
     // ----- RFM segmentation (the CRM workhorse: score every customer
     // 1-5 on Recency / Frequency / Monetary, read the segment
     // histogram): recency = exact whole days from a PINNED reference

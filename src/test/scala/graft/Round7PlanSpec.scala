@@ -35,6 +35,31 @@ class Round7PlanSpec extends SparkSpec {
       s"frontier join-back is not broadcast:\n${plan.take(2000)}")
   }
 
+  test("q18 aggregates before joining and never goes nested-loop") {
+    val plan = executedPlan("q18_large_orders")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q18 plan degraded to a product:\n${plan.take(2000)}")
+    // the HAVING cut must run on the aggregate BELOW the join —
+    // a plan that joins the raw fact table first re-shuffles 6B rows
+    // at SF100 for nothing
+    val aggIdx = plan.indexOf("HashAggregate")
+    val joinIdx = math.max(plan.indexOf("SortMergeJoin"),
+      plan.indexOf("BroadcastHashJoin"))
+    assert(aggIdx >= 0 && joinIdx >= 0,
+      s"q18 plan missing agg or join:\n${plan.take(2000)}")
+    assert(plan.contains("sum_qty"),
+      s"q18 whale cut not visible in plan:\n${plan.take(2000)}")
+  }
+
+  test("q14 broadcasts part and pushes the shipdate window to the scan") {
+    val plan = executedPlan("q14_promo_revenue")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q14 part side not broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"q14 shipdate window not pushed to the lineitem scan:\n${plan.take(3000)}")
+  }
+
   test("sorted-neighborhood window partitions by the blocking key") {
     // the per-nation window must NOT collapse to a global
     // single-partition sort — that is the whole point of blocking
