@@ -1013,5 +1013,60 @@ object EventQueries {
              |  round(avg(CAST(dwell_s AS DOUBLE)), 6) AS avg_dwell_s,
              |  round(quantile_cont(dwell_s, 0.5), 6) AS p50_dwell_s
              |FROM d GROUP BY 1, 2 ORDER BY prev, curr""".stripMargin)),
+
+    // ----- Incremental materialized-view maintenance (the Delta/
+    // Iceberg MV-refresh algebra — the thing that lets a 100 TB
+    // dashboard update from one day's delta instead of a full
+    // recompute): a per-type stats MV is maintained as
+    // merge(agg(base), agg(delta)) over a pinned cutover instant,
+    // and the QUERY ITSELF is the incremental path while the ORACLE
+    // is the full recompute — the hash compare proves the merge
+    // algebra (count/sum add, min/max combine, avg re-derived from
+    // merged sums — never averaged averages) is exactly lossless.
+    // Only ALGEBRAIC aggregates appear; a count-distinct would need
+    // a mergeable sketch (the a12b/HLL row), which is the designed
+    // boundary of this operator. Scale: two filtered scans (the
+    // base scan is the stored MV in production — here recomputed so
+    // the fixture stays the only input), each collapsing map-side
+    // to ≤|types| rows; the full-outer merge join moves scalars
+    // only. Values pinned to exact cents (round·100→cast) so sums
+    // are exact longs on both engines.
+    QueryDef(
+      "a28_mv_incremental",
+      (s, d) => {
+        val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+        def agg(df: DataFrame) = df
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"),
+            min("cents").as("min_cents"), max("cents").as("max_cents"))
+        val base = agg(events(s, d).filter(col("ts") < cut))
+        val delta = agg(events(s, d).filter(col("ts") >= cut))
+          .withColumnsRenamed(Map("cnt" -> "d_cnt",
+            "sum_cents" -> "d_sum", "min_cents" -> "d_min",
+            "max_cents" -> "d_max"))
+        base.join(delta, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("cnt"), lit(0L)) +
+              coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+            (coalesce(col("sum_cents"), lit(0L)) +
+              coalesce(col("d_sum"), lit(0L))).as("sum_cents"),
+            least(coalesce(col("min_cents"), col("d_min")),
+              coalesce(col("d_min"), col("min_cents"))).as("min_cents"),
+            greatest(coalesce(col("max_cents"), col("d_max")),
+              coalesce(col("d_max"), col("max_cents"))).as("max_cents"))
+          .withColumn("avg_cents",
+            round(col("sum_cents").cast("double") / col("cnt"), 6))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents,
+             |  min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+             |  max(CAST(round(value * 100) AS BIGINT)) AS max_cents,
+             |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             |    / count(*), 6) AS avg_cents
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
   )
 }
