@@ -1068,5 +1068,56 @@ object EventQueries {
              |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
              |    / count(*), 6) AS avg_cents
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // ----- Seasonal-baseline residual anomaly (the hour-of-day
+    // seasonality read t_rate_anomaly's global z-score and
+    // t_ewma_burst's trend-following EWMA both miss: 3 AM traffic
+    // that is normal FOR 3 AM but would z-flag against the 24 h
+    // mean, and a daily rush hour the EWMA keeps re-learning): the
+    // first three weeks build a per-hour-of-day baseline, the last
+    // week's hours flag against THEIR OWN hour's baseline. The
+    // flag compares are ALL-INTEGER cross-multiplications
+    // (4·cnt·bn > 5·bs ⇔ cnt > 1.25·mean, 4·cnt·bn < 3·bs ⇔
+    // cnt < 0.75·mean) — no division anywhere, so the degenerate
+    // flat-series case needs no float pin at all. Scale: the first
+    // aggregation collapses any event volume to |hours| rows; the
+    // baseline is ≤24 rows, broadcast; output only flagged hours.
+    QueryDef(
+      "t_seasonal_residual",
+      (s, d) => {
+        val cut = lit("2024-01-22 00:00:00").cast("timestamp")
+        val hourly = events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"),
+            hour(col("ts")).as("hod"))
+          .agg(count(lit(1)).as("cnt"))
+        val base = hourly.filter(col("h") < cut)
+          .groupBy("hod")
+          .agg(sum("cnt").as("bs"), count(lit(1)).as("bn"))
+        hourly.filter(col("h") >= cut)
+          .join(broadcast(base), Seq("hod"))
+          .withColumn("class",
+            when(lit(4) * col("cnt") * col("bn") > lit(5) * col("bs"), "high")
+              .when(lit(4) * col("cnt") * col("bn") < lit(3) * col("bs"), "low"))
+          .filter(col("class").isNotNull)
+          .select(col("h"), col("hod").cast("long").as("hod"), col("cnt"),
+            round(col("bs").cast("double") / col("bn"), 6).as("base_avg"),
+            col("class"))
+          .orderBy("h")
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+             |    CAST(hour(ts) AS BIGINT) AS hod, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |base AS (SELECT hod, CAST(sum(cnt) AS BIGINT) AS bs,
+             |    CAST(count(*) AS BIGINT) AS bn
+             |  FROM hourly WHERE h < TIMESTAMP '2024-01-22 00:00:00'
+             |  GROUP BY 1)
+             |SELECT h.h, h.hod, h.cnt,
+             |  round(CAST(b.bs AS DOUBLE) / b.bn, 6) AS base_avg,
+             |  CASE WHEN 4 * h.cnt * b.bn > 5 * b.bs THEN 'high'
+             |       WHEN 4 * h.cnt * b.bn < 3 * b.bs THEN 'low' END AS class
+             |FROM hourly h JOIN base b USING (hod)
+             |WHERE h.h >= TIMESTAMP '2024-01-22 00:00:00'
+             |  AND (4 * h.cnt * b.bn > 5 * b.bs OR 4 * h.cnt * b.bn < 3 * b.bs)
+             |ORDER BY h""".stripMargin)),
   )
 }

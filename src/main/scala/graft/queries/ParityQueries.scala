@@ -2107,5 +2107,116 @@ object ParityQueries {
              |  CAST(m AS BIGINT) AS m, count(*) AS n_customers,
              |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_spend
              |FROM seg GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin)),
+
+    // ----- Pearson correlation per group via EXACT integer sufficient
+    // statistics (the feature-relationship read every profiler ships;
+    // a1's stddev is the 1-D slice of this). Native corr() sums
+    // doubles in partition order — never hash-comparable; here the
+    // five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) shuffle as
+    // exact longs (x = whole-unit qty ≤ 50, y = discount mils ≤ 100,
+    // so per-row products ≤ 5000 and group sums stay ≪ 2⁶³ at any
+    // per-group n the fixture reaches), and r is assembled from
+    // three exact-long differences — numerator and the two variance
+    // terms — each exactly representable in a double (< 2⁵³) before
+    // the one sqrt + divide (correctly-rounded IEEE both engines,
+    // then the 6-dp pin). Bound note for 100 TB: the long path needs
+    // per-group n ≲ 4·10⁷ (n·Σxy ≤ n²·5000 < 2⁶³); beyond that the
+    // three combination differences move to DECIMAL(38,0) — still
+    // exact, same shape — with the double conversion only at the
+    // final division. One scalars-only shuffle; |groups| rows out.
+    QueryDef(
+      "a29_correlation",
+      (s, d) => {
+        val f = t(s, d, "lineitem").select(
+          col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_discount") * 1000).cast("long").as("y"))
+        f.groupBy("flag")
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("flag"), col("n"),
+            when(
+              (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+                (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+              round(
+                (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                  sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                    .cast("double") *
+                    (col("n") * col("syy") - col("sy") * col("sy"))
+                      .cast("double")), 6)).as("r_qty_disc"))
+          .orderBy("flag")
+      },
+      Some("""WITH f AS (SELECT l_returnflag AS flag,
+             |    CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(round(l_discount * 1000) AS BIGINT) AS y
+             |  FROM lineitem),
+             |st AS (SELECT flag, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM f GROUP BY 1)
+             |SELECT flag, n,
+             |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+             |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             |  END AS r_qty_disc
+             |FROM st ORDER BY flag""".stripMargin)),
+
+    // ----- Functional-dependency audit (the data-profiling primitive
+    // under schema inference and key discovery — "does A determine
+    // B?" asked of REAL data, where the answer is a violation COUNT,
+    // not a boolean): for each candidate FD A→B, group by the
+    // determinant and count distinct dependents; n_violating = keys
+    // with >1 dependent, excess = Σ(distinct−1) (the minimum number
+    // of rows any repair must touch). Each candidate is ONE uniform
+    // determinant-key shuffle with partial distinct aggregation,
+    // collapsing to a single summary row — three candidates union to
+    // 3 rows at any scale. Exact integers end-to-end.
+    QueryDef(
+      "audit_functional_deps",
+      (s, d) => {
+        def fd(df: DataFrame, det: String, dep: String, name: String) = df
+          .groupBy(col(det)).agg(countDistinct(col(dep)).as("k"))
+          .agg(count(lit(1)).as("n_det"),
+            sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"),
+            sum(col("k") - 1).as("excess"))
+          .select(lit(name).as("fd"), col("n_det"), col("n_violating"),
+            col("excess"))
+        fd(t(s, d, "lineitem"), "l_orderkey", "l_returnflag",
+            "lineitem: l_orderkey -> l_returnflag")
+          .unionAll(fd(t(s, d, "orders"), "o_custkey", "o_orderpriority",
+            "orders: o_custkey -> o_orderpriority"))
+          .unionAll(fd(t(s, d, "documents"), "source", "lang",
+            "documents: source -> lang"))
+          .orderBy("fd")
+      },
+      Some("""WITH a AS (SELECT 'lineitem: l_orderkey -> l_returnflag' AS fd,
+             |    count(*) AS n_det,
+             |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_violating,
+             |    CAST(sum(k - 1) AS BIGINT) AS excess
+             |  FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS k
+             |        FROM lineitem GROUP BY 1)),
+             |b AS (SELECT 'orders: o_custkey -> o_orderpriority' AS fd,
+             |    count(*) AS n_det,
+             |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_violating,
+             |    CAST(sum(k - 1) AS BIGINT) AS excess
+             |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k
+             |        FROM orders GROUP BY 1)),
+             |c AS (SELECT 'documents: source -> lang' AS fd,
+             |    count(*) AS n_det,
+             |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_violating,
+             |    CAST(sum(k - 1) AS BIGINT) AS excess
+             |  FROM (SELECT source, count(DISTINCT lang) AS k
+             |        FROM documents GROUP BY 1))
+             |SELECT * FROM a UNION ALL SELECT * FROM b
+             |UNION ALL SELECT * FROM c ORDER BY fd""".stripMargin)),
   )
 }

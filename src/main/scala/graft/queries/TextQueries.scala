@@ -2019,5 +2019,56 @@ object TextQueries {
              |SELECT source, n AS n_docs,
              |  CAST(fl + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT) AS alloc
              |FROM r, lo ORDER BY source""".stripMargin)),
+
+    // ----- Token-weighted median document length per source (the
+    // length stat that matches what the MODEL sees: a plain median
+    // counts documents, but training mass is TOKENS, so a source of
+    // many tiny docs plus a few huge ones has a token-weighted
+    // median far above its doc median — the divergence itself is
+    // the packing/chunking planning signal). Exact by construction:
+    // weights are integer token counts, the weighted median is the
+    // first n_chars (order pinned by (n_chars, doc_id)) whose
+    // cumulative weight reaches half the source total — an
+    // all-integer 2·cw ≥ W compare, and since qualifying rows form
+    // a suffix of the order, min(n_chars) over them IS that first
+    // row. One uniform source-key shuffle shared by the window and
+    // both aggs; ≤|sources| rows out.
+    QueryDef(
+      "tx35_weighted_median",
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        val dd = docs(s, d).select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+        val cum = dd.withColumn("cw", sum("ntok").over(w))
+        val tot = dd.groupBy("source").agg(sum("ntok").as("tw"),
+          count(lit(1)).as("n_docs"))
+        cum.join(tot, Seq("source"))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy("source")
+          .agg(min("n_chars").as("wmedian_chars"))
+          .join(tot, Seq("source"))
+          .select(col("source"), col("n_docs"), col("tw").as("total_tokens"),
+            col("wmedian_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH dd AS (SELECT source, doc_id,
+              |    CAST(n_chars AS BIGINT) AS n_chars,
+              |    CAST(${TS.tokenCount} AS BIGINT) AS ntok
+              |  FROM documents),
+              |cum AS (SELECT source, n_chars,
+              |    sum(ntok) OVER (PARTITION BY source
+              |      ORDER BY n_chars, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+              |  FROM dd),
+              |tot AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tw,
+              |    count(*) AS n_docs FROM dd GROUP BY 1),
+              |wm AS (SELECT c.source, min(c.n_chars) AS wmedian_chars
+              |  FROM cum c JOIN tot t ON c.source = t.source
+              |  WHERE c.cw * 2 >= t.tw GROUP BY 1)
+              |SELECT w.source, t.n_docs, t.tw AS total_tokens,
+              |  w.wmedian_chars
+              |FROM wm w JOIN tot t ON w.source = t.source
+              |ORDER BY w.source""".stripMargin)),
   )
 }
