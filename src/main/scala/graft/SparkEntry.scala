@@ -33,4 +33,12 @@ object SparkEntry {
 
   /** Headline subset Bench runs at sf0.1 (full map runs in Verify). */
   def benchQueries: Seq[String] = registry.filter(_.bench).map(_.name)
+
+  /** Registry-order names: Verify sweeps in THIS stable order so
+    * per-query wall-clocks are comparable across rounds (the `queries`
+    * Map's hash order is arbitrary — whichever query happened to run
+    * first absorbed all the JVM/codegen warm-up and looked 20× its
+    * real cost in VERIFY_TIMES).
+    */
+  def orderedNames: Seq[String] = registry.map(_.name)
 }
