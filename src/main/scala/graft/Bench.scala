@@ -383,7 +383,8 @@ object Bench {
       .getOrElse(Seq("dedup_minhash_pairs", "dedup_simhash_pairs",
         "pipeline_curation", "tx12_bigram_lm_score",
         "dedup_embedding_lsh", "dedup_components",
-        "q3_top_order_revenue", "join_3way_region_rollup"))
+        "q3_top_order_revenue", "join_3way_region_rollup",
+        "q18_large_orders"))
     val base = Files.createTempDirectory("graft_stress_bench")
     try {
       val dir = base.toString

@@ -1119,5 +1119,79 @@ object EventQueries {
              |WHERE h.h >= TIMESTAMP '2024-01-22 00:00:00'
              |  AND (4 * h.cnt * b.bn > 5 * b.bs OR 4 * h.cnt * b.bn < 3 * b.bs)
              |ORDER BY h""".stripMargin)),
+
+    // ----- Two-sample Kolmogorov-Smirnov statistic (the nonparametric
+    // completer of the drift family: PSI/JSD need binning choices,
+    // chi-square needs categories — KS reads the WHOLE distribution
+    // shape with no tuning): D = max |F₁−F₂| over the merged value
+    // domain, computed as the EXACT integer cross-multiplication
+    // |c₁·n₂ − c₂·n₁| (common denominator n₁·n₂ deferred to one
+    // final 6-dp division) — no per-step float CDF, so the max and
+    // its argmax value are exact on both engines, ties pinned to the
+    // smallest value. Scale: one uniform value-key shuffle collapses
+    // any volume to |distinct cents| rows (bounded by the VALUE
+    // DOMAIN, ~10⁵ here, never by event count); the CDF window runs
+    // over that bounded set. Long-path bound: c·n ≤ n₁·n₂ needs
+    // n₁·n₂ < 2⁶³ (n ≲ 3·10⁹ per side) — beyond that the two
+    // products move to DECIMAL(38,0), same shape (a29's note).
+    QueryDef(
+      "a30_ks_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val f = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val per = f.groupBy("cents")
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("d1"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("d2"))
+        val w = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = per
+          .withColumn("c1", sum("d1").over(w))
+          .withColumn("c2", sum("d2").over(w))
+        val tot = f.groupBy()
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n1"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("n2"))
+        // argmax in one pass: lexicographic max of (num, −cents) is
+        // max-num-then-MIN-cents — the pinned tie rule
+        cdf.crossJoin(broadcast(tot))
+          .withColumn("num", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+          .groupBy("n1", "n2")
+          .agg(max(struct(col("num"), (-col("cents")).as("neg"))).as("m"))
+          .select(col("n1"), col("n2"), col("m.num").as("d_num"),
+            (-col("m.neg")).as("at_cents"),
+            round(col("m.num").cast("double") /
+              (col("n1").cast("double") * col("n2")), 6).as("ks_d"))
+      },
+      Some("""WITH f AS (SELECT event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type IN ('purchase', 'click')),
+             |per AS (SELECT cents,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS d2
+             |  FROM f GROUP BY 1),
+             |cdf AS (SELECT cents,
+             |    sum(d1) OVER (ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             |    sum(d2) OVER (ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+             |  FROM per),
+             |tot AS (SELECT
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             |  FROM f),
+             |nums AS (SELECT cents, abs(c1 * n2 - c2 * n1) AS num
+             |  FROM cdf, tot),
+             |mx AS (SELECT CAST(max(num) AS BIGINT) AS d_num FROM nums)
+             |SELECT t.n1, t.n2, m.d_num,
+             |  (SELECT min(cents) FROM nums WHERE num = m.d_num) AS at_cents,
+             |  round(CAST(m.d_num AS DOUBLE) /
+             |    (CAST(t.n1 AS DOUBLE) * t.n2), 6) AS ks_d
+             |FROM tot t, mx m""".stripMargin)),
   )
 }
