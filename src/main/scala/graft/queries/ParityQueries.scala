@@ -1862,6 +1862,85 @@ object ParityQueries {
              |  CAST(sum(CASE WHEN gap < 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
              |FROM p GROUP BY 1 ORDER BY nk""".stripMargin)),
 
+    // ----- entity-resolution CLUSTERS: the composition that turns
+    // pairwise linkage into entities — FastSS candidate pairs
+    // (provably complete at edit distance ≤ 1) become edges, and
+    // connected components merge them into entity groups (the
+    // Splink/dedupe.io "cluster" step after scoring; transitivity is
+    // the point — probes A and B of the same customer are NEVER
+    // compared to each other (lev(A,B) = 2), yet land in one entity
+    // through their shared source). Probe perturbations delete a
+    // PREFIX letter ('Custmer#…' / 'Custoer#…'), never a digit: a
+    // digit deletion is lev ≤ 1 from NEIGHBORING ids too, which
+    // chains the whole table into one giant component (measured:
+    // 8 400 entities in one cluster) and makes closure quadratic —
+    // the blocking-design lesson of this operator. With prefix
+    // probes each cluster is a star around its source (size 2 or 3
+    // by construction), CC's frontier converges in 2 rounds, and
+    // the oracle's RECURSIVE CTE stays linear in |entities|.
+    // Output: cluster-size histogram (bounded by |distinct sizes|).
+    QueryDef(
+      "j8c_entity_clusters",
+      (s, d) => {
+        def delVariants(c: Column): Column = array_distinct(concat(
+          array(c),
+          transform(sequence(lit(1), length(c)),
+            i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, lit(1000))))))
+        val cust = t(s, d, "customer").select("c_custkey", "c_name")
+        // probe 1 (every 5th customer): delete prefix char 5 ('o')
+        // probe 2 (every 10th):         delete prefix char 6 ('m')
+        val probes = cust.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 900000L).as("probe_id"),
+            concat(substring(col("c_name"), 1, 4),
+              substring(col("c_name"), 6, 1000)).as("probe_name"))
+          .unionAll(cust.filter(col("c_custkey") % 10 === 0)
+            .select((col("c_custkey") + 1800000L).as("probe_id"),
+              concat(substring(col("c_name"), 1, 5),
+                substring(col("c_name"), 7, 1000)).as("probe_name")))
+        val left = probes.select(col("probe_id"), col("probe_name"),
+          explode(delVariants(col("probe_name"))).as("v"))
+        val right = cust.select(col("c_custkey"), col("c_name"),
+          explode(delVariants(col("c_name"))).as("v"))
+        val pairs = left.join(right, Seq("v"))
+          .select("probe_id", "probe_name", "c_custkey", "c_name").distinct()
+          .filter(levenshtein(col("probe_name"), col("c_name")) <= 1)
+          .select(col("probe_id").cast("long").as("a"),
+            col("c_custkey").cast("long").as("b"))
+        val comps = graft.ext.Dedup.connectedComponents(pairs, "a", "b")
+        val sizes = comps.groupBy("comp").agg(count(lit(1)).as("size"))
+        sizes.groupBy("size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("size")
+      },
+      Some("""WITH RECURSIVE probes AS (
+             |  SELECT c_custkey + 900000 AS probe_id,
+             |    substr(c_name, 1, 4) || substr(c_name, 6) AS probe_name
+             |  FROM customer WHERE c_custkey % 5 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1800000 AS probe_id,
+             |    substr(c_name, 1, 5) || substr(c_name, 7) AS probe_name
+             |  FROM customer WHERE c_custkey % 10 = 0),
+             |lv AS (SELECT probe_id, probe_name, unnest(list_distinct(
+             |    list_append([substr(probe_name, 1, i-1) || substr(probe_name, i+1)
+             |      for i in range(1, len(probe_name)+1)], probe_name))) AS v FROM probes),
+             |rv AS (SELECT c_custkey, c_name, unnest(list_distinct(
+             |    list_append([substr(c_name, 1, i-1) || substr(c_name, i+1)
+             |      for i in range(1, len(c_name)+1)], c_name))) AS v FROM customer),
+             |cand AS (SELECT DISTINCT probe_id, probe_name, c_custkey, c_name
+             |  FROM lv JOIN rv USING (v)),
+             |pairs AS (SELECT CAST(probe_id AS BIGINT) AS a,
+             |    CAST(c_custkey AS BIGINT) AS b
+             |  FROM cand WHERE levenshtein(probe_name, c_name) <= 1),
+             |edges AS (SELECT a AS u, b AS v FROM pairs
+             |          UNION SELECT b, a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+             |comp AS (SELECT u AS node, min(v) AS comp FROM reach GROUP BY 1)
+             |SELECT size, count(*) AS n_clusters FROM
+             |  (SELECT comp, count(*) AS size FROM comp GROUP BY 1)
+             |GROUP BY 1 ORDER BY size""".stripMargin)),
+
     // ----- TPC-H Q5 shape: local supplier volume — revenue where the
     // ordering customer and the supplying supplier share a nation,
     // restricted to one region and one order year. The canonical
@@ -2034,6 +2113,58 @@ object ParityQueries {
              |  CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
              |    AS promo_cents,
              |  CAST(sum(cents) AS BIGINT) AS total_cents FROM f)""".stripMargin)),
+
+    // ----- TPC-H Q7 shape: two-nation trade volume (the bilateral
+    // flow read: revenue shipped between nation 3 and nation 7, by
+    // direction and year). The plan lesson is DIMENSION-SIDE
+    // pre-filtering: both customer and supplier are cut to the two
+    // nations BEFORE their broadcast joins, so each broadcast
+    // shrinks 25× AND the fact rows of the other 23 nations drop at
+    // the join instead of surviving to a residual; the only big-big
+    // shuffle stays lineitem⋈orders on orderkey, and the
+    // cross-nation requirement (cust_nation ≠ supp_nation) rides as
+    // a residual on two broadcast columns. Two-year shipdate window
+    // pushes to the lineitem scan. Output ≤ 2 directions × |years|.
+    QueryDef(
+      "q7_nation_trade",
+      (s, d) => {
+        val y0 = lit("1997-01-01 00:00:00").cast("timestamp")
+        val y2 = lit("1999-01-01 00:00:00").cast("timestamp")
+        val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        val cust = t(s, d, "customer")
+          .filter(col("c_nationkey").isin(3, 7))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val supp = t(s, d, "supplier")
+          .filter(col("s_nationkey").isin(3, 7))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= y0 && col("l_shipdate") < y2)
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+            col("cust_nation") =!= col("supp_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT s.n_name AS supp_nation, c.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation c ON c_nationkey = c.n_nationkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation s ON s_nationkey = s.n_nationkey
+             |WHERE c_nationkey IN (3, 7) AND s_nationkey IN (3, 7)
+             |  AND c.n_name <> s.n_name
+             |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+             |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
 
     // ----- RFM segmentation (the CRM workhorse: score every customer
     // 1-5 on Recency / Frequency / Monetary, read the segment
