@@ -81,11 +81,20 @@ object Lloyd {
     * state (≤ a few KB) — the only driver-side data.
     */
   def update(qdf: DataFrame, cents: Seq[Seq[Long]]): Seq[Seq[Long]] = {
+    // vectors stay WHOLE through the shuffle (native vec_sum_ll
+    // aggregate, map-side combine over the vector dimension): each
+    // map task folds its rows into one D-long buffer per cell, so the
+    // shuffle carries K×|partitions| arrays instead of n·D exploded
+    // rows. Element-wise long sums are exact and associative —
+    // bit-identical to the previous posexplode formulation, so the
+    // unrolled-CTE oracle is untouched. The explode that remains runs
+    // on the K summed arrays — constant work.
     val sums = qdf
       .withColumn("cell", assignCell(col("qv"), cents))
-      .select(col("cell"), posexplode(col("qv")).as(Seq("d", "v")))
-      .groupBy("cell", "d")
-      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(call_function("vec_sum_ll", col("qv")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("n"), posexplode(col("sv")).as(Seq("d", "s")))
       .withColumn("c", floorDiv(col("s"), col("n")))
       .select("cell", "d", "c")
       .collect()

@@ -81,6 +81,15 @@ object GraftFunctions {
         PolyHash(children.head, graft.ext.NearDup.Seed, graft.ext.NearDup.P)
       }),
     (
+      new FunctionIdentifier("vec_sum_ll"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "vec_sum_ll"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "vec_sum_ll expects exactly 1 argument")
+        // an AggregateFunction builder: the analyzer wraps it in an
+        // AggregateExpression at resolution, like the built-in sum
+        VecSumAgg(children.head)
+      }),
+    (
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
       (children: Seq[Expression]) => {

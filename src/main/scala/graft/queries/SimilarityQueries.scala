@@ -640,5 +640,60 @@ object SimilarityQueries {
               |  rk_lex, rk_dense
               |FROM lex FULL OUTER JOIN dense USING (doc_id)
               |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ----- per-label centroids through the native vec_sum_ll
+    // aggregate (the library's first TypedImperativeAggregate) —
+    // sim7's shape with the explode REMOVED from the data-scale
+    // path: sim7 posexplodes every vector to D rows BEFORE its
+    // shuffle, so the shuffled row count is |vectors|·D; here each
+    // map task folds its vectors into ONE D-long buffer per label
+    // (map-side combine applied to the vector dimension) and the
+    // shuffle carries one array per (label × partition). The
+    // posexplode that remains runs on the |labels| SUMMED arrays —
+    // constant work at any corpus size. Determinism is STRONGER
+    // than sim7's: vectors quantize to scaled longs first, so the
+    // element-wise sums are exact integers (associative, partition-
+    // independent) and the DuckDB mirror's unnest→integer-sum lands
+    // on identical values; only then does the sim7 rounding
+    // discipline (mean 6-dp before squaring) apply.
+    QueryDef(
+      "sim13_native_centroids",
+      (s, d) => {
+        val q = emb(s, d).select(col("label"),
+          transform(col("embedding"),
+            v => round(v.cast("double") * 1000000).cast("long")).as("qv"))
+        val sums = q.groupBy("label")
+          .agg(count(lit(1)).as("n_vectors"),
+            call_function("vec_sum_ll", col("qv")).as("sv"))
+        sums.select(col("label"), col("n_vectors"),
+            posexplode(col("sv")).as(Seq("pos", "sq")))
+          .withColumn("m", round(col("sq").cast("double") /
+            (col("n_vectors").cast("double") * 1000000.0), 6))
+          .groupBy("label", "n_vectors")
+          .agg(count(lit(1)).as("dims"),
+            round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+            round(sum(when(col("pos") === 0, col("m"))), 6).as("c1"),
+            round(sum(when(col("pos") === 1, col("m"))), 6).as("c2"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+             |      AS BIGINT) AS qv,
+             |    unnest(generate_series(0, len(embedding)-1)) AS pos
+             |  FROM embeddings),
+             |nv AS (SELECT label, count(*) AS n_vectors
+             |  FROM embeddings GROUP BY 1),
+             |s AS (SELECT label, pos, CAST(sum(qv) AS BIGINT) AS sq
+             |  FROM e GROUP BY 1, 2),
+             |m AS (SELECT s.label, n.n_vectors, s.pos,
+             |    round(CAST(s.sq AS DOUBLE) /
+             |      (CAST(n.n_vectors AS DOUBLE) * 1000000.0), 6) AS m
+             |  FROM s JOIN nv n ON s.label = n.label)
+             |SELECT label, n_vectors, count(*) AS dims,
+             |  round(sqrt(sum(m*m)), 6) AS centroid_norm,
+             |  round(sum(CASE WHEN pos = 0 THEN m END), 6) AS c1,
+             |  round(sum(CASE WHEN pos = 1 THEN m END), 6) AS c2
+             |FROM m GROUP BY 1, 2 ORDER BY label""".stripMargin),
+      bench = true),
   )
 }
