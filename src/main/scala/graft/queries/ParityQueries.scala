@@ -2166,6 +2166,105 @@ object ParityQueries {
              |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
              |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
 
+    // ----- TPC-H Q4 shape: order-priority check via a SEMI join (the
+    // EXISTS pattern — "orders with at least one returned line",
+    // counted by priority). The semi join is the plan lesson: it
+    // emits each qualifying order ONCE with no fan-out (an inner
+    // join would duplicate an order per matching line and force a
+    // distinct), probe-side dedup happens inside the join operator,
+    // and the returnflag filter cuts the build side AT THE SCAN.
+    // One orderkey shuffle; output ≤ |priorities| rows.
+    QueryDef(
+      "q4b_priority_semi",
+      (s, d) => {
+        val q0 = lit("1997-01-01 00:00:00").cast("timestamp")
+        val q1d = lit("1997-07-01 00:00:00").cast("timestamp")
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= q0 && col("o_orderdate") < q1d)
+          .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_returnflag = 'R')
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- TPC-H Q8 shape: national market share — NATION_3's slice
+    // of the revenue a region's customers spent, by order year. The
+    // determinism move is the q14 idiom scaled up: per-row revenue
+    // pins to exact cents BEFORE aggregation, so the market share is
+    // a ratio of exact longs (a plain sum(rev-where)/sum(rev) of
+    // double sums is partition-order-dependent and could never
+    // hash-compare). Plan: one orderkey fact shuffle; customer cut
+    // to the region's nations via a broadcast nation⋈region dim
+    // tree; supplier broadcast with its nation name riding along;
+    // share numerator is a conditional sum on a broadcast column.
+    QueryDef(
+      "q8_market_share",
+      (s, d) => {
+        val y0 = lit("1997-01-01 00:00:00").cast("timestamp")
+        val y2 = lit("1999-01-01 00:00:00").cast("timestamp")
+        val rnat = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(rnat), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey")
+        val supp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .withColumnRenamed("n_name", "supp_nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y2)
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .select(year(col("o_orderdate")).cast("long").as("o_year"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long").as("cents"),
+            col("supp_nation"))
+          .groupBy("o_year")
+          .agg(
+            sum(when(col("supp_nation") === "NATION_3", col("cents"))
+              .otherwise(0L)).as("nation_cents"),
+            sum(col("cents")).as("total_cents"))
+          .select(col("o_year"), col("nation_cents"), col("total_cents"),
+            round(col("nation_cents").cast("double") / col("total_cents"), 6)
+              .as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""WITH f AS (SELECT
+             |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             |      AS cents,
+             |    s.n_name AS supp_nation
+             |  FROM orders
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation s ON s_nationkey = s.n_nationkey
+             |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+             |    AND EXISTS (SELECT 1 FROM customer
+             |      JOIN nation c ON c_nationkey = c.n_nationkey
+             |      JOIN region ON c.n_regionkey = r_regionkey
+             |      WHERE c_custkey = o_custkey AND r_name = 'ASIA'))
+             |SELECT o_year,
+             |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents
+             |    ELSE 0 END) AS BIGINT) AS nation_cents,
+             |  CAST(sum(cents) AS BIGINT) AS total_cents,
+             |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents
+             |      ELSE 0 END) AS DOUBLE) / sum(cents), 6) AS mkt_share
+             |FROM f GROUP BY 1 ORDER BY o_year""".stripMargin)),
+
     // ----- RFM segmentation (the CRM workhorse: score every customer
     // 1-5 on Recency / Frequency / Monetary, read the segment
     // histogram): recency = exact whole days from a PINNED reference
