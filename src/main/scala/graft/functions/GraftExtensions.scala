@@ -165,11 +165,19 @@ object GraftFunctions {
     * that built any other session first would get undefined-function
     * errors from every similarity/dedup query.
     */
-  def ensureRegistered(s: SparkSession): Unit =
+  def ensureRegistered(s: SparkSession): Unit = {
     all.foreach { case (ident, info, builder) =>
       if (!s.sessionState.functionRegistry.functionExists(ident))
         s.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    // planner strategy for the native as-of join: extraStrategies is
+    // the pre-existing-session path (injectPlannerStrategy, like every
+    // builder config, is silently ignored after getOrCreate)
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+  }
 }
 
 /** Session extensions registering graft's native Catalyst functions —
@@ -179,6 +187,8 @@ object GraftFunctions {
   * on any executor without driver-side registry mutation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(extensions.injectFunction)
+    extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * no built-in operator for (brief §custom-operators; kdb/Flink
   * staple).
   *
-  * Composition instead of a custom physical operator (preference (a)
-  * of the escalation ladder): tag both sides, UNION, and take
+  * This is the COMPOSITION formulation (rung (a) of the escalation
+  * ladder); the native physical operator now also exists
+  * ([[graft.plans.AsofJoinExec]], rung (c)) and shuffles each side at
+  * its own width — prefer it unless the session can't inject planner
+  * strategies. Mechanics here: tag both sides, UNION, and take
   * `last(marker, ignoreNulls)` over a per-key window ordered by
   * (ts, side) with an unbounded-preceding frame, then keep the left
   * rows. The marker is a non-null STRUCT wrapping the payload columns,

@@ -173,6 +173,39 @@ object EventQueries {
              |ORDER BY l.event_id""".stripMargin),
       bench = true),
 
+    // ----- as-of join through the NATIVE physical operator (rung (c)
+    // of the custom-operator ladder: LogicalPlan + SparkStrategy +
+    // BinaryExecNode, plans/AsofJoinPlan.scala): IDENTICAL semantics
+    // and oracle to j2, different physics — each side shuffles at
+    // its own row width (the composition union-pads every right row
+    // with every left column before its shuffle) and the merge holds
+    // one candidate row per key instead of window state.
+    // NativeAsofSpec pins agreement with the composition, a brute
+    // force, and the plan shape; benched next to j2 so the two
+    // formulations stay comparable round-over-round.
+    QueryDef(
+      "j2c_asof_native",
+      (s, d) => {
+        val ev = events(s, d).select("event_id", "user_id", "ts", "value")
+        val clicks = events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+            col("value").as("click_value"))
+        graft.plans.NativeAsof.asofBackward(
+            ev, clicks, "user_id", "r_user", "ts", "r_ts")
+          // inner-asof via the right KEY column (non-null exactly when
+          // matched — never payload null-ness)
+          .filter(col("r_user").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, l.ts, r.value AS click_value
+             |FROM events l ASOF JOIN
+             |  (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin),
+      bench = true),
+
     // ----- as-of join, hot-key-safe bucketed variant: IDENTICAL
     // semantics to j2 (same DuckDB ASOF oracle), different physics —
     // the window partitions on (user_id, hour-bucket) with seed
