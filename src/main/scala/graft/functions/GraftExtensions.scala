@@ -177,6 +177,9 @@ object GraftFunctions {
     if (!cs.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
       cs.experimental.extraStrategies =
         cs.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    if (!cs.experimental.extraOptimizations.contains(graft.plans.AsofJoinPruning))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ graft.plans.AsofJoinPruning
   }
 }
 
@@ -190,5 +193,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(extensions.injectFunction)
     extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.AsofJoinPruning)
   }
 }

@@ -79,6 +79,52 @@ class NativeAsofSpec extends SparkSpec {
       s"native plan degraded to the composition shape:\n$plan")
   }
 
+  test("AsofJoinPruning restores column pruning through the node") {
+    // wide right side: only `payload` is consumed downstream, so the
+    // optimizer must prune unused_a/unused_b below the node
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_prune")
+    try {
+      Seq((1L, 5L, 50L, "a", 9.9)).toDF("rk", "rts", "payload", "unused_a", "unused_b")
+        .write.mode("overwrite").parquet(s"$dir/r")
+      val rdf = spark.read.parquet(s"$dir/r")
+      val ldf = Seq((1L, 10L, 1L)).toDF("k", "ts", "lid")
+      val out = NativeAsof.asofBackward(ldf, rdf, "k", "rk", "ts", "rts")
+        .select("lid", "payload")
+      val scan = out.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      assert(scan.contains("payload") && !scan.contains("unused_a"),
+        s"right scan not pruned:\n$scan")
+      assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == Seq((1L, 50L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("AsofJoinPruning pushes left-only filters below the node") {
+    val ldf = Seq((1L, 10L, 1L), (2L, 10L, 2L)).toDF("k", "ts", "lid")
+    val rdf = Seq((1L, 5L, 50L), (2L, 5L, 60L)).toDF("rk", "rts", "payload")
+    val out = NativeAsof.asofBackward(ldf, rdf, "k", "rk", "ts", "rts")
+      .filter(col("lid") === 1L)
+    val opt = out.queryExecution.optimizedPlan.toString
+    // the filter must sit BELOW the AsofJoin node (appear after it in
+    // the tree print), not above
+    val asofIdx = opt.indexOf("AsofJoin")
+    val filterIdx = opt.indexOf("lid")
+    assert(asofIdx >= 0 && filterIdx > asofIdx,
+      s"left filter not pushed below the node:\n$opt")
+    assert(out.collect().map(_.getLong(2)).toSeq == Seq(1L))
+    // right-side filters must NOT push (null-extension semantics)
+    val out2 = NativeAsof.asofBackward(ldf, rdf, "k", "rk", "ts", "rts")
+      .filter(col("payload").isNull)
+    val opt2 = out2.queryExecution.optimizedPlan.toString
+    assert(opt2.indexOf("isnull(payload") >= 0 &&
+      opt2.indexOf("isnull(payload") < opt2.indexOf("AsofJoin"),
+      s"right filter wrongly pushed:\n$opt2")
+  }
+
   test("null left key/ts rows pass through unmatched") {
     val ldf = Seq((Option(1L), Option(10L), 1L), (None, Option(10L), 2L),
       (Option(1L), None, 3L)).toDF("k", "ts", "lid")
