@@ -1226,5 +1226,43 @@ object EventQueries {
              |  round(CAST(m.d_num AS DOUBLE) /
              |    (CAST(t.n1 AS DOUBLE) * t.n2), 6) AS ks_d
              |FROM tot t, mx m""".stripMargin)),
+
+    // ----- Multi-grain rollup chain (the MV hierarchy every lakehouse
+    // runs: raw → hourly → daily → weekly, each level derived from
+    // the PREVIOUS level, never from raw): the QUERY re-aggregates
+    // hourly partials upward twice — counts add, cents add, min/max
+    // combine, distinct-user counts deliberately EXCLUDED (not
+    // re-aggregable from partials; the a12b sketch row is that
+    // boundary) — while the ORACLE computes weekly directly from raw
+    // rows, so the hash compare proves two levels of re-aggregation
+    // lossless (a8's snapshot re-agg proves one). ISO weeks pinned
+    // via date_trunc('week') on both engines (Monday start). Scale:
+    // the raw→hourly agg collapses volume once; every later level
+    // re-aggs ≤|hours| rows — the whole point of the hierarchy.
+    QueryDef(
+      "t_multigrain_rollup",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("value") * 100).cast("long")).as("cents"),
+            min(round(col("value") * 100).cast("long")).as("min_c"),
+            max(round(col("value") * 100).cast("long")).as("max_c"))
+        val daily = hourly
+          .groupBy(date_trunc("day", col("h")).as("day"))
+          .agg(sum("cnt").as("cnt"), sum("cents").as("cents"),
+            min("min_c").as("min_c"), max("max_c").as("max_c"))
+        daily
+          .groupBy(date_trunc("week", col("day")).as("week"))
+          .agg(sum("cnt").as("cnt"), sum("cents").as("cents"),
+            min("min_c").as("min_c"), max("max_c").as("max_c"))
+          .orderBy("week")
+      },
+      Some("""SELECT date_trunc('week', ts) AS week, count(*) AS cnt,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS cents,
+             |  min(CAST(round(value * 100) AS BIGINT)) AS min_c,
+             |  max(CAST(round(value * 100) AS BIGINT)) AS max_c
+             |FROM events GROUP BY 1 ORDER BY week""".stripMargin)),
   )
 }
