@@ -1264,5 +1264,62 @@ object EventQueries {
              |  min(CAST(round(value * 100) AS BIGINT)) AS min_c,
              |  max(CAST(round(value * 100) AS BIGINT)) AS max_c
              |FROM events GROUP BY 1 ORDER BY week""".stripMargin)),
+
+    // ----- Top session paths (the user-journey read product flow
+    // analysis starts from — "what are the most common first three
+    // steps of a session?"): gaps-and-islands sessionization (6 h
+    // inactivity gap, micros-exact on both engines), then the path
+    // string is built with CONDITIONAL MAXES over the rank window
+    // (max(case rk=1), rk=2, rk=3 → concat_ws, which skips NULLs for
+    // short sessions identically cross-engine) — never collect_list,
+    // whose order is partition-dependent. All shuffles share the
+    // user_id key until the final bounded path histogram
+    // (≤|event types|³ rows); top-15 ties pinned by path string.
+    QueryDef(
+      "t_top_paths",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 6L * 3600L * 1000000L
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sid = events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev", lag("us", 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("us") - col("prev") >= gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val rk = sid.withColumn("rk", row_number()
+          .over(Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")))
+        rk.filter(col("rk") <= 3)
+          .groupBy("user_id", "sid")
+          .agg(concat_ws(">",
+            max(when(col("rk") === 1, col("event_type"))),
+            max(when(col("rk") === 2, col("event_type"))),
+            max(when(col("rk") === 3, col("event_type")))).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(15)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, event_type,
+             |    epoch_us(ts) AS us,
+             |    lag(epoch_us(ts)) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL
+             |      OR us - prev >= 21600000000 THEN 1 ELSE 0 END) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM e),
+             |r AS (SELECT *, row_number() OVER
+             |    (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rk
+             |  FROM s),
+             |p AS (SELECT user_id, sid, concat_ws('>',
+             |    max(CASE WHEN rk = 1 THEN event_type END),
+             |    max(CASE WHEN rk = 2 THEN event_type END),
+             |    max(CASE WHEN rk = 3 THEN event_type END)) AS path
+             |  FROM r WHERE rk <= 3 GROUP BY 1, 2)
+             |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+             |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin)),
   )
 }

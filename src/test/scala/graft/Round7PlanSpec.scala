@@ -60,6 +60,30 @@ class Round7PlanSpec extends SparkSpec {
       s"q14 shipdate window not pushed to the lineitem scan:\n${plan.take(3000)}")
   }
 
+  test("TPC-H family plan locks: broadcast dims, semi join, no products") {
+    // q7/q8: dimensions broadcast, facts shuffle once, never a product
+    Seq("q7_nation_trade", "q8_market_share").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to a product:\n${plan.take(2000)}")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q dimensions not broadcast:\n${plan.take(2000)}")
+    }
+    // q4b: the EXISTS must plan as a semi join (an inner join would
+    // fan out per matching lineitem and need a distinct)
+    val q4 = executedPlan("q4b_priority_semi")
+    assert(q4.contains("LeftSemi"),
+      s"q4b EXISTS not planned as a semi join:\n${q4.take(2000)}")
+  }
+
+  test("entity clustering never goes cartesian") {
+    val plan = executedPlan("j8c_entity_clusters")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"j8c plan has a product:\n${plan.take(2000)}")
+  }
+
   test("sorted-neighborhood window partitions by the blocking key") {
     // the per-nation window must NOT collapse to a global
     // single-partition sort — that is the whole point of blocking
