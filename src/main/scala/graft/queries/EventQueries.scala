@@ -1321,5 +1321,102 @@ object EventQueries {
              |  FROM r WHERE rk <= 3 GROUP BY 1, 2)
              |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
              |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin)),
+
+    // ----- Two-feature OLS via normal equations (hourly volume ~
+    // trend + hour-of-day — the multivariate extension of
+    // t_trend_slope's closed-form single feature: fitting trend
+    // WHILE controlling for daily seasonality, which a univariate
+    // slope conflates): nine sufficient statistics as EXACT longs
+    // from one volume-collapsing aggregation (bounds: |hours| ≤ 10³,
+    // so every Σ ≪ 2⁶³), then the 3×3 Cramer solve in DOUBLE with
+    // the IDENTICAL parenthesization on both engines — products of
+    // exact-long-valued doubles are correctly-rounded IEEE ops, so
+    // same inputs + same op order = bit-identical coefficients
+    // before the 6-dp pin (the a22 determinism argument, applied to
+    // a matrix solve). Degenerate design matrix pinned to NULL via
+    // det = 0 (exact long compare). One row out at any scale.
+    QueryDef(
+      "a31_ols_hourly",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"),
+            hour(col("ts")).cast("long").as("x2"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("us", unix_micros(col("h")))
+        val rebased = hourly
+          .crossJoin(broadcast(hourly.agg(min("us").as("us0"))))
+          .select(expr("(us - us0) div 3600000000").as("x1"),
+            col("x2"), col("y"))
+        val st = rebased.agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"))
+        // det stays in exact longs (|terms| < 2⁶³ at the hours bound);
+        // coefficient numerators go to double (identical op order both
+        // engines) because Σy-scaled terms can pass 2⁶³
+        st.select(col("n"),
+            (col("n") * (col("s11") * col("s22") - col("s12") * col("s12"))
+              - col("s1") * (col("s1") * col("s22") - col("s12") * col("s2"))
+              + col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+              .as("det"),
+            col("s1"), col("s2"), col("sy"), col("s11"), col("s12"),
+            col("s22"), col("s1y"), col("s2y"))
+          .select(col("n"),
+            when(col("det") =!= 0, round(
+              (col("sy").cast("double") * (col("s11").cast("double") * col("s22").cast("double") - col("s12").cast("double") * col("s12").cast("double"))
+                - col("s1").cast("double") * (col("s1y").cast("double") * col("s22").cast("double") - col("s12").cast("double") * col("s2y").cast("double"))
+                + col("s2").cast("double") * (col("s1y").cast("double") * col("s12").cast("double") - col("s11").cast("double") * col("s2y").cast("double")))
+                / col("det").cast("double"), 6)).as("b0"),
+            when(col("det") =!= 0, round(
+              (col("n").cast("double") * (col("s1y").cast("double") * col("s22").cast("double") - col("s12").cast("double") * col("s2y").cast("double"))
+                - col("sy").cast("double") * (col("s1").cast("double") * col("s22").cast("double") - col("s12").cast("double") * col("s2").cast("double"))
+                + col("s2").cast("double") * (col("s1").cast("double") * col("s2y").cast("double") - col("s1y").cast("double") * col("s2").cast("double")))
+                / col("det").cast("double"), 6)).as("b_trend"),
+            when(col("det") =!= 0, round(
+              (col("n").cast("double") * (col("s11").cast("double") * col("s2y").cast("double") - col("s1y").cast("double") * col("s12").cast("double"))
+                - col("s1").cast("double") * (col("s1").cast("double") * col("s2y").cast("double") - col("s1y").cast("double") * col("s2").cast("double"))
+                + col("sy").cast("double") * (col("s1").cast("double") * col("s12").cast("double") - col("s11").cast("double") * col("s2").cast("double")))
+                / col("det").cast("double"), 6)).as("b_hod"))
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+             |    CAST(hour(ts) AS BIGINT) AS x2, count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |rb AS (SELECT (epoch_us(h) - (SELECT min(epoch_us(h)) FROM hourly))
+             |      // 3600000000 AS x1, x2, y
+             |  FROM hourly),
+             |st AS (SELECT count(*) AS n,
+             |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x1*x1) AS BIGINT) AS s11,
+             |    CAST(sum(x1*x2) AS BIGINT) AS s12,
+             |    CAST(sum(x2*x2) AS BIGINT) AS s22,
+             |    CAST(sum(x1*y) AS BIGINT) AS s1y,
+             |    CAST(sum(x2*y) AS BIGINT) AS s2y
+             |  FROM rb),
+             |dt AS (SELECT *,
+             |    n * (s11 * s22 - s12 * s12)
+             |      - s1 * (s1 * s22 - s12 * s2)
+             |      + s2 * (s1 * s12 - s11 * s2) AS det
+             |  FROM st)
+             |SELECT n,
+             |  CASE WHEN det <> 0 THEN round(
+             |    (CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+             |      - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+             |      + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))
+             |      / CAST(det AS DOUBLE), 6) END AS b0,
+             |  CASE WHEN det <> 0 THEN round(
+             |    (CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+             |      - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))
+             |      / CAST(det AS DOUBLE), 6) END AS b_trend,
+             |  CASE WHEN det <> 0 THEN round(
+             |    (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+             |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+             |      + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+             |      / CAST(det AS DOUBLE), 6) END AS b_hod
+             |FROM dt""".stripMargin)),
   )
 }
