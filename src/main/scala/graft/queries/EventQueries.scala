@@ -1418,5 +1418,42 @@ object EventQueries {
              |      + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
              |      / CAST(det AS DOUBLE), 6) END AS b_hod
              |FROM dt""".stripMargin)),
+
+    // ----- DAU/WAU stickiness (the product-engagement ratio: how
+    // much of the weekly audience shows up daily): exact distinct
+    // users per day and per ISO week — two distinct-aggs sharing the
+    // user-key shuffle physics of t_distinct_users — then stickiness
+    // = Σdaily-DAU / (7·WAU) as a 6-dp ratio of exact longs per
+    // week. Deliberately NOT a rolling-7-day window per day: a
+    // per-day trailing distinct is a 7× self-union at any scale, and
+    // the calendar-week ratio is the metric dashboards actually pin.
+    // Output ≤|weeks| rows.
+    QueryDef(
+      "t_stickiness",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+          .withColumn("week", date_trunc("week", col("day")))
+          .groupBy("week").agg(sum("dau").as("sum_dau"))
+        val weekly = events(s, d)
+          .groupBy(date_trunc("week", col("ts")).as("week"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        daily.join(weekly, Seq("week"))
+          .select(col("week"), col("sum_dau"), col("wau"),
+            round(col("sum_dau").cast("double") / (col("wau") * 7), 6)
+              .as("stickiness"))
+          .orderBy("week")
+      },
+      Some("""WITH daily AS (SELECT date_trunc('day', ts) AS day,
+             |    count(DISTINCT user_id) AS dau FROM events GROUP BY 1),
+             |dw AS (SELECT date_trunc('week', day) AS week,
+             |    CAST(sum(dau) AS BIGINT) AS sum_dau FROM daily GROUP BY 1),
+             |weekly AS (SELECT date_trunc('week', ts) AS week,
+             |    count(DISTINCT user_id) AS wau FROM events GROUP BY 1)
+             |SELECT d.week, d.sum_dau, w.wau,
+             |  round(CAST(d.sum_dau AS DOUBLE) / (w.wau * 7), 6) AS stickiness
+             |FROM dw d JOIN weekly w ON d.week = w.week
+             |ORDER BY d.week""".stripMargin)),
   )
 }
