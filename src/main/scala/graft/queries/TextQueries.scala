@@ -2070,5 +2070,92 @@ object TextQueries {
               |  w.wmedian_chars
               |FROM wm w JOIN tot t ON w.source = t.source
               |ORDER BY w.source""".stripMargin)),
+
+    // ----- three-way snapshot merge (the branch-reconciliation
+    // primitive over diff_snapshots' two-way CDC: two teams curated
+    // DIVERGENT copies of one corpus, reconcile against the common
+    // base — the lakehouse analogue of a git merge): both branches
+    // derived deterministically from base fingerprints (A: %11 drops,
+    // %7 edits; B: %13 drops, %5 edits; %35 edits IDENTICALLY on
+    // both — the converged case a naive conflict count miscounts).
+    // Classification is two broadcast-free left joins on doc_id
+    // carrying 16-byte fingerprints only; resolution per the
+    // standard rule (one side unchanged → take the other; both
+    // changed → converged iff fingerprints agree, else conflict;
+    // delete-vs-edit → conflict). id_sum pins each class's exact key
+    // SET; output ≤ 9 rows at any scale.
+    QueryDef(
+      "diff_merge3",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"),
+          md5(col("text")).as("fp"))
+        val a = base
+          .filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 35 === 0, md5(concat(col("fp"), lit("X"))))
+              .when(col("doc_id") % 7 === 0, md5(concat(col("fp"), lit("A"))))
+              .otherwise(col("fp")).as("fp_a"))
+        val b = base
+          .filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 35 === 0, md5(concat(col("fp"), lit("X"))))
+              .when(col("doc_id") % 5 === 0, md5(concat(col("fp"), lit("B"))))
+              .otherwise(col("fp")).as("fp_b"))
+        base.join(a, Seq("doc_id"), "left").join(b, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("fp_a").isNull, "deleted")
+              .when(col("fp_a") =!= col("fp"), "changed")
+              .otherwise("same").as("a_state"),
+            when(col("fp_b").isNull, "deleted")
+              .when(col("fp_b") =!= col("fp"), "changed")
+              .otherwise("same").as("b_state"),
+            (col("fp_a").isNotNull && col("fp_b").isNotNull &&
+              col("fp_a") === col("fp_b")).as("agree"))
+          .withColumn("resolution",
+            when(col("a_state") === "same" && col("b_state") === "same", "keep")
+              .when(col("a_state") === "changed" && col("b_state") === "same", "take_a")
+              .when(col("a_state") === "same" && col("b_state") === "changed", "take_b")
+              .when(col("a_state") === "changed" && col("b_state") === "changed",
+                when(col("agree"), "converged").otherwise("conflict"))
+              .when(col("a_state") === "deleted" && col("b_state") === "deleted", "delete")
+              .when(col("a_state") === "deleted" && col("b_state") === "same", "delete")
+              .when(col("a_state") === "same" && col("b_state") === "deleted", "delete")
+              .otherwise("conflict"))
+          .groupBy("a_state", "b_state", "resolution")
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+          .orderBy("a_state", "b_state", "resolution")
+      },
+      Some("""WITH base AS (SELECT doc_id, md5(text) AS fp FROM documents),
+             |a AS (SELECT doc_id, CASE
+             |    WHEN doc_id % 35 = 0 THEN md5(fp || 'X')
+             |    WHEN doc_id % 7 = 0 THEN md5(fp || 'A')
+             |    ELSE fp END AS fp_a
+             |  FROM base WHERE doc_id % 11 <> 0),
+             |b AS (SELECT doc_id, CASE
+             |    WHEN doc_id % 35 = 0 THEN md5(fp || 'X')
+             |    WHEN doc_id % 5 = 0 THEN md5(fp || 'B')
+             |    ELSE fp END AS fp_b
+             |  FROM base WHERE doc_id % 13 <> 0),
+             |st AS (SELECT base.doc_id,
+             |    CASE WHEN fp_a IS NULL THEN 'deleted'
+             |         WHEN fp_a <> fp THEN 'changed' ELSE 'same' END AS a_state,
+             |    CASE WHEN fp_b IS NULL THEN 'deleted'
+             |         WHEN fp_b <> fp THEN 'changed' ELSE 'same' END AS b_state,
+             |    fp_a IS NOT NULL AND fp_b IS NOT NULL AND fp_a = fp_b AS agree
+             |  FROM base LEFT JOIN a USING (doc_id) LEFT JOIN b USING (doc_id)),
+             |res AS (SELECT *, CASE
+             |    WHEN a_state = 'same' AND b_state = 'same' THEN 'keep'
+             |    WHEN a_state = 'changed' AND b_state = 'same' THEN 'take_a'
+             |    WHEN a_state = 'same' AND b_state = 'changed' THEN 'take_b'
+             |    WHEN a_state = 'changed' AND b_state = 'changed'
+             |      THEN CASE WHEN agree THEN 'converged' ELSE 'conflict' END
+             |    WHEN a_state = 'deleted' AND b_state = 'deleted' THEN 'delete'
+             |    WHEN a_state = 'deleted' AND b_state = 'same' THEN 'delete'
+             |    WHEN a_state = 'same' AND b_state = 'deleted' THEN 'delete'
+             |    ELSE 'conflict' END AS resolution
+             |  FROM st)
+             |SELECT a_state, b_state, resolution, count(*) AS n,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM res GROUP BY 1, 2, 3 ORDER BY a_state, b_state, resolution""".stripMargin)),
   )
 }
