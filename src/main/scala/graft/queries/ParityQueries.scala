@@ -2265,6 +2265,32 @@ object ParityQueries {
              |      ELSE 0 END) AS DOUBLE) / sum(cents), 6) AS mkt_share
              |FROM f GROUP BY 1 ORDER BY o_year""".stripMargin)),
 
+    // ----- custom DataSource V2 scan with REAL pushdown (the
+    // connector API, demonstrated oracle-gated — see
+    // sources/DocsRangeSource): the id-range predicate narrows the
+    // GENERATED range inside the source (no filtered-out row is ever
+    // materialized) and column pruning reaches the reader (the name
+    // string is never built for this numeric query); the row content
+    // is pure integer arithmetic of id, so DuckDB's range() replays
+    // identical rows. sf-independent by construction (the source IS
+    // the data) — the cross-SF hash agreement pins the connector's
+    // determinism. DsV2SourceSpec asserts the narrowed range and the
+    // pruned column list in the scan description.
+    QueryDef(
+      "s7_dsv2_pushdown",
+      (s, _) => s.read.format("graft.sources.DocsRangeSource")
+        .option("rows", "50000").option("partitions", "8").load()
+        .filter(col("id") >= 10000 && col("id") < 30000)
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n"), sum("val_cents").as("sum_cents"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("cat"),
+      Some("""SELECT id % 7 AS cat, count(*) AS n,
+             |  CAST(sum((id * 2654435761) % 100000) AS BIGINT) AS sum_cents,
+             |  min(id) AS min_id, max(id) AS max_id
+             |FROM range(10000, 30000) t(id)
+             |GROUP BY 1 ORDER BY cat""".stripMargin)),
+
     // ----- RFM segmentation (the CRM workhorse: score every customer
     // 1-5 on Recency / Frequency / Monetary, read the segment
     // histogram): recency = exact whole days from a PINNED reference

@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2 connector — the remaining Spark extension
+  * surface the library hadn't demonstrated (functions, aggregate,
+  * logical/physical operator, optimizer rule, planner strategy all
+  * exist; this is the CONNECTOR API): a deterministic synthetic
+  * document-row source with REAL pushdown, the contract every
+  * production source (Delta/Iceberg/JDBC) lives by.
+  *
+  *  - Filter pushdown ([[SupportsPushDownFilters]]): range predicates
+  *    on `id` NARROW THE GENERATED RANGE ITSELF — the reader never
+  *    materializes a filtered-out row, the V2 analogue of parquet
+  *    row-group pruning. Accepted filters are consumed (returned as
+  *    non-residual), everything else stays residual for Spark.
+  *  - Column pruning ([[SupportsPushDownRequiredColumns]]): the
+  *    reader computes ONLY the pruned schema's columns — `name`
+  *    (the expensive string) is never built for a numeric query.
+  *  - Partition planning: the (narrowed) range splits into
+  *    `partitions` even slices — scan parallelism tracks the
+  *    post-pushdown volume, not the nominal table size.
+  *
+  * Row content is pure integer arithmetic of `id` (Knuth
+  * multiplicative hash mod 10⁵ for the value column), so a DuckDB
+  * `range()` query replays the identical rows and the source is
+  * ORACLE-GATED end to end (`s7_dsv2_pushdown`) — a correctness bar
+  * few connectors get.
+  *
+  * Usage: `spark.read.format("graft.sources.DocsRangeSource")
+  * .option("rows", n).option("partitions", p).load()`.
+  */
+class DocsRangeSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocsRangeSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new DocsRangeTable(
+      properties.asScala.getOrElse("rows", "1000").toLong,
+      properties.asScala.getOrElse("partitions", "4").toInt)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object DocsRangeSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cat", LongType, nullable = false),
+    StructField("val_cents", LongType, nullable = false),
+    StructField("name", StringType, nullable = false)))
+
+  /** Knuth multiplicative hash, bounded — mirrored verbatim by the
+    * oracle SQL ((id * 2654435761) % 100000; values stay ≪ 2⁶³).
+    */
+  def valCents(id: Long): Long = (id * 2654435761L) % 100000L
+}
+
+private[sources] class DocsRangeTable(rows: Long, partitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"docs_range($rows)"
+  override def schema(): StructType = DocsRangeSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocsRangeScanBuilder(rows, partitions)
+}
+
+private[sources] class DocsRangeScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L          // inclusive
+  private var hi = rows        // exclusive
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = DocsRangeSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition {
+      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+           EqualTo("id", _: Long) => true
+      case _ => false
+    }
+    ours.foreach {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    accepted = ours
+    residual // fully handled here — Spark re-applies only the residue
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new DocsRangeScan(lo, math.max(lo, hi),
+    partitions, required)
+}
+
+private[sources] class DocsRangeScan(lo: Long, hi: Long, partitions: Int,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  // surfaced in explain output so plan specs can assert the pushdown
+  override def description(): String =
+    s"DocsRangeScan(range=[$lo,$hi), cols=${required.fieldNames.mkString(",")})"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, partitions)
+    val total = hi - lo
+    (0 until n).map { i =>
+      val s = lo + total * i / n
+      val e = lo + total * (i + 1) / n
+      DocsRangePartition(s, e): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsRangeReaderFactory(required)
+}
+
+private[sources] case class DocsRangePartition(start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class DocsRangeReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DocsRangePartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.start - 1
+      // column generators bound once per reader from the PRUNED schema
+      private val gens: Array[Long => Any] = required.fieldNames.map {
+        case "id" => (i: Long) => i
+        case "cat" => (i: Long) => i % 7L
+        case "val_cents" => (i: Long) => DocsRangeSource.valCents(i)
+        case "name" => (i: Long) => UTF8String.fromString(s"doc_$i")
+        case other => sys.error(s"unknown column $other")
+      }
+      override def next(): Boolean = { id += 1; id < p.end }
+      override def get(): InternalRow =
+        new GenericInternalRow(gens.map(_(id)))
+      override def close(): Unit = ()
+    }
+  }
+}
