@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,7 +52,8 @@ class DocsRangeSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new DocsRangeTable(
       properties.asScala.getOrElse("rows", "1000").toLong,
-      properties.asScala.getOrElse("partitions", "4").toInt)
+      properties.asScala.getOrElse("partitions", "4").toInt,
+      properties.asScala.getOrElse("maxRowsPerBatch", "0").toLong)
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -69,17 +71,18 @@ object DocsRangeSource {
   def valCents(id: Long): Long = (id * 2654435761L) % 100000L
 }
 
-private[sources] class DocsRangeTable(rows: Long, partitions: Int)
-    extends Table with SupportsRead {
+private[sources] class DocsRangeTable(rows: Long, partitions: Int,
+    maxRowsPerBatch: Long) extends Table with SupportsRead {
   override def name(): String = s"docs_range($rows)"
   override def schema(): StructType = DocsRangeSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocsRangeScanBuilder(rows, partitions)
+    new DocsRangeScanBuilder(rows, partitions, maxRowsPerBatch)
 }
 
-private[sources] class DocsRangeScanBuilder(rows: Long, partitions: Int)
+private[sources] class DocsRangeScanBuilder(rows: Long, partitions: Int,
+    maxRowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -113,11 +116,11 @@ private[sources] class DocsRangeScanBuilder(rows: Long, partitions: Int)
     required = requiredSchema
 
   override def build(): Scan = new DocsRangeScan(lo, math.max(lo, hi),
-    partitions, required)
+    partitions, required, maxRowsPerBatch)
 }
 
 private[sources] class DocsRangeScan(lo: Long, hi: Long, partitions: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, maxRowsPerBatch: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -134,6 +137,69 @@ private[sources] class DocsRangeScan(lo: Long, hi: Long, partitions: Int,
       val s = lo + total * i / n
       val e = lo + total * (i + 1) / n
       DocsRangePartition(s, e): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsRangeReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocsRangeMicroBatchStream(lo, hi, partitions, required, maxRowsPerBatch)
+}
+
+/** Offset = next unread id; json round-trip is the bare number. */
+private[sources] case class DocsRangeOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** Micro-batch side of the connector (completes the surface: the same
+  * pushed-down, column-pruned scan serves batch AND streaming): the
+  * offset is simply the next unread id, and ADMISSION CONTROL
+  * (`maxRowsPerBatch` → ReadLimit.maxRows) paces the backlog into
+  * deterministic micro-batches — the file-source maxFilesPerTrigger
+  * discipline, expressed by a custom source. Trigger.AvailableNow is
+  * supported (prepareForTriggerAvailableNow + reportLatestOffset), so
+  * a bounded backlog drains in ⌈rows/maxRowsPerBatch⌉ batches and
+  * stops — DsV2SourceSpec drives exactly that and checks both the
+  * batch boundaries and the union of contents.
+  */
+private[sources] class DocsRangeMicroBatchStream(lo: Long, hi: Long,
+    partitions: Int, required: StructType, maxRowsPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = DocsRangeOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    DocsRangeOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
+    else ReadLimit.allAvailable()
+
+  // SupportsAdmissionControl routes all calls to the 2-arg overload
+  override def latestOffset(): Offset =
+    sys.error("unreachable: admission-control latestOffset is used")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DocsRangeOffset].pos
+    val e = limit match {
+      case m: ReadMaxRows => math.min(hi, s + m.maxRows())
+      case _ => hi
+    }
+    DocsRangeOffset(e)
+  }
+
+  override def reportLatestOffset(): Offset = DocsRangeOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DocsRangeOffset].pos
+    val e = end.asInstanceOf[DocsRangeOffset].pos
+    val n = math.max(1, partitions)
+    val total = math.max(0L, e - s)
+    (0 until n).map { i =>
+      DocsRangePartition(s + total * i / n, s + total * (i + 1) / n): InputPartition
     }.toArray
   }
 

@@ -40,6 +40,36 @@ class DsV2SourceSpec extends SparkSpec {
     assert(df.count() == (0 until 1000).count(_ % 7 == 3))
   }
 
+  test("micro-batch stream drains a bounded backlog under admission control") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_stream")
+    try {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val q = spark.readStream.format("graft.sources.DocsRangeSource")
+        .option("rows", "1000").option("partitions", "3")
+        .option("maxRowsPerBatch", "300").load()
+        .writeStream
+        .option("checkpointLocation", s"$dir/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val r = df.agg(count(lit(1)), min("id"), max("id")).collect()(0)
+          batches.synchronized {
+            batches += ((r.getLong(0), r.getLong(1), r.getLong(2)))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      // 1000 rows at ≤300/batch → 4 batches with the exact boundaries
+      assert(batches.sortBy(_._2).toSeq == Seq(
+        (300L, 0L, 299L), (300L, 300L, 599L),
+        (300L, 600L, 899L), (100L, 900L, 999L)), s"got $batches")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("column pruning reaches the reader") {
     val df = src(1000).select("cat")
     val plan = df.queryExecution.executedPlan.toString
