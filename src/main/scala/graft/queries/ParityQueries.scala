@@ -2265,6 +2265,159 @@ object ParityQueries {
              |      ELSE 0 END) AS DOUBLE) / sum(cents), 6) AS mkt_share
              |FROM f GROUP BY 1 ORDER BY o_year""".stripMargin)),
 
+    // ----- TPC-H Q6 shape: forecast revenue change — the pure
+    // scan-side query of the family: three pushable range predicates,
+    // no join, one row out. Exists to pin the SCAN story: every
+    // predicate lands in PushedFilters and the whole query is a
+    // map-side fold. Revenue = Σ extprice·discount pinned to exact
+    // cents per row (the q14 idiom), so the single output is an
+    // exact long + its 2-dp display form.
+    QueryDef(
+      "q6_forecast_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * col("l_discount") * 100)
+            .cast("long")).as("revenue_cents"))
+        .select(col("n"), col("revenue_cents"),
+          round(col("revenue_cents").cast("double") / 100.0, 2).as("revenue")),
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents,
+             |  round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+             |    AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // ----- TPC-H Q13 shape: customer order-count distribution (the
+    // engagement histogram, and the family's OUTER-join lesson: a
+    // zero-order customer must appear with count 0, which an inner
+    // join silently drops). count(o_orderkey) — not count(*) — makes
+    // the unmatched row count as zero; double re-agg collapses to
+    // ≤|distinct counts| rows. One custkey shuffle.
+    QueryDef(
+      "q13_cust_order_dist",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY 1)
+             |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ----- TPC-H Q15 shape: top supplier by quarterly revenue — the
+    // argmax-join-back at warehouse scale (j1's pattern on an
+    // aggregate): per-supplier revenue as EXACT cents (a float argmax
+    // can disagree cross-engine at the boundary; exact longs cannot),
+    // the 1-row max broadcasts back, ties pinned by suppkey. The
+    // revenue agg is the only fact shuffle; supplier broadcast.
+    QueryDef(
+      "q15_top_supplier",
+      (s, d) => {
+        val q0 = lit("1997-01-01 00:00:00").cast("timestamp")
+        val q1d = lit("1997-04-01 00:00:00").cast("timestamp")
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= q0 && col("l_shipdate") < q1d)
+          .groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("cents"))
+        rev.crossJoin(broadcast(rev.agg(max("cents").as("mx"))))
+          .filter(col("cents") === col("mx"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("cents").cast("double") / 100.0, 2).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name,
+             |  round(CAST(cents AS DOUBLE) / 100.0, 2) AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE cents = (SELECT max(cents) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ----- TPC-H Q17 shape: small-quantity-order revenue (the
+    // decorrelated-subquery lesson: "lines under 20% of their part's
+    // average quantity" — the correlated avg becomes an aggregate
+    // joined back on partkey, TWO passes over lineitem instead of a
+    // per-row subquery). Quantities are whole-valued doubles, so
+    // Σqty is exact in a double at any order and 0.2·avg is one
+    // correctly-rounded multiply — the threshold compare is
+    // cross-engine deterministic with no cents dance; revenue pins
+    // to cents as usual. partkey shuffle for the avg (reused by the
+    // join — q18's exchange-reuse story on a different key).
+    QueryDef(
+      "q17_small_qty_revenue",
+      (s, d) => {
+        val lim = t(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg((avg(col("l_quantity")) * 0.2).as("lim"))
+        t(s, d, "lineitem")
+          .join(lim, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("lim"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("price_cents"))
+          .select(col("n"), col("price_cents"),
+            round(col("price_cents").cast("double") / 700.0, 2)
+              .as("avg_yearly"))
+      },
+      Some("""WITH lim AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+             |  FROM lineitem GROUP BY 1)
+             |SELECT count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS price_cents,
+             |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 700.0, 2)
+             |    AS avg_yearly
+             |FROM lineitem JOIN lim ON l_partkey = pk
+             |WHERE l_quantity < lim""".stripMargin)),
+
+    // ----- TPC-H Q19 shape: disjunctive predicate revenue (the
+    // OR-of-ANDs planner test: brand/size/quantity conjunct groups
+    // OR'd together — the optimizer must extract the common
+    // join-key structure instead of falling to a product, and the
+    // part-side brand/size disjunction should reach the broadcast
+    // build side). One broadcast join; revenue exact cents.
+    QueryDef(
+      "q19_disjunctive_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+        .select(col("n"), col("revenue_cents"),
+          round(col("revenue_cents").cast("double") / 100.0, 2).as("revenue")),
+      Some("""SELECT count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents,
+             |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+             |    AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 1 AND 20)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+             |       AND l_quantity BETWEEN 10 AND 30)""".stripMargin)),
+
     // ----- custom DataSource V2 scan with REAL pushdown (the
     // connector API, demonstrated oracle-gated — see
     // sources/DocsRangeSource): the id-range predicate narrows the
