@@ -77,6 +77,22 @@ class Round7PlanSpec extends SparkSpec {
       s"q4b EXISTS not planned as a semi join:\n${q4.take(2000)}")
   }
 
+  test("late TPC-H shapes: scan fold, outer join, no products") {
+    // q6: no join at all — a single aggregated scan
+    val q6 = executedPlan("q6_forecast_revenue")
+    assert(!q6.contains("Join"), s"q6 grew a join:\n${q6.take(1500)}")
+    // q13: the zero-order customers require an outer join
+    val q13 = executedPlan("q13_cust_order_dist")
+    assert(q13.contains("LeftOuter"), s"q13 lost the outer join:\n${q13.take(1500)}")
+    // q17/q19: never a product
+    Seq("q17_small_qty_revenue", "q19_disjunctive_revenue").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to a product:\n${plan.take(1500)}")
+    }
+  }
+
   test("entity clustering never goes cartesian") {
     val plan = executedPlan("j8c_entity_clusters")
     assert(!plan.contains("CartesianProduct") &&
