@@ -695,5 +695,52 @@ object SimilarityQueries {
              |  round(sum(CASE WHEN pos = 1 THEN m END), 6) AS c2
              |FROM m GROUP BY 1, 2 ORDER BY label""".stripMargin),
       bench = true),
+
+    // ----- maximum-inner-product top-k (MIPS — the recommendation
+    // retrieval objective, DISTINCT from sim1's cosine: a
+    // high-norm item can be the best inner product while losing on
+    // angle, which is exactly why user×item scores rank by raw dot,
+    // not normalized similarity). Determinism is stricter than
+    // sim1's: both sides quantize to scaled longs and the ranking
+    // key is the EXACT INTEGER dot (native vec_dot family not needed
+    // — map_-free zip via the existing quantization transform +
+    // aggregate over products stays in longs), so the top-k order
+    // has no float boundary at all; ties pinned by vec_id. Probe set
+    // broadcast, corpus streams map-side, WindowGroupLimit keeps the
+    // rank map-side — the sim1 physics with an exact key.
+    QueryDef(
+      "sim14_mips_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def q(c: org.apache.spark.sql.Column) =
+          transform(c, v => round(v.cast("double") * 1000).cast("long"))
+        val e = emb(s, d).select(col("vec_id"), q(col("embedding")).as("qv"))
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+        val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            aggregate(zip_with(col("qv"), col("pv"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("dot"))
+        scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("probe_id")
+              .orderBy(col("dot").desc, col("vec_id"))).cast("long"))
+          .filter(col("rk") <= 5)
+          .orderBy("probe_id", "rk")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |    [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+             |     for x in embedding] AS qv
+             |  FROM embeddings),
+             |sc AS (SELECT p.vec_id AS probe_id, e.vec_id,
+             |    CAST(list_sum(list_transform(range(1, len(e.qv) + 1),
+             |      i -> e.qv[i] * p.qv[i])) AS BIGINT) AS dot
+             |  FROM q e JOIN q p ON p.vec_id < 5 AND e.vec_id <> p.vec_id)
+             |SELECT probe_id, vec_id, dot, rk FROM (
+             |  SELECT probe_id, vec_id, dot,
+             |    row_number() OVER (PARTITION BY probe_id
+             |      ORDER BY dot DESC, vec_id) AS rk
+             |  FROM sc)
+             |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)),
   )
 }
