@@ -2418,6 +2418,43 @@ object ParityQueries {
              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
              |       AND l_quantity BETWEEN 10 AND 30)""".stripMargin)),
 
+    // ----- TPC-H Q22 shape: dormant high-balance customers (adapted:
+    // the fixture's every customer orders at least once, so the
+    // anti-join runs against RECENT orders — "no order since 2000" —
+    // which is the realistic churn read anyway). Two planner
+    // lessons in one: the scalar-aggregate threshold (avg positive
+    // balance) broadcasts as a 1-row crossJoin — never a correlated
+    // per-row subquery — and the NOT EXISTS plans as an ANTI join
+    // whose build side is date-filtered AT THE SCAN. Balance sums
+    // pinned to exact cents.
+    QueryDef(
+      "q22_dormant_customers",
+      (s, d) => {
+        val thr = t(s, d, "customer").filter(col("c_acctbal") > 0)
+          .agg(avg("c_acctbal").as("thr"))
+        val recent = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+        t(s, d, "customer")
+          .crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("thr"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(round(col("c_acctbal") * 100).cast("long")).as("totacctbal_cents"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH thr AS (SELECT avg(c_acctbal) AS thr FROM customer
+             |  WHERE c_acctbal > 0)
+             |SELECT c_nationkey, count(*) AS numcust,
+             |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS totacctbal_cents
+             |FROM customer, thr
+             |WHERE c_acctbal > thr
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+             |GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
+
     // ----- custom DataSource V2 scan with REAL pushdown (the
     // connector API, demonstrated oracle-gated — see
     // sources/DocsRangeSource): the id-range predicate narrows the
