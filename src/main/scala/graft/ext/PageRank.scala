@@ -45,11 +45,17 @@ object PageRank {
     * (node, rank) with rank a scaled long.
     */
   def ranks(edges: DataFrame, rounds: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // one lineage cut on the (often join-derived) edge input: every
+    // round references it for the contribution join, and deg/nodes
+    // reference it again — without the cut the caller's edge
+    // construction (g1: orders⋈lineitem DISTINCT) re-executes per
+    // reference inside the single final action
+    val (e, _) = Dedup.checkpointed(edges.select("src", "dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val nodes = e.select(col("src").as("node")).distinct()
     var r = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to rounds) {
-      val contrib = edges
+      val contrib = e
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"),
@@ -76,12 +82,14 @@ object PageRank {
     */
   def personalizedRanks(edges: DataFrame, seedPred: Column,
       rounds: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // same lineage cut as [[ranks]]
+    val (e, _) = Dedup.checkpointed(edges.select("src", "dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val nodes = e.select(col("src").as("node")).distinct()
       .withColumn("seed", when(seedPred, lit(1L)).otherwise(lit(0L)))
     var r = nodes.select(col("node"), (col("seed") * Scale).as("rank"))
     for (_ <- 1 to rounds) {
-      val contrib = edges
+      val contrib = e
         .join(r.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"),

@@ -37,25 +37,34 @@ object Triangles {
     * included.
     */
   def perNode(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("n"))
-      .unionAll(edges.select(col("v").as("n")))
+    // materialize the (often expensive — a co-purchase self-join in
+    // g2's case) edge input ONCE: `edges` is referenced by the degree
+    // agg, both orientation lookups, and the closing join — without a
+    // lineage cut Spark recomputes the whole upstream per reference
+    // (measured: g2 23.0 → 4.4 s at sf0.1). Same for `oriented`,
+    // referenced three times (two wedge legs + closing edge). Blocks
+    // are reclaimed by the ContextCleaner when the plan is dropped.
+    val (e, _) = Dedup.checkpointed(edges.select("u", "v"))
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = edges
+    val (oriented, _) = Dedup.checkpointed(e
       .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+        when(fwd, col("v")).otherwise(col("u")).as("dst")))
     val o1 = oriented.select(col("src").as("x"), col("dst").as("y"))
     val o2 = oriented.select(col("src").as("x"), col("dst").as("z"))
     val wedges = o1.join(o2, Seq("x")).filter(col("y") =!= col("z"))
     val tri = wedges.join(
       oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
-    val perN = tri.select(col("x").as("n"))
-      .unionAll(tri.select(col("y").as("n")))
-      .unionAll(tri.select(col("z").as("n")))
+    // one pass over the wedge join's output: the explode replaces a
+    // triple unionAll that recomputed the join per corner role
+    val perN = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("tri"))
     deg.join(perN, Seq("n"), "left")
       .select(col("n"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
