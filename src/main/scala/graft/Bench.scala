@@ -384,7 +384,7 @@ object Bench {
         "pipeline_curation", "tx12_bigram_lm_score",
         "dedup_embedding_lsh", "dedup_components",
         "q3_top_order_revenue", "join_3way_region_rollup",
-        "q18_large_orders"))
+        "q18_large_orders", "q13_cust_order_dist"))
     val base = Files.createTempDirectory("graft_stress_bench")
     try {
       val dir = base.toString

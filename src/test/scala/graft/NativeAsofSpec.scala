@@ -134,6 +134,29 @@ class NativeAsofSpec extends SparkSpec {
     assert(out == Map(1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("numOutputRows metric counts every emitted row") {
+    val ldf = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 5L, 3L)).toDF("k", "ts", "lid")
+    val rdf = Seq((1L, 5L, 50L)).toDF("rk", "rts", "payload")
+    val df = NativeAsof.asofBackward(ldf, rdf, "k", "rk", "ts", "rts")
+    assert(df.count() == 3)
+    // AQE hides the real tree behind AdaptiveSparkPlanExec — unwrap
+    // before collecting the operator's metric
+    val df2 = NativeAsof.asofBackward(ldf, rdf, "k", "rk", "ts", "rts")
+    df2.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val m = nodes(df2.queryExecution.executedPlan).collect {
+      case e: graft.plans.AsofJoinExec => e.metrics("numOutputRows").value
+    }
+    assert(m.nonEmpty, "AsofJoinExec not found in the executed plan")
+    assert(m.forall(_ == 3L), s"metric values: $m")
+  }
+
   test("timestamp-typed key columns work end to end") {
     val ldf = Seq((7L, "2024-01-01 10:00:00", 1L), (7L, "2024-01-01 00:00:00", 2L))
       .toDF("k", "ts", "lid").withColumn("ts", col("ts").cast("timestamp"))
