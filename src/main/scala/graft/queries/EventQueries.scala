@@ -1455,5 +1455,47 @@ object EventQueries {
              |  round(CAST(d.sum_dau AS DOUBLE) / (w.wau * 7), 6) AS stickiness
              |FROM dw d JOIN weekly w ON d.week = w.week
              |ORDER BY d.week""".stripMargin)),
+
+    // ----- rolling 7-day revenue via a BOUNDED RANGE frame (the
+    // value-based window the w5/w6 ROW frames and tx29's
+    // unbounded-range can't express: "the last 7 CALENDAR days",
+    // which under gaps in the series is NOT the last 7 rows — a
+    // ROW frame silently widens its time span across missing days).
+    // Frame bounds are integer epoch-days, revenue is exact cents;
+    // the first agg collapses any volume to |days| rows, so the
+    // range window runs over a bounded calendar series. Window and
+    // agg emit exact longs; the rolling avg divides by the ACTUAL
+    // day count in frame (gap-aware), 6-dp pinned.
+    QueryDef(
+      "w11_rolling_range",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("epoch_day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+        daily
+          .withColumn("roll_cents", sum("cents").over(w))
+          .withColumn("days_in_frame", count(lit(1)).over(w))
+          .select(col("epoch_day"), col("cents"), col("roll_cents"),
+            col("days_in_frame"),
+            round(col("roll_cents").cast("double") / col("days_in_frame"), 6)
+              .as("roll_avg_cents"))
+          .orderBy("epoch_day")
+      },
+      Some("""WITH daily AS (SELECT
+             |    epoch_us(date_trunc('day', ts)) // 86400000000 AS epoch_day,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1)
+             |SELECT epoch_day, cents,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS roll_cents,
+             |  CAST(count(*) OVER w AS BIGINT) AS days_in_frame,
+             |  round(CAST(sum(cents) OVER w AS DOUBLE)
+             |    / count(*) OVER w, 6) AS roll_avg_cents
+             |FROM daily
+             |WINDOW w AS (ORDER BY epoch_day
+             |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY epoch_day""".stripMargin)),
   )
 }
