@@ -1497,5 +1497,52 @@ object EventQueries {
              |WINDOW w AS (ORDER BY epoch_day
              |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
              |ORDER BY epoch_day""".stripMargin)),
+
+    // ----- incident episodes (the ALERTING layer above anomaly
+    // detection: five anomalous hours in a row are ONE incident, not
+    // five pages — the debounce every on-call rotation demands):
+    // hours flagged by the all-integer 1.25×-mean cross-multiply
+    // (t_seasonal_residual's no-division discipline), then
+    // consecutive flagged hours collapse via gaps-and-islands
+    // (island key = epoch_hour − row_number, exact integers — a
+    // run of consecutive hours shares one key). Output one row per
+    // EPISODE with span/peak/volume. Volume collapses to |hours|
+    // at the first agg; the island window runs over the bounded
+    // flagged series only.
+    QueryDef(
+      "t_incident_episodes",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = hourly.agg(sum("cnt").as("s"), count(lit(1)).as("n"))
+        val flagged = hourly.crossJoin(broadcast(tot))
+          .filter(lit(4) * col("cnt") * col("n") > lit(5) * col("s"))
+        flagged
+          .withColumn("eh", expr("unix_micros(h) div 3600000000"))
+          .withColumn("g", col("eh") -
+            row_number().over(Window.orderBy("h")))
+          .groupBy("g")
+          .agg(min("h").as("start_hour"), max("h").as("end_hour"),
+            count(lit(1)).as("n_hours"), max("cnt").as("peak_cnt"),
+            sum("cnt").as("total_cnt"))
+          .drop("g")
+          .orderBy("start_hour")
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+             |    count(*) AS cnt FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n FROM hourly),
+             |fl AS (SELECT h, cnt FROM hourly, tot
+             |  WHERE 4 * cnt * n > 5 * s),
+             |isl AS (SELECT h, cnt,
+             |    epoch_us(h) // 3600000000 - row_number() OVER (ORDER BY h)
+             |      AS g
+             |  FROM fl)
+             |SELECT min(h) AS start_hour, max(h) AS end_hour,
+             |  count(*) AS n_hours, CAST(max(cnt) AS BIGINT) AS peak_cnt,
+             |  CAST(sum(cnt) AS BIGINT) AS total_cnt
+             |FROM isl GROUP BY g ORDER BY start_hour""".stripMargin)),
   )
 }
