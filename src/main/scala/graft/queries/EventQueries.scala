@@ -1544,5 +1544,172 @@ object EventQueries {
              |  count(*) AS n_hours, CAST(max(cnt) AS BIGINT) AS peak_cnt,
              |  CAST(sum(cnt) AS BIGINT) AS total_cnt
              |FROM isl GROUP BY g ORDER BY start_hour""".stripMargin)),
+
+    // ----- CUSUM change-point detection (the shift detector the
+    // point-wise z-test and the trend-following EWMA both miss: a
+    // SUSTAINED small level shift — each hour individually inside
+    // the noise band, but the drift accumulating hour over hour).
+    // The textbook recurrence S_t = max(0, S_{t-1} + (x_t - mean))
+    // looks sequential, but has an exact closed form as window
+    // algebra: with P_t = Σ_{j≤t}(x_j - mean), S_t = P_t -
+    // min(0, min_{j≤t} P_j) — a prefix sum plus a running min, both
+    // single-pass window functions. All arithmetic stays in exact
+    // longs by scaling through n (x·n - total instead of x - mean),
+    // and the flag S > 2·mean becomes the integer cross-multiply
+    // S_scaled > 2·total. Scale: any event volume collapses to
+    // |hours| rows at the first agg; the unpartitioned window runs
+    // over that bounded series only; the global (total, n) pair is
+    // a 1-row broadcast.
+    QueryDef(
+      "t_cusum_shift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = hourly.agg(sum("cnt").as("s"), count(lit(1)).as("n"))
+        val w = Window.orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hourly.crossJoin(broadcast(tot))
+          .withColumn("p", sum(col("cnt") * col("n") - col("s")).over(w))
+          .withColumn("cusum", col("p") - least(lit(0L), min("p").over(w)))
+          .select(col("h").as("hour"), col("cnt"), col("cusum"),
+            when(col("cusum") > lit(2L) * col("s"), lit(1L))
+              .otherwise(lit(0L)).as("shifted"))
+          .orderBy("hour")
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+             |    count(*) AS cnt FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n FROM hourly),
+             |pre AS (SELECT h, cnt, s,
+             |    sum(cnt * n - s) OVER (ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+             |  FROM hourly, tot),
+             |cu AS (SELECT h, cnt, s,
+             |    p - least(0, min(p) OVER (ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |      AS cusum
+             |  FROM pre)
+             |SELECT h AS hour, CAST(cnt AS BIGINT) AS cnt,
+             |  CAST(cusum AS BIGINT) AS cusum,
+             |  CAST(CASE WHEN cusum > 2 * s THEN 1 ELSE 0 END AS BIGINT)
+             |    AS shifted
+             |FROM cu ORDER BY hour""".stripMargin)),
+
+    // ----- Cumulative distinct users over time (the audience-growth
+    // curve — "how many unique users have we EVER seen as of day d").
+    // The naive formulation — COUNT(DISTINCT user) per prefix — is
+    // O(|days|·volume) and distinct counts never re-aggregate from
+    // partials (the a12b sketch boundary). The exact scalable
+    // reformulation: a user contributes to the curve exactly once,
+    // at their FIRST event — so min(hour) per user (one uniform
+    // user-key shuffle with map-side partials, any volume collapses
+    // to |users| rows), then new-users-per-hour (≤|hours| rows,
+    // only hours that debut a user appear), then a running sum over
+    // the bounded series. Exact integers end to end.
+    QueryDef(
+      "t_cumulative_users",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val firstSeen = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(date_trunc("hour", col("ts"))).as("hour"))
+        firstSeen.groupBy("hour").agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users",
+            sum("new_users").over(Window.orderBy("hour")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("hour")
+      },
+      Some("""WITH fs AS (SELECT user_id, min(date_trunc('hour', ts)) AS hour
+             |  FROM events GROUP BY 1),
+             |hourly AS (SELECT hour, count(*) AS new_users FROM fs GROUP BY 1)
+             |SELECT hour, CAST(new_users AS BIGINT) AS new_users,
+             |  CAST(sum(new_users) OVER (ORDER BY hour
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cum_users
+             |FROM hourly ORDER BY hour""".stripMargin)),
+
+    // ----- Holt linear-trend smoothing (double exponential — the
+    // level-PLUS-trend forecaster; t_ewma_burst's single EWMA
+    // chronically lags any ramp because it has no trend term, so a
+    // steady climb reads as a permanent "burst"). l_t = ½x_t +
+    // ½(l_{t-1}+b_{t-1}), b_t = ½(l_t-l_{t-1}) + ½b_{t-1}, init
+    // l₁=x₁, b₁=x₂-x₁; one-step-ahead forecast f_t = l_{t-1} +
+    // b_{t-1} and residual x_t - f_t per hour. Cross-engine exact
+    // by the EWMA recipe extended to a STRUCT accumulator: ½-weights
+    // make every multiply exact and both engines run the identical
+    // left-fold op sequence (element mapped to the accumulator
+    // struct so DuckDB's same-type list_reduce applies), so even
+    // where 53-bit rounding kicks in it rounds identically —
+    // bit-equal, then 6-dp-pinned. Scale: volume collapses to
+    // |hours| at the first agg; the per-t prefix folds are
+    // O(|hours|²) on a BOUNDED series (720² trivial; a year of
+    // hours is 77M fold steps, still one core's work) — and the
+    // whole series lives in ONE row, never the driver.
+    //
+    // MIRROR TRAP (measured): DuckDB's `list_reduce` with a STRUCT
+    // accumulator aliases the accumulator in place — the lambda's
+    // second struct field sees the FIRST field's freshly-written
+    // value (b computed from l_new, not l_old; off by exactly the
+    // in-place substitution, verified by hand). Any two-field
+    // recurrence where each new field needs multiple OLD fields is
+    // unwritable as a lambda fold there, so the mirror replays the
+    // identical op sequence as a row-per-step RECURSIVE CTE instead
+    // (prefix t of the fold ≡ steps 1..t-2 of the full sequence, so
+    // one incremental pass mirrors all the per-t folds bit-for-bit).
+    QueryDef(
+      "t_holt_forecast",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        hourly
+          .agg(sort_array(collect_list(struct(col("hr"), col("cnt")))).as("xs"))
+          .filter(size(col("xs")) >= 3)
+          .select(explode(expr(
+            """transform(sequence(3, size(xs)), t -> named_struct(
+              |  'hr', xs[t-1].hr, 'cnt', xs[t-1].cnt,
+              |  'fc', aggregate(slice(xs, 2, t - 2),
+              |    named_struct(
+              |      'l', CAST(xs[0].cnt AS DOUBLE),
+              |      'b', CAST(xs[1].cnt AS DOUBLE) - CAST(xs[0].cnt AS DOUBLE)),
+              |    (acc, x) -> named_struct(
+              |      'l', 0.5D * CAST(x.cnt AS DOUBLE) + 0.5D * (acc.l + acc.b),
+              |      'b', 0.5D * ((0.5D * CAST(x.cnt AS DOUBLE)
+              |             + 0.5D * (acc.l + acc.b)) - acc.l) + 0.5D * acc.b),
+              |    acc -> acc.l + acc.b)))
+              |""".stripMargin)).as("r"))
+          .select(timestamp_seconds(col("r.hr") * 3600).as("hour"),
+            col("r.cnt"),
+            round(col("r.fc"), 6).as("forecast"),
+            round(col("r.cnt").cast("double") - col("r.fc"), 6).as("resid"))
+          .orderBy("hour")
+      },
+      Some("""WITH RECURSIVE hourly AS (
+             |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |ord AS (SELECT hr, cnt, row_number() OVER (ORDER BY hr) AS i
+             |  FROM hourly),
+             |holt AS (
+             |  SELECT 1 AS i,
+             |    CAST((SELECT cnt FROM ord WHERE i = 1) AS DOUBLE) AS l,
+             |    CAST((SELECT cnt FROM ord WHERE i = 2) AS DOUBLE)
+             |      - CAST((SELECT cnt FROM ord WHERE i = 1) AS DOUBLE) AS b
+             |  UNION ALL
+             |  SELECT h.i + 1,
+             |    0.5 * CAST(o.cnt AS DOUBLE) + 0.5 * (h.l + h.b),
+             |    0.5 * ((0.5 * CAST(o.cnt AS DOUBLE) + 0.5 * (h.l + h.b)) - h.l)
+             |      + 0.5 * h.b
+             |  FROM holt h JOIN ord o ON o.i = h.i + 1
+             |  WHERE h.i + 1 <= (SELECT max(i) FROM ord) - 1)
+             |SELECT make_timestamp(o.hr * 3600 * 1000000) AS hour, o.cnt AS cnt,
+             |  round(h.l + h.b, 6) AS forecast,
+             |  round(CAST(o.cnt AS DOUBLE) - (h.l + h.b), 6) AS resid
+             |FROM holt h JOIN ord o ON o.i = h.i + 1
+             |WHERE h.i >= 2
+             |ORDER BY hour""".stripMargin)),
   )
 }
