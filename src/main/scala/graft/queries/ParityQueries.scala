@@ -1649,6 +1649,54 @@ object ParityQueries {
               |FROM (SELECT label, count(*)::BIGINT AS size FROM l3 GROUP BY 1)
               |GROUP BY 1 ORDER BY size""".stripMargin)),
 
+    // ----- Graph: integer-exact HITS hubs-and-authorities over the
+    // BIPARTITE purchase graph (customer = hub side, supplier =
+    // authority side — no node encoding needed, the sides stay as
+    // typed key columns). The mutual-reinforcement signal g1's
+    // PageRank cannot express: PageRank's single score conflates
+    // "broad buyer" with "concentrated seller"; HITS separates them
+    // — a customer ranks by the authority of the suppliers it
+    // reaches, a supplier by the hub-ness of the customers reaching
+    // it. Classic L2 normalization is replaced by MAX-normalization
+    // with truncating div (ordering-preserving, pure integer ⇒
+    // unrolled-CTE replayable; see ext/Hits). Per round: two
+    // uniform key-shuffled sum-aggs + two 1-row max broadcasts;
+    // scores stay fully distributed. Output: top-15 per side,
+    // rank-pinned by (score desc, key).
+    QueryDef(
+      "g6_hits",
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("hub"),
+            col("l_suppkey").cast("long").as("auth"))
+          .distinct()
+        val (hubs, auths) = graft.ext.Hits.hubsAuthorities(edges, 2)
+        import org.apache.spark.sql.expressions.Window
+        def top(df: DataFrame, key: String, kind: String): DataFrame = df
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(col("score").desc, col(key))).cast("long"))
+          .filter(col("rk") <= 15)
+          .select(lit(kind).as("kind"), col(key).as("key"),
+            col("score"), col("rk"))
+        top(hubs, "hub", "customer")
+          .unionAll(top(auths, "auth", "supplier"))
+          .orderBy("kind", "rk")
+      },
+      Some(s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS hub,
+              |    CAST(l_suppkey AS BIGINT) AS auth
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              |${graft.ext.Hits.Sql.rounds(2)},
+              |th AS (SELECT 'customer' AS kind, hub AS key, score,
+              |    row_number() OVER (ORDER BY score DESC, hub) AS rk
+              |  FROM h2 QUALIFY rk <= 15),
+              |ta AS (SELECT 'supplier' AS kind, auth AS key, score,
+              |    row_number() OVER (ORDER BY score DESC, auth) AS rk
+              |  FROM a2 QUALIFY rk <= 15)
+              |SELECT kind, key, score, rk FROM th
+              |UNION ALL SELECT kind, key, score, rk FROM ta
+              |ORDER BY kind, rk""".stripMargin)),
+
     // ----- Headline: TPC-H Q1-style pricing summary over lineitem
     QueryDef(
       "q1_pricing_summary",
