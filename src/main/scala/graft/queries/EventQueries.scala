@@ -1711,5 +1711,69 @@ object EventQueries {
              |FROM holt h JOIN ord o ON o.i = h.i + 1
              |WHERE h.i >= 2
              |ORDER BY hour""".stripMargin)),
+
+    // ----- Join-size estimation via Count-Min inner product (the
+    // PLANNING primitive: |A ⋈ B on k| = Σ_k f_A(k)·f_B(k), and the
+    // CMS estimate min_r Σ_bucket cmsA[r]·cmsB[r] upper-bounds it —
+    // "will this self-/attribution-join explode" answered from two
+    // 768-cell sketches instead of running the join). Unlike
+    // sketch_cms_token_freq (engine-internal sketch, bound-gated),
+    // the sketch here is built IN relational algebra with the pinned
+    // cross-engine poly_hash as the row-hash family, so the estimate
+    // itself is a pure integer function of the data — DuckDB replays
+    // the identical sketch and the whole (exact, estimate, overest)
+    // triple is hash-gated, overestimate-only by construction.
+    // Scale: each side collapses to |keys| at the per-key count agg,
+    // then to d·w = 3·256 cells (map-side partials); the estimate
+    // join touches 768 rows however large the would-be join output.
+    QueryDef(
+      "est_join_size",
+      (s, d) => {
+        import graft.ext.NearDup
+        val W = 256
+        val ev = events(s, d)
+        def keyed(tpe: String, f: String): DataFrame = ev
+          .filter(col("event_type") === tpe)
+          .groupBy("user_id").agg(count(lit(1)).as(f))
+        def cms(df: DataFrame, f: String): DataFrame = df
+          .select(col("user_id"), col(f),
+            explode(array(lit(0), lit(1), lit(2))).as("r"))
+          .withColumn("bucket",
+            NearDup.charHash(concat_ws(":", col("r"), col("user_id"))) % W)
+          .groupBy("r", "bucket").agg(sum(f).as(f))
+        val a = keyed("click", "fa")
+        val b = keyed("view", "fb")
+        val exact = a.join(b, Seq("user_id"))
+          .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_size"))
+        val est = cms(a, "fa").join(cms(b, "fb"), Seq("r", "bucket"))
+          .groupBy("r").agg(sum(col("fa") * col("fb")).as("ip"))
+          .agg(coalesce(min("ip"), lit(0L)).as("est_size"))
+        exact.crossJoin(broadcast(est))
+          .select(col("exact_size"), col("est_size"),
+            (col("est_size") - col("exact_size")).as("overest"))
+      },
+      Some(s"""WITH a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS fa
+              |  FROM events WHERE event_type = 'click' GROUP BY 1),
+              |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS fb
+              |  FROM events WHERE event_type = 'view' GROUP BY 1),
+              |ex AS (SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT)
+              |    AS exact_size
+              |  FROM a JOIN b USING (user_id)),
+              |ca AS (SELECT r, ${graft.ext.NearDup.Sql.charHashSql(
+                  "(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))")} % 256 AS bucket,
+              |    CAST(sum(fa) AS BIGINT) AS fa
+              |  FROM a, (SELECT unnest([0, 1, 2]) AS r) GROUP BY 1, 2),
+              |cb AS (SELECT r, ${graft.ext.NearDup.Sql.charHashSql(
+                  "(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))")} % 256 AS bucket,
+              |    CAST(sum(fb) AS BIGINT) AS fb
+              |  FROM b, (SELECT unnest([0, 1, 2]) AS r) GROUP BY 1, 2),
+              |ip AS (SELECT ca.r, CAST(sum(ca.fa * cb.fb) AS BIGINT) AS ip
+              |  FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+              |  GROUP BY 1),
+              |es AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_size
+              |  FROM ip)
+              |SELECT exact_size, est_size,
+              |  CAST(est_size - exact_size AS BIGINT) AS overest
+              |FROM ex, es""".stripMargin)),
   )
 }

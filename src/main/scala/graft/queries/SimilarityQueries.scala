@@ -742,5 +742,89 @@ object SimilarityQueries {
              |      ORDER BY dot DESC, vec_id) AS rk
              |  FROM sc)
              |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin)),
+
+    // ----- Matryoshka dimension-truncation recall gauge (the modern
+    // MRL-embedding question: if retrieval runs on the FIRST 32 of
+    // 64 dims — half the storage, half the dot-product FLOPs, the
+    // standard cheap-prefilter move — how much of the full-dim top-k
+    // survives?). Per probe: exact top-5 on full vectors, exact
+    // top-5 on the 32-dim prefix (same arithmetic contract: native
+    // dot in identical op order, 6-dp-rounded, vec_id tie-break),
+    // then overlap@5 and top-1 agreement. Like dedup_banding_recall
+    // this measures a QUALITY trade-off with exact integers — the
+    // hash oracle pins both rankings and the overlap join, so a
+    // drift in either ranking fails the gate. Scale: both rankings
+    // are probe-broadcast map-side scans (WindowGroupLimit top-k, no
+    // corpus shuffle); the overlap join runs on 2·|probes|·k rows.
+    QueryDef(
+      "sim15_matryoshka_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val full = Similarity.bruteForceTopK(e, probes, 5)
+        val half = Similarity.bruteForceTopK(
+          e.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding")),
+          probes.select(col("probe_id"),
+            slice(col("probe_vec"), 1, 32).as("probe_vec")),
+          5)
+        val ov = full.select("probe_id", "vec_id")
+          .join(half.select("probe_id", "vec_id"), Seq("probe_id", "vec_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("overlap"))
+        val t1 = full.filter(col("rk") === 1)
+          .select(col("probe_id"), col("vec_id").as("fv"))
+          .join(half.filter(col("rk") === 1)
+            .select(col("probe_id"), col("vec_id").as("hv")), Seq("probe_id"))
+          .select(col("probe_id"),
+            when(col("fv") === col("hv"), lit(1L)).otherwise(lit(0L))
+              .as("top1_match"))
+        probes.select("probe_id")
+          .join(ov, Seq("probe_id"), "left")
+          .join(t1, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("overlap"), lit(0L)).as("overlap"),
+            coalesce(col("top1_match"), lit(0L)).as("top1_match"))
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH fullk AS (
+              |  SELECT probe_id, vec_id, rk FROM (
+              |    SELECT p.vec_id AS probe_id, e.vec_id,
+              |      row_number() OVER (PARTITION BY p.vec_id
+              |        ORDER BY round(${cosSql("p", "e")}, 6) DESC, e.vec_id)
+              |        AS rk
+              |    FROM embeddings e JOIN embeddings p
+              |      ON p.vec_id < 5 AND e.vec_id <> p.vec_id)
+              |  WHERE rk <= 5),
+              |halfk AS (
+              |  SELECT probe_id, vec_id, rk FROM (
+              |    SELECT p.vec_id AS probe_id, e.vec_id,
+              |      row_number() OVER (PARTITION BY p.vec_id
+              |        ORDER BY round(
+              |          list_dot_product((e.embedding[1:32])::DOUBLE[],
+              |                           (p.embedding[1:32])::DOUBLE[]) /
+              |          (sqrt(list_dot_product((p.embedding[1:32])::DOUBLE[],
+              |                                 (p.embedding[1:32])::DOUBLE[])) *
+              |           sqrt(list_dot_product((e.embedding[1:32])::DOUBLE[],
+              |                                 (e.embedding[1:32])::DOUBLE[]))),
+              |          6) DESC, e.vec_id) AS rk
+              |    FROM embeddings e JOIN embeddings p
+              |      ON p.vec_id < 5 AND e.vec_id <> p.vec_id)
+              |  WHERE rk <= 5),
+              |ov AS (SELECT f.probe_id, count(*) AS overlap
+              |  FROM fullk f JOIN halfk h
+              |    ON f.probe_id = h.probe_id AND f.vec_id = h.vec_id
+              |  GROUP BY 1),
+              |t1 AS (SELECT f.probe_id,
+              |    CASE WHEN f.vec_id = h.vec_id THEN 1 ELSE 0 END AS top1_match
+              |  FROM (SELECT * FROM fullk WHERE rk = 1) f
+              |  JOIN (SELECT * FROM halfk WHERE rk = 1) h
+              |    ON f.probe_id = h.probe_id)
+              |SELECT p.vec_id AS probe_id,
+              |  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+              |  CAST(coalesce(t1.top1_match, 0) AS BIGINT) AS top1_match
+              |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) p
+              |LEFT JOIN ov ON p.vec_id = ov.probe_id
+              |LEFT JOIN t1 ON p.vec_id = t1.probe_id
+              |ORDER BY probe_id""".stripMargin)),
   )
 }
