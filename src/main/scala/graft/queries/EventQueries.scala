@@ -1775,5 +1775,100 @@ object EventQueries {
               |SELECT exact_size, est_size,
               |  CAST(est_size - exact_size AS BIGINT) AS overest
               |FROM ex, es""".stripMargin)),
+
+    // ----- EXACT sliding-window distinct users (3 h window, 1 h
+    // step — the sliding DAU/HAU shape; t_distinct_users is the
+    // tumbling special case). Distinct counts don't re-aggregate
+    // from partials, so the naive per-window COUNT(DISTINCT) over
+    // raw events pays the full volume ×3 (every event lands in 3
+    // windows). The scalable order of operations: DEDUPE FIRST at
+    // the (user, hour) grain — one shuffle collapses any event
+    // volume to ≤|users|·|hours| rows — and only then fan out ×3 to
+    // window assignments; the second distinct collapses a user seen
+    // in 2-3 hours of one window. Fan-out runs on the reduced set,
+    // never the raw stream. Exact integers; edge windows (partial
+    // coverage at series start/end) appear like any other — the
+    // count is over hours that EXIST, a consumer masks edges by
+    // window_start if needed.
+    QueryDef(
+      "t_sliding_distinct",
+      (s, d) => {
+        val uh = events(s, d)
+          .select(col("user_id"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+              .cast("long").as("hr"))
+          .distinct()
+        uh.select(col("user_id"),
+            explode(array(lit(0L), lit(1L), lit(2L))).as("o"), col("hr"))
+          .select(col("user_id"), (col("hr") - col("o")).as("w"))
+          .distinct()
+          .groupBy("w").agg(count(lit(1)).as("distinct_users"))
+          .select(timestamp_seconds(col("w") * 3600).as("window_start"),
+            col("distinct_users"))
+          .orderBy("window_start")
+      },
+      Some("""WITH uh AS (SELECT DISTINCT user_id,
+             |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr
+             |  FROM events),
+             |uw AS (SELECT DISTINCT user_id, hr - o AS w
+             |  FROM uh, (SELECT unnest([0, 1, 2]) AS o))
+             |SELECT make_timestamp(w * 3600 * 1000000) AS window_start,
+             |  CAST(count(*) AS BIGINT) AS distinct_users
+             |FROM uw GROUP BY w ORDER BY window_start""".stripMargin)),
+
+    // ----- Theil-Sen robust trend slope (the estimator a31's OLS is
+    // not: one corrupted hour drags a least-squares fit, but the
+    // MEDIAN of all pairwise slopes has a 29% breakdown point — the
+    // robust-trend read-out for dirty feeds, completing the robust
+    // family with w7's MAD and w10's trimmed mean). All pairwise
+    // slopes (y_j−y_i)/(x_j−x_i) over the hourly series: numerator
+    // and denominator are exact longs, ONE double division each —
+    // identical IEEE op both engines, no accumulation — then two
+    // exact-percentile passes (the a12/w7 contract): median slope,
+    // and median intercept y_i − slope·x_i over the original
+    // points. Scale: volume collapses to |hours| first; the pair
+    // self-join is O(|hours|²) on the BOUNDED series (720² pairs
+    // trivial, a year is 38M — one shuffle-free broadcast self-join),
+    // never on raw events.
+    QueryDef(
+      "t_theil_sen",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val lo = hourly.agg(min("hr").as("__lo"))
+        val pts = hourly.crossJoin(broadcast(lo))
+          .select((col("hr") - col("__lo")).as("x"), col("cnt").as("y"))
+        val a = pts.select(col("x").as("xi"), col("y").as("yi"))
+        val b = pts.select(col("x").as("xj"), col("y").as("yj"))
+        val slopes = a.join(broadcast(b), col("xi") < col("xj"))
+          .select(((col("yj") - col("yi")).cast("double") /
+            (col("xj") - col("xi")).cast("double")).as("sl"))
+        val med = slopes.agg(expr("percentile(sl, 0.5)").as("__sl"),
+          count(lit(1)).as("n_pairs"))
+        val ic = pts.crossJoin(broadcast(med))
+          .agg(expr("percentile(y - __sl * x, 0.5)").as("__ic"))
+        med.crossJoin(broadcast(ic))
+          .select(col("n_pairs"), round(col("__sl"), 6).as("slope"),
+            round(col("__ic"), 6).as("intercept"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |pts AS (SELECT hr - (SELECT min(hr) FROM hourly) AS x,
+             |    CAST(cnt AS BIGINT) AS y
+             |  FROM hourly),
+             |sl AS (SELECT (CAST(b.y - a.y AS DOUBLE) /
+             |      CAST(b.x - a.x AS DOUBLE)) AS sl
+             |  FROM pts a JOIN pts b ON a.x < b.x),
+             |med AS (SELECT quantile_cont(sl, 0.5) AS m,
+             |    CAST(count(*) AS BIGINT) AS n_pairs FROM sl),
+             |ic AS (SELECT quantile_cont(y - (SELECT m FROM med) * x, 0.5)
+             |    AS ic FROM pts)
+             |SELECT n_pairs, round(m, 6) AS slope,
+             |  round((SELECT ic FROM ic), 6) AS intercept
+             |FROM med""".stripMargin)),
   )
 }
