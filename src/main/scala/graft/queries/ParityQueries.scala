@@ -1697,6 +1697,40 @@ object ParityQueries {
               |UNION ALL SELECT kind, key, score, rk FROM ta
               |ORDER BY kind, rk""".stripMargin)),
 
+    // ----- Graph: k-truss peel over the same support-thresholded
+    // co-purchase graph as g3 — EDGE-level cohesion one rung above
+    // the node-level core: an edge survives only while it sits in
+    // ≥ k−2 triangles, so degree-rich-but-closure-poor hub edges
+    // (which k-core keeps) peel away. Three pinned rounds at k = 4
+    // (≥ 2 triangles per surviving edge); the per-round trajectory
+    // is the output, directly comparable against g3's on the same
+    // graph. Integer counts end-to-end; DuckDB replays the peel
+    // unrolled (Truss.Sql), MATERIALIZED per round for the same
+    // planner-blow-up reason KCore documents.
+    QueryDef(
+      "g7_ktruss",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = op.as("a")
+          .join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").cast("long").as("u"),
+            col("b.pk").cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select("u", "v")
+        graft.ext.Truss.peelStats(edges, k = 4, rounds = 3)
+          .orderBy("round")
+      },
+      Some(s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+              |e0 AS MATERIALIZED (SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
+              |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |${graft.ext.Truss.Sql.rounds(4, 3)}
+              |${graft.ext.Truss.Sql.select(3)}""".stripMargin)),
+
     // ----- Headline: TPC-H Q1-style pricing summary over lineitem
     QueryDef(
       "q1_pricing_summary",
