@@ -1870,5 +1870,69 @@ object EventQueries {
              |SELECT n_pairs, round(m, 6) AS slope,
              |  round((SELECT ic FROM ic), 6) AS intercept
              |FROM med""".stripMargin)),
+
+    // ----- Rolling 24 h correlation between two event-type series
+    // (the co-movement monitor: a29 answers "do clicks and views
+    // correlate overall", this answers "WHEN did they decouple" —
+    // the feed-integrity signal where one stream silently breaks
+    // while the other keeps flowing and a global coefficient
+    // averages the incident away). All six sufficient statistics
+    // (n, Σc, Σv, Σc², Σv², Σcv) are exact-long WINDOW sums over a
+    // 24-row frame, so Pearson r per hour is one double division of
+    // exact integers (the a31 determinism recipe made rolling) —
+    // degenerate frames (either series constant) pinned out
+    // explicitly on both sides. Scale: volume collapses to |hours|
+    // at the conditional agg; the window runs on the bounded series.
+    QueryDef(
+      "t_rolling_corr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+        val w = Window.orderBy("hr").rowsBetween(-23, 0)
+        hourly
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sc", sum("c").over(w))
+          .withColumn("sv", sum("v").over(w))
+          .withColumn("scc", sum(col("c") * col("c")).over(w))
+          .withColumn("svv", sum(col("v") * col("v")).over(w))
+          .withColumn("scv", sum(col("c") * col("v")).over(w))
+          .withColumn("d1", col("n") * col("scc") - col("sc") * col("sc"))
+          .withColumn("d2", col("n") * col("svv") - col("sv") * col("sv"))
+          .filter(col("d1") > 0L && col("d2") > 0L)
+          .select(timestamp_seconds(col("hr") * 3600).as("hour"), col("n"),
+            round((col("n") * col("scv") - col("sc") * col("sv")).cast("double") /
+              sqrt(col("d1").cast("double") * col("d2").cast("double")), 6)
+              .as("corr"))
+          .orderBy("hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c,
+             |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS v
+             |  FROM events GROUP BY 1),
+             |win AS (SELECT hr,
+             |    CAST(count(*) OVER w AS BIGINT) AS n,
+             |    CAST(sum(c) OVER w AS BIGINT) AS sc,
+             |    CAST(sum(v) OVER w AS BIGINT) AS sv,
+             |    CAST(sum(c * c) OVER w AS BIGINT) AS scc,
+             |    CAST(sum(v * v) OVER w AS BIGINT) AS svv,
+             |    CAST(sum(c * v) OVER w AS BIGINT) AS scv
+             |  FROM hourly
+             |  WINDOW w AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING
+             |    AND CURRENT ROW)),
+             |dd AS (SELECT hr, n,
+             |    n * scv - sc * sv AS num,
+             |    n * scc - sc * sc AS d1, n * svv - sv * sv AS d2
+             |  FROM win)
+             |SELECT make_timestamp(hr * 3600 * 1000000) AS hour, n,
+             |  round(CAST(num AS DOUBLE) /
+             |    sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) AS corr
+             |FROM dd WHERE d1 > 0 AND d2 > 0 ORDER BY hour""".stripMargin)),
   )
 }
