@@ -358,6 +358,72 @@ object Multimodal {
     }
   }
 
+  /** Per-BLOCK audio DSP features (the frame-level grain speech/music
+    * preprocessing actually consumes — silence trimming, voice
+    * activity, loudness normalization all operate on short windows,
+    * not whole files): 256-frame blocks, per block the exact-long
+    * energy Σs² over every interleaved sample and the PER-CHANNEL
+    * zero-crossing count (sign flips between consecutive frames of
+    * the SAME channel — comparing interleaved neighbors would mix
+    * channels; crossings at block boundaries are excluded so each
+    * block is a pure function of its own samples). Sign convention
+    * pinned as s < 0, so a 0-valued sample counts as non-negative on
+    * both engines.
+    */
+  final case class AudioFrameFeatures(media_id: Long, block: Long,
+      n_frames: Long, energy: Long, crossings: Long)
+
+  val AudioBlockFrames = 256
+
+  def extractAudioFrameFeatures(media: Dataset[MediaFile]): Dataset[AudioFrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio/wav").flatMap { m =>
+      val (_, channels, samples) = decodeAudioSamples(m.content)
+      if (channels == 0) Iterator.empty
+      else {
+        val nFrames = samples.length / channels
+        (0 until (nFrames + AudioBlockFrames - 1) / AudioBlockFrames).iterator.map { k =>
+          val f0 = k * AudioBlockFrames
+          val f1 = math.min(f0 + AudioBlockFrames, nFrames)
+          var energy = 0L
+          var crossings = 0L
+          var f = f0
+          while (f < f1) {
+            var c = 0
+            while (c < channels) {
+              val s = samples(f * channels + c).toLong
+              energy += s * s
+              if (f > f0 &&
+                  (s < 0) != (samples((f - 1) * channels + c) < 0))
+                crossings += 1
+              c += 1
+            }
+            f += 1
+          }
+          AudioFrameFeatures(m.media_id, k.toLong, (f1 - f0).toLong, energy, crossings)
+        }
+      }
+    }
+  }
+
+  /** [[decodeAudio]]'s sibling returning the raw interleaved 16-bit
+    * samples (for the per-block features); unreadable bytes report
+    * (0, 0, empty).
+    */
+  def decodeAudioSamples(content: Array[Byte]): (Int, Int, Array[Int]) =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      val samples = new Array[Int](bytes.length / 2)
+      var i = 0
+      while (i + 1 < bytes.length) {
+        samples(i / 2) = (((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)).toShort.toInt
+        i += 2
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, samples)
+    } catch { case _: Exception => (0, 0, Array.empty[Int]) }
+
   // -------------------------------------------------------------------
   // Video: MJPEG/DIB-in-AVI — REAL pure-JVM demux (round-6 verdict
   // item 6). AVI is RIFF, the same container family as E105's WAV; the

@@ -223,5 +223,47 @@ object MultimodalQueries {
              |  CASE WHEN codec = 'mjpg' THEN -1 ELSE ps END AS pix_sum,
              |  CASE WHEN codec = 'mjpg' THEN -1 ELSE ph END AS pix_hash
              |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // ----- Frame-level audio DSP features (m4 is the per-FILE grain;
+    // speech/music preprocessing — silence trimming, voice activity,
+    // loudness normalization — consumes short WINDOWS): 256-frame
+    // blocks with exact-long energy Σs² and PER-CHANNEL zero-crossing
+    // counts (comparing interleaved neighbors would mix channels;
+    // block-boundary crossings excluded so each block is a pure
+    // function of its own samples; sign pinned as s < 0). The engine
+    // decodes the REAL WAV bytes (javax.sound.sampled) and frames in
+    // the typed flatMap; the oracle never decodes — it regenerates
+    // every sample from the generator arithmetic via a lateral range
+    // and replays the same blocking/crossing definitions, so
+    // decode(encode(samples)) == identity is checked PER BLOCK.
+    QueryDef(
+      "m7_audio_frame_energy",
+      (s, d) => Multimodal.extractAudioFrameFeatures(
+          Multimodal.mediaWithAudio(s, graft.sources.Tables.table(s, d, "documents")))
+        .toDF()
+        .orderBy("media_id", "block"),
+      Some("""WITH a AS (
+             |  SELECT doc_id AS media_id,
+             |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             |    200 + doc_id % 800 AS n_frames
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |s AS (
+             |  SELECT media_id, channels,
+             |    unnest(range(0, n_frames * channels)) AS j
+             |  FROM a),
+             |v AS (SELECT media_id, channels, j,
+             |    (j // channels) AS f,
+             |    (j // channels) // 256 AS k,
+             |    ((media_id * 1103515 + j * 40503) & 32767) - 16384 AS sv,
+             |    ((media_id * 1103515 + (j - channels) * 40503) & 32767) - 16384
+             |      AS pv
+             |  FROM s)
+             |SELECT media_id, CAST(k AS BIGINT) AS block,
+             |  CAST(count(*) // channels AS BIGINT) AS n_frames,
+             |  CAST(sum(sv * sv) AS BIGINT) AS energy,
+             |  CAST(sum(CASE WHEN f % 256 <> 0 AND (sv < 0) <> (pv < 0)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+             |FROM v GROUP BY media_id, k, channels
+             |ORDER BY media_id, block""".stripMargin)),
   )
 }

@@ -2157,5 +2157,99 @@ object TextQueries {
              |SELECT a_state, b_state, resolution, count(*) AS n,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM res GROUP BY 1, 2, 3 ORDER BY a_state, b_state, resolution""".stripMargin)),
+
+    // ----- Water-filling token-budget allocation (the data-mixture
+    // dual of tx21's fixed cap: given a TOTAL budget — here 60% of
+    // corpus tokens — find the per-source cap LEVEL that exactly
+    // exhausts it: big sources are cut to the common level t, small
+    // sources keep everything, Σ min(nᵢ, t) = B). The level has a
+    // CLOSED FORM over window algebra — no iteration: sort sources
+    // by n, and for candidate "j sources uncapped" the level is
+    // t = (B − Pⱼ) div (m−j); exactly one candidate satisfies
+    // nⱼ ≤ t < nⱼ₊₁ (equal-n runs make all but the last group row
+    // invalid, preserving uniqueness). The div remainder is handed
+    // +1 each to the first r capped sources by name, so Σ alloc = B
+    // EXACTLY — exact integers end to end. Scale: per-source counts
+    // are one uniform shuffle; everything after runs on |sources|
+    // rows; B ≥ total degenerates to alloc = n (capped set empty),
+    // pinned identically both engines.
+    QueryDef(
+      "tx36_waterfill_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = docs(s, d).groupBy("source")
+          .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n"))
+        val tot = per.agg(sum("n").as("tt"), count(lit(1)).as("m"))
+        val ow = Window.orderBy(col("n"), col("source"))
+        val ranked = per.crossJoin(broadcast(tot))
+          .withColumn("b", call_function("div", col("tt") * 60L, lit(100L)))
+          .withColumn("rn", row_number().over(ow).cast("long"))
+          .withColumn("p", sum("n").over(
+            ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("ln", coalesce(lag("n", 1).over(ow), lit(0L)))
+          .withColumn("pl", col("p") - col("n"))
+        val cand = ranked
+          .filter(col("b") >= col("pl"))
+          .withColumn("t", call_function("div",
+            col("b") - col("pl"), col("m") - col("rn") + 1L))
+          .filter(col("ln") <= col("t") && col("t") < col("n"))
+          .select(col("t"),
+            (col("b") - col("pl") - (col("m") - col("rn") + 1L) * col("t"))
+              .as("r"),
+            col("rn").as("jrow"))
+        val c1 = cand.agg(max("t").as("t"), max("r").as("r"),
+          max("jrow").as("jrow"))
+        val base = ranked.crossJoin(broadcast(c1))
+        val capped = base
+          .filter(col("t").isNotNull && col("rn") >= col("jrow"))
+          .withColumn("cidx", row_number().over(Window.orderBy("source")).cast("long"))
+          .select(col("source"), col("n"),
+            (col("t") + when(col("cidx") <= col("r"), 1L).otherwise(0L))
+              .as("alloc"), lit(1L).as("capped"))
+        val uncapped = base
+          .filter(col("t").isNull || col("rn") < col("jrow"))
+          .select(col("source"), col("n"), col("n").as("alloc"),
+            lit(0L).as("capped"))
+        capped.unionAll(uncapped)
+          .select(col("source"), col("n").as("n_tokens"), col("alloc"),
+            col("capped"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt,
+             |    CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(n) * 60 // 100 AS BIGINT) AS b FROM per),
+             |ranked AS (SELECT source, n,
+             |    CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS rn,
+             |    CAST(sum(n) OVER (ORDER BY n, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS p,
+             |    CAST(coalesce(lag(n) OVER (ORDER BY n, source), 0) AS BIGINT)
+             |      AS ln
+             |  FROM per),
+             |cand AS (SELECT t, b - pl - (m - rn + 1) * t AS r, rn AS jrow
+             |  FROM (SELECT rn, ln, n, p - n AS pl, b, m,
+             |      (b - (p - n)) // (m - rn + 1) AS t
+             |    FROM ranked, tot WHERE b >= p - n)
+             |  WHERE ln <= t AND t < n),
+             |c1 AS (SELECT max(t) AS t, max(r) AS r, max(jrow) AS jrow
+             |  FROM cand),
+             |base AS (SELECT source, n, rn,
+             |    (SELECT t FROM c1) AS t, (SELECT r FROM c1) AS r,
+             |    (SELECT jrow FROM c1) AS jrow
+             |  FROM ranked),
+             |cp AS (SELECT source, n,
+             |    t + CASE WHEN row_number() OVER (ORDER BY source) <= r
+             |      THEN 1 ELSE 0 END AS alloc,
+             |    1 AS capped
+             |  FROM base WHERE t IS NOT NULL AND rn >= jrow),
+             |uc AS (SELECT source, n, n AS alloc, 0 AS capped
+             |  FROM base WHERE t IS NULL OR rn < jrow)
+             |SELECT source, n AS n_tokens, CAST(alloc AS BIGINT) AS alloc,
+             |  CAST(capped AS BIGINT) AS capped
+             |FROM (SELECT * FROM cp UNION ALL SELECT * FROM uc)
+             |ORDER BY source""".stripMargin)),
   )
 }
