@@ -1731,6 +1731,64 @@ object ParityQueries {
               |${graft.ext.Truss.Sql.rounds(4, 3)}
               |${graft.ext.Truss.Sql.select(3)}""".stripMargin)),
 
+    // ----- Graph: neighbor-set Jaccard similarity between suppliers
+    // (the item-item collaborative-filtering primitive — "suppliers
+    // bought by the same customers are substitutes"; a17 counts raw
+    // co-occurrence, this NORMALIZES it so two niche suppliers
+    // sharing all 3 of their customers outrank two giants sharing 50
+    // of 5000): J(s1,s2) = c12/(d1+d2−c12) over distinct customer
+    // sets. The pair generation fans out deg² per customer — the
+    // classic wedge explosion — so hub customers above a degree cap
+    // are PRUNED before pairing (the sparse-cosine df-prune move:
+    // a customer buying from everyone certifies no similarity), with
+    // degrees for the DENOMINATOR computed on the same pruned graph
+    // so the measure stays internally consistent. One double
+    // division per surviving pair, 6-dp-pinned, top-20 tie-pinned.
+    QueryDef(
+      "g8_neighbor_jaccard",
+      (s, d) => {
+        val e = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("cust"),
+            col("l_suppkey").cast("long").as("supp"))
+          .distinct()
+        val custDeg = e.groupBy("cust").agg(count(lit(1)).as("cd"))
+        val pruned = e.join(custDeg.filter(col("cd") <= 50).select("cust"), Seq("cust"))
+        val deg = pruned.groupBy("supp").agg(count(lit(1)).as("dg"))
+        val pairs = pruned.select(col("cust"), col("supp").as("s1"))
+          .join(pruned.select(col("cust"), col("supp").as("s2")), Seq("cust"))
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("c12"))
+        pairs
+          .join(deg.select(col("supp").as("s1"), col("dg").as("d1")), Seq("s1"))
+          .join(deg.select(col("supp").as("s2"), col("dg").as("d2")), Seq("s2"))
+          .select(col("s1"), col("s2"), col("c12"),
+            round(col("c12").cast("double") /
+              (col("d1") + col("d2") - col("c12")).cast("double"), 6)
+              .as("jaccard"))
+          .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+             |    CAST(l_suppkey AS BIGINT) AS supp
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |cd AS (SELECT cust, count(*) AS cd FROM e GROUP BY 1),
+             |pr AS (SELECT e.cust, e.supp FROM e
+             |  JOIN cd ON e.cust = cd.cust AND cd.cd <= 50),
+             |deg AS (SELECT supp, CAST(count(*) AS BIGINT) AS dg
+             |  FROM pr GROUP BY 1),
+             |pairs AS (SELECT a.supp AS s1, b.supp AS s2,
+             |    CAST(count(*) AS BIGINT) AS c12
+             |  FROM pr a JOIN pr b ON a.cust = b.cust AND a.supp < b.supp
+             |  GROUP BY 1, 2)
+             |SELECT s1, s2, c12,
+             |  round(CAST(c12 AS DOUBLE) /
+             |    CAST(d1.dg + d2.dg - c12 AS DOUBLE), 6) AS jaccard
+             |FROM pairs
+             |JOIN deg d1 ON pairs.s1 = d1.supp
+             |JOIN deg d2 ON pairs.s2 = d2.supp
+             |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin)),
+
     // ----- Headline: TPC-H Q1-style pricing summary over lineitem
     QueryDef(
       "q1_pricing_summary",

@@ -2251,5 +2251,47 @@ object TextQueries {
              |  CAST(capped AS BIGINT) AS capped
              |FROM (SELECT * FROM cp UNION ALL SELECT * FROM uc)
              |ORDER BY source""".stripMargin)),
+
+    // ----- Proximity (slop) search over the same positional postings
+    // as tx32 (the query shape between exact phrase and bag-of-words:
+    // "data ... slow" with ≤ 4 intervening tokens, in order — what
+    // search engines call a sloppy phrase; near-match evidence for
+    // retrieval and for template detection where fixed phrases drift
+    // by an inserted token). Postings prune to the two query terms at
+    // the scan (predicate pushdown on the exploded frame), the pair
+    // join is per-doc positional, and both engines compare only the
+    // position DELTA so the 0- vs 1-based convention cancels. Output
+    // per doc: hit count and tightest gap (min delta), rank-pinned.
+    QueryDef(
+      "tx37_proximity_search",
+      (s, d) => {
+        val Seq(w0, w1) = Seq("data", "slow")
+        val slop = 4
+        val posts = docs(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .filter(col("term").isin(w0, w1))
+        posts.filter(col("term") === w0)
+          .select(col("doc_id"), col("pos"))
+          .join(posts.filter(col("term") === w1)
+              .select(col("doc_id").as("d2"), col("pos").as("p2")),
+            col("d2") === col("doc_id") &&
+              col("p2") > col("pos") && col("p2") <= col("pos") + slop)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"),
+            min(col("p2") - col("pos")).cast("long").as("min_gap"))
+          .orderBy(col("n_hits").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |p AS (SELECT doc_id, i AS pos, toks[i] AS term
+             |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+             |  WHERE toks[i] IN ('data', 'slow'))
+             |SELECT a.doc_id AS doc_id, count(*) AS n_hits,
+             |  CAST(min(b.pos - a.pos) AS BIGINT) AS min_gap
+             |FROM p a JOIN p b ON b.doc_id = a.doc_id
+             |  AND b.pos > a.pos AND b.pos <= a.pos + 4
+             |WHERE a.term = 'data' AND b.term = 'slow'
+             |GROUP BY 1 ORDER BY n_hits DESC, a.doc_id LIMIT 20""".stripMargin)),
   )
 }
