@@ -336,7 +336,20 @@ object Bench {
             stream("ndocs"), "ts", watermarkDelay = "10 minutes").toDF(),
           "near_dup", rows.toLong)
       }
-      s"{$joinJson,$budgetJson,$fmgwsJson,$nearDupJson}"
+      val hittersJson = guarded("heavy_hitters") {
+        // token stream from the docs backlog: 50 sources as tokens —
+        // a genuinely skewed domain (each source ~rows/50 occurrences)
+        // over which the sharded MG state stays at nShards·k counters
+        import spark.implicits._
+        drive(graft.stream.StatefulOps.heavyHitters(
+            stream("docs").select(col("source").as("token"),
+              timestamp_millis(lit(t0ms) + (col("doc_id") % 200000L) * 42L)
+                .as("ts"))
+              .as[graft.stream.StatefulOps.TokenEvent],
+            k = 16, nShards = 8, watermarkDelay = "10 minutes").toDF(),
+          "heavy_hitters", rows.toLong, outputMode = "update")
+      }
+      s"{$joinJson,$budgetJson,$fmgwsJson,$nearDupJson,$hittersJson}"
     } finally deleteRecursively(base)
   }
 

@@ -53,4 +53,51 @@ class StatefulOpsSpec extends SparkSpec {
     val expired = rows.filter(_._4)
     assert(expired.toSet == Set((1L, 3L, 20.0, true), (2L, 1L, 5.0, true)))
   }
+
+  test("sharded Misra-Gries tracks planted heavy hitters within the MG bound") {
+    import graft.stream.StatefulOps.TokenEvent
+    val k = 10
+    val nShards = 4
+    // planted: two heavy tokens (120 and 80 occurrences) in a sea of
+    // 400 singletons, split across two batches to prove state carries
+    val heavy = Seq.fill(60)("hot_a") ++ Seq.fill(40)("hot_b")
+    val noise1 = (0 until 200).map(i => s"noise_$i")
+    val noise2 = (200 until 400).map(i => s"noise_$i")
+
+    val input = MemoryStream[TokenEvent](spark)
+    val out = StatefulOps.heavyHitters(
+      input.toDS(), k = k, nShards = nShards, watermarkDelay = "1 minute")
+    val query = out.writeStream
+      .format("memory").queryName("mg_hitters")
+      .outputMode("update")
+      .start()
+
+    input.addData((heavy ++ noise1).map(TokenEvent(_, t(0))))
+    query.processAllAvailable()
+    input.addData((heavy ++ noise2).map(TokenEvent(_, t(1))))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("mg_hitters")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // latest snapshot per (shard, token): the row with max processed
+    val latest = rows.groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.maxBy(_._4) }.toSeq
+
+    val trueCounts = Map("hot_a" -> 120L, "hot_b" -> 80L)
+    for ((tok, truth) <- trueCounts) {
+      val row = latest.find(_._2 == tok)
+      assert(row.isDefined, s"$tok missing from final MG counters")
+      val (_, _, est, processed) = row.get
+      // MG guarantee for the token's shard: true - n_shard/k <= est <= true
+      assert(est <= truth, s"$tok overestimated: $est > $truth")
+      assert(est >= truth - processed / k,
+        s"$tok underestimated beyond bound: $est < $truth - $processed/$k")
+    }
+    // state boundedness: no shard ever carries more than k counters
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((shard, _), rs) =>
+      assert(rs.map(_._2).distinct.size <= k, s"shard $shard exceeded k counters")
+    }
+  }
 }
