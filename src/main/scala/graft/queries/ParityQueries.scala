@@ -1753,7 +1753,12 @@ object ParityQueries {
             col("l_suppkey").cast("long").as("supp"))
           .distinct()
         val custDeg = e.groupBy("cust").agg(count(lit(1)).as("cd"))
-        val pruned = e.join(custDeg.filter(col("cd") <= 50).select("cust"), Seq("cust"))
+        // tracked-cached: deg + both pair sides reference the pruned
+        // graph (3×) and each reference would otherwise re-execute
+        // the orders⋈lineitem DISTINCT + prune upstream — the
+        // multiply-referenced-subplan rule from the graph family
+        val pruned = tracked(
+          e.join(custDeg.filter(col("cd") <= 50).select("cust"), Seq("cust")))
         val deg = pruned.groupBy("supp").agg(count(lit(1)).as("dg"))
         val pairs = pruned.select(col("cust"), col("supp").as("s1"))
           .join(pruned.select(col("cust"), col("supp").as("s2")), Seq("cust"))
