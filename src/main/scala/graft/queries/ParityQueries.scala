@@ -1453,6 +1453,84 @@ object ParityQueries {
              |FROM pit WHERE tag = 1 GROUP BY 1
              |ORDER BY prio NULLS FIRST""".stripMargin)),
 
+    // ----- BITEMPORAL reconstruction (the two-axis lakehouse shape
+    // scd2_history's single axis cannot answer: "what did we BELIEVE
+    // on date T about the orders VALID on date V" — the audit/
+    // restatement query behind every regulated-reporting backfill,
+    // where a retroactive correction must change what T2 sees without
+    // rewriting what T1 saw). Version store synthesized
+    // deterministically from orders: every order valid [orderdate,
+    // +90d); every 7th order gets a price correction (+10%, exact
+    // cents via integer div) RECORDED 30 days after the order, which
+    // closes the base version's transaction interval. The same
+    // VALID-date slice is then reconstructed as-known-at two
+    // transaction times: T1 mid-stream (corrections recorded after
+    // T1 invisible; their base versions still current) and T2 after
+    // everything. Pure per-row interval predicates — no join at all;
+    // the two reconstructions differ ONLY in sum_cents, never in n,
+    // which is the bitemporal invariant (corrections restate values,
+    // not membership) made hash-checkable. Scale: one scan, one
+    // scalars-only aggregation; the as-known explode is ×2 on the
+    // already-filtered slice.
+    QueryDef(
+      "j9_bitemporal",
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderdate").as("od"))
+        val base = o.select(col("k"), col("status"), col("cents"),
+          col("od").as("valid_from"),
+          expr("od + INTERVAL 90 DAYS").as("valid_to"),
+          col("od").as("tx_from"),
+          when(col("k") % 7 === 0, expr("od + INTERVAL 30 DAYS"))
+            .as("tx_to"))
+        val corr = o.filter(col("k") % 7 === 0).select(
+          col("k"), col("status"),
+          (col("cents") + call_function("div", col("cents"), lit(10L)))
+            .as("cents"),
+          col("od").as("valid_from"),
+          expr("od + INTERVAL 90 DAYS").as("valid_to"),
+          expr("od + INTERVAL 30 DAYS").as("tx_from"),
+          lit(null).cast("timestamp").as("tx_to"))
+        val v = lit("1996-06-01").cast("timestamp")
+        base.unionAll(corr)
+          .select(col("*"),
+            explode(array(lit("1996-06-15").cast("timestamp"),
+              lit("2001-12-31").cast("timestamp"))).as("as_known"))
+          .filter(col("tx_from") <= col("as_known") &&
+            (col("tx_to").isNull || col("as_known") < col("tx_to")) &&
+            col("valid_from") <= v && v < col("valid_to"))
+          .groupBy("as_known", "status")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("as_known", "status")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    o_orderdate AS od
+             |  FROM orders),
+             |bt AS (
+             |  SELECT k, status, cents,
+             |    od AS valid_from, od + INTERVAL 90 DAY AS valid_to,
+             |    od AS tx_from,
+             |    CASE WHEN k % 7 = 0 THEN od + INTERVAL 30 DAY END AS tx_to
+             |  FROM o
+             |  UNION ALL
+             |  SELECT k, status, cents + cents // 10,
+             |    od, od + INTERVAL 90 DAY,
+             |    od + INTERVAL 30 DAY, NULL
+             |  FROM o WHERE k % 7 = 0),
+             |x AS (SELECT bt.*, t.as_known FROM bt,
+             |    (SELECT unnest([TIMESTAMP '1996-06-15',
+             |                    TIMESTAMP '2001-12-31']) AS as_known) t
+             |  WHERE tx_from <= as_known
+             |    AND (tx_to IS NULL OR as_known < tx_to)
+             |    AND valid_from <= TIMESTAMP '1996-06-01'
+             |    AND TIMESTAMP '1996-06-01' < valid_to)
+             |SELECT as_known, status, count(*) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM x GROUP BY 1, 2 ORDER BY as_known, status""".stripMargin)),
+
     // ----- integer-exact PageRank over the customer↔supplier purchase
     // graph (link-graph centrality as a curation prior — the
     // RefinedWeb/CCNet-shaped signal where graph position gates
