@@ -1934,5 +1934,75 @@ object EventQueries {
              |  round(CAST(num AS DOUBLE) /
              |    sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) AS corr
              |FROM dd WHERE d1 > 0 AND d2 > 0 ORDER BY hour""".stripMargin)),
+
+    // ----- Autocorrelation function at pinned lags (the NUMERICAL
+    // seasonality detector — t_seasonal_residual assumes a 24 h cycle
+    // and flags residuals against it; the ACF says whether that cycle
+    // exists at all, and at which period: a spike at lag 24 is daily
+    // seasonality, at lag 1 short-term momentum). Per lag L ∈ {1, 2,
+    // 3, 6, 12, 24}: Pearson r between the hourly series and its
+    // L-shifted self over the n−L aligned pairs — all six sufficient
+    // statistics exact-long sums (the t_rolling_corr recipe applied
+    // at lag offsets), one double division per lag, constant-series
+    // guard pinned both sides. The shift is over the OBSERVED series
+    // (row-lag, identical both engines): on a gappy series rows
+    // compress across gaps — t_gap_fill is the upstream repair when
+    // calendar-true lags are required. Scale: volume collapses to |hours|
+    // once; each lag is one window-lag pass over the bounded series;
+    // output is |lags| rows at any data scale.
+    QueryDef(
+      "t_autocorrelation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val ow = Window.orderBy("hr")
+        val lags = Seq(1, 2, 3, 6, 12, 24)
+        val withLags = hourly.select(
+          (col("cnt") +: lags.map(l =>
+            lag("cnt", l).over(ow).as(s"l$l"))): _*)
+        val perLag = lags.map { l =>
+          withLags.filter(col(s"l$l").isNotNull)
+            .agg(lit(l.toLong).as("lag"), count(lit(1)).as("n"),
+              sum("cnt").as("sy"), sum(s"l$l").as("sx"),
+              sum(col("cnt") * col("cnt")).as("syy"),
+              sum(col(s"l$l") * col(s"l$l")).as("sxx"),
+              sum(col("cnt") * col(s"l$l")).as("sxy"))
+        }.reduce(_ unionAll _)
+        perLag
+          .withColumn("d1", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("d2", col("n") * col("syy") - col("sy") * col("sy"))
+          .filter(col("d1") > 0L && col("d2") > 0L)
+          .select(col("lag"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(col("d1").cast("double") * col("d2").cast("double")), 6)
+              .as("acf"))
+          .orderBy("lag")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+             |pairs AS (SELECT l.lag,
+             |    CAST(h.cnt AS BIGINT) AS y,
+             |    CAST(lag(h.cnt, l.lag) OVER (PARTITION BY l.lag ORDER BY h.hr)
+             |      AS BIGINT) AS x
+             |  FROM hourly h, lags l),
+             |st AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * x) AS BIGINT) AS sxy
+             |  FROM pairs WHERE x IS NOT NULL GROUP BY 1),
+             |dd AS (SELECT lag, n, n * sxy - sx * sy AS num,
+             |    n * sxx - sx * sx AS d1, n * syy - sy * sy AS d2
+             |  FROM st)
+             |SELECT CAST(lag AS BIGINT) AS lag, n,
+             |  round(CAST(num AS DOUBLE) /
+             |    sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) AS acf
+             |FROM dd WHERE d1 > 0 AND d2 > 0 ORDER BY lag""".stripMargin)),
   )
 }

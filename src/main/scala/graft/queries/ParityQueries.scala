@@ -1204,6 +1204,58 @@ object ParityQueries {
     // DIMENSION, ≪ facts at any scale (documented single-partition
     // window on the collapsed grid). Output: 3 class rows.
     QueryDef(
+      "a32_gini_spend",
+      (s, d) => {
+        // Gini coefficient of customer spend per nation (the
+        // inequality SCALAR the a21 Pareto classes discretize — one
+        // comparable number per market for "how concentrated is
+        // revenue here"): G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over
+        // the ascending-ranked per-customer exact-cents totals.
+        // Numerator and denominator are exact longs (rank·cents ≤
+        // ~2⁴⁵ at sf0.1; re-scale cents to dollars first at corpus
+        // sizes beyond ~10⁹·rank), ONE double division per nation,
+        // 6-dp-pinned. Tie blocks contribute the same Σ i·x under
+        // any permutation (equal x times a fixed rank set), so the
+        // (spend, custkey) rank pin is for determinism, not value.
+        // Scale: order volume collapses to |customers| at the first
+        // agg (uniform custkey shuffle); rank + sums run per-nation
+        // on the collapsed grid; output |nations| rows.
+        import org.apache.spark.sql.expressions.Window
+        val spend = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"), col("c_custkey").as("ck"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+        spend
+          .withColumn("i", row_number().over(
+            Window.partitionBy("nk").orderBy(col("x"), col("ck"))).cast("long"))
+          .groupBy("nk")
+          .agg(count(lit(1)).as("n_customers"), sum("x").as("sx"),
+            sum(col("i") * col("x")).as("sxi"))
+          .filter(col("sx") > 0L)
+          .select(col("nk").cast("long").as("nation_key"), col("n_customers"),
+            round((lit(2L) * col("sxi") - (col("n_customers") + 1L) * col("sx"))
+              .cast("double") /
+              (col("n_customers") * col("sx")).cast("double"), 6).as("gini"))
+          .orderBy("nation_key")
+      },
+      Some("""WITH spend AS (SELECT c_nationkey AS nk, c_custkey AS ck,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS x
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT nk, x,
+             |    CAST(row_number() OVER (PARTITION BY nk ORDER BY x, ck)
+             |      AS BIGINT) AS i
+             |  FROM spend),
+             |ag AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_customers,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(i * x) AS BIGINT) AS sxi
+             |  FROM rk GROUP BY 1)
+             |SELECT CAST(nk AS BIGINT) AS nation_key, n_customers,
+             |  round(CAST(2 * sxi - (n_customers + 1) * sx AS DOUBLE) /
+             |    CAST(n_customers * sx AS DOUBLE), 6) AS gini
+             |FROM ag WHERE sx > 0 ORDER BY nation_key""".stripMargin)),
+
+    QueryDef(
       "a21_pareto_abc",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
