@@ -264,6 +264,99 @@ object Multimodal {
     }
   }
 
+  /** Lossless-image fixture with planted BRIGHTNESS-SHIFTED variants
+    * on top of [[mediaWithLosslessImages]]'s cross-codec clones: every
+    * 5th image adds +8 to each channel (clamped at 255) before
+    * encoding. A uniform brightness shift changes every byte AND every
+    * exact pixel fingerprint (m5 is structurally blind to it) but
+    * preserves pixel GRADIENTS wherever no channel clamps — the
+    * invariance class perceptual hashing exists for.
+    */
+  def mediaWithShiftedImages(spark: SparkSession, docs: DataFrame,
+      seedMod: Long = 45L): Dataset[MediaFile] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, docs).map { m =>
+      if (m.media_id % 5 == 0) {
+        val fmt = losslessImageFormats(((m.media_id / 5) % 2).toInt)
+        val seed = m.media_id % seedMod
+        val w = 3 + (seed % 14).toInt
+        val h = 5 + (seed % 9).toInt
+        val shift = if ((m.media_id / 5) % 5 == 0) 8 else 0
+        m.copy(kind = s"image/$fmt",
+          content = syntheticShiftedImage(seed, w, h, fmt, shift),
+          meta = m.meta + ("codec" -> fmt) + ("shift" -> shift.toString))
+      } else m
+    }
+  }
+
+  /** [[syntheticImage]] with a per-channel brightness shift (clamped
+    * at 255) applied to [[buildImage]]'s pixels before encoding.
+    */
+  def syntheticShiftedImage(seed: Long, w: Int, h: Int, format: String,
+      shift: Int): Array[Byte] = {
+    val img = buildImage(seed, w, h)
+    if (shift != 0) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = img.getRGB(x, y)
+          val r = math.min(((v >> 16) & 255) + shift, 255)
+          val g = math.min(((v >> 8) & 255) + shift, 255)
+          val b = math.min((v & 255) + shift, 255)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val out = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, format, out)
+    require(ok, s"no JDK ImageIO writer for format '$format'")
+    out.toByteArray
+  }
+
+  /** Difference-hash (dHash) from a REAL decode: bit (x,y) = 1 iff
+    * gray(x+1,y) > gray(x,y), folded row-major as a mod-p polynomial
+    * (dh·2 + bit mod 1e9+7 — an order-dependent fold, so the key
+    * carries the bit SEQUENCE, not just its popcount). Gradient bits
+    * are invariant under any uniform brightness shift that clamps no
+    * channel — the perceptual property exact fingerprints (m5) lack.
+    * Computed on the native grid (fixture images are thumbnails);
+    * production-size images would block-mean to 9×8 first — integer
+    * block means keep the oracle-mirrorable contract.
+    */
+  final case class DHashFeatures(media_id: Long, kind: String,
+      width: Int, height: Int, dhash: Long, shifted: Int)
+
+  def extractDHash(media: Dataset[MediaFile]): Dataset[DHashFeatures] = {
+    import media.sparkSession.implicits._
+    val P = 1000000007L
+    media.filter(_.kind.startsWith("image/")).mapPartitions { rows =>
+      rows.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.content))
+        val (w, h) = (img.getWidth, img.getHeight)
+        def gray(x: Int, y: Int): Int = {
+          val v = img.getRGB(x, y)
+          (((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) / 3
+        }
+        var dh = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            val bit = if (gray(x + 1, y) > gray(x, y)) 1L else 0L
+            dh = (dh * 2 + bit) % P
+            x += 1
+          }
+          y += 1
+        }
+        DHashFeatures(m.media_id, m.kind, w, h, dh,
+          if (m.meta.getOrElse("shift", "0") != "0") 1 else 0)
+      }
+    }
+  }
+
   /** Sample rates the audio fixture cycles through — all standard
     * rates the JDK WAV reader round-trips exactly.
     */

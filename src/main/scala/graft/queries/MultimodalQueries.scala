@@ -265,5 +265,66 @@ object MultimodalQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS crossings
              |FROM v GROUP BY media_id, k, channels
              |ORDER BY media_id, block""".stripMargin)),
+
+    // ----- PERCEPTUAL image dedup via difference hash (the near-dup
+    // analog of m5's exact pixel dedup: a uniform brightness shift
+    // changes every byte and every exact fingerprint, but pixel
+    // GRADIENTS survive wherever no channel clamps — dHash keys on
+    // the gradient SEQUENCE, so shifted re-exports land in the same
+    // class as their originals). Fixture plants both duplicate kinds:
+    // cross-codec clones (png/bmp, same seed) AND +8-brightness
+    // variants; the engine decodes REAL bytes, the oracle regenerates
+    // every pixel (shift + clamp replayed as least(ch+8, 255)) and
+    // folds the same row-major bit polynomial — classes where
+    // n_shifted ≥ 1 < n_copies are the catches m5 cannot make.
+    // Clamp-flipped bits break a shifted variant's match — real,
+    // deterministic, replayed identically by both engines.
+    QueryDef(
+      "m8_image_dhash",
+      (s, d) => {
+        val feats = Multimodal.extractDHash(
+          Multimodal.mediaWithShiftedImages(s, graft.sources.Tables.table(s, d, "documents")))
+        feats.toDF()
+          .groupBy("width", "height", "dhash")
+          .agg(count(lit(1)).as("n_copies"),
+            countDistinct(col("kind")).as("n_formats"),
+            sum(col("shifted").cast("long")).as("n_shifted"),
+            min("media_id").as("first_media_id"))
+          .filter(col("n_copies") >= 2)
+          .orderBy("first_media_id")
+      },
+      Some {
+        def gray(xExpr: String): String = {
+          val v = s"((seed*1103515245 + ($xExpr)*12345 + (i // (w-1))*1013904223) & 16777215)"
+          s"((least((($v >> 16) & 255) + shift, 255) + " +
+            s"least((($v >> 8) & 255) + shift, 255) + " +
+            s"least(($v & 255) + shift, 255)) // 3)"
+        }
+        s"""WITH imgs AS (
+           |  SELECT doc_id AS media_id,
+           |    ['png','bmp'][CAST((doc_id // 5) % 2 AS INT) + 1] AS fmt,
+           |    doc_id % 45 AS seed,
+           |    CASE WHEN (doc_id // 5) % 5 = 0 THEN 8 ELSE 0 END AS shift
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |geo AS (SELECT media_id, fmt, seed, shift,
+           |    3 + CAST(seed % 14 AS INT) AS w, 5 + CAST(seed % 9 AS INT) AS h
+           |  FROM imgs),
+           |dh AS (SELECT media_id, fmt, w, h, shift,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(0, h * (w - 1)), i ->
+           |        CASE WHEN ${gray("(i % (w-1)) + 1")} > ${gray("i % (w-1)")}
+           |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+           |      (acc, b) -> (acc * 2 + b) % 1000000007) AS dhash
+           |  FROM geo)
+           |SELECT w AS width, h AS height, dhash,
+           |  count(*) AS n_copies,
+           |  CAST(count(DISTINCT fmt) AS BIGINT) AS n_formats,
+           |  CAST(sum(CASE WHEN shift > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_shifted,
+           |  CAST(min(media_id) AS BIGINT) AS first_media_id
+           |FROM dh GROUP BY 1, 2, 3
+           |HAVING count(*) >= 2
+           |ORDER BY first_media_id""".stripMargin
+      }),
   )
 }
