@@ -2004,5 +2004,114 @@ object EventQueries {
              |  round(CAST(num AS DOUBLE) /
              |    sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) AS acf
              |FROM dd WHERE d1 > 0 AND d2 > 0 ORDER BY lag""".stripMargin)),
+
+    // ----- Two-state Viterbi burst segmentation with FULL PATH
+    // RECOVERY (the Kleinberg-burst shape made cross-engine exact:
+    // threshold detectors flag hours point-wise and chatter at the
+    // boundary; the min-cost PATH through (baseline, burst) states
+    // with a switch penalty segments the series globally — an hour
+    // slightly over threshold inside a quiet stretch stays baseline,
+    // a slightly-under hour inside a burst stays burst). All-integer
+    // dynamic program: emission cost = |value_cents − level| (levels
+    // base = mean-floor and 1.5·base), switch penalty base/2, ties
+    // pinned to "stay". The forward DP carries (c0, c1) PLUS the
+    // from-bits; backtracking replays the bits from the final argmin
+    // — both passes are left folds over the bounded hourly series,
+    // expressed as FLAT-LIST folds ([c0, c1, bits...] interleaved)
+    // because the DuckDB struct-accumulator aliasing trap (E220)
+    // rules out struct state there; Spark mirrors the same layout so
+    // the op sequence is identical. Exact longs end to end ⇒ the
+    // globally-optimal path itself is hash-verified. Scale: volume
+    // collapses to |hours| at the first agg; the folds are O(n²)
+    // list copying on the bounded series (720² trivial); one row in
+    // flight, never the driver.
+    QueryDef(
+      "t_burst_viterbi",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cs"))
+        val packed = hourly.agg(
+            sort_array(collect_list(struct(col("hr"), col("cs")))).as("xs"),
+            call_function("div", sum("cs"), count(lit(1))).as("base"),
+            count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .withColumn("burst",
+            col("base") + call_function("div", col("base"), lit(2L)))
+          .withColumn("sw", call_function("div", col("base"), lit(2L)))
+        packed
+          .withColumn("r", expr(
+            """aggregate(slice(xs, 2, size(xs) - 1),
+              |  array(abs(xs[0].cs - base), abs(xs[0].cs - burst)),
+              |  (acc, x) -> concat(
+              |    array(abs(x.cs - base) + least(acc[0], acc[1] + sw),
+              |          abs(x.cs - burst) + least(acc[1], acc[0] + sw)),
+              |    slice(acc, 3, size(acc) - 2),
+              |    array(CAST(IF(acc[1] + sw < acc[0], 1, 0) AS BIGINT),
+              |          CAST(IF(acc[0] + sw < acc[1], 0, 1) AS BIGINT))))
+              |""".stripMargin))
+          .withColumn("st", expr(
+            """reverse(aggregate(sequence(size(xs) - 1, 1, -1),
+              |  array(CAST(IF(r[0] <= r[1], 0, 1) AS BIGINT)),
+              |  (acc, j) -> concat(acc, array(
+              |    IF(element_at(acc, size(acc)) = 0,
+              |       element_at(r, CAST(2 * j + 1 AS INT)),
+              |       element_at(r, CAST(2 * j + 2 AS INT)))))))
+              |""".stripMargin))
+          .select(explode(expr(
+            """transform(sequence(1, size(xs)), t -> named_struct(
+              |  'hr', xs[t-1].hr, 'cs', xs[t-1].cs,
+              |  'st', element_at(st, t)))""".stripMargin)).as("o"))
+          .select(timestamp_seconds(col("o.hr") * 3600).as("hour"),
+            col("o.cs").as("value_cents"), col("o.st").as("state"))
+          .orderBy("hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cs
+             |  FROM events GROUP BY 1),
+             |packed AS (SELECT list_sort(list(struct_pack(hr := hr, cs := cs)))
+             |      AS xs,
+             |    CAST(sum(cs) AS BIGINT) // count(*) AS base,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM hourly),
+             |prm AS (SELECT xs, n, base, base + base // 2 AS burst,
+             |    base // 2 AS sw
+             |  FROM packed WHERE n >= 2),
+             |fw AS (SELECT xs, n,
+             |    list_reduce(
+             |      list_prepend([abs(xs[1].cs - base), abs(xs[1].cs - burst)],
+             |        list_transform(xs[2:], v -> [v.cs])),
+             |      (acc, x) -> list_concat(list_concat(
+             |        [abs(x[1] - base) + least(acc[1], acc[2] + sw),
+             |         abs(x[1] - burst) + least(acc[2], acc[1] + sw)],
+             |        acc[3:]),
+             |        [CAST(CASE WHEN acc[2] + sw < acc[1] THEN 1 ELSE 0 END
+             |           AS BIGINT),
+             |         CAST(CASE WHEN acc[1] + sw < acc[2] THEN 0 ELSE 1 END
+             |           AS BIGINT)]))
+             |      AS r
+             |  FROM prm),
+             |bt AS (SELECT xs, n, r,
+             |    list_reverse(list_reduce(
+             |      list_prepend([CAST(CASE WHEN r[1] <= r[2] THEN 0 ELSE 1 END
+             |          AS BIGINT)],
+             |        list_transform(range(1, CAST(n AS INT)), k -> [n - k])),
+             |      (acc, x) -> list_append(acc,
+             |        CASE WHEN acc[len(acc)] = 0
+             |          THEN r[CAST(2 * x[1] + 1 AS INT)]
+             |          ELSE r[CAST(2 * x[1] + 2 AS INT)] END)))
+             |      AS st
+             |  FROM fw),
+             |outp AS (
+             |  SELECT unnest(list_transform(range(1, CAST(n AS INT) + 1),
+             |    t -> struct_pack(hr := xs[t].hr, cs := xs[t].cs,
+             |                     st := st[t])),
+             |    recursive := true)
+             |  FROM bt)
+             |SELECT make_timestamp(hr * 3600 * 1000000) AS hour,
+             |  cs AS value_cents, CAST(st AS BIGINT) AS state
+             |FROM outp ORDER BY hour""".stripMargin)),
   )
 }
