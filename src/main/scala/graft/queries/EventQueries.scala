@@ -2113,5 +2113,70 @@ object EventQueries {
              |SELECT make_timestamp(hr * 3600 * 1000000) AS hour,
              |  cs AS value_cents, CAST(st AS BIGINT) AS state
              |FROM outp ORDER BY hour""".stripMargin)),
+
+    // ----- Deterministic Poisson bootstrap of the mean (the
+    // nonparametric-inference gap next to a22's z-test / a24's χ² /
+    // a30's KS: those assume a sampling distribution, the bootstrap
+    // ESTIMATES it — and the Poisson(1) approximation to multinomial
+    // resampling is THE distributed-bootstrap move, because each row
+    // draws its weight independently: no global coordination, pure
+    // map-side). Randomness is HASH-SEEDED: u = poly_hash(event_id:r)
+    // mod 10⁶ and the Poisson(1) inverse-CDF ladder is pinned as
+    // integer literals (367879, 735759, ... — the ladder IS the
+    // contract), so every replicate weight is a pure function of
+    // (row, replicate) and the whole bootstrap distribution
+    // hash-verifies cross-engine — no RNG state, reproducible at any
+    // parallelism, appendable (new data leaves old weights
+    // unchanged). Per replicate the mean is exact-integer S/W with
+    // ONE division. Scale: the ×R replicate fan-out is the standard
+    // cost (R=50 pinned); everything after is one uniform-key agg
+    // with map-side partials to R rows.
+    QueryDef(
+      "a33_bootstrap_ci",
+      (s, d) => {
+        import graft.ext.NearDup
+        val ladder = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+          999406L, 999917L, 999990L)
+        val e = events(s, d)
+          .select(col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("xc"),
+            explode(sequence(lit(0), lit(49))).as("r"))
+          .withColumn("u",
+            NearDup.charHash(concat_ws(":", col("event_id"), col("r")))
+              % 1000000L)
+        val w = ladder.zipWithIndex
+          .foldRight(lit(ladder.length.toLong)) { case ((thr, i), acc) =>
+            when(col("u") < thr, i.toLong).otherwise(acc)
+          }
+        e.withColumn("w", w)
+          .groupBy("r")
+          .agg(sum("w").as("n_eff"), sum(col("w") * col("xc")).as("s"))
+          .filter(col("n_eff") > 0L)
+          .select(col("r").cast("long").as("replicate"), col("n_eff"),
+            round(col("s").cast("double") / col("n_eff").cast("double"), 6)
+              .as("mean_cents"))
+          .orderBy("replicate")
+      },
+      Some(s"""WITH x AS (SELECT event_id,
+              |    CAST(round(value * 100) AS BIGINT) AS xc FROM events),
+              |e AS (SELECT event_id, xc, unnest(range(0, 50)) AS r FROM x),
+              |h AS (SELECT r, xc, ${graft.ext.NearDup.Sql.charHashSql(
+                  "(CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR))")}
+              |    % 1000000 AS u
+              |  FROM e),
+              |w AS (SELECT r, xc, CASE
+              |    WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+              |    WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+              |    WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+              |    WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+              |    ELSE 8 END AS w
+              |  FROM h),
+              |m AS (SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+              |    CAST(sum(w * xc) AS BIGINT) AS s
+              |  FROM w GROUP BY 1)
+              |SELECT CAST(r AS BIGINT) AS replicate, n_eff,
+              |  round(CAST(s AS DOUBLE) / CAST(n_eff AS DOUBLE), 6)
+              |    AS mean_cents
+              |FROM m WHERE n_eff > 0 ORDER BY replicate""".stripMargin)),
   )
 }
