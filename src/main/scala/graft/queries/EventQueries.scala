@@ -2178,5 +2178,57 @@ object EventQueries {
               |  round(CAST(s AS DOUBLE) / CAST(n_eff AS DOUBLE), 6)
               |    AS mean_cents
               |FROM m WHERE n_eff > 0 ORDER BY replicate""".stripMargin)),
+
+    // ----- Overdispersion index per event type (the alert-tuning
+    // diagnostic under t_rate_anomaly: a z-threshold on counts is
+    // calibrated for Poisson arrivals, where variance = mean; real
+    // feeds are usually OVERdispersed — variance/mean ratio D > 1
+    // means wider thresholds or a negative-binomial model, and this
+    // query says so per stream). D = (n·Σc² − (Σc)²)/(n·Σc) is a
+    // ratio of exact longs — ONE division, 6-dp-pinned; the flag
+    // D > 1.5 is the integer cross-multiply 2·num > 3·den (no float
+    // in the decision). Scale: volume collapses to |types|·|hours|
+    // at the first agg; second agg collapses to |types| rows.
+    QueryDef(
+      "a34_dispersion",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        hourly.groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"), sum("c").as("sc"),
+            sum(col("c") * col("c")).as("scc"))
+          .filter(col("sc") > 0L)
+          .withColumn("num",
+            col("n_hours") * col("scc") - col("sc") * col("sc"))
+          .withColumn("den", col("n_hours") * col("sc"))
+          .select(col("event_type"), col("n_hours"),
+            round(col("sc").cast("double") / col("n_hours").cast("double"), 6)
+              .as("mean_per_hour"),
+            round(col("num").cast("double") / col("den").cast("double"), 6)
+              .as("dispersion"),
+            when(lit(2L) * col("num") > lit(3L) * col("den"), lit(1L))
+              .otherwise(lit(0L)).as("overdispersed"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             |    CAST(sum(c) AS BIGINT) AS sc,
+             |    CAST(sum(c * c) AS BIGINT) AS scc
+             |  FROM hourly GROUP BY 1),
+             |dd AS (SELECT event_type, n_hours, sc,
+             |    n_hours * scc - sc * sc AS num, n_hours * sc AS den
+             |  FROM st WHERE sc > 0)
+             |SELECT event_type, n_hours,
+             |  round(CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE), 6)
+             |    AS mean_per_hour,
+             |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+             |    AS dispersion,
+             |  CAST(CASE WHEN 2 * num > 3 * den THEN 1 ELSE 0 END AS BIGINT)
+             |    AS overdispersed
+             |FROM dd ORDER BY event_type""".stripMargin)),
   )
 }
