@@ -1583,6 +1583,58 @@ object ParityQueries {
              |  CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM x GROUP BY 1, 2 ORDER BY as_known, status""".stripMargin)),
 
+    // ----- MERGE INTO (the lakehouse upsert primitive — one pass
+    // applies a change feed to a snapshot: WHEN MATCHED UPDATE/
+    // DELETE, WHEN NOT MATCHED INSERT; diff_snapshots CLASSIFIES
+    // changes, this APPLIES them, and MergeSpec proves the round
+    // trip merge(old, diff(old,new)) == new). Deterministic feed
+    // over the orders dim: every 13th key a delete, every 5th (not
+    // 13th) a +100-cents update, every 11th an insert under a fresh
+    // negated key. ONE full-outer join on the merge key (the
+    // standard copy-on-write MERGE plan Delta/Iceberg execute),
+    // every decision a per-row CASE — no second pass, no driver
+    // state; summary output exact-integer checksummed per status so
+    // all four clause paths land in distinct, verifiable buckets.
+    QueryDef(
+      "merge_upsert",
+      (s, d) => {
+        val t0 = t(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val upd = t0.filter(col("k") % 5 === 0 || col("k") % 13 === 0)
+          .select(col("k"), col("status"),
+            (col("cents") + 100L).as("cents"),
+            when(col("k") % 13 === 0, "D").otherwise("U").as("op"))
+        val ins = t0.filter(col("k") % 11 === 0)
+          .select((-col("k")).as("k"), lit("N").as("status"),
+            col("k").as("cents"), lit("I").as("op"))
+        graft.ops.Merge.upsert(t0, upd.unionByName(ins), "k")
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            sum("k").as("key_sum"))
+          .orderBy("status")
+      },
+      Some("""WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |src AS (
+             |  SELECT k, status, cents + 100 AS cents,
+             |    CASE WHEN k % 13 = 0 THEN 'D' ELSE 'U' END AS op
+             |  FROM t WHERE k % 5 = 0 OR k % 13 = 0
+             |  UNION ALL
+             |  SELECT -k, 'N', k, 'I' FROM t WHERE k % 11 = 0),
+             |m AS (SELECT coalesce(s.k, t.k) AS k,
+             |    CASE WHEN s.op IN ('I', 'U') THEN s.status
+             |      ELSE t.status END AS status,
+             |    CASE WHEN s.op IN ('I', 'U') THEN s.cents
+             |      ELSE t.cents END AS cents
+             |  FROM t FULL OUTER JOIN src s ON t.k = s.k
+             |  WHERE s.op IS NULL OR s.op <> 'D')
+             |SELECT status, count(*) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(k) AS BIGINT) AS key_sum
+             |FROM m GROUP BY 1 ORDER BY status""".stripMargin)),
+
     // ----- integer-exact PageRank over the customer↔supplier purchase
     // graph (link-graph centrality as a curation prior — the
     // RefinedWeb/CCNet-shaped signal where graph position gates
