@@ -911,5 +911,82 @@ object SimilarityQueries {
               |LEFT JOIN ni ON p.vec_id = ni.probe_id
               |LEFT JOIN ov ON p.vec_id = ov.probe_id
               |ORDER BY probe_id""".stripMargin)),
+
+    // ----- The measured REMEDY for sim16's filter degradation:
+    // double the probe set (nprobe 4 → 8). The cost model is linear —
+    // 2× candidate scoring — and the payoff is whatever overlap it
+    // buys back; emitting the same per-probe gauge under the wider
+    // probe makes the trade-off a hash-verified number pair instead
+    // of folklore ("probe more cells when filtering" is the standard
+    // vector-DB guidance; THIS is how much it recovers here).
+    QueryDef(
+      "sim16b_filtered_nprobe8",
+      (s, d) => {
+        val e = emb(s, d)
+        val filt = e.filter(col("label") === 3)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val ivf = graft.ext.IvfIndex.topK(filt, probes,
+          graft.ext.IvfModel.centroids, k = 5, nprobe = 8)
+        val exact = Similarity.bruteForceTopK(filt, probes, 5)
+        val nIvf = ivf.groupBy("probe_id").agg(count(lit(1)).as("n_ivf"))
+        val ov = ivf.select("probe_id", "vec_id")
+          .join(exact.select("probe_id", "vec_id"), Seq("probe_id", "vec_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("overlap"))
+        probes.select("probe_id")
+          .join(nIvf, Seq("probe_id"), "left")
+          .join(ov, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+            coalesce(col("overlap"), lit(0L)).as("overlap"))
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+              |  FROM embeddings),
+              |d AS (SELECT vec_id, label,
+              |    ${graft.ext.IvfIndex.Sql.distListSql("e")} AS ds FROM base),
+              |asg AS (SELECT vec_id, label,
+              |    list_position(ds, list_min(ds)) - 1 AS cell FROM d),
+              |pc AS (
+              |  SELECT probe_id, cell FROM (
+              |    SELECT vec_id AS probe_id,
+              |      unnest(generate_series(0, ${graft.ext.IvfModel.nlist - 1}))
+              |        AS cell,
+              |      unnest(ds) AS dist
+              |    FROM d WHERE vec_id < 5) x
+              |  QUALIFY row_number() OVER (PARTITION BY probe_id
+              |    ORDER BY dist, cell) <= 8),
+              |cand AS (
+              |  SELECT p.probe_id, a.vec_id FROM pc p JOIN asg a USING (cell)
+              |  WHERE a.vec_id <> p.probe_id AND a.label = 3),
+              |ivfk AS (SELECT probe_id, vec_id FROM (
+              |  SELECT c.probe_id, c.vec_id,
+              |    row_number() OVER (PARTITION BY c.probe_id
+              |      ORDER BY round(${cosSql("pe", "e")}, 6) DESC, c.vec_id)
+              |      AS rk
+              |  FROM cand c
+              |  JOIN embeddings pe ON pe.vec_id = c.probe_id
+              |  JOIN embeddings e ON e.vec_id = c.vec_id)
+              |  WHERE rk <= 5),
+              |exk AS (SELECT probe_id, vec_id FROM (
+              |  SELECT p.vec_id AS probe_id, e.vec_id,
+              |    row_number() OVER (PARTITION BY p.vec_id
+              |      ORDER BY round(${cosSql("p", "e")}, 6) DESC, e.vec_id)
+              |      AS rk
+              |  FROM embeddings e JOIN embeddings p
+              |    ON p.vec_id < 5 AND e.vec_id <> p.vec_id AND e.label = 3)
+              |  WHERE rk <= 5),
+              |ni AS (SELECT probe_id, count(*) AS n_ivf FROM ivfk GROUP BY 1),
+              |ov AS (SELECT i.probe_id, count(*) AS overlap
+              |  FROM ivfk i JOIN exk e
+              |    ON i.probe_id = e.probe_id AND i.vec_id = e.vec_id
+              |  GROUP BY 1)
+              |SELECT p.vec_id AS probe_id,
+              |  CAST(coalesce(ni.n_ivf, 0) AS BIGINT) AS n_ivf,
+              |  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap
+              |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) p
+              |LEFT JOIN ni ON p.vec_id = ni.probe_id
+              |LEFT JOIN ov ON p.vec_id = ov.probe_id
+              |ORDER BY probe_id""".stripMargin)),
   )
 }
