@@ -988,5 +988,105 @@ object SimilarityQueries {
               |LEFT JOIN ni ON p.vec_id = ni.probe_id
               |LEFT JOIN ov ON p.vec_id = ov.probe_id
               |ORDER BY probe_id""".stripMargin)),
+
+    // ----- Ranking-quality evaluation: NDCG@5 + MRR of the IVF
+    // ranking against the exact ranking (tx28 evaluates CLASSIFIERS;
+    // retrieval needs RANK metrics — overlap counts like sim15/sim16
+    // say WHETHER the right results surfaced, NDCG says whether they
+    // surfaced in the right ORDER, with position-discounted credit).
+    // Determinism: the 1/log₂(i+1) discount weights are PINNED
+    // ×10⁶-scaled integer literals (1000000, 630930, 500000, 430677,
+    // 386853 — the ladder is the contract, no transcendental at
+    // query time), relevance = 6 − exact_rank, so DCG is an EXACT
+    // integer sum and NDCG is one division by the integer ideal
+    // 10271927; MRR = 1/first-relevant-rank, exact ints again. Per
+    // probe: ndcg, mrr, n_hits — the full rank-eval triple,
+    // hash-gated.
+    QueryDef(
+      "sim17_ranking_ndcg",
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val sys = graft.ext.IvfIndex.topK(e, probes,
+            graft.ext.IvfModel.centroids, k = 5, nprobe = 4)
+          .select(col("probe_id"), col("vec_id"), col("rk"))
+        val ideal = Similarity.bruteForceTopK(e, probes, 5)
+          .select(col("probe_id"), col("vec_id"),
+            (lit(6L) - col("rk")).as("rel"))
+        val w = array(Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+          .map(lit(_)): _*)
+        val scored = sys.join(ideal, Seq("probe_id", "vec_id"), "left")
+          .withColumn("rel0", coalesce(col("rel"), lit(0L)))
+          .withColumn("dterm", col("rel0") * element_at(w, col("rk").cast("int")))
+        val agg = scored.groupBy("probe_id")
+          .agg(sum("dterm").as("dcg6"),
+            sum(when(col("rel0") > 0L, 1L).otherwise(0L)).as("n_hits"),
+            min(when(col("rel0") > 0L, col("rk"))).as("frk"))
+        probes.select("probe_id").join(agg, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            round(coalesce(col("dcg6"), lit(0L)).cast("double") / 10271927.0, 6)
+              .as("ndcg"),
+            round(when(col("frk").isNotNull,
+              lit(1.0) / col("frk").cast("double")).otherwise(0.0), 6).as("mrr"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+              |  FROM embeddings),
+              |d AS (SELECT vec_id,
+              |    ${graft.ext.IvfIndex.Sql.distListSql("e")} AS ds FROM base),
+              |asg AS (SELECT vec_id,
+              |    list_position(ds, list_min(ds)) - 1 AS cell FROM d),
+              |pc AS (
+              |  SELECT probe_id, cell FROM (
+              |    SELECT vec_id AS probe_id,
+              |      unnest(generate_series(0, ${graft.ext.IvfModel.nlist - 1}))
+              |        AS cell,
+              |      unnest(ds) AS dist
+              |    FROM d WHERE vec_id < 5) x
+              |  QUALIFY row_number() OVER (PARTITION BY probe_id
+              |    ORDER BY dist, cell) <= 4),
+              |cand AS (
+              |  SELECT p.probe_id, a.vec_id FROM pc p JOIN asg a USING (cell)
+              |  WHERE a.vec_id <> p.probe_id),
+              |sys AS (SELECT probe_id, vec_id, rk FROM (
+              |  SELECT c.probe_id, c.vec_id,
+              |    row_number() OVER (PARTITION BY c.probe_id
+              |      ORDER BY round(${cosSql("pe", "e")}, 6) DESC, c.vec_id)
+              |      AS rk
+              |  FROM cand c
+              |  JOIN embeddings pe ON pe.vec_id = c.probe_id
+              |  JOIN embeddings e ON e.vec_id = c.vec_id)
+              |  WHERE rk <= 5),
+              |ideal AS (SELECT probe_id, vec_id, 6 - rk AS rel FROM (
+              |  SELECT p.vec_id AS probe_id, e.vec_id,
+              |    row_number() OVER (PARTITION BY p.vec_id
+              |      ORDER BY round(${cosSql("p", "e")}, 6) DESC, e.vec_id)
+              |      AS rk
+              |  FROM embeddings e JOIN embeddings p
+              |    ON p.vec_id < 5 AND e.vec_id <> p.vec_id)
+              |  WHERE rk <= 5),
+              |sc AS (SELECT s.probe_id,
+              |    coalesce(i.rel, 0) AS rel0, s.rk,
+              |    coalesce(i.rel, 0) *
+              |      ([1000000, 630930, 500000, 430677, 386853])[CAST(s.rk AS INT)]
+              |      AS dterm
+              |  FROM sys s LEFT JOIN ideal i
+              |    ON s.probe_id = i.probe_id AND s.vec_id = i.vec_id),
+              |ag AS (SELECT probe_id, CAST(sum(dterm) AS BIGINT) AS dcg6,
+              |    CAST(sum(CASE WHEN rel0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_hits,
+              |    min(CASE WHEN rel0 > 0 THEN rk END) AS frk
+              |  FROM sc GROUP BY 1)
+              |SELECT p.vec_id AS probe_id,
+              |  round(CAST(coalesce(ag.dcg6, 0) AS DOUBLE) / 10271927.0, 6)
+              |    AS ndcg,
+              |  round(CASE WHEN ag.frk IS NOT NULL
+              |    THEN 1.0 / CAST(ag.frk AS DOUBLE) ELSE 0.0 END, 6) AS mrr,
+              |  CAST(coalesce(ag.n_hits, 0) AS BIGINT) AS n_hits
+              |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) p
+              |LEFT JOIN ag ON p.vec_id = ag.probe_id
+              |ORDER BY probe_id""".stripMargin)),
   )
 }
