@@ -1913,6 +1913,78 @@ object ParityQueries {
               |${graft.ext.Truss.Sql.rounds(4, 3)}
               |${graft.ext.Truss.Sql.select(3)}""".stripMargin)),
 
+    // ----- Graph: seed-set harmonic closeness, depth-truncated (the
+    // DISTANCE-based trust signal next to g4's flow-based PPR: PPR
+    // measures how much seed mass REACHES a node through all walks —
+    // a node behind one high-degree hub can starve; harmonic
+    // closeness Σ 1/d(node, seed) credits plain proximity, hop
+    // counts only). Truncated at depth 2 with ×2-scaled integer
+    // reciprocals (d=1 → 2, d=2 → 1), so the score is an exact
+    // integer sum and the truncation bounds the blow-up: the
+    // layered-reachability formulation (distinct 1-hop pairs, then
+    // distinct 2-hop pairs, dist = first layer containing the pair)
+    // keeps every intermediate ≤ |seeds|·|nodes| — no per-pair
+    // min-bookkeeping, no frontier state. Top-20 rank-pinned;
+    // directly comparable with g4 on the same seed set.
+    QueryDef(
+      "g9_seed_harmonic",
+      (s, d) => {
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = tracked(e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst"))))
+        val seeds = edges.select(col("src").as("seed")).distinct()
+          .filter(col("seed") % 2 === 1 &&
+            call_function("div", col("seed"), lit(2L)) % 7 === 0)
+        val r1 = edges.join(seeds, col("src") === col("seed"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+        val r2 = r1.withColumnRenamed("node", "mid")
+          .join(edges, col("mid") === col("src"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+        val d1 = r1.withColumn("pts", lit(2L))
+        val d2 = r2.join(r1, Seq("seed", "node"), "left_anti")
+          .filter(col("node") =!= col("seed"))
+          .withColumn("pts", lit(1L))
+        d1.unionAll(d2)
+          .filter(col("node") =!= col("seed"))
+          .groupBy("node").agg(sum("pts").as("harmonic2"),
+            count(lit(1)).as("n_seeds_reached"))
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("kind"),
+            call_function("div", col("node"), lit(2L)).as("key"),
+            col("harmonic2"), col("n_seeds_reached"))
+          .orderBy(col("harmonic2").desc, col("kind"), col("key"))
+          .limit(20)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+             |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (SELECT src, dst FROM e0
+             |  UNION ALL SELECT dst, src FROM e0),
+             |seeds AS (SELECT DISTINCT src AS seed FROM e
+             |  WHERE src % 2 = 1 AND (src // 2) % 7 = 0),
+             |r1 AS (SELECT DISTINCT s.seed, e.dst AS node
+             |  FROM e JOIN seeds s ON e.src = s.seed),
+             |r2 AS (SELECT DISTINCT r.seed, e.dst AS node
+             |  FROM r1 r JOIN e ON r.node = e.src),
+             |sc AS (
+             |  SELECT seed, node, 2 AS pts FROM r1 WHERE node <> seed
+             |  UNION ALL
+             |  SELECT r2.seed, r2.node, 1 FROM r2
+             |  LEFT JOIN r1 ON r2.seed = r1.seed AND r2.node = r1.node
+             |  WHERE r1.node IS NULL AND r2.node <> r2.seed)
+             |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+             |    ELSE 'supplier' END AS kind,
+             |  node // 2 AS key,
+             |  CAST(sum(pts) AS BIGINT) AS harmonic2,
+             |  count(*) AS n_seeds_reached
+             |FROM sc GROUP BY node
+             |ORDER BY harmonic2 DESC, kind, key LIMIT 20""".stripMargin)),
+
     // ----- Graph: neighbor-set Jaccard similarity between suppliers
     // (the item-item collaborative-filtering primitive — "suppliers
     // bought by the same customers are substitutes"; a17 counts raw
