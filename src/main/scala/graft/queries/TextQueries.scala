@@ -2293,5 +2293,106 @@ object TextQueries {
              |  AND b.pos > a.pos AND b.pos <= a.pos + 4
              |WHERE a.term = 'data' AND b.term = 'slow'
              |GROUP BY 1 ORDER BY n_hits DESC, a.doc_id LIMIT 20""".stripMargin)),
+
+    // ----- Isotonic (PAV) calibration over tx29's reliability bins
+    // (tx29 REPORTS the per-bucket positive rate; serving a
+    // calibrated probability additionally requires the MONOTONE
+    // regression of rate on score — the pool-adjacent-violators fit
+    // every production calibrator applies on top of the reliability
+    // diagram). The sequential pooling loop has a CLOSED FORM over
+    // relational algebra — iso(i) = max_{j≤i} min_{k≥i} wavg(j..k),
+    // validated against the stack-pooling algorithm — so no
+    // iteration: prefix sums give every interval's weighted rate as
+    // ONE double division of exact longs, and the min/max sweep is
+    // two grouped aggregations over the O(B²) interval grid (B ≤ 10
+    // buckets ⇒ ≤ 1000 grid rows at ANY corpus scale; the corpus
+    // collapses to the bins first, exactly as tx29). Output adds
+    // iso_rate next to raw_rate; equality where the raw curve is
+    // already monotone IS the fit.
+    QueryDef(
+      "tx38_isotonic_calibration",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d)
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"),
+            graft.ext.QualityClassifier.scoreParts(
+              size(col("__toks")), size(array_distinct(col("__toks"))),
+              TextAnalysis.wordFreqs(col("__toks"),
+                graft.ext.QualityClassifier.featureWords)).as("score"),
+            TextAnalysis.qualityScoreTokens(col("__toks")).as("q"))
+        val med = base.agg(expr("percentile(q, 0.5)").as("__med"))
+        val ext = base.agg(min("score").as("__lo"), max("score").as("__hi"))
+        val agg = base.crossJoin(broadcast(med)).crossJoin(broadcast(ext))
+          .filter(col("__hi") > col("__lo"))
+          .select(
+            least(floor((col("score") - col("__lo")) * 10.0 /
+              (col("__hi") - col("__lo"))), lit(9.0)).cast("long").as("bucket"),
+            (col("q") > col("__med")).as("label"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("label"), 1L).otherwise(0L)).as("np"))
+        val iw = Window.orderBy("bucket")
+        val pre = agg
+          .withColumn("i", row_number().over(iw).cast("long"))
+          .withColumn("pc", sum("n").over(
+            iw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("pp", sum("np").over(
+            iw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val preB = broadcast(pre)
+        val pairs = preB.select(col("i").as("j"), col("pc").as("pcj"),
+            col("pp").as("ppj"))
+          .join(preB.select(col("i").as("k"), col("pc").as("pck"),
+            col("pp").as("ppk")), col("j") <= col("k"))
+          .join(preB.select((col("i") + 1L).as("j"), col("pc").as("pcp"),
+            col("pp").as("ppp")), Seq("j"), "left")
+          .select(col("j"), col("k"),
+            ((col("ppk") - coalesce(col("ppp"), lit(0L))).cast("double") /
+              (col("pck") - coalesce(col("pcp"), lit(0L))).cast("double"))
+              .as("wavg"))
+        val mm = preB.select(col("i"))
+          .join(pairs, col("j") <= col("i") && col("k") >= col("i"))
+          .groupBy("i", "j").agg(min("wavg").as("mn"))
+        val iso = mm.groupBy("i").agg(max("mn").as("iso"))
+        pre.join(iso, Seq("i"))
+          .select(col("bucket"), col("n"),
+            round(col("np").cast("double") / col("n").cast("double"), 6)
+              .as("raw_rate"),
+            round(col("iso"), 6).as("iso_rate"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    ${graft.ext.QualityClassifier.Sql.scoreSql} AS score,
+              |    ${TS.qualityScore} AS q
+              |  FROM documents),
+              |med AS (SELECT quantile_cont(q, 0.5) AS m FROM t),
+              |ext AS (SELECT min(score) AS lo, max(score) AS hi FROM t),
+              |agg AS (SELECT CAST(least(floor((score - (SELECT lo FROM ext))
+              |      * 10.0 /
+              |      ((SELECT hi FROM ext) - (SELECT lo FROM ext))), 9.0)
+              |      AS BIGINT) AS bucket,
+              |    CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CASE WHEN q > (SELECT m FROM med) THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS np
+              |  FROM t WHERE (SELECT hi FROM ext) > (SELECT lo FROM ext)
+              |  GROUP BY 1),
+              |pre AS (SELECT bucket, n, np,
+              |    CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS i,
+              |    CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS pc,
+              |    CAST(sum(np) OVER (ORDER BY bucket) AS BIGINT) AS pp
+              |  FROM agg),
+              |pairs AS (SELECT a.i AS j, b.i AS k,
+              |    CAST(b.pp - coalesce(aj.pp, 0) AS DOUBLE) /
+              |    CAST(b.pc - coalesce(aj.pc, 0) AS DOUBLE) AS wavg
+              |  FROM pre a JOIN pre b ON a.i <= b.i
+              |  LEFT JOIN pre aj ON aj.i = a.i - 1),
+              |mm AS (SELECT x.i, p.j, min(p.wavg) AS mn
+              |  FROM pre x JOIN pairs p ON p.j <= x.i AND p.k >= x.i
+              |  GROUP BY 1, 2),
+              |iso AS (SELECT i, max(mn) AS iso FROM mm GROUP BY 1)
+              |SELECT b.bucket, b.n,
+              |  round(CAST(b.np AS DOUBLE) / b.n, 6) AS raw_rate,
+              |  round(iso.iso, 6) AS iso_rate
+              |FROM pre b JOIN iso ON b.i = iso.i ORDER BY bucket""".stripMargin)),
   )
 }
