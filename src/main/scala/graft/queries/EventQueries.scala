@@ -2230,5 +2230,156 @@ object EventQueries {
              |  CAST(CASE WHEN 2 * num > 3 * den THEN 1 ELSE 0 END AS BIGINT)
              |    AS overdispersed
              |FROM dd ORDER BY event_type""".stripMargin)),
+
+    // ----- Windowed MODE (dominant event type per day — the shape
+    // avg/sum windows cannot express: "what KIND of day was it").
+    // Two-level: count per (day, type) collapses any volume to the
+    // bounded grid, then a rank window picks the argmax with the
+    // (cnt desc, type) tie pin. Share of the dominant type rides
+    // along as an exact integer ratio.
+    QueryDef(
+      "w12_daily_mode",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = daily.groupBy("day").agg(sum("cnt").as("day_total"))
+        daily
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("day").orderBy(col("cnt").desc, col("event_type"))))
+          .filter(col("rk") === 1)
+          .join(tot, Seq("day"))
+          .select(col("day"), col("event_type").as("mode_type"), col("cnt"),
+            round(col("cnt").cast("double") / col("day_total").cast("double"), 6)
+              .as("share"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS day_total
+             |  FROM daily GROUP BY 1),
+             |rk AS (SELECT day, event_type, cnt,
+             |    row_number() OVER (PARTITION BY day
+             |      ORDER BY cnt DESC, event_type) AS r
+             |  FROM daily)
+             |SELECT rk.day, event_type AS mode_type, cnt,
+             |  round(CAST(cnt AS DOUBLE) / CAST(day_total AS DOUBLE), 6)
+             |    AS share
+             |FROM rk JOIN tot ON rk.day = tot.day
+             |WHERE r = 1 ORDER BY rk.day""".stripMargin)),
+
+    // ----- Kaplan-Meier survival curve of SESSION duration (the
+    // survival-analysis family's entry point, absent from every
+    // retention read-out above: a18's cohort matrix measures RETURN
+    // RATES per period; KM estimates the DURATION distribution
+    // itself, and — the part a naive average gets wrong — handles
+    // CENSORING: a session still open at the observation edge tells
+    // us its duration EXCEEDS what we saw, not equals it; dropping
+    // or truncating those rows biases the curve down). Subjects are
+    // gaps-and-islands sessions (6 h gap, the t_session_window
+    // convention); duration in 10-minute buckets; censored when the
+    // session's last event falls within the 6 h gap of the corpus
+    // edge (it may still be running — the convention pinned strict
+    // >). Estimator: S(t) = Π_{death times s ≤ t} (1 − d_s/n_s),
+    // risk set n_s = #{duration ≥ s} — (d, n) pairs exact longs via
+    // one duration histogram + a descending cumulative window; the
+    // product fold runs left-to-right over the bounded death-time
+    // list in ONE packed row (the EWMA discipline — identical op
+    // sequence both engines), 6-dp-pinned. Scale: event volume
+    // collapses to |sessions| at the islands agg, then to the
+    // duration histogram.
+    QueryDef(
+      "a36_survival_km",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = Window.partitionBy("user_id").orderBy("ts")
+        val sess = events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("ts"))
+          .withColumn("new_s",
+            when(col("ts") - lag("ts", 1).over(
+              Window.partitionBy("user_id").orderBy("ts")) > 21600L, 1L)
+              .otherwise(when(lag("ts", 1).over(
+                Window.partitionBy("user_id").orderBy("ts")).isNull, 1L)
+                .otherwise(0L)))
+          .withColumn("sid", sum("new_s").over(
+            uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("first_s"), max("ts").as("last_s"))
+        val edge = events(s, d)
+          .agg(max(unix_timestamp(col("ts"))).as("__edge"))
+        val durs = sess.crossJoin(broadcast(edge))
+          .select(
+            call_function("div", col("last_s") - col("first_s"), lit(600L))
+              .as("dur"),
+            when(col("last_s") > col("__edge") - 21600L, 0L).otherwise(1L)
+              .as("died"))
+        val hist = durs.groupBy("dur")
+          .agg(count(lit(1)).as("n_all"), sum("died").as("d"))
+        val risk = hist
+          .withColumn("n_risk", sum("n_all").over(Window.orderBy("dur")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+          .filter(col("d") > 0L)
+        risk
+          .agg(sort_array(collect_list(struct(col("dur"), col("d"),
+            col("n_risk")))).as("xs"))
+          .filter(size(col("xs")) >= 1)
+          .select(explode(expr(
+            """transform(sequence(1, size(xs)), t -> named_struct(
+              |  'dur', xs[t-1].dur, 'd', xs[t-1].d, 'n_risk', xs[t-1].n_risk,
+              |  'surv', aggregate(slice(xs, 1, t), CAST(1.0 AS DOUBLE),
+              |    (acc, x) -> acc * (1.0D - CAST(x.d AS DOUBLE)
+              |       / CAST(x.n_risk AS DOUBLE)))))
+              |""".stripMargin)).as("r"))
+          .select(col("r.dur").as("dur_10min"), col("r.n_risk"),
+            col("r.d").as("deaths"), round(col("r.surv"), 6).as("survival"))
+          .orderBy("dur_10min")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts
+             |  FROM events),
+             |fl AS (SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      IS NULL THEN 1
+             |    WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      > 21600 THEN 1 ELSE 0 END AS new_s
+             |  FROM ev),
+             |si AS (SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM fl),
+             |sess AS (SELECT user_id, sid,
+             |    CAST(min(ts) AS BIGINT) AS first_s,
+             |    CAST(max(ts) AS BIGINT) AS last_s
+             |  FROM si GROUP BY 1, 2),
+             |edge AS (SELECT CAST(max(ts) AS BIGINT) AS e FROM ev),
+             |durs AS (SELECT (last_s - first_s) // 600 AS dur,
+             |    CASE WHEN last_s > (SELECT e FROM edge) - 21600
+             |      THEN 0 ELSE 1 END AS died
+             |  FROM sess),
+             |hist AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+             |    CAST(sum(died) AS BIGINT) AS d
+             |  FROM durs GROUP BY 1),
+             |risk AS (SELECT dur, d,
+             |    CAST(sum(n_all) OVER (ORDER BY dur DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n_risk
+             |  FROM hist),
+             |packed AS (SELECT list_sort(list(struct_pack(dur := dur, d := d,
+             |      n_risk := n_risk))) AS xs
+             |  FROM risk WHERE d > 0),
+             |f AS (SELECT unnest(list_transform(range(1, len(xs) + 1),
+             |    t -> struct_pack(
+             |      dur := xs[t].dur, d := xs[t].d, n_risk := xs[t].n_risk,
+             |      surv := list_reduce(
+             |        list_prepend(CAST(1.0 AS DOUBLE),
+             |          list_transform(xs[1 : t],
+             |            x -> CAST(1.0 AS DOUBLE)
+             |              - CAST(x.d AS DOUBLE) / CAST(x.n_risk AS DOUBLE))),
+             |        (acc, v) -> acc * v))), recursive := true)
+             |  FROM packed WHERE len(xs) >= 1)
+             |SELECT dur AS dur_10min, n_risk, d AS deaths,
+             |  round(surv, 6) AS survival
+             |FROM f ORDER BY dur_10min""".stripMargin)),
   )
 }
