@@ -2381,5 +2381,79 @@ object EventQueries {
              |SELECT dur AS dur_10min, n_risk, d AS deaths,
              |  round(surv, 6) AS survival
              |FROM f ORDER BY dur_10min""".stripMargin)),
+
+    // ----- Interval-OVERLAP join with overlap-length weighting (the
+    // exposure-attribution shape j3's range join does not cover:
+    // j3 assigns POINTS to intervals; here BOTH sides are intervals
+    // and the measure is how LONG they coincide — ad exposure,
+    // maintenance-window impact, on-call load all weight by overlap
+    // seconds, not by overlap existence). Left: gaps-and-islands
+    // user sessions (the a36 convention); right: four deterministic
+    // weekly promo windows derived from the corpus start (a 1-row
+    // broadcast ⇒ the interval predicate evaluates map-side — the
+    // small-side-broadcast form; two BIG interval sets use the j3
+    // bucketed-range machinery instead). overlap_sec =
+    // least(ends) − greatest(starts), exact longs; per-window
+    // session count + total/max exposure.
+    QueryDef(
+      "j10_overlap_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = Window.partitionBy("user_id").orderBy("ts")
+        val sess = events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("ts"))
+          .withColumn("new_s",
+            when(col("ts") - lag("ts", 1).over(uw) > 21600L, 1L)
+              .otherwise(when(lag("ts", 1).over(uw).isNull, 1L).otherwise(0L)))
+          .withColumn("sid", sum("new_s").over(
+            uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("s0"), max("ts").as("s1"))
+          .filter(col("s1") > col("s0"))
+        val start = events(s, d)
+          .agg((call_function("div", min(unix_timestamp(col("ts"))),
+            lit(86400L)) * 86400L).as("__day0"))
+        val promos = start.select(col("__day0"),
+            explode(sequence(lit(0L), lit(3L))).as("wk"))
+          .select(col("wk"),
+            (col("__day0") + col("wk") * 604800L + 172800L).as("p0"),
+            (col("__day0") + col("wk") * 604800L + 345600L).as("p1"))
+        sess.join(broadcast(promos),
+            col("s0") < col("p1") && col("p0") < col("s1"))
+          .withColumn("overlap_sec",
+            least(col("s1"), col("p1")) - greatest(col("s0"), col("p0")))
+          .groupBy("wk")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("overlap_sec").as("total_overlap_sec"),
+            max("overlap_sec").as("max_overlap_sec"))
+          .orderBy("wk")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts
+             |  FROM events),
+             |fl AS (SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      IS NULL THEN 1
+             |    WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      > 21600 THEN 1 ELSE 0 END AS new_s
+             |  FROM ev),
+             |si AS (SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM fl),
+             |sess AS (SELECT user_id, sid,
+             |    CAST(min(ts) AS BIGINT) AS s0, CAST(max(ts) AS BIGINT) AS s1
+             |  FROM si GROUP BY 1, 2 HAVING max(ts) > min(ts)),
+             |day0 AS (SELECT (min(ts) // 86400) * 86400 AS d0 FROM ev),
+             |promos AS (SELECT wk,
+             |    (SELECT d0 FROM day0) + wk * 604800 + 172800 AS p0,
+             |    (SELECT d0 FROM day0) + wk * 604800 + 345600 AS p1
+             |  FROM (SELECT unnest(range(0, 4)) AS wk)),
+             |ov AS (SELECT p.wk,
+             |    least(s.s1, p.p1) - greatest(s.s0, p.p0) AS overlap_sec
+             |  FROM sess s JOIN promos p ON s.s0 < p.p1 AND p.p0 < s.s1)
+             |SELECT CAST(wk AS BIGINT) AS wk, count(*) AS n_sessions,
+             |  CAST(sum(overlap_sec) AS BIGINT) AS total_overlap_sec,
+             |  CAST(max(overlap_sec) AS BIGINT) AS max_overlap_sec
+             |FROM ov GROUP BY 1 ORDER BY wk""".stripMargin)),
   )
 }
