@@ -580,11 +580,16 @@ object Multimodal {
     * the idx1 index — a well-formed file any AVI tool reads, not just
     * our own demuxer. Runs distributed inside map partitions.
     */
-  def syntheticAvi(seed: Long, w: Int, h: Int, nFrames: Int, codec: String): Array[Byte] = {
+  def syntheticAvi(seed: Long, w: Int, h: Int, nFrames: Int, codec: String,
+      sceneLen: Int = 1): Array[Byte] = {
     require(videoCodecs.contains(codec), s"unsupported codec '$codec'")
     val fps = 10
     val frames: Seq[Array[Byte]] = (0 until nFrames).map { f =>
-      val fs = seed * 31 + f
+      // sceneLen > 1 groups consecutive frames into identical-content
+      // SCENES (frame seed advances every sceneLen frames) — the
+      // fixture shape scene-cut detection needs; default 1 preserves
+      // the every-frame-distinct m6 contract
+      val fs = seed * 31 + f / sceneLen
       if (codec == "DIB ") dibFrame(fs, w, h)
       else {
         val out = new ByteArrayOutputStream()
@@ -721,6 +726,79 @@ object Multimodal {
           content = syntheticAvi(m.media_id, w, h, nFrames, codec),
           meta = m.meta + ("codec" -> codec.trim.toLowerCase))
       } else m
+    }
+  }
+
+  /** DIB-only scene-video fixture: every 7th doc becomes an AVI whose
+    * frames repeat in 4-frame SCENES (sceneLen = 4), so consecutive
+    * frames are pixel-identical within a scene and change entirely at
+    * scene boundaries — the ground truth for cut detection. DIB only:
+    * lossless frames are what lets the oracle re-derive every pixel
+    * delta from generator arithmetic.
+    */
+  def mediaWithSceneVideos(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+    import spark.implicits._
+    mediaFromDocuments(spark, docs).map { m =>
+      if (m.media_id % 7 == 0) {
+        val w = 4 + (m.media_id % 9).toInt
+        val h = 3 + (m.media_id % 6).toInt
+        val nFrames = 8 + (m.media_id % 9).toInt
+        m.copy(kind = "video/avi",
+          content = syntheticAvi(m.media_id, w, h, nFrames, "DIB ", sceneLen = 4),
+          meta = m.meta + ("codec" -> "dib"))
+      } else m
+    }
+  }
+
+  /** Per-consecutive-frame gray deltas over REAL-demuxed DIB frames
+    * (scene-cut detection — the first video ANALYTICS op above m6's
+    * per-frame features: delta(f) = Σ_pixels |gray_f − gray_{f−1}|,
+    * exact longs; a cut is simply delta > 0 on the scene fixture,
+    * and a threshold on production footage). One fused demux+decode
+    * per video inside mapPartitions; frames held pairwise, never all
+    * at once.
+    */
+  final case class FrameDelta(media_id: Long, frame_idx: Int, delta: Long,
+      is_cut: Int)
+
+  def extractFrameDeltas(media: Dataset[MediaFile]): Dataset[FrameDelta] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video/avi").mapPartitions { rows =>
+      rows.flatMap { m =>
+        val (w, h, codec, frames) = demuxAvi(m.content)
+        if (codec != "DIB " || frames.length < 2) Iterator.empty
+        else {
+          def grays(bytes: Array[Byte]): Array[Int] = {
+            val rowStride = ((w * 3 + 3) / 4) * 4
+            val out = new Array[Int](w * h)
+            var row = 0
+            while (row < h) {
+              val y = h - 1 - row
+              var x = 0
+              while (x < w) {
+                val off = row * rowStride + x * 3
+                out(y * w + x) = ((bytes(off) & 0xff) + (bytes(off + 1) & 0xff) +
+                  (bytes(off + 2) & 0xff)) / 3
+                x += 1
+              }
+              row += 1
+            }
+            out
+          }
+          var prev = grays(frames(0))
+          (1 until frames.length).iterator.map { f =>
+            val cur = grays(frames(f))
+            var delta = 0L
+            var i = 0
+            while (i < cur.length) {
+              delta += math.abs(cur(i) - prev(i)).toLong
+              i += 1
+            }
+            prev = cur
+            FrameDelta(m.media_id, f, delta, if (delta > 0L) 1 else 0)
+          }
+        }
+      }
     }
   }
 

@@ -326,5 +326,49 @@ object MultimodalQueries {
            |HAVING count(*) >= 2
            |ORDER BY first_media_id""".stripMargin
       }),
+
+    // ----- Scene-cut (keyframe) detection over demuxed DIB video
+    // (the first video ANALYTICS op above m6's per-frame features:
+    // consecutive-frame gray delta Σ|gray_f − gray_{f−1}|, exact
+    // longs — within a scene the delta is exactly 0, at a boundary
+    // it jumps; the scene fixture groups frames into 4-frame scenes
+    // so the cut pattern f ≡ 0 (mod 4) is the verifiable ground
+    // truth). Engine demuxes and decodes the REAL AVI bytes holding
+    // frames pairwise; the oracle regenerates both frames of every
+    // pair from the generator arithmetic (fs = seed·31 + f div 4)
+    // and replays the same per-pixel |Δgray| sum — so
+    // demux+decode+difference == identity is checked per pair.
+    QueryDef(
+      "m9_video_keyframes",
+      (s, d) => Multimodal.extractFrameDeltas(
+          Multimodal.mediaWithSceneVideos(s, graft.sources.Tables.table(s, d, "documents")))
+        .toDF()
+        .orderBy("media_id", "frame_idx"),
+      Some {
+        def gray(fsExpr: String): String = {
+          val v = s"(($fsExpr) * 1103515245 + x.x * 12345 + y.y * 1013904223) & 16777215"
+          s"(((($v) >> 16) & 255) + ((($v) >> 8) & 255) + (($v) & 255)) // 3"
+        }
+        s"""WITH v AS (
+           |  SELECT doc_id AS media_id,
+           |    4 + CAST(doc_id % 9 AS INT) AS w,
+           |    3 + CAST(doc_id % 6 AS INT) AS h,
+           |    8 + CAST(doc_id % 9 AS INT) AS nf
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |fr AS (SELECT media_id, w, h, f.f AS f,
+           |    media_id * 31 + f.f // 4 AS fsc,
+           |    media_id * 31 + (f.f - 1) // 4 AS fsp
+           |  FROM v, LATERAL (SELECT unnest(range(1, nf)) AS f) f),
+           |px AS (SELECT media_id, f,
+           |    abs((${gray("fsc")}) - (${gray("fsp")})) AS dg
+           |  FROM fr,
+           |    LATERAL (SELECT unnest(range(0, w)) AS x) x,
+           |    LATERAL (SELECT unnest(range(0, h)) AS y) y),
+           |d AS (SELECT media_id, f, CAST(sum(dg) AS BIGINT) AS delta
+           |  FROM px GROUP BY 1, 2)
+           |SELECT media_id, CAST(f AS INT) AS frame_idx, delta,
+           |  CAST(CASE WHEN delta > 0 THEN 1 ELSE 0 END AS INT) AS is_cut
+           |FROM d ORDER BY media_id, frame_idx""".stripMargin
+      }),
   )
 }
