@@ -2455,5 +2455,143 @@ object EventQueries {
              |  CAST(sum(overlap_sec) AS BIGINT) AS total_overlap_sec,
              |  CAST(max(overlap_sec) AS BIGINT) AS max_overlap_sec
              |FROM ov GROUP BY 1 ORDER BY wk""".stripMargin)),
+
+    // ----- Log-rank test between survival groups (a36's companion —
+    // the whole POINT of estimating survival curves is usually to
+    // COMPARE two: did session durations change between the first
+    // and second half of the window? Comparing KM curves by eye, or
+    // mean durations with censoring, both mislead; the log-rank
+    // statistic is the standard answer). Over the pooled death
+    // times: O₁ = Σ d₁ (exact long), E₁ = Σ d·n₁/n, V = Σ
+    // d·(n₁/n)(1−n₁/n)(n−d)/(n−1), χ² = (O₁−E₁)²/V. The E/V sums
+    // are rationals accumulated in a LEFT FOLD over the sorted
+    // bounded death-time list in one packed row (flat DOUBLE[4]
+    // accumulator, identical op order both engines — the Viterbi
+    // flat-list discipline for float state), so even where rounding
+    // enters it rounds identically; n ≥ 2 guard pinned (the V term
+    // divides by n−1). Scale: volume collapses to |sessions|, then
+    // to the duration histogram; the fold runs on ≤|death times|.
+    QueryDef(
+      "a37_logrank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = Window.partitionBy("user_id").orderBy("ts")
+        val sess = events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("ts"))
+          .withColumn("new_s",
+            when(col("ts") - lag("ts", 1).over(uw) > 21600L, 1L)
+              .otherwise(when(lag("ts", 1).over(uw).isNull, 1L).otherwise(0L)))
+          .withColumn("sid", sum("new_s").over(
+            uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("s0"), max("ts").as("s1"))
+        val day0 = events(s, d).agg(
+          (call_function("div", min(unix_timestamp(col("ts"))), lit(86400L))
+            * 86400L).as("__d0"),
+          max(unix_timestamp(col("ts"))).as("__edge"))
+        val durs = sess.crossJoin(broadcast(day0))
+          .select(
+            call_function("div", col("s1") - col("s0"), lit(600L)).as("dur"),
+            when(col("s0") < col("__d0") + 1296000L, 1L).otherwise(0L).as("g1"),
+            when(col("s1") > col("__edge") - 21600L, 0L).otherwise(1L)
+              .as("died"))
+        val hist = durs.groupBy("dur")
+          .agg(count(lit(1)).as("na"), sum("g1").as("na1"),
+            sum("died").as("d"), sum(col("died") * col("g1")).as("d1"))
+        val fw = Window.orderBy("dur")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val risk = hist
+          .withColumn("n", sum("na").over(fw))
+          .withColumn("n1", sum("na1").over(fw))
+          .filter(col("d") > 0L && col("n") >= 2L)
+        val tot = durs.agg(sum("g1").as("n1s"),
+          (count(lit(1)) - sum("g1")).as("n2s"))
+        val folded = risk
+          .agg(sort_array(collect_list(struct(col("dur"), col("d"),
+            col("d1"), col("n"), col("n1")))).as("xs"))
+          .filter(size(col("xs")) >= 1)
+          .withColumn("r", expr(
+            """aggregate(xs,
+              |  array(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              |        CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)),
+              |  (acc, x) -> array(
+              |    acc[0] + CAST(x.d1 AS DOUBLE),
+              |    acc[1] + CAST(x.d AS DOUBLE) * CAST(x.n1 AS DOUBLE)
+              |      / CAST(x.n AS DOUBLE),
+              |    acc[2] + CAST(x.d AS DOUBLE)
+              |      * (CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE))
+              |      * (1.0D - CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE))
+              |      * (CAST(x.n AS DOUBLE) - CAST(x.d AS DOUBLE))
+              |      / (CAST(x.n AS DOUBLE) - 1.0D),
+              |    CAST(0 AS DOUBLE)))""".stripMargin))
+        folded.crossJoin(broadcast(tot))
+          .select(col("n1s").as("n1_sessions"), col("n2s").as("n2_sessions"),
+            expr("CAST(r[0] AS BIGINT)").as("o1"),
+            round(expr("r[1]"), 6).as("e1"),
+            round(expr("r[2]"), 6).as("var"),
+            round(expr("IF(r[2] > 0D, (r[0] - r[1]) * (r[0] - r[1]) / r[2], NULL)"), 6)
+              .as("chi2"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts
+             |  FROM events),
+             |fl AS (SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      IS NULL THEN 1
+             |    WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      > 21600 THEN 1 ELSE 0 END AS new_s
+             |  FROM ev),
+             |si AS (SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM fl),
+             |sess AS (SELECT user_id, sid,
+             |    CAST(min(ts) AS BIGINT) AS s0, CAST(max(ts) AS BIGINT) AS s1
+             |  FROM si GROUP BY 1, 2),
+             |day0 AS (SELECT (min(ts) // 86400) * 86400 AS d0 FROM ev),
+             |edge AS (SELECT CAST(max(ts) AS BIGINT) AS e FROM ev),
+             |durs AS (SELECT (s1 - s0) // 600 AS dur,
+             |    CASE WHEN s0 < (SELECT d0 FROM day0) + 1296000
+             |      THEN 1 ELSE 0 END AS g1,
+             |    CASE WHEN s1 > (SELECT e FROM edge) - 21600
+             |      THEN 0 ELSE 1 END AS died
+             |  FROM sess),
+             |hist AS (SELECT dur,
+             |    CAST(count(*) AS BIGINT) AS na,
+             |    CAST(sum(g1) AS BIGINT) AS na1,
+             |    CAST(sum(died) AS BIGINT) AS d,
+             |    CAST(sum(died * g1) AS BIGINT) AS d1
+             |  FROM durs GROUP BY 1),
+             |risk AS (SELECT dur, d, d1,
+             |    CAST(sum(na) OVER (ORDER BY dur DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n,
+             |    CAST(sum(na1) OVER (ORDER BY dur DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n1
+             |  FROM hist),
+             |tot AS (SELECT CAST(sum(g1) AS BIGINT) AS n1s,
+             |    CAST(count(*) - sum(g1) AS BIGINT) AS n2s FROM durs),
+             |packed AS (SELECT list_sort(list(struct_pack(dur := dur, d := d,
+             |      d1 := d1, n := n, n1 := n1))) AS xs
+             |  FROM risk WHERE d > 0 AND n >= 2),
+             |fold AS (SELECT list_reduce(
+             |    list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+             |        CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+             |      list_transform(xs, x -> [CAST(x.d AS DOUBLE),
+             |        CAST(x.d1 AS DOUBLE), CAST(x.n AS DOUBLE),
+             |        CAST(x.n1 AS DOUBLE)])),
+             |    (acc, x) -> [acc[1] + x[2],
+             |      acc[2] + x[1] * x[4] / x[3],
+             |      acc[3] + x[1] * (x[4] / x[3]) * (1.0 - x[4] / x[3])
+             |        * (x[3] - x[1]) / (x[3] - 1.0),
+             |      CAST(0 AS DOUBLE)]) AS r
+             |  FROM packed WHERE len(xs) >= 1)
+             |SELECT (SELECT n1s FROM tot) AS n1_sessions,
+             |  (SELECT n2s FROM tot) AS n2_sessions,
+             |  CAST(r[1] AS BIGINT) AS o1, round(r[2], 6) AS e1,
+             |  round(r[3], 6) AS var,
+             |  round(CASE WHEN r[3] > 0
+             |    THEN (r[1] - r[2]) * (r[1] - r[2]) / r[3] END, 6) AS chi2
+             |FROM fold""".stripMargin)),
   )
 }
