@@ -2593,5 +2593,80 @@ object EventQueries {
              |  round(CASE WHEN r[3] > 0
              |    THEN (r[1] - r[2]) * (r[1] - r[2]) / r[3] END, 6) AS chi2
              |FROM fold""".stripMargin)),
+
+    // ----- Mann-Whitney U test (the RANK-based two-sample shape
+    // completing the inference family: a22's z-test compares
+    // proportions, a30's KS the whole CDF — MWU asks the stochastic-
+    // dominance question "do clicks carry systematically larger
+    // values than views", robust to outliers a mean test would chase).
+    // EXACT TIE HANDLING: tied values get the average rank, kept
+    // exact by working at 2× scale — a tie group spanning positions
+    // a..b contributes rank2 = a + b per member (an integer), so the
+    // rank-sum, U statistic, and the tie-correction term Σ(t³−t) are
+    // all exact longs; the normal-approximation z is ONE pinned
+    // expression of those integers at the end. Scale: the global
+    // rank is a sort (range-partitioned at scale — the standard
+    // distributed-rank shape); everything after is scalars.
+    QueryDef(
+      "a38_mann_whitney",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(
+            when(col("event_type") === "click", 1L).otherwise(0L).as("g1"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+        val rk = v.withColumn("pos",
+          row_number().over(Window.orderBy("x")).cast("long"))
+        val tg = rk.groupBy("x").agg(min("pos").as("lo"), max("pos").as("hi"),
+          count(lit(1)).as("t"))
+        val r2 = rk.join(tg.select(col("x"), (col("lo") + col("hi")).as("rank2")),
+          Seq("x"))
+        val st = r2.agg(sum("g1").as("n1"),
+          (count(lit(1)) - sum("g1")).as("n2"), count(lit(1)).as("n"),
+          sum(when(col("g1") === 1L, col("rank2")).otherwise(0L)).as("r1x2"))
+        val ties = tg.agg(
+          sum(col("t") * col("t") * col("t") - col("t")).as("tc"))
+        st.crossJoin(broadcast(ties))
+          .select(col("n1"), col("n2"),
+            (col("r1x2") - col("n1") * (col("n1") + 1L)).as("u1_x2"),
+            round(((col("r1x2") - col("n1") * (col("n1") + 1L)).cast("double")
+              - (col("n1") * col("n2")).cast("double")) /
+              (lit(2.0) * sqrt(col("n1").cast("double") * col("n2").cast("double") *
+                (((col("n") + 1L) * col("n") * (col("n") - 1L)).cast("double")
+                  - col("tc").cast("double")) /
+                (lit(12.0) * col("n").cast("double") * (col("n") - 1L).cast("double")))),
+              6).as("z"))
+      },
+      Some("""WITH v AS (SELECT
+             |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+             |    CAST(round(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |rk AS (SELECT g1, x,
+             |    CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS pos
+             |  FROM v),
+             |tg AS (SELECT x, CAST(min(pos) AS BIGINT) AS lo,
+             |    CAST(max(pos) AS BIGINT) AS hi, CAST(count(*) AS BIGINT) AS t
+             |  FROM rk GROUP BY 1),
+             |r2 AS (SELECT rk.g1, tg.lo + tg.hi AS rank2
+             |  FROM rk JOIN tg ON rk.x = tg.x),
+             |st AS (SELECT
+             |    CAST(sum(g1) AS BIGINT) AS n1,
+             |    CAST(count(*) - sum(g1) AS BIGINT) AS n2,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN g1 = 1 THEN rank2 ELSE 0 END) AS BIGINT)
+             |      AS r1x2
+             |  FROM r2),
+             |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tc FROM tg)
+             |SELECT n1, n2,
+             |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+             |  round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+             |      - CAST(n1 * n2 AS DOUBLE)) /
+             |    (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+             |      (CAST((n + 1) * n * (n - 1) AS DOUBLE)
+             |        - CAST((SELECT tc FROM ties) AS DOUBLE)) /
+             |      (12.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 6)
+             |    AS z
+             |FROM st""".stripMargin)),
   )
 }
