@@ -2668,5 +2668,60 @@ object EventQueries {
              |      (12.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 6)
              |    AS z
              |FROM st""".stripMargin)),
+
+    // ----- Hour-of-day uniformity χ² (the load-shape test under
+    // capacity planning and bot detection: organic traffic has a
+    // diurnal profile, scripted traffic is FLAT — and the goodness-
+    // of-fit χ² against the uniform 24-cell profile quantifies
+    // which this feed is; a24's independence χ² asks a different
+    // question). ALL-INTEGER trick: with e = T/24, χ² = Σ(o−e)²/e
+    // rescales to Σ(24·o_h − T)² / (24·T) — the numerator an exact
+    // long (zero-count cells included via a generated 24-cell
+    // spine), ONE division at the end; the α=0.05 / df=23 decision
+    // compares the integer numerator against 35.172·24·T cross-
+    // multiplied in DOUBLES of exact integers (same two values both
+    // engines). Volume collapses to 24 cells map-side.
+    QueryDef(
+      "t_hour_uniformity",
+      (s, d) => {
+        val byHour = events(s, d)
+          .groupBy(hour(col("ts")).cast("long").as("hod"))
+          .agg(count(lit(1)).as("o"))
+        val spine = events(s, d).sparkSession.range(0, 24)
+          .select(col("id").as("hod"))
+        val cells = spine.join(byHour, Seq("hod"), "left")
+          .select(col("hod"), coalesce(col("o"), lit(0L)).as("o"))
+        cells
+          .agg(sum("o").as("t"),
+            sum((lit(24L) * col("o")) * (lit(24L) * col("o"))).as("s24sq"),
+            sum(lit(24L) * col("o")).as("s24"))
+          .select(col("t"),
+            // Σ(24o − T)² = Σ(24o)² − 2TΣ(24o) + 24T² = s24sq − 24T²
+            // (since Σ24o = 24T) — kept exact in longs
+            (col("s24sq") - lit(24L) * col("t") * col("t")).as("num"),
+            round((col("s24sq") - lit(24L) * col("t") * col("t"))
+              .cast("double") / (lit(24.0) * col("t").cast("double")), 6)
+              .as("chi2"),
+            when((col("s24sq") - lit(24L) * col("t") * col("t")).cast("double")
+              > lit(35.172) * (lit(24.0) * col("t").cast("double")), 1L)
+              .otherwise(0L).as("nonuniform"))
+      },
+      Some("""WITH byh AS (SELECT CAST(hour(ts) AS BIGINT) AS hod,
+             |    CAST(count(*) AS BIGINT) AS o
+             |  FROM events GROUP BY 1),
+             |cells AS (SELECT s.hod, coalesce(byh.o, 0) AS o
+             |  FROM (SELECT unnest(range(0, 24)) AS hod) s
+             |  LEFT JOIN byh ON s.hod = byh.hod),
+             |ag AS (SELECT CAST(sum(o) AS BIGINT) AS t,
+             |    CAST(sum((24 * o) * (24 * o)) AS BIGINT) AS s24sq
+             |  FROM cells)
+             |SELECT t,
+             |  CAST(s24sq - 24 * t * t AS BIGINT) AS num,
+             |  round(CAST(s24sq - 24 * t * t AS DOUBLE) /
+             |    (24.0 * CAST(t AS DOUBLE)), 6) AS chi2,
+             |  CAST(CASE WHEN CAST(s24sq - 24 * t * t AS DOUBLE)
+             |    > 35.172 * (24.0 * CAST(t AS DOUBLE)) THEN 1 ELSE 0 END
+             |    AS BIGINT) AS nonuniform
+             |FROM ag""".stripMargin)),
   )
 }

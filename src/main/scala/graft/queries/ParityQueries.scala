@@ -1985,6 +1985,67 @@ object ParityQueries {
              |FROM sc GROUP BY node
              |ORDER BY harmonic2 DESC, kind, key LIMIT 20""".stripMargin)),
 
+    // ----- Graph: degree assortativity (the network-science scalar
+    // that says whether hubs trade with hubs (r > 0) or hubs with
+    // the periphery (r < 0) — disassortativity is the signature of
+    // bipartite commerce and of hub-and-spoke link farms, so the
+    // sign is itself a corpus-structure diagnostic): Pearson r over
+    // the edge list of (deg(src), deg(dst)) from exact-long
+    // sufficient statistics (the a29 recipe over edges instead of
+    // groups) — degree join is two uniform-key shuffles against the
+    // |nodes|-row degree table, sums collapse map-side, ONE
+    // division at the end.
+    QueryDef(
+      "g10_assortativity",
+      (s, d) => {
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = tracked(e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst"))))
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("dg"))
+        val st = edges
+          .join(deg.select(col("node").as("src"), col("dg").as("du")), Seq("src"))
+          .join(deg.select(col("node").as("dst"), col("dg").as("dv")), Seq("dst"))
+          .agg(count(lit(1)).as("m"),
+            sum("du").as("su"), sum("dv").as("sv"),
+            sum(col("du") * col("du")).as("suu"),
+            sum(col("dv") * col("dv")).as("svv"),
+            sum(col("du") * col("dv")).as("suv"))
+        st.withColumn("d1", col("m") * col("suu") - col("su") * col("su"))
+          .withColumn("d2", col("m") * col("svv") - col("sv") * col("sv"))
+          .filter(col("d1") > 0L && col("d2") > 0L)
+          .select(col("m").as("n_edges"),
+            round((col("m") * col("suv") - col("su") * col("sv")).cast("double") /
+              sqrt(col("d1").cast("double") * col("d2").cast("double")), 6)
+              .as("assortativity"))
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+             |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+             |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+             |  FROM e GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(du.dg) AS BIGINT) AS su,
+             |    CAST(sum(dv.dg) AS BIGINT) AS sv,
+             |    CAST(sum(du.dg * du.dg) AS BIGINT) AS suu,
+             |    CAST(sum(dv.dg * dv.dg) AS BIGINT) AS svv,
+             |    CAST(sum(du.dg * dv.dg) AS BIGINT) AS suv
+             |  FROM e JOIN deg du ON e.src = du.node
+             |  JOIN deg dv ON e.dst = dv.node),
+             |dd AS (SELECT m, m * suv - su * sv AS num,
+             |    m * suu - su * su AS d1, m * svv - sv * sv AS d2
+             |  FROM st)
+             |SELECT m AS n_edges,
+             |  round(CAST(num AS DOUBLE) /
+             |    sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6)
+             |    AS assortativity
+             |FROM dd WHERE d1 > 0 AND d2 > 0""".stripMargin)),
+
     // ----- Graph: neighbor-set Jaccard similarity between suppliers
     // (the item-item collaborative-filtering primitive — "suppliers
     // bought by the same customers are substitutes"; a17 counts raw
