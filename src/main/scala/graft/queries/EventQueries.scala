@@ -2723,5 +2723,74 @@ object EventQueries {
              |    > 35.172 * (24.0 * CAST(t AS DOUBLE)) THEN 1 ELSE 0 END
              |    AS BIGINT) AS nonuniform
              |FROM ag""".stripMargin)),
+
+    // ----- Goertzel spectral power at pinned periods, ALL-INTEGER
+    // (the TARGETED periodicity probe: t_autocorrelation scans lags,
+    // a Goertzel recurrence evaluates ONE DFT bin in O(n) — "how
+    // much daily-cycle energy does this feed carry"). The textbook
+    // w = 2cos(2π/P) coefficient is irrational, and the float fold
+    // MEASURABLY diverged cross-engine at sf0.1 — DuckDB's compiled
+    // arithmetic contracts the multiply-add where the JVM cannot,
+    // and 720 resonant steps amplify the ulp into the rounded
+    // output. The fix is a better formulation: RESAMPLE so the
+    // target frequency lands on the w = 0 bin (period 4 in block
+    // units — block length B hours probes the 4B-hour cycle), where
+    // the recurrence degenerates to s_t = x̃_t − s_{t−2} and the
+    // whole probe — mean-centering x̃ = N·x − T included — stays in
+    // EXACT LONGS; power = s_N² + s_{N−1}², an exact integer.
+    // Probes: B = 6 (daily), B = 3 (half-day), B = 2 (8 h control).
+    // Overflow headroom: |s| ≤ Σ|x̃| ≈ N²·max(x) — rescale x̃ by a
+    // div when block counts approach 2³¹.
+    QueryDef(
+      "t_goertzel_power",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        Seq(6L, 3L, 2L).map { b =>
+          val blocks = hourly
+            .groupBy(call_function("div", col("hr"), lit(b)).as("blk"))
+            .agg(sum("cnt").as("xb"))
+          val tot = blocks.agg(sum("xb").as("t"), count(lit(1)).as("n"))
+          blocks.crossJoin(broadcast(tot))
+            .select(col("blk"), (col("n") * col("xb") - col("t")).as("xt"))
+            .agg(sort_array(collect_list(struct(col("blk"), col("xt"))))
+              .as("xs"))
+            .filter(size(col("xs")) >= 2)
+            .select(lit(4L * b).as("period_hours"),
+              expr(
+                """aggregate(xs, array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                  |  (acc, x) -> array(x.xt - acc[1], acc[0]),
+                  |  acc -> acc[0] * acc[0] + acc[1] * acc[1])""".stripMargin)
+                .as("power"))
+        }.reduce(_ unionAll _).orderBy("period_hours")
+      },
+      Some {
+        val probes = Seq(6, 3, 2).map { b =>
+          s"""SELECT CAST(${4 * b} AS BIGINT) AS period_hours,
+             |  CAST(r[1] * r[1] + r[2] * r[2] AS BIGINT) AS power
+             |FROM (SELECT list_reduce(
+             |    list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+             |      list_transform(
+             |        list_sort(list(struct_pack(blk := blk, xt := xt))),
+             |        v -> [v.xt, CAST(0 AS BIGINT)])),
+             |    (acc, x) -> [x[1] - acc[2], acc[1]]) AS r
+             |  FROM (SELECT blk, n * xb - t AS xt FROM
+             |    (SELECT hr // $b AS blk, CAST(sum(cnt) AS BIGINT) AS xb
+             |     FROM hourly GROUP BY 1) bl,
+             |    (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+             |       CAST(count(*) AS BIGINT) AS n FROM
+             |       (SELECT hr // $b AS blk, sum(cnt) AS cnt
+             |        FROM hourly GROUP BY 1)) tt)
+             |  HAVING count(*) >= 2)""".stripMargin
+        }.mkString("\n", "\nUNION ALL\n", "\n")
+        s"""WITH hourly AS (
+           |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+           |      AS hr,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1)
+           |SELECT period_hours, power FROM ($probes) ORDER BY period_hours""".stripMargin
+      }),
   )
 }
