@@ -2792,5 +2792,100 @@ object EventQueries {
            |  FROM events GROUP BY 1)
            |SELECT period_hours, power FROM ($probes) ORDER BY period_hours""".stripMargin
       }),
+
+    // ----- Wilson score interval per event-type share (the
+    // proportion CI that behaves at the boundaries where the naive
+    // Wald interval fails — p̂ ± z√(p̂q̂/n) collapses to width zero at
+    // p̂ ∈ {0, 1} and escapes [0, 1] near them; Wilson inverts the
+    // score test instead and is THE recommended small-n/extreme-p
+    // interval). Everything from the exact integers (k, n): center
+    // (k + z²/2)/(n + z²), half-width z√(k(n−k)/n + z²/4)/(n + z²),
+    // z = 1.96 a pinned literal — each bound ONE pinned expression,
+    // no accumulation. Output per type: share with [lo, hi], 6-dp.
+    QueryDef(
+      "a39_wilson_ci",
+      (s, d) => {
+        val byType = events(s, d)
+          .groupBy("event_type").agg(count(lit(1)).as("k"))
+        val tot = byType.agg(sum("k").as("n"))
+        byType.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("k"), col("n"),
+            round(col("k").cast("double") / col("n").cast("double"), 6)
+              .as("share"),
+            round((col("k").cast("double") + lit(1.9208)) /
+              (col("n").cast("double") + lit(3.8416)) -
+              lit(1.96) * sqrt(col("k").cast("double") *
+                (col("n") - col("k")).cast("double") / col("n").cast("double")
+                + lit(0.9604)) / (col("n").cast("double") + lit(3.8416)), 6)
+              .as("lo"),
+            round((col("k").cast("double") + lit(1.9208)) /
+              (col("n").cast("double") + lit(3.8416)) +
+              lit(1.96) * sqrt(col("k").cast("double") *
+                (col("n") - col("k")).cast("double") / col("n").cast("double")
+                + lit(0.9604)) / (col("n").cast("double") + lit(3.8416)), 6)
+              .as("hi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH bt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM bt)
+             |SELECT event_type, k, (SELECT n FROM tot) AS n,
+             |  round(CAST(k AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE), 6)
+             |    AS share,
+             |  round((CAST(k AS DOUBLE) + 1.9208) /
+             |    (CAST((SELECT n FROM tot) AS DOUBLE) + 3.8416) -
+             |    1.96 * sqrt(CAST(k AS DOUBLE) *
+             |      CAST((SELECT n FROM tot) - k AS DOUBLE) /
+             |      CAST((SELECT n FROM tot) AS DOUBLE) + 0.9604) /
+             |    (CAST((SELECT n FROM tot) AS DOUBLE) + 3.8416), 6) AS lo,
+             |  round((CAST(k AS DOUBLE) + 1.9208) /
+             |    (CAST((SELECT n FROM tot) AS DOUBLE) + 3.8416) +
+             |    1.96 * sqrt(CAST(k AS DOUBLE) *
+             |      CAST((SELECT n FROM tot) - k AS DOUBLE) /
+             |      CAST((SELECT n FROM tot) AS DOUBLE) + 0.9604) /
+             |    (CAST((SELECT n FROM tot) AS DOUBLE) + 3.8416), 6) AS hi
+             |FROM bt ORDER BY event_type""".stripMargin)),
+
+    // ----- Record-breaking hours (the distribution-free drift
+    // sentinel: for an i.i.d. series the expected number of
+    // running-max records is the harmonic number H_n ≈ ln n + γ —
+    // about 7 for a month of hours — independent of the
+    // distribution; a count far above that is TREND, detected
+    // without modeling anything). A record = an hour strictly above
+    // every earlier hour (first hour counts; strictness pinned);
+    // running max via one window pass, all exact integers. Output:
+    // n_hours, n_records, the last record hour, and the i.i.d.
+    // expectation comparison left to the reader (ln is deliberately
+    // NOT computed — no transcendental in the contract).
+    QueryDef(
+      "t_record_breaks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+        hourly
+          .withColumn("prevmax", max("cnt").over(w))
+          .withColumn("rec",
+            when(col("prevmax").isNull || col("cnt") > col("prevmax"), 1L)
+              .otherwise(0L))
+          .agg(count(lit(1)).as("n_hours"), sum("rec").as("n_records"),
+            max(when(col("rec") === 1L, col("h"))).as("last_record_hour"))
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |rc AS (SELECT h, cnt,
+             |    max(cnt) OVER (ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prevmax
+             |  FROM hourly)
+             |SELECT count(*) AS n_hours,
+             |  CAST(sum(CASE WHEN prevmax IS NULL OR cnt > prevmax
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+             |  max(CASE WHEN prevmax IS NULL OR cnt > prevmax THEN h END)
+             |    AS last_record_hour
+             |FROM rc""".stripMargin)),
   )
 }

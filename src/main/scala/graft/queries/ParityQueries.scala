@@ -2046,6 +2046,79 @@ object ParityQueries {
              |    AS assortativity
              |FROM dd WHERE d1 > 0 AND d2 > 0""".stripMargin)),
 
+    // ----- Graph: rich-club coefficient (does the TOP DECILE of
+    // nodes by degree form a denser club among themselves than the
+    // graph overall? — g10's assortativity summarizes mixing with
+    // one correlation; the rich club measures the elite's internal
+    // density directly, the oligopoly/elite-capture diagnostic):
+    // club = top ⌈N/10⌉ nodes by (degree, node) EXACT RANK (no
+    // percentile interpolation on integers), φ = e_club /
+    // (m(m−1)/2) vs the overall density — both ratios of exact
+    // longs, one 6-dp division each; the club membership join is
+    // two semi joins against a broadcast-small elite set. On the
+    // BIPARTITE purchase graph the club can hold few internal edges
+    // (elite customers only link to elite suppliers if they trade)
+    // — the measured ratio IS the structure read-out.
+    QueryDef(
+      "g11_rich_club",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = tracked(e0)
+        val deg = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val nTot = deg.agg(count(lit(1)).as("nn"))
+        val club = deg.crossJoin(broadcast(nTot))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("dg").desc, col("node"))).cast("long"))
+          .filter(col("rk") <= (col("nn") + 9L) / 10L)
+          .select("node")
+        val eClub = edges
+          .join(club.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(club.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .agg(count(lit(1)).as("e_club"))
+        val m = club.agg(count(lit(1)).as("m"))
+        val tot = edges.agg(count(lit(1)).as("e_all"))
+        eClub.crossJoin(broadcast(m)).crossJoin(broadcast(tot))
+          .crossJoin(broadcast(nTot))
+          .select(col("m").as("club_size"), col("e_club"),
+            round(col("e_club").cast("double") * 2.0 /
+              (col("m").cast("double") * (col("m") - 1L).cast("double")), 6)
+              .as("club_density"),
+            round(col("e_all").cast("double") * 2.0 /
+              (col("nn").cast("double") * (col("nn") - 1L).cast("double")), 6)
+              .as("graph_density"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+             |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+             |  GROUP BY 1),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg),
+             |club AS (SELECT node FROM (
+             |  SELECT node, row_number() OVER (ORDER BY dg DESC, node) AS rk
+             |  FROM deg) WHERE rk <= ((SELECT nn FROM nt) + 9) // 10),
+             |ec AS (SELECT CAST(count(*) AS BIGINT) AS e_club FROM e
+             |  WHERE src IN (SELECT node FROM club)
+             |    AND dst IN (SELECT node FROM club)),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM club),
+             |ta AS (SELECT CAST(count(*) AS BIGINT) AS e_all FROM e)
+             |SELECT (SELECT m FROM m) AS club_size,
+             |  (SELECT e_club FROM ec) AS e_club,
+             |  round(CAST((SELECT e_club FROM ec) AS DOUBLE) * 2.0 /
+             |    (CAST((SELECT m FROM m) AS DOUBLE) *
+             |     CAST((SELECT m FROM m) - 1 AS DOUBLE)), 6) AS club_density,
+             |  round(CAST((SELECT e_all FROM ta) AS DOUBLE) * 2.0 /
+             |    (CAST((SELECT nn FROM nt) AS DOUBLE) *
+             |     CAST((SELECT nn FROM nt) - 1 AS DOUBLE)), 6)
+             |    AS graph_density""".stripMargin)),
+
     // ----- Graph: neighbor-set Jaccard similarity between suppliers
     // (the item-item collaborative-filtering primitive — "suppliers
     // bought by the same customers are substitutes"; a17 counts raw
