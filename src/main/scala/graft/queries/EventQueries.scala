@@ -2887,5 +2887,136 @@ object EventQueries {
              |  max(CASE WHEN prevmax IS NULL OR cnt > prevmax THEN h END)
              |    AS last_record_hour
              |FROM rc""".stripMargin)),
+
+    // ----- Wald-Wolfowitz runs test (the SEQUENCE-randomness check
+    // t_record_breaks's count can't make: too FEW runs of
+    // above/below-median hours means positive autocorrelation —
+    // sluggish drifts; too MANY means oscillation — and either
+    // invalidates every i.i.d.-assuming threshold upstream). Binary
+    // sequence b_t = [cnt_t > median] (exact percentile of integer
+    // counts; ties below-or-equal pinned), R = 1 + Σ[b_t ≠ b_{t−1}]
+    // via one lag pass — exact longs; E[R] = 2n₁n₂/n + 1 and
+    // Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) are rationals of exact
+    // integers, z ONE pinned expression. Volume collapses to
+    // |hours| first.
+    QueryDef(
+      "t_runs_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val med = hourly.agg(expr("percentile(cnt, 0.5)").as("__med"))
+        val b = hourly.crossJoin(broadcast(med))
+          .select(col("h"),
+            when(col("cnt").cast("double") > col("__med"), 1L).otherwise(0L)
+              .as("b"))
+        val w = Window.orderBy("h")
+        val st = b
+          .withColumn("chg",
+            when(lag("b", 1).over(w).isNull, 1L)
+              .otherwise(when(col("b") =!= lag("b", 1).over(w), 1L)
+                .otherwise(0L)))
+          .agg(count(lit(1)).as("n"), sum("b").as("n1"),
+            (count(lit(1)) - sum("b")).as("n2"), sum("chg").as("r"))
+        st.filter(col("n1") > 0L && col("n2") > 0L && col("n") >= 2L)
+          .select(col("n"), col("n1"), col("n2"), col("r").as("runs"),
+            round((col("r").cast("double") -
+              (lit(2.0) * col("n1").cast("double") * col("n2").cast("double") /
+                col("n").cast("double") + lit(1.0))) /
+              sqrt(lit(2.0) * col("n1").cast("double") * col("n2").cast("double") *
+                (lit(2.0) * col("n1").cast("double") * col("n2").cast("double")
+                  - col("n").cast("double")) /
+                (col("n").cast("double") * col("n").cast("double") *
+                  (col("n").cast("double") - lit(1.0)))), 6).as("z"))
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |med AS (SELECT quantile_cont(cnt, 0.5) AS m FROM hourly),
+             |b AS (SELECT h,
+             |    CASE WHEN CAST(cnt AS DOUBLE) > (SELECT m FROM med)
+             |      THEN 1 ELSE 0 END AS b
+             |  FROM hourly),
+             |ch AS (SELECT b,
+             |    CASE WHEN lag(b) OVER (ORDER BY h) IS NULL THEN 1
+             |      WHEN b <> lag(b) OVER (ORDER BY h) THEN 1 ELSE 0 END
+             |      AS chg
+             |  FROM b),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(b) AS BIGINT) AS n1,
+             |    CAST(count(*) - sum(b) AS BIGINT) AS n2,
+             |    CAST(sum(chg) AS BIGINT) AS r
+             |  FROM ch)
+             |SELECT n, n1, n2, r AS runs,
+             |  round((CAST(r AS DOUBLE) -
+             |    (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+             |      CAST(n AS DOUBLE) + 1.0)) /
+             |    sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+             |      (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             |        - CAST(n AS DOUBLE)) /
+             |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+             |        (CAST(n AS DOUBLE) - 1.0))), 6) AS z
+             |FROM st WHERE n1 > 0 AND n2 > 0 AND n >= 2""".stripMargin)),
+
+    // ----- Inter-arrival burstiness coefficient per event type (the
+    // arrival-PROCESS view a34's count dispersion aggregates away:
+    // B = (σ−μ)/(σ+μ) over inter-arrival gaps — B ≈ 0 is Poisson,
+    // B → 1 is bursty clustering, B < 0 is pacemaker regularity;
+    // the Goh-Barabási burstiness every queueing/capacity model
+    // keys on). Gaps in MICROseconds (exact longs via one lag pass
+    // per type), all three sufficient statistics exact; σ uses the
+    // population form √((nΣg² − (Σg)²)/n²) so numerator stays an
+    // exact integer, then B is ONE pinned expression. Scale: gaps
+    // are a per-type window pass; stats collapse map-side.
+    QueryDef(
+      "t_burstiness",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("tsu", "event_id")
+        // values in floor-SECONDS (g² sums stay well inside longs —
+        // microsecond squares would overflow), ordering by exact
+        // MICROS so the sequence is unambiguous on both engines
+        val gaps = events(s, d)
+          .select(col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("tsu"),
+            unix_timestamp(col("ts")).as("tss"))
+          .withColumn("g", col("tss") - lag("tss", 1).over(w))
+          .filter(col("g").isNotNull)
+        gaps.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("g").as("sg"),
+            sum(col("g") * col("g")).as("sgg"))
+          .filter(col("n") >= 2L && col("sg") > 0L)
+          .select(col("event_type"), col("n"),
+            round(col("sg").cast("double") / col("n").cast("double"), 2)
+              .as("mean_gap_s"),
+            round((sqrt((col("n") * col("sgg") - col("sg") * col("sg"))
+                .cast("double")) - col("sg").cast("double")) /
+              (sqrt((col("n") * col("sgg") - col("sg") * col("sg"))
+                .cast("double")) + col("sg").cast("double")), 6)
+              .as("burstiness"))
+          .orderBy("event_type")
+      },
+      // B = (σ−μ)/(σ+μ) with σ = √(nΣg²−(Σg)²)/n and μ = Σg/n: the
+      // common factor 1/n cancels, so both engines compare
+      // √(nΣg²−(Σg)²) against Σg directly — integer-exact under the
+      // sqrt, one division
+      Some("""WITH g AS (SELECT event_type,
+             |    epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) OVER (
+             |      PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+             |      AS g
+             |  FROM events),
+             |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(g) AS BIGINT) AS sg,
+             |    CAST(sum(g * g) AS BIGINT) AS sgg
+             |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+             |SELECT event_type, n,
+             |  round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 2)
+             |    AS mean_gap_s,
+             |  round((sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
+             |      - CAST(sg AS DOUBLE)) /
+             |    (sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
+             |      + CAST(sg AS DOUBLE)), 6) AS burstiness
+             |FROM st WHERE n >= 2 AND sg > 0 ORDER BY event_type""".stripMargin)),
   )
 }
