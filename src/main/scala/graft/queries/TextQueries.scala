@@ -2394,5 +2394,63 @@ object TextQueries {
               |  round(CAST(b.np AS DOUBLE) / b.n, 6) AS raw_rate,
               |  round(iso.iso, 6) AS iso_rate
               |FROM pre b JOIN iso ON b.i = iso.i ORDER BY bucket""".stripMargin)),
+
+    // ----- Vocabulary growth curve at decile checkpoints (the
+    // MEASURED Heaps curve — "is the vocabulary saturating or still
+    // growing" decides tokenizer budgets and dedup aggressiveness;
+    // tx6 reports the final vocabulary, this reports its GROWTH,
+    // and deliberately measures rather than fits: no exponent
+    // regression, no transcendental — the raw (tokens-seen, vocab)
+    // pairs ARE the deliverable). A token contributes to the curve
+    // at its FIRST document in doc_id order — the t_cumulative_users
+    // first-seen reformulation applied to vocabulary (min(rank) per
+    // token, one uniform token-key shuffle), then per-decile cutoffs
+    // from a 1-row broadcast and two bounded ≤-joins; exact
+    // integers end to end; output 10 rows at any corpus scale.
+    QueryDef(
+      "tx39_vocab_growth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = docs(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .withColumn("r",
+            row_number().over(Window.orderBy("doc_id")).cast("long"))
+        val nDocs = ranked.agg(max("r").as("nd"))
+        val firstRank = ranked
+          .select(col("r"), explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(min("r").as("fr"))
+        val docToks = ranked.select(col("r"),
+          size(col("toks")).cast("long").as("nt"))
+        val cps = nDocs.select(
+            explode(sequence(lit(1L), lit(10L))).as("c"), col("nd"))
+          .select(col("c"),
+            call_function("div", col("nd") * col("c") + 9L, lit(10L))
+              .as("cutoff"))
+        val vocabAt = cps.join(firstRank, col("fr") <= col("cutoff"))
+          .groupBy("c", "cutoff").agg(count(lit(1)).as("vocab"))
+        val toksAt = cps.join(docToks, col("r") <= col("cutoff"))
+          .groupBy(col("c").as("c2")).agg(sum("nt").as("n_tokens"))
+        vocabAt.join(toksAt, col("c") === col("c2"))
+          .select(col("c").as("decile"), col("cutoff").as("n_docs"),
+            col("n_tokens"), col("vocab"))
+          .orderBy("decile")
+      },
+      Some("""WITH ranked AS (SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
+             |    string_split(text, ' ') AS toks
+             |  FROM documents),
+             |nd AS (SELECT CAST(max(r) AS BIGINT) AS nd FROM ranked),
+             |fr AS (SELECT tok, CAST(min(r) AS BIGINT) AS fr
+             |  FROM (SELECT r, unnest(toks) AS tok FROM ranked) GROUP BY 1),
+             |dt AS (SELECT r, CAST(len(toks) AS BIGINT) AS nt FROM ranked),
+             |cps AS (SELECT c, ((SELECT nd FROM nd) * c + 9) // 10 AS cutoff
+             |  FROM (SELECT unnest(range(1, 11)) AS c)),
+             |va AS (SELECT c, cutoff, CAST(count(*) AS BIGINT) AS vocab
+             |  FROM cps JOIN fr ON fr.fr <= cps.cutoff GROUP BY 1, 2),
+             |ta AS (SELECT c, CAST(sum(nt) AS BIGINT) AS n_tokens
+             |  FROM cps JOIN dt ON dt.r <= cps.cutoff GROUP BY 1)
+             |SELECT CAST(va.c AS BIGINT) AS decile, cutoff AS n_docs,
+             |  n_tokens, vocab
+             |FROM va JOIN ta ON va.c = ta.c ORDER BY decile""".stripMargin)),
   )
 }
