@@ -1088,5 +1088,63 @@ object SimilarityQueries {
               |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) p
               |LEFT JOIN ag ON p.vec_id = ag.probe_id
               |ORDER BY probe_id""".stripMargin)),
+
+    // ----- Embedding centroid drift between corpus halves (the
+    // MODEL-DRIFT check every embedding pipeline needs: when the
+    // encoder is retrained or the upstream distribution moves, the
+    // embedding cloud's CENTER moves first — comparing per-dimension
+    // integer centroids between two slices is the cheapest honest
+    // detector, and here the even/odd split is the NULL baseline a
+    // monitoring system alarms against). Lloyd's quantize-then-
+    // floorDiv discipline makes both centroids exact integer vectors
+    // (negative-sum floor division via the pmod identity), so the
+    // drift read-outs — squared L2 and L∞ over per-dim deltas — are
+    // exact longs, no float anywhere. Scale: posexplode collapses
+    // map-side to 2·D cells (vec_sum_ll is the production path —
+    // sim13; the explode form kept here for the cross-engine mirror).
+    QueryDef(
+      "sim18_centroid_drift",
+      (s, d) => {
+        val q = emb(s, d)
+          .select((col("vec_id") % 2).as("half"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("half"), col("pos"),
+            expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("qv"))
+        val cents = q.groupBy("half", "pos")
+          .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+          .select(col("half"), col("pos"),
+            graft.ext.Lloyd.floorDiv(col("s"), col("n")).as("c"),
+            col("n"))
+        val c0 = cents.filter(col("half") === 0)
+          .select(col("pos"), col("c").as("c0"), col("n").as("n0"))
+        val c1 = cents.filter(col("half") === 1)
+          .select(col("pos"), col("c").as("c1"), col("n").as("n1"))
+        c0.join(c1, Seq("pos"))
+          .select(col("pos"), (col("c0") - col("c1")).as("delta"),
+            col("n0"), col("n1"))
+          .agg(max("n0").as("n_even"), max("n1").as("n_odd"),
+            sum(col("delta") * col("delta")).as("l2sq_drift"),
+            max(abs(col("delta"))).as("linf_drift"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id % 2 AS half, pos - 1 AS pos,
+              |    CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS qv
+              |  FROM (SELECT vec_id,
+              |      unnest(embedding) AS v,
+              |      generate_subscripts(embedding, 1) AS pos
+              |    FROM embeddings)),
+              |cents AS (SELECT half, pos,
+              |    ${graft.ext.Lloyd.Sql.floorDiv("sum(qv)", "count(*)")} AS c,
+              |    CAST(count(*) AS BIGINT) AS n
+              |  FROM q GROUP BY 1, 2),
+              |j AS (SELECT c0.pos, c0.c - c1.c AS delta, c0.n AS n0,
+              |    c1.n AS n1
+              |  FROM (SELECT * FROM cents WHERE half = 0) c0
+              |  JOIN (SELECT * FROM cents WHERE half = 1) c1
+              |    ON c0.pos = c1.pos)
+              |SELECT CAST(max(n0) AS BIGINT) AS n_even,
+              |  CAST(max(n1) AS BIGINT) AS n_odd,
+              |  CAST(sum(delta * delta) AS BIGINT) AS l2sq_drift,
+              |  CAST(max(abs(delta)) AS BIGINT) AS linf_drift
+              |FROM j""".stripMargin)),
   )
 }

@@ -2452,5 +2452,74 @@ object TextQueries {
              |SELECT CAST(va.c AS BIGINT) AS decile, cutoff AS n_docs,
              |  n_tokens, vocab
              |FROM va JOIN ta ON va.c = ta.c ORDER BY decile""".stripMargin)),
+
+    // ----- Cohen's kappa between the learned gate and the heuristic
+    // label (the AGREEMENT statistic raw accuracy inflates: with an
+    // 80/20 class split two raters agreeing 80% of the time may
+    // agree no better than chance — κ subtracts the chance-agreement
+    // floor, the standard check before one labeler replaces
+    // another). Raters: tx20's pinned-logreg gate (score > 0) vs
+    // tx29's quality-above-median heuristic. κ = (p_o − p_e)/(1 −
+    // p_e) clears to a SINGLE division of exact longs:
+    // (n(a+d) − [(a+b)(a+c) + (c+d)(b+d)]) / (n² − [...]) — the
+    // 2×2 table is one scalars-only aggregation over per-row
+    // arithmetic, everything integer until the final division.
+    QueryDef(
+      "tx40_cohens_kappa",
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
+          .select(
+            graft.ext.QualityClassifier.scoreParts(
+              size(col("__toks")), size(array_distinct(col("__toks"))),
+              TextAnalysis.wordFreqs(col("__toks"),
+                graft.ext.QualityClassifier.featureWords)).as("score"),
+            TextAnalysis.qualityScoreTokens(col("__toks")).as("q"))
+        val med = base.agg(expr("percentile(q, 0.5)").as("__med"))
+        val cells = base.crossJoin(broadcast(med))
+          .select(when(col("score") > 0, 1L).otherwise(0L).as("r1"),
+            when(col("q") > col("__med"), 1L).otherwise(0L).as("r2"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("r1") === 1L && col("r2") === 1L, 1L).otherwise(0L))
+              .as("a"),
+            sum(when(col("r1") === 1L && col("r2") === 0L, 1L).otherwise(0L))
+              .as("b"),
+            sum(when(col("r1") === 0L && col("r2") === 1L, 1L).otherwise(0L))
+              .as("c"),
+            sum(when(col("r1") === 0L && col("r2") === 0L, 1L).otherwise(0L))
+              .as("dd"))
+        cells
+          .withColumn("pe_num", (col("a") + col("b")) * (col("a") + col("c"))
+            + (col("c") + col("dd")) * (col("b") + col("dd")))
+          .filter(col("n") * col("n") - col("pe_num") =!= 0L)
+          .select(col("n"), col("a"), col("b"), col("c"), col("dd").as("d"),
+            round((col("n") * (col("a") + col("dd")) - col("pe_num"))
+              .cast("double") /
+              (col("n") * col("n") - col("pe_num")).cast("double"), 6)
+              .as("kappa"))
+      },
+      Some(s"""WITH base AS (SELECT
+              |    ${graft.ext.QualityClassifier.Sql.scoreSql} AS score,
+              |    ${TS.qualityScore} AS q
+              |  FROM documents),
+              |med AS (SELECT quantile_cont(q, 0.5) AS m FROM base),
+              |cells AS (SELECT
+              |    CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CASE WHEN score > 0 AND q > (SELECT m FROM med)
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              |    CAST(sum(CASE WHEN score > 0 AND q <= (SELECT m FROM med)
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+              |    CAST(sum(CASE WHEN score <= 0 AND q > (SELECT m FROM med)
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              |    CAST(sum(CASE WHEN score <= 0 AND q <= (SELECT m FROM med)
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+              |  FROM base)
+              |SELECT n, a, b, c, d,
+              |  round(CAST(n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))
+              |      AS DOUBLE) /
+              |    CAST(n * n - ((a + b) * (a + c) + (c + d) * (b + d))
+              |      AS DOUBLE), 6) AS kappa
+              |FROM cells
+              |WHERE n * n - ((a + b) * (a + c) + (c + d) * (b + d)) <> 0""".stripMargin)),
   )
 }
