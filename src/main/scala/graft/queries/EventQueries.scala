@@ -3018,5 +3018,65 @@ object EventQueries {
              |    (sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
              |      + CAST(sg AS DOUBLE)), 6) AS burstiness
              |FROM st WHERE n >= 2 AND sg > 0 ORDER BY event_type""".stripMargin)),
+
+    // ----- Minimum cross-type gap per user via the ADJACENT-IN-
+    // MERGED-ORDER lemma (the "how tightly coupled are clicks and
+    // views for this user" read — reaction-time profiling; j2's
+    // as-of finds the latest click BEFORE each view, this finds the
+    // globally tightest click↔view pair either direction). The
+    // naive formulation is a per-user cross join (|clicks|·|views|
+    // pairs); the lemma that kills it: in the per-user time-sorted
+    // MERGE of both streams, the minimum absolute cross-type gap is
+    // always achieved by an ADJACENT pair (any non-adjacent
+    // cross-type pair has an intermediate event, and whichever type
+    // it is forms a strictly tighter cross-type pair with one end) —
+    // so ONE lag pass over the merged stream suffices: O(n log n)
+    // sort instead of O(n²) pairs. Gaps in floor-seconds, ordering
+    // by exact micros (the a36/burstiness discipline); output the
+    // per-user min-gap distribution summary, exact integers + two
+    // exact percentiles.
+    QueryDef(
+      "j11_min_gap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val merged = events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"),
+            unix_timestamp(col("ts")).as("tss"))
+        val adj = merged
+          .withColumn("pt", lag("event_type", 1).over(uw))
+          .withColumn("pg", col("tss") - lag("tss", 1).over(uw))
+          .filter(col("pt").isNotNull && col("pt") =!= col("event_type"))
+        val perUser = adj.groupBy("user_id")
+          .agg(min("pg").as("min_gap_s"), count(lit(1)).as("n_cross_adj"))
+        perUser.agg(count(lit(1)).as("n_users"),
+            min("min_gap_s").as("tightest_s"),
+            expr("percentile(min_gap_s, 0.5)").as("__p50"),
+            expr("percentile(min_gap_s, 0.9)").as("__p90"))
+          .select(col("n_users"), col("tightest_s"),
+            round(col("__p50"), 2).as("p50_s"),
+            round(col("__p90"), 2).as("p90_s"))
+      },
+      Some("""WITH m AS (SELECT user_id, event_id, event_type,
+             |    epoch_us(ts) AS tsu, epoch_us(ts) // 1000000 AS tss
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |adj AS (SELECT user_id,
+             |    tss - lag(tss) OVER (PARTITION BY user_id
+             |      ORDER BY tsu, event_id) AS pg,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY tsu, event_id) AS pt,
+             |    event_type
+             |  FROM m),
+             |pu AS (SELECT user_id, CAST(min(pg) AS BIGINT) AS min_gap_s,
+             |    CAST(count(*) AS BIGINT) AS n_cross_adj
+             |  FROM adj WHERE pt IS NOT NULL AND pt <> event_type
+             |  GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(min(min_gap_s) AS BIGINT) AS tightest_s,
+             |  round(quantile_cont(min_gap_s, 0.5), 2) AS p50_s,
+             |  round(quantile_cont(min_gap_s, 0.9), 2) AS p90_s
+             |FROM pu""".stripMargin)),
   )
 }
