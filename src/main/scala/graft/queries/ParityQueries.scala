@@ -2119,6 +2119,100 @@ object ParityQueries {
              |     CAST((SELECT nn FROM nt) - 1 AS DOUBLE)), 6)
              |    AS graph_density""".stripMargin)),
 
+    // ----- Gini mean difference of order values (the PAIRWISE
+    // dispersion scalar — mean |xᵢ − xⱼ| over all pairs — more
+    // robust than the variance (linear, not squared, in outliers)
+    // and more informative than MAD for skewed money amounts; the
+    // Theil-Sen lesson applied to dispersion: the O(n²) pair
+    // enumeration has a RANK-WEIGHTED closed form,
+    // Σ_pairs |xᵢ−xⱼ| = Σᵢ (2i−n−1)·x₍ᵢ₎ over the ascending sort —
+    // one window pass, exact longs (tie blocks contribute the same
+    // sum under any internal order: the coefficient SET per block is
+    // fixed), ONE division for the mean. Scale: the sort is the
+    // rank shape (range-partitioned at scale); everything after is
+    // scalars.
+    QueryDef(
+      "w13_gini_mean_diff",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = t(s, d, "orders").select(
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"),
+          col("o_orderkey").as("k"))
+        val ranked = cents.withColumn("i",
+          row_number().over(Window.orderBy(col("x"), col("k"))).cast("long"))
+        val st = ranked.agg(count(lit(1)).as("n"),
+          sum((lit(2L) * col("i") - lit(1L)) * col("x")).as("wsum"),
+          sum("x").as("sx"))
+        // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx, keeping the window pass
+        // free of the (broadcast-dependent) n
+        st.filter(col("n") >= 2L)
+          .select(col("n"),
+            round((col("wsum") - col("n") * col("sx")).cast("double") * 2.0 /
+              (col("n").cast("double") * (col("n") - 1L).cast("double")) /
+              100.0, 2).as("gmd_dollars"),
+            round(col("sx").cast("double") / col("n").cast("double") / 100.0, 2)
+              .as("mean_dollars"))
+      },
+      Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+             |    o_orderkey AS k
+             |  FROM orders),
+             |r AS (SELECT x,
+             |    CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS i
+             |  FROM c),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum((2 * i - 1) * x) AS BIGINT) AS wsum,
+             |    CAST(sum(x) AS BIGINT) AS sx
+             |  FROM r)
+             |SELECT n,
+             |  round(CAST(wsum - n * sx AS DOUBLE) * 2.0 /
+             |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0, 2)
+             |    AS gmd_dollars,
+             |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 2)
+             |    AS mean_dollars
+             |FROM st WHERE n >= 2""".stripMargin)),
+
+    // ----- Year-over-year monthly revenue growth (the BI staple
+    // missing between a20's rank trending and q6's forecast: same-
+    // month-last-year comparison is how seasonal businesses read
+    // growth, because month-over-month confounds seasonality).
+    // Exact-cents monthly revenue, YoY pairing by a self-join on
+    // (year−1, month) — a calendar-key join on the bounded month
+    // grid, not a window (gaps in the year sequence must pair to
+    // NOTHING, not to the previous existing year); growth a single
+    // 6-dp division of exact cents, denominator-positive guarded.
+    QueryDef(
+      "q23_yoy_growth",
+      (s, d) => {
+        val monthly = t(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("cents"))
+        monthly.as("cur")
+          .join(monthly.as("prev"),
+            col("cur.y") === col("prev.y") + 1L &&
+              col("cur.m") === col("prev.m"))
+          .filter(col("prev.cents") > 0L)
+          .select(col("cur.y").as("y"), col("cur.m").as("m"),
+            col("cur.cents").as("rev_cents"),
+            round((col("cur.cents") - col("prev.cents")).cast("double") /
+              col("prev.cents").cast("double"), 6).as("yoy_growth"))
+          .orderBy("y", "m")
+      },
+      Some("""WITH monthly AS (SELECT
+             |    CAST(year(o_orderdate) AS BIGINT) AS y,
+             |    CAST(month(o_orderdate) AS BIGINT) AS m,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT c.y, c.m, c.cents AS rev_cents,
+             |  round(CAST(c.cents - p.cents AS DOUBLE) /
+             |    CAST(p.cents AS DOUBLE), 6) AS yoy_growth
+             |FROM monthly c JOIN monthly p
+             |  ON c.y = p.y + 1 AND c.m = p.m
+             |WHERE p.cents > 0
+             |ORDER BY c.y, c.m""".stripMargin)),
+
     // ----- Graph: neighbor-set Jaccard similarity between suppliers
     // (the item-item collaborative-filtering primitive — "suppliers
     // bought by the same customers are substitutes"; a17 counts raw
