@@ -3078,5 +3078,81 @@ object EventQueries {
              |  round(quantile_cont(min_gap_s, 0.5), 2) AS p50_s,
              |  round(quantile_cont(min_gap_s, 0.9), 2) AS p90_s
              |FROM pu""".stripMargin)),
+
+    // ----- Poisson bootstrap of the MEDIAN (the statistic the
+    // bootstrap exists for: the mean's sampling variance has a
+    // formula, the median's depends on the unknown density at the
+    // median — resampling is the practical answer, and a33's
+    // hash-seeded machinery makes it deterministic). Stronger than
+    // a33's contract: the WEIGHTED median of integer weights is
+    // ITSELF exact — per replicate, collapse to distinct values
+    // with summed weights (killing tie-order ambiguity at the
+    // root), one cumulative pass, lower-median rule pinned as the
+    // smallest x with cumw ≥ (W+1) div 2 — so all 50 bootstrap
+    // medians are exact LONGS, no float anywhere in the query.
+    // Scale: ×50 fan-out map-side (the a33 cost), then per-(r, x)
+    // collapse and a per-replicate bounded window.
+    QueryDef(
+      "a40_bootstrap_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.ext.NearDup
+        val ladder = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+          999406L, 999917L, 999990L)
+        val e = events(s, d)
+          .select(col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("x"),
+            explode(sequence(lit(0), lit(49))).as("r"))
+          .withColumn("u",
+            NearDup.charHash(concat_ws(":", col("event_id"), col("r")))
+              % 1000000L)
+        val w = ladder.zipWithIndex
+          .foldRight(lit(ladder.length.toLong)) { case ((thr, i), acc) =>
+            when(col("u") < thr, i.toLong).otherwise(acc)
+          }
+        val vals = e.withColumn("w", w).filter(col("w") > 0L)
+          .groupBy("r", "x").agg(sum("w").as("wv"))
+        val cum = vals
+          .withColumn("cw", sum("wv").over(Window.partitionBy("r")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = vals.groupBy(col("r").as("r2")).agg(sum("wv").as("bw"))
+        cum.join(tot, col("r") === col("r2"))
+          .filter(col("cw") >= call_function("div", col("bw") + 1L, lit(2L)))
+          .groupBy("r")
+          .agg(min("x").as("median_cents"), max("bw").as("n_eff"))
+          .select(col("r").cast("long").as("replicate"), col("n_eff"),
+            col("median_cents"))
+          .orderBy("replicate")
+      },
+      Some(s"""WITH x AS (SELECT event_id,
+              |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+              |e AS (SELECT event_id, x, unnest(range(0, 50)) AS r FROM x),
+              |h AS (SELECT r, x, ${graft.ext.NearDup.Sql.charHashSql(
+                  "(CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR))")}
+              |    % 1000000 AS u
+              |  FROM e),
+              |wts AS (SELECT r, x, CASE
+              |    WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+              |    WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+              |    WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+              |    WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+              |    ELSE 8 END AS w
+              |  FROM h),
+              |vals AS (SELECT r, x, CAST(sum(w) AS BIGINT) AS wv
+              |  FROM wts WHERE w > 0 GROUP BY 1, 2),
+              |cum AS (SELECT r, x, wv,
+              |    CAST(sum(wv) OVER (PARTITION BY r ORDER BY x
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS cw
+              |  FROM vals),
+              |tot AS (SELECT r, CAST(sum(wv) AS BIGINT) AS bw
+              |  FROM vals GROUP BY 1)
+              |SELECT CAST(c.r AS BIGINT) AS replicate,
+              |  CAST(max(t.bw) AS BIGINT) AS n_eff,
+              |  CAST(min(c.x) AS BIGINT) AS median_cents
+              |FROM cum c JOIN tot t ON c.r = t.r
+              |WHERE c.cw >= (t.bw + 1) // 2
+              |GROUP BY 1 ORDER BY replicate""".stripMargin)),
   )
 }

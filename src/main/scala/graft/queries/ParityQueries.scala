@@ -2213,6 +2213,76 @@ object ParityQueries {
              |WHERE p.cents > 0
              |ORDER BY c.y, c.m""".stripMargin)),
 
+    // ----- Graph: global transitivity (the ONE-SCALAR clustering
+    // read-out 3T/W — what fraction of open wedges close; g2 lists
+    // per-node triangle counts, g7 peels by edge support, this is
+    // the corpus-level "is this graph clique-ish or tree-ish"
+    // number analysts actually quote). Computed on g3's
+    // support-thresholded co-purchase graph: per-node triangle
+    // counts from the degree-ordered oriented wedge join
+    // ([[Triangles.perNode]] — their sum counts every triangle at
+    // its 3 corners, so T = Σtri div 3 exactly), wedges W =
+    // Σ d(d−1) div 2 from one degree pass; transitivity ONE 6-dp
+    // division of exact longs.
+    QueryDef(
+      "g12_transitivity",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = op.as("a")
+          .join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").cast("long").as("u"),
+            col("b.pk").cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select("u", "v")
+        val tri = graft.ext.Triangles.perNode(edges)
+          .agg(sum("tri").as("tri3"))
+        val deg = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val wed = deg.agg(
+          call_function("div", sum(col("dg") * (col("dg") - 1L)), lit(2L))
+            .as("wedges"),
+          count(lit(1)).as("n_nodes"))
+        tri.crossJoin(broadcast(wed))
+          .filter(col("wedges") > 0L)
+          .select(col("n_nodes"),
+            call_function("div", col("tri3"), lit(3L)).as("n_triangles"),
+            col("wedges"),
+            round(col("tri3").cast("double") /
+              col("wedges").cast("double"), 6).as("transitivity"))
+      },
+      Some(s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+              |    l_partkey AS pk FROM lineitem),
+              |e AS MATERIALIZED (SELECT CAST(a.pk AS BIGINT) AS u,
+              |    CAST(b.pk AS BIGINT) AS v
+              |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |deg AS (SELECT n, count(*)::BIGINT AS dg FROM (
+              |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+              |o AS (SELECT
+              |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+              |      THEN e.u ELSE e.v END AS src,
+              |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+              |      THEN e.v ELSE e.u END AS dst
+              |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+              |w AS (SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+              |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst <> o2.dst),
+              |tr AS (SELECT count(*) AS t2 FROM w
+              |  JOIN o ON w.y = o.src AND w.z = o.dst),
+              |wed AS (SELECT CAST(sum(dg * (dg - 1)) // 2 AS BIGINT)
+              |    AS wedges,
+              |  CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+              |SELECT n_nodes,
+              |  CAST((SELECT t2 FROM tr) * 3 // 3 AS BIGINT) AS n_triangles,
+              |  wedges,
+              |  round(CAST((SELECT t2 FROM tr) * 3 AS DOUBLE) /
+              |    CAST(wedges AS DOUBLE), 6) AS transitivity
+              |FROM wed WHERE wedges > 0""".stripMargin)),
+
     // ----- Graph: neighbor-set Jaccard similarity between suppliers
     // (the item-item collaborative-filtering primitive — "suppliers
     // bought by the same customers are substitutes"; a17 counts raw
