@@ -464,6 +464,8 @@ object Bench {
       graft.queries.DedupQueries.releaseSignatureCache()
       graft.queries.SimilarityQueries.releaseCaches()
       graft.queries.ParityQueries.releaseCaches()
+      graft.queries.EventQueries.releaseCaches()
+      graft.queries.TextQueries.releaseCaches()
       // ANN recall at stress scale (round-6 verdict item 3): the hash
       // oracle pins sim4/sim5 candidate geometry at sf0.01; nothing
       // watched whether bucket/cell occupancy drift at 8× erodes
@@ -518,6 +520,8 @@ object Bench {
         }
       graft.queries.SimilarityQueries.releaseCaches()
       graft.queries.ParityQueries.releaseCaches()
+      graft.queries.EventQueries.releaseCaches()
+      graft.queries.TextQueries.releaseCaches()
       val medians = results.map { case (k, r) =>
         k -> r.map(s => s.sorted.apply(s.length / 2))
       }
@@ -568,6 +572,8 @@ object Bench {
           graft.queries.DedupQueries.releaseSignatureCache()
           graft.queries.SimilarityQueries.releaseCaches()
           graft.queries.ParityQueries.releaseCaches()
+          graft.queries.EventQueries.releaseCaches()
+          graft.queries.TextQueries.releaseCaches()
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -582,6 +588,8 @@ object Bench {
     graft.queries.DedupQueries.releaseSignatureCache()
     graft.queries.SimilarityQueries.releaseCaches()
     graft.queries.ParityQueries.releaseCaches()
+    graft.queries.EventQueries.releaseCaches()
+    graft.queries.TextQueries.releaseCaches()
     val qs = results.map {
       case (k, Right(s)) => "\"" + esc(k) + s"""":[${s.mkString(",")}]"""
       case (k, Left(_))  => "\"" + esc(k) + "\":null"
@@ -621,6 +629,8 @@ object Bench {
     graft.queries.DedupQueries.releaseSignatureCache()
     graft.queries.SimilarityQueries.releaseCaches()
     graft.queries.ParityQueries.releaseCaches()
+    graft.queries.EventQueries.releaseCaches()
+    graft.queries.TextQueries.releaseCaches()
     spark.catalog.clearCache()
     val results = names.map { name =>
       // One more untimed run IMMEDIATELY before the sample block (the
@@ -646,6 +656,8 @@ object Bench {
     graft.queries.DedupQueries.releaseSignatureCache()
     graft.queries.SimilarityQueries.releaseCaches()
     graft.queries.ParityQueries.releaseCaches()
+    graft.queries.EventQueries.releaseCaches()
+    graft.queries.TextQueries.releaseCaches()
 
     // streaming throughput (round-3 verdict item 2): separate failure
     // domain — a streaming error must not zero the batch numbers, but

@@ -37,6 +37,8 @@ object Verify {
     graft.queries.DedupQueries.releaseSignatureCache()
     graft.queries.SimilarityQueries.releaseCaches()
     graft.queries.ParityQueries.releaseCaches()
+    graft.queries.EventQueries.releaseCaches()
+    graft.queries.TextQueries.releaseCaches()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -51,10 +51,11 @@ object Hits {
     * max element exactly Scale.
     */
   def hubsAuthorities(edges: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"hubsAuthorities needs at least one round, got $rounds")
     // one lineage cut: every half-round references the (often
     // join-derived) edge input twice more — without the cut the
     // caller's edge construction re-executes per reference
-    val (e, _) = Dedup.checkpointed(edges.select("hub", "auth"))
+    val (e, eRdd) = Dedup.checkpointed(edges.select("hub", "auth"))
     var hubs = e.select(col("hub")).distinct().withColumn("score", lit(Scale))
     var auths: DataFrame = null
     for (_ <- 1 to rounds) {
@@ -71,7 +72,13 @@ object Hits {
         .select(col("hub"),
           call_function("div", col("raw") * Scale, col("mx")).as("score"))
     }
-    (hubs, auths)
+    // materialize the final frames (one cut each), then release the
+    // edge blocks — without this the session pins them indefinitely
+    // (Truss/KCore unpersist per round; HITS has one shared input)
+    val (hOut, _) = Dedup.checkpointed(hubs)
+    val (aOut, _) = Dedup.checkpointed(auths)
+    eRdd.unpersist(blocking = false)
+    (hOut, aOut)
   }
 
   /** DuckDB mirror: unrolled rounds over a CTE `e` (hub, auth) —

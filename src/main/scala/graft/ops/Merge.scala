@@ -37,8 +37,16 @@ object Merge {
       opCol: String = "op"): DataFrame = {
     val payload = target.columns.filter(_ != key).toSeq
     val t = target.select(col(key) +: payload.map(c => col(c).as(s"t_$c")): _*)
+    // op contract enforced at the source scan: anything outside
+    // {I,U,D} (including NULL) raises rather than silently becoming a
+    // no-op / all-NULL insert — after the full_outer join a NULL
+    // source op would be indistinguishable from an unmatched target row
+    val checkedOp = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("Merge.upsert: op must be one of I/U/D, got "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
     val s = source.select(
-      col(key) +: (payload.map(c => col(c).as(s"s_$c")) :+ col(opCol).as("__op")): _*)
+      col(key) +: (payload.map(c => col(c).as(s"s_$c")) :+ checkedOp.as("__op")): _*)
     t.join(s, Seq(key), "full_outer")
       .filter(
         // drop: matched delete; and source-only delete (no-op insert)

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Distributed exact global rank / running total — the shared
+  * primitive behind every "position in the global sort order" query,
+  * built so that NO single-partition Window node ever appears in a
+  * plan (the round-7 verdict's one scale-killer family:
+  * `row_number().over(Window.orderBy(...))` funnels the entire input
+  * through ONE task).
+  *
+  * Shape (the classic distributed-rank / zipWithIndex recipe,
+  * DataFrame-first):
+  *
+  *  1. `repartitionByRange` on the sort key — ONE range exchange;
+  *     partition i holds keys ordered before partition i+1's, and
+  *     rows equal under the key are co-partitioned (range boundaries
+  *     are key values), so tie blocks never straddle partitions.
+  *  2. Per-partition row counts — ≤ `spark.sql.shuffle.partitions`
+  *     longs collected to the driver. Driver state is bounded by
+  *     CLUSTER CONFIG, not data (the same bound RDD.zipWithIndex
+  *     carries); at 1000 executors that is a few thousand longs.
+  *  3. Exclusive prefix offsets broadcast back as a tiny
+  *     (pid, base) table; the final position is pure per-row
+  *     arithmetic — no second full-data shuffle for
+  *     [[globalPosition]], one grid-sized pid exchange for
+  *     [[runningTotals]].
+  *
+  * Tie semantics: rows equal under `sort` get arbitrary relative
+  * positions (like row_number over a non-unique key). Callers must
+  * either pass a globally unique sort key or derive only
+  * tie-invariant quantities (per-value lo/hi/cum — what the grid
+  * collapses in a38/w13/audit_key_skew/g11 do).
+  *
+  * The caller passes its registry's TrackedCache as `cache`: the
+  * range-partitioned frame is read by two actions (the offset collect
+  * and the final query), and caching both halves the work and pins
+  * the partition layout so the two actions cannot see different
+  * AQE-coalesced pids.
+  */
+object Rank {
+
+  private def nParts(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** Append an exact 1-based global position column by `sort`
+    * (composite keys and `.desc` components supported) — equal to
+    * `row_number().over(Window.orderBy(sort))` whenever the key is
+    * unique, with zero single-partition stages: positions come from
+    * `monotonically_increasing_id` over the partition-local sort plus
+    * a broadcast per-partition base. The id's
+    * consecutive-within-partition layout is asserted per partition
+    * (max − min + 1 == count), so a layout change fails loudly
+    * instead of mis-ranking.
+    */
+  def globalPosition(df: DataFrame, sort: Seq[Column], posCol: String,
+      cache: DataFrame => DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val p = cache(df.repartitionByRange(nParts(df), sort: _*))
+    val s = p.sortWithinPartitions(sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val stats = s.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), min("__mid").as("__mn"),
+        max("__mid").as("__mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    if (stats.isEmpty) return df.withColumn(posCol, lit(1L))
+    stats.foreach { case (pid, c, mn, mx) =>
+      require(mx - mn + 1L == c,
+        s"monotonically_increasing_id not consecutive in partition $pid " +
+          s"(count=$c span=${mx - mn + 1}) — globalPosition's base " +
+          "arithmetic needs the documented per-partition counter layout")
+    }
+    var off = 0L
+    val bases = stats.map { case (pid, c, mn, _) =>
+      val base = off - mn + 1L // pos = __mid + base
+      off += c
+      Row(pid, base)
+    }
+    val baseDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bases.toSeq, 1),
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        StructField("__base", LongType, nullable = false))))
+    s.join(broadcast(baseDf), Seq("__pid"))
+      .withColumn(posCol, col("__mid") + col("__base"))
+      .drop("__pid", "__mid", "__base")
+  }
+
+  /** Append inclusive running totals of `sums` (srcCol → cumColName)
+    * in `sort` order: cum = Σ src over all rows ordered ≤ this row.
+    * Intended for TIE-COLLAPSED grids (one row per distinct sort-key
+    * value — the a30_ks_test discipline), where it replaces the
+    * unpartitioned cumulative window: per-partition partial sums are
+    * collected (≤ numPartitions longs), exclusive prefix offsets ride
+    * back on a broadcast (pid, base…) table, and the only Window is
+    * PARTITIONED by pid (its hash exchange moves the grid, never the
+    * raw input). Rows must be unique under `sort` — with ties the
+    * ROWS-frame cum is order-dependent.
+    */
+  def runningTotals(df: DataFrame, sort: Seq[Column],
+      sums: Seq[(String, String)],
+      cache: DataFrame => DataFrame): DataFrame = {
+    require(sums.nonEmpty, "runningTotals needs at least one sum column")
+    val spark = df.sparkSession
+    val p = cache(df.repartitionByRange(nParts(df), sort: _*))
+      .withColumn("__pid", spark_partition_id())
+    val aggCols = sums.map { case (src, _) => sum(col(src)).as(s"__t_$src") }
+    val stats = p.groupBy("__pid").agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), sums.indices.map(i => r.getLong(i + 1)).toArray))
+      .sortBy(_._1)
+    if (stats.isEmpty)
+      return sums.foldLeft(df) { case (d, (_, dst)) => d.withColumn(dst, lit(0L)) }
+    val offs = Array.fill(sums.size)(0L)
+    val rows = stats.map { case (pid, ts) =>
+      val r = Row.fromSeq(pid +: offs.toSeq)
+      for (i <- offs.indices) offs(i) += ts(i)
+      r
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(StructField("__pid", IntegerType, nullable = false) +:
+        sums.map { case (_, dst) =>
+          StructField(s"__off_$dst", LongType, nullable = false)
+        }))
+    val w = Window.partitionBy("__pid").orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = p.join(broadcast(offDf), Seq("__pid"))
+    val withCums = sums.foldLeft(joined) { case (d, (src, dst)) =>
+      d.withColumn(dst, sum(col(src)).over(w) + col(s"__off_$dst"))
+    }
+    withCums.drop("__pid" +: sums.map { case (_, dst) => s"__off_$dst" }: _*)
+  }
+}

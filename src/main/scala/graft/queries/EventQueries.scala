@@ -14,6 +14,14 @@ object EventQueries {
   private def events(s: SparkSession, d: String): DataFrame =
     graft.sources.Tables.table(s, d, "events")
 
+  /** Releasable plan-deduped cache (shared TrackedCache discipline) —
+    * here it backs ops/Rank's two-action range-partitioned frames.
+    */
+  private val tracked = new TrackedCache
+
+  /** Unpersist every cache entry created by this registry (idempotent). */
+  def releaseCaches(): Unit = tracked.release()
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- JSON extraction from the props column (from_json with an
@@ -2601,33 +2609,34 @@ object EventQueries {
     // values than views", robust to outliers a mean test would chase).
     // EXACT TIE HANDLING: tied values get the average rank, kept
     // exact by working at 2× scale — a tie group spanning positions
-    // a..b contributes rank2 = a + b per member (an integer), so the
-    // rank-sum, U statistic, and the tie-correction term Σ(t³−t) are
-    // all exact longs; the normal-approximation z is ONE pinned
-    // expression of those integers at the end. Scale: the global
-    // rank is a sort (range-partitioned at scale — the standard
-    // distributed-rank shape); everything after is scalars.
+    // lo..hi contributes rank2 = lo + hi per member (an integer), so
+    // the rank-sum, U statistic, and the tie-correction term Σ(t³−t)
+    // are all exact longs; the normal-approximation z is ONE pinned
+    // expression of those integers at the end. NO per-row rank (the
+    // round-7 scale-killer): collapse to the distinct-cents grid
+    // FIRST (groupBy x → t, clicks), cum = running count via
+    // ops/Rank (range-partitioned prefix sums, no single-partition
+    // Window); rank2 = lo + hi = 2·cum − t + 1 per grid row, so the
+    // rank-sum is Σ c1·(2·cum−t+1) over the grid and the raw events
+    // collapse to |distinct cents| rows before any ordering.
     QueryDef(
       "a38_mann_whitney",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val v = events(s, d)
           .filter(col("event_type").isin("click", "view"))
           .select(
             when(col("event_type") === "click", 1L).otherwise(0L).as("g1"),
             expr("CAST(round(value * 100) AS BIGINT)").as("x"))
-        val rk = v.withColumn("pos",
-          row_number().over(Window.orderBy("x")).cast("long"))
-        val tg = rk.groupBy("x").agg(min("pos").as("lo"), max("pos").as("hi"),
-          count(lit(1)).as("t"))
-        val r2 = rk.join(tg.select(col("x"), (col("lo") + col("hi")).as("rank2")),
-          Seq("x"))
-        val st = r2.agg(sum("g1").as("n1"),
-          (count(lit(1)) - sum("g1")).as("n2"), count(lit(1)).as("n"),
-          sum(when(col("g1") === 1L, col("rank2")).otherwise(0L)).as("r1x2"))
-        val ties = tg.agg(
+        val grid = v.groupBy("x")
+          .agg(count(lit(1)).as("t"), sum("g1").as("c1"))
+        val cum = graft.ops.Rank.runningTotals(
+          grid, Seq(col("x")), Seq("t" -> "cum"), tracked(_))
+        val st = cum.agg(sum("c1").as("n1"),
+          (sum("t") - sum("c1")).as("n2"), sum("t").as("n"),
+          sum(col("c1") * (lit(2L) * col("cum") - col("t") + lit(1L)))
+            .as("r1x2"),
           sum(col("t") * col("t") * col("t") - col("t")).as("tc"))
-        st.crossJoin(broadcast(ties))
+        st
           .select(col("n1"), col("n2"),
             (col("r1x2") - col("n1") * (col("n1") + 1L)).as("u1_x2"),
             round(((col("r1x2") - col("n1") * (col("n1") + 1L)).cast("double")

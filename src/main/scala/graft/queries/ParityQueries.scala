@@ -1297,26 +1297,36 @@ object ParityQueries {
     // ops/Skew.scala holds the mitigation, this measures the
     // condition): per-key counts (one uniform shuffle, collapses any
     // volume to \|keys\|), then three exact-integer concentration
-    // signals over the bounded key grid — top-1/top-10 share (long
-    // ratios), and the Gini coefficient via the sorted-rank formula
-    // G = (2·Σ i·cᵢ)/(n·Σcᵢ) − (n+1)/n with cᵢ ascending (count,
-    // key)-pinned: every term a product/sum of exact longs, one
-    // double division at the end, round 6.
+    // signals — top-1/top-10 share (long ratios), and the Gini
+    // coefficient via the sorted-rank formula
+    // G = (2·Σ i·cᵢ)/(n·Σcᵢ) − (n+1)/n. NO per-row rank over the
+    // (unbounded) key grid: collapse AGAIN to the distinct-COUNT-
+    // VALUE grid (c, t) — heavily tied integers — with cum = running
+    // count via ops/Rank; per tie block (ranks lo..hi) the rank-
+    // weighted term is Σ i·c = c·t·(lo+hi)/2 with lo+hi = 2·cum−t+1
+    // (always even product — consecutive-integer sum), and the
+    // top-10 contribution is c·max(0, cum − max(cum−t, n−10)).
+    // Every term a product/sum of exact longs, one double division
+    // at the end, round 6.
     QueryDef(
       "audit_key_skew",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val kc = t(s, d, "events")
           .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(col("c"), col("user_id"))
-        val ranked = kc
-          .withColumn("i", row_number().over(w).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        ranked.agg(
-            count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+        val grid = kc.groupBy("c").agg(count(lit(1)).as("t"))
+        val cum = graft.ops.Rank.runningTotals(
+          grid, Seq(col("c")), Seq("t" -> "cum"), tracked(_))
+        val nk = grid.agg(sum("t").as("__nk"))
+        cum.crossJoin(broadcast(nk)).agg(
+            sum("t").as("n_keys"), sum(col("c") * col("t")).as("n_rows"),
             max("c").as("top1"),
-            sum(when(col("i") > col("n") - 10, col("c")).otherwise(0L)).as("top10"),
-            sum(col("i") * col("c")).as("__ic"))
+            sum(col("c") * greatest(lit(0L),
+              col("cum") - greatest(col("cum") - col("t"),
+                col("__nk") - 10L))).as("top10"),
+            call_function("div",
+              sum(col("c") * col("t") *
+                (lit(2L) * col("cum") - col("t") + lit(1L))), lit(2L))
+              .as("__ic"))
           .select(col("n_keys"), col("n_rows"),
             round(col("top1").cast("double") / col("n_rows"), 6).as("top1_share"),
             round(col("top10").cast("double") / col("n_rows"), 6).as("top10_share"),
@@ -1854,13 +1864,23 @@ object ParityQueries {
             col("l_suppkey").cast("long").as("auth"))
           .distinct()
         val (hubs, auths) = graft.ext.Hits.hubsAuthorities(edges, 2)
-        import org.apache.spark.sql.expressions.Window
-        def top(df: DataFrame, key: String, kind: String): DataFrame = df
-          .withColumn("rk", row_number()
-            .over(Window.orderBy(col("score").desc, col(key))).cast("long"))
-          .filter(col("rk") <= 15)
-          .select(lit(kind).as("kind"), col(key).as("key"),
-            col("score"), col("rk"))
+        // top-15 is TakeOrderedAndProject (per-partition heaps +
+        // driver merge of 15·P rows), NOT a global window rank over
+        // every node score (the round-7 scale-killer); ranks are then
+        // re-derived on the 15 survivors by a broadcast predecessor
+        // count — no Window node anywhere
+        def top(df: DataFrame, key: String, kind: String): DataFrame = {
+          val lim = df.orderBy(col("score").desc, col(key)).limit(15)
+          val base = lim.select(col(key).as("key"), col("score"))
+          val other = lim.select(col("score").as("bs"), col(key).as("bk"))
+          base.join(broadcast(other),
+              col("bs") > col("score") ||
+                (col("bs") === col("score") && col("bk") < col("key")),
+              "left")
+            .groupBy("key", "score")
+            .agg((count(col("bk")) + 1L).as("rk"))
+            .select(lit(kind).as("kind"), col("key"), col("score"), col("rk"))
+        }
         top(hubs, "hub", "customer")
           .unionAll(top(auths, "auth", "supplier"))
           .orderBy("kind", "rk")
@@ -2058,26 +2078,45 @@ object ParityQueries {
     // two semi joins against a broadcast-small elite set. On the
     // BIPARTITE purchase graph the club can hold few internal edges
     // (elite customers only link to elite suppliers if they trade)
-    // — the measured ratio IS the structure read-out.
+    // — the measured ratio IS the structure read-out. NO global
+    // window rank over all node degrees (the round-7 scale-killer):
+    // the decile cut collapses to the distinct-DEGREE grid (integer
+    // degrees, heavily tied) + running counts via ops/Rank; the one
+    // boundary degree class is then ranked by node id with the
+    // distributed globalPosition (range-partitioned — a hot degree
+    // class parallelizes instead of funneling one window task).
     QueryDef(
       "g11_rich_club",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val e0 = t(s, d, "orders")
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select((col("o_custkey").cast("long") * 2).as("src"),
             (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
           .distinct()
         val edges = tracked(e0)
-        val deg = edges.select(col("src").as("node"))
+        val deg = tracked(edges.select(col("src").as("node"))
           .unionAll(edges.select(col("dst").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("dg"))
+          .groupBy("node").agg(count(lit(1)).as("dg")))
         val nTot = deg.agg(count(lit(1)).as("nn"))
-        val club = deg.crossJoin(broadcast(nTot))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("dg").desc, col("node"))).cast("long"))
-          .filter(col("rk") <= (col("nn") + 9L) / 10L)
-          .select("node")
+        val grid = deg.groupBy("dg").agg(count(lit(1)).as("t"))
+        val cum = graft.ops.Rank.runningTotals(
+          grid, Seq(col("dg").desc), Seq("t" -> "cum"), tracked(_))
+        // the 1-row boundary: degree class containing rank m = ⌈nn/10⌉,
+        // and how many of its (node-ascending) members make the cut
+        val bound = cum.crossJoin(broadcast(nTot))
+          .withColumn("m", (col("nn") + 9L) / 10L)
+          .filter(col("cum") - col("t") < col("m") && col("m") <= col("cum"))
+          .select(col("dg").as("dstar"),
+            (col("m") - (col("cum") - col("t"))).as("need"))
+        val whole = deg.crossJoin(broadcast(bound))
+          .filter(col("dg") > col("dstar")).select("node")
+        val partial = graft.ops.Rank.globalPosition(
+            deg.crossJoin(broadcast(bound))
+              .filter(col("dg") === col("dstar"))
+              .select("node", "need"),
+            Seq(col("node")), "pos", tracked(_))
+          .filter(col("pos") <= col("need")).select("node")
+        val club = whole.unionAll(partial)
         val eClub = edges
           .join(club.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(club.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
@@ -2125,25 +2164,28 @@ object ParityQueries {
     // and more informative than MAD for skewed money amounts; the
     // Theil-Sen lesson applied to dispersion: the O(n²) pair
     // enumeration has a RANK-WEIGHTED closed form,
-    // Σ_pairs |xᵢ−xⱼ| = Σᵢ (2i−n−1)·x₍ᵢ₎ over the ascending sort —
-    // one window pass, exact longs (tie blocks contribute the same
-    // sum under any internal order: the coefficient SET per block is
-    // fixed), ONE division for the mean. Scale: the sort is the
-    // rank shape (range-partitioned at scale); everything after is
-    // scalars.
+    // Σ_pairs |xᵢ−xⱼ| = Σᵢ (2i−n−1)·x₍ᵢ₎ over the ascending sort.
+    // NO per-row rank (the round-7 scale-killer): collapse to the
+    // distinct-cents grid first, cum = running count via ops/Rank
+    // (range-partitioned prefix sums, no single-partition Window) —
+    // a tie block of value x spanning positions lo..hi contributes
+    // Σ(2i−1)x = x·t·(2·cum−t) exactly (lo+hi = 2·cum−t+1), so the
+    // grid carries the whole rank-weighted sum in exact longs; ONE
+    // division for the mean. The grid is ≤ |distinct cents| rows —
+    // the a30_ks_test collapse applied to ranking.
     QueryDef(
       "w13_gini_mean_diff",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val cents = t(s, d, "orders").select(
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"),
-          col("o_orderkey").as("k"))
-        val ranked = cents.withColumn("i",
-          row_number().over(Window.orderBy(col("x"), col("k"))).cast("long"))
-        val st = ranked.agg(count(lit(1)).as("n"),
-          sum((lit(2L) * col("i") - lit(1L)) * col("x")).as("wsum"),
-          sum("x").as("sx"))
-        // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx, keeping the window pass
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+        val grid = cents.groupBy("x").agg(count(lit(1)).as("t"))
+        val cum = graft.ops.Rank.runningTotals(
+          grid, Seq(col("x")), Seq("t" -> "cum"), tracked(_))
+        val st = cum.agg(sum("t").as("n"),
+          sum(col("x") * col("t") * (lit(2L) * col("cum") - col("t")))
+            .as("wsum"),
+          sum(col("x") * col("t")).as("sx"))
+        // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx, keeping the grid pass
         // free of the (broadcast-dependent) n
         st.filter(col("n") >= 2L)
           .select(col("n"),
@@ -2304,8 +2346,9 @@ object ParityQueries {
             expr("percentile(cents, 0.25D)").as("__q1"),
             expr("percentile(cents, 0.5D)").as("__q2"),
             expr("percentile(cents, 0.75D)").as("__q3"))
-          // kept in CENTS: the quartiles are exact k or k.5 doubles and
-          // the /4 trimean lands on dyadic quarters — all exactly
+          // kept in CENTS: interpolation at 0.25/0.5/0.75 lands each
+          // quartile on a quarter-cent multiple (k.0/k.25/k.5/k.75)
+          // and the /4 trimean on 1/16-cent dyadics — all exactly
           // representable, so the rounds are identity and the
           // half-up-vs-half-even divergence a /100 dollar conversion
           // hit (measured: .285 dollars rounded .28 vs .29) cannot occur

@@ -604,12 +604,23 @@ object SimilarityQueries {
     QueryDef(
       "sim12_hybrid_rrf",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docsDf = graft.sources.Tables.table(s, d, "documents")
-        val wl = Window.orderBy(col("bm25").desc, col("doc_id"))
-        val lex = TextQueries.bm25Scores(docsDf, Seq("spark", "vector", "slow"))
-          .withColumn("rk_lex", row_number().over(wl).cast("long"))
-          .filter(col("rk_lex") <= 20)
+        // lexical top-20 is TakeOrderedAndProject, not a global window
+        // rank over every BM25-matching doc (term-selectivity-bounded
+        // but unbounded for common terms — the round-7 borderline);
+        // ranks re-derived on the 20 survivors by broadcast
+        // predecessor count
+        val lim = tracked(
+          TextQueries.bm25Scores(docsDf, Seq("spark", "vector", "slow"))
+            .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+            .select("doc_id", "bm25"))
+        val other = lim.select(col("bm25").as("ob"), col("doc_id").as("od"))
+        val lex = lim.join(broadcast(other),
+            col("ob") > col("bm25") ||
+              (col("ob") === col("bm25") && col("od") < col("doc_id")),
+            "left")
+          .groupBy("doc_id")
+          .agg((count(col("od")) + 1L).as("rk_lex"))
           .select("doc_id", "rk_lex")
         val e = emb(s, d)
         val probes = e.filter(col("vec_id") === 7)

@@ -18,6 +18,14 @@ object TextQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     graft.sources.Tables.table(s, d, "documents")
 
+  /** Releasable plan-deduped cache (shared TrackedCache discipline) —
+    * here it backs ops/Rank's two-action range-partitioned frames.
+    */
+  private val tracked = new TrackedCache
+
+  /** Unpersist every cache entry created by this registry (idempotent). */
+  def releaseCaches(): Unit = tracked.release()
+
   import TextAnalysis.{Sql => TS}
 
   /** Shared BM25 scorer (k1 = 1.2, b = 0.75, Lucene +1-idf always-
@@ -2407,14 +2415,19 @@ object TextQueries {
     // token, one uniform token-key shuffle), then per-decile cutoffs
     // from a 1-row broadcast and two bounded ≤-joins; exact
     // integers end to end; output 10 rows at any corpus scale.
+    // The doc rank comes from ops/Rank.globalPosition (range-
+    // partitioned distributed rank over the SLIM doc_id column, no
+    // single-partition Window, token arrays never ride the range
+    // exchange) joined back on the unique key — identical positions
+    // to row_number over doc_id.
     QueryDef(
       "tx39_vocab_growth",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        val ids = graft.ops.Rank.globalPosition(
+          docs(s, d).select("doc_id"), Seq(col("doc_id")), "r", tracked(_))
         val ranked = docs(s, d)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-          .withColumn("r",
-            row_number().over(Window.orderBy("doc_id")).cast("long"))
+          .join(ids, Seq("doc_id"))
         val nDocs = ranked.agg(max("r").as("nd"))
         val firstRank = ranked
           .select(col("r"), explode(col("toks")).as("tok"))

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** Structural lock for the round-7 verdict's one scale-killer class:
+  * a `Window` with an EMPTY partition spec plans as a single task and
+  * funnels its whole input through one core — correct and fast at
+  * sf0.1, dead at 100 TB. The six global-rank queries (plus sim12's
+  * borderline lexical arm) were migrated onto ops/Rank (distributed
+  * range-partitioned rank/prefix-sum) and TakeOrdered top-k; this
+  * spec walks each EXECUTED plan — through AQE stages, cached
+  * relations, and subqueries — and fails if any unpartitioned Window
+  * node ever reappears (the a27/E152 discipline, made structural).
+  */
+class Round8PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val migrated = Seq("a38_mann_whitney", "w13_gini_mean_diff",
+    "tx39_vocab_growth", "audit_key_skew", "g6_hits", "g11_rich_club",
+    "sim12_hybrid_rrf")
+
+  private def releaseAll(): Unit = {
+    graft.queries.DedupQueries.releaseSignatureCache()
+    graft.queries.SimilarityQueries.releaseCaches()
+    graft.queries.ParityQueries.releaseCaches()
+    graft.queries.EventQueries.releaseCaches()
+    graft.queries.TextQueries.releaseCaches()
+  }
+
+  /** Collect Window nodes across the whole physical tree, descending
+    * into AQE wrappers, finalized query stages, cached-plan scans,
+    * and (scalar/broadcast) subqueries — anywhere a window could hide.
+    */
+  private def windows(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => Seq(w)
+      case _ => Nil
+    }
+    val kids: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+      case o => o.children
+    }
+    val subs = p.subqueries
+    here ++ (kids ++ subs).flatMap(windows)
+  }
+
+  test("no single-partition Window node in the migrated global-rank family") {
+    migrated.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize AQE so stage plans are the real ones
+      val bad = windows(df.queryExecution.executedPlan)
+      assert(bad.isEmpty,
+        s"$q regrew an unpartitioned Window (single-task funnel):\n" +
+          bad.map(_.verboseString(3)).mkString("\n"))
+      releaseAll()
+    }
+  }
+
+  test("the walker detects a planted unpartitioned Window (negative control)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1 to 50).toDF("v")
+      .withColumn("rk", row_number().over(Window.orderBy("v")))
+    df.collect()
+    assert(windows(df.queryExecution.executedPlan).nonEmpty,
+      "plan walker failed to find a planted single-partition Window — " +
+        "the family lock above would be vacuous")
+  }
+
+  test("g6_hits top-15 plans as TakeOrdered, not sort-all") {
+    val df = SparkEntry.queries("g6_hits")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"g6_hits lost its TakeOrdered top-k:\n${plan.take(2000)}")
+    releaseAll()
+  }
+}
