@@ -3239,6 +3239,324 @@ object ParityQueries {
              |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
              |GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
 
+    // ----- TPC-H Q2 shape (min-cost supplier per part in a region —
+    // the classic correlated-subquery DECORRELATION on partsupp):
+    // the per-part min(supplycost) subquery becomes an aggregate on
+    // the region-restricted supply table joined back on (partkey,
+    // cost) — two passes over the same tracked frame, never a
+    // per-row subquery; nation/region broadcast (25/5 rows), the
+    // supplier dimension joins under AQE sizing, top-25 is
+    // TakeOrdered with a unique (acctbal desc, nation, supplier,
+    // part) total order. partsupp itself is the DERIVED fixture
+    // (sources/DerivedTables — pure integer arithmetic both engines
+    // replay; closes the round-7 "fixture-infeasible" boundary).
+    QueryDef(
+      "q2_min_cost_supplier",
+      (s, d) => {
+        val nat = t(s, d, "nation")
+        val reg = t(s, d, "region").filter(col("r_name") === "EUROPE")
+        val supp = t(s, d, "supplier")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val rs = tracked(graft.sources.DerivedTables.partsupp(s, d)
+          .join(supp, col("ps_suppkey") === col("s_suppkey"))
+          .select("ps_partkey", "ps_supplycost_cents", "s_name",
+            "s_acctbal", "n_name"))
+        val mn = rs.groupBy(col("ps_partkey").as("mk"))
+          .agg(min("ps_supplycost_cents").as("mc"))
+        rs.join(mn, col("ps_partkey") === col("mk") &&
+            col("ps_supplycost_cents") === col("mc"))
+          .join(t(s, d, "part").filter(col("p_size") === 15)
+              .select("p_partkey", "p_brand"),
+            col("p_partkey") === col("ps_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey").cast("long").as("p_partkey"), col("p_brand"),
+            col("ps_supplycost_cents"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(25)
+      },
+      Some(s"""WITH ${graft.sources.DerivedTables.Sql.partsupp},
+             |rs AS (SELECT ps_partkey, ps_supplycost_cents, s_name,
+             |    s_acctbal, n_name
+             |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE'),
+             |mn AS (SELECT ps_partkey AS mk,
+             |    min(ps_supplycost_cents) AS mc
+             |  FROM rs GROUP BY 1)
+             |SELECT s_acctbal, s_name, n_name,
+             |  CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
+             |  ps_supplycost_cents
+             |FROM rs JOIN mn ON ps_partkey = mk
+             |  AND ps_supplycost_cents = mc
+             |JOIN part ON p_partkey = ps_partkey AND p_size = 15
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 25""".stripMargin)),
+
+    // ----- TPC-H Q9 shape (product-line profit by nation and year —
+    // the TWO-FACT-KEY join lesson: lineitem meets partsupp on the
+    // COMPOSITE (partkey, suppkey), the one genuinely big-big
+    // shuffle here; the part-name filter cuts the part dimension
+    // BEFORE its join so non-matching fact rows drop at the join,
+    // supplier rides AQE, nation broadcasts). Profit pinned to
+    // exact cents per row — revenue via the q14 idiom, minus
+    // supplycost·qty on whole-valued quantities — so the sum is an
+    // exact long at any parallelism, ONE /100 division at the end.
+    QueryDef(
+      "q9_product_profit",
+      (s, d) => {
+        val revenue = call_function("div",
+          expr("CAST(round(l_extendedprice*100) AS BIGINT)") *
+            (lit(100L) - expr("CAST(round(l_discount*100) AS BIGINT)")),
+          lit(100L))
+        t(s, d, "lineitem")
+          .join(graft.sources.DerivedTables.partsupp(s, d),
+            col("ps_partkey") === col("l_partkey") &&
+              col("ps_suppkey") === col("l_suppkey"))
+          .join(t(s, d, "part").filter(col("p_name").like("%widget%"))
+              .select("p_partkey"),
+            col("p_partkey") === col("l_partkey"))
+          .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("l_shipdate")).cast("long").as("yr"))
+          .agg(round(sum(revenue -
+              col("ps_supplycost_cents") * col("l_quantity").cast("long"))
+              .cast("double") / 100.0, 2).as("profit_dollars"))
+          .orderBy("nation", "yr")
+      },
+      Some(s"""WITH ${graft.sources.DerivedTables.Sql.partsupp}
+             |SELECT n_name AS nation,
+             |  CAST(year(l_shipdate) AS BIGINT) AS yr,
+             |  round(sum((CAST(round(l_extendedprice*100) AS BIGINT)
+             |      * (100 - CAST(round(l_discount*100) AS BIGINT))) // 100
+             |    - ps_supplycost_cents * CAST(l_quantity AS BIGINT))
+             |    / 100.0, 2) AS profit_dollars
+             |FROM lineitem
+             |JOIN partsupp ON ps_partkey = l_partkey
+             |  AND ps_suppkey = l_suppkey
+             |JOIN part ON p_partkey = l_partkey
+             |  AND p_name LIKE '%widget%'
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY 1, 2 ORDER BY nation, yr""".stripMargin)),
+
+    // ----- TPC-H Q11 shape (important stock: per-part inventory
+    // value in a nation group vs a SCALAR fraction-of-total
+    // threshold): one uniform partkey shuffle for the value agg, the
+    // total a 1-row broadcast, the HAVING an exact integer
+    // cross-multiplication with a SCALE-FREE threshold — classic Q11
+    // scales its fraction by 1/SF precisely so the cut doesn't go
+    // vacuous as parts multiply; here that is "value > 1.5× the mean
+    // part value", v·n·2 > t·3 on exact longs (no float fraction), so
+    // the cut is hash-stable and non-degenerate at every SF. Value
+    // stays in exact cents·qty longs.
+    QueryDef(
+      "q11_important_stock",
+      (s, d) => {
+        val supp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+              .filter(col("n_name").isin("NATION_3", "NATION_8", "NATION_13"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val va = tracked(graft.sources.DerivedTables.partsupp(s, d)
+          .join(supp, col("ps_suppkey") === col("s_suppkey"))
+          .groupBy("ps_partkey")
+          .agg(sum(col("ps_supplycost_cents") * col("ps_availqty"))
+            .as("value_cents")))
+        val tot = va.agg(sum("value_cents").as("__t"),
+          count(lit(1)).as("__n"))
+        va.crossJoin(broadcast(tot))
+          .filter(col("value_cents") * col("__n") * 2L > col("__t") * 3L)
+          .select("ps_partkey", "value_cents")
+          .orderBy(col("value_cents").desc, col("ps_partkey"))
+      },
+      Some(s"""WITH ${graft.sources.DerivedTables.Sql.partsupp},
+             |val AS (SELECT ps_partkey,
+             |    CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS v
+             |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+             |  GROUP BY 1),
+             |tot AS (SELECT CAST(sum(v) AS BIGINT) AS t,
+             |    CAST(count(*) AS BIGINT) AS n FROM val)
+             |SELECT ps_partkey, v AS value_cents FROM val
+             |WHERE v * (SELECT n FROM tot) * 2 > (SELECT t FROM tot) * 3
+             |ORDER BY value_cents DESC, ps_partkey""".stripMargin)),
+
+    // ----- TPC-H Q12 shape (late-shipment lanes by receipt year —
+    // the date-sandwich predicates l_shipdate < l_commitdate <
+    // l_receiptdate over the DERIVED commit/receipt dates, grouped
+    // by returnflag lane with the priority CASE-sum pair; the
+    // fixture carries no l_shipmode, so the lane key adapts to
+    // returnflag while the plan physics — filters at the fact scan,
+    // one orderkey join, ≤ |lanes|·|years| rows out — is Q12's).
+    QueryDef(
+      "q12_late_lanes",
+      (s, d) => {
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        graft.sources.DerivedTables.lineitemExt(s, d)
+          .filter(col("l_commitdate") < col("l_receiptdate") &&
+            col("l_shipdate") < col("l_commitdate"))
+          .select("l_orderkey", "l_returnflag", "l_receiptdate")
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_returnflag"),
+            year(col("l_receiptdate")).cast("long").as("yr"))
+          .agg(sum(when(high, 1L).otherwise(0L)).as("high_count"),
+            sum(when(!high, 1L).otherwise(0L)).as("low_count"))
+          .orderBy("l_returnflag", "yr")
+      },
+      Some(s"""WITH ${graft.sources.DerivedTables.Sql.lineitemExt}
+             |SELECT l_returnflag,
+             |  CAST(year(l_receiptdate) AS BIGINT) AS yr,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+             |FROM lx JOIN orders ON o_orderkey = l_orderkey
+             |WHERE l_commitdate < l_receiptdate
+             |  AND l_shipdate < l_commitdate
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----- TPC-H Q16 shape (supplier variety per part attribute —
+    // the NOT-IN-subquery lesson: the excluded-supplier set becomes
+    // a LEFT ANTI join on the supply table, never a per-row IN
+    // probe; the part-attribute filters cut the dimension before
+    // its join; count(DISTINCT ps_suppkey) dedups inside the final
+    // agg, output bounded by |brand|x|type|x|sizes|).
+    QueryDef(
+      "q16_supplier_variety",
+      (s, d) => {
+        val bad = t(s, d, "supplier").filter(col("s_acctbal") < 1000)
+          .select(col("s_suppkey").as("bad_k"))
+        graft.sources.DerivedTables.partsupp(s, d)
+          .join(t(s, d, "part")
+              .filter(col("p_brand") =!= "Brand#45" &&
+                col("p_type") =!= "PROMO" &&
+                col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+              .select("p_partkey", "p_brand", "p_type", "p_size"),
+            col("p_partkey") === col("ps_partkey"))
+          .join(bad, col("bad_k") === col("ps_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"),
+            col("p_size").cast("long").as("p_size"))
+          .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some(s"""WITH ${graft.sources.DerivedTables.Sql.partsupp}
+             |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+             |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM partsupp JOIN part ON p_partkey = ps_partkey
+             |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+             |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |    WHERE s_acctbal < 1000)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin)),
+
+    // ----- TPC-H Q20 shape (suppliers holding excess stock — the
+    // NESTED correlated aggregate lesson: "availqty > half of what
+    // that part+supplier actually shipped in the year" decorrelates
+    // into a (partkey, suppkey) shipment aggregate joined back on
+    // the composite key, the q17 move one level deeper; the
+    // part-name cut prunes the supply side before the join; the
+    // final supplier read-out is a LEFT SEMI, emitting each supplier
+    // once with no fan-out). Integer compare availqty·2 > q on
+    // whole-valued quantity sums.
+    QueryDef(
+      "q20_excess_stock",
+      (s, d) => {
+        val shipped = t(s, d, "lineitem")
+          .filter(year(col("l_shipdate")) === 1997)
+          .groupBy(col("l_partkey").as("sp"), col("l_suppkey").as("ss"))
+          .agg(sum("l_quantity").cast("long").as("q"))
+        val excess = graft.sources.DerivedTables.partsupp(s, d)
+          .join(t(s, d, "part").filter(col("p_name").like("%bolt%"))
+              .select("p_partkey"),
+            col("p_partkey") === col("ps_partkey"))
+          .join(shipped, col("sp") === col("ps_partkey") &&
+            col("ss") === col("ps_suppkey"))
+          .filter(col("ps_availqty") * 2L > col("q"))
+          .select("ps_suppkey")
+        t(s, d, "supplier")
+          .join(excess, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_nationkey").cast("long").as("nk"))
+          .orderBy("s_name")
+      },
+      Some(s"""WITH ${graft.sources.DerivedTables.Sql.partsupp},
+             |shipped AS (SELECT l_partkey, l_suppkey,
+             |    CAST(sum(l_quantity) AS BIGINT) AS q
+             |  FROM lineitem WHERE year(l_shipdate) = 1997
+             |  GROUP BY 1, 2),
+             |excess AS (SELECT ps_suppkey FROM partsupp
+             |  JOIN part ON p_partkey = ps_partkey
+             |    AND p_name LIKE '%bolt%'
+             |  JOIN shipped ON l_partkey = ps_partkey
+             |    AND l_suppkey = ps_suppkey
+             |  WHERE ps_availqty * 2 > q)
+             |SELECT s_name, CAST(s_nationkey AS BIGINT) AS nk
+             |FROM supplier
+             |WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+             |ORDER BY s_name""".stripMargin)),
+
+    // ----- TPC-H Q21 shape (suppliers who kept others waiting — the
+    // SEMI + ANTI double self-join on the fact table, the hardest
+    // planner lesson in the family: "my line was late, SOME other
+    // supplier shared the order (EXISTS -> left semi), and NO other
+    // supplier was also late (NOT EXISTS -> left anti)". Both
+    // self-joins are equi on l_orderkey with the <> supplier
+    // predicate riding as a join condition — never a cartesian;
+    // three passes over the derived-date fact, each filter cut at
+    // its scan; top-100 with (numwait desc, s_name) total order.
+    QueryDef(
+      "q21_waiting_suppliers",
+      (s, d) => {
+        val lx = tracked(graft.sources.DerivedTables.lineitemExt(s, d)
+          .select("l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate"))
+        val late = lx.filter(col("l_receiptdate") > col("l_commitdate"))
+        val l1 = late
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+              .select("o_orderkey"),
+            col("o_orderkey") === col("l_orderkey"))
+        val others = lx.select(col("l_orderkey").as("o2"),
+          col("l_suppkey").as("s2"))
+        val lateOthers = late.select(col("l_orderkey").as("o3"),
+          col("l_suppkey").as("s3"))
+        l1.join(others, col("o2") === col("l_orderkey") &&
+              col("s2") =!= col("l_suppkey"), "left_semi")
+          .join(lateOthers, col("o3") === col("l_orderkey") &&
+              col("s3") =!= col("l_suppkey"), "left_anti")
+          .join(t(s, d, "supplier").select("s_suppkey", "s_name"),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some(s"""WITH ${graft.sources.DerivedTables.Sql.lineitemExt}
+             |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM lx l1
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |  AND o_orderstatus = 'F'
+             |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |WHERE l1.l_receiptdate > l1.l_commitdate
+             |  AND EXISTS (SELECT 1 FROM lx l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lx l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_receiptdate > l3.l_commitdate)
+             |GROUP BY 1 ORDER BY numwait DESC, s_name
+             |LIMIT 100""".stripMargin),
+      bench = true),
+
     // ----- custom DataSource V2 scan with REAL pushdown (the
     // connector API, demonstrated oracle-gated — see
     // sources/DocsRangeSource): the id-range predicate narrows the

@@ -76,6 +76,36 @@ class Round8PlanSpec extends SparkSpec {
         "the family lock above would be vacuous")
   }
 
+  test("q21 plans its EXISTS/NOT-EXISTS as semi + anti on the fact key") {
+    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q21 degraded to a product:\n${plan.take(2000)}")
+    assert(plan.contains("LeftSemi"),
+      s"q21 EXISTS is not a semi join:\n${plan.take(2000)}")
+    assert(plan.contains("LeftAnti"),
+      s"q21 NOT EXISTS is not an anti join:\n${plan.take(2000)}")
+    releaseAll()
+  }
+
+  test("q9's only big-big join is equi on the composite supply key") {
+    val df = SparkEntry.queries("q9_product_profit")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // partsupp's |supplier|-count rides a 1-row broadcast crossJoin
+    // (the registry's scalar-broadcast pattern, which plans as a BNLJ
+    // over single rows) — so unlike q21 only CartesianProduct is
+    // banned here, and the fact⋈supply join must be a real equi join
+    assert(!plan.contains("CartesianProduct"),
+      s"q9 degraded to a product:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"q9 lost its equi joins:\n${plan.take(2000)}")
+    releaseAll()
+  }
+
   test("g6_hits top-15 plans as TakeOrdered, not sort-all") {
     val df = SparkEntry.queries("g6_hits")(spark, sf)
     df.collect()
