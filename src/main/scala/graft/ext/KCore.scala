@@ -85,6 +85,74 @@ object KCore {
     rows.toDF("round", "n_removed", "n_nodes", "n_edges")
   }
 
+  /** Frontier peel — identical output to [[peelStats]] (equality
+    * proven by KCoreSpec on generated graphs and by `g3b` sharing
+    * g3's oracle), with the per-round DEGREE work reduced from
+    * "re-aggregate every edge" to "decrement only the neighbors of
+    * what was just removed" (the CC frontier argument applied to
+    * peeling, the deferred half of the round-7 scaladoc):
+    *
+    *  - a maintained degree table replaces the per-round full degree
+    *    aggregation — the only per-round shuffle on the node key
+    *    carries `lost` decrements, one row per (survivor, removed)
+    *    incident edge, which is O(edges touched by the frontier),
+    *    not O(all edges);
+    *  - candidates for removal are read straight off the table
+    *    (only nodes that lost an edge can newly drop below k, and
+    *    their rows were just rewritten);
+    *  - nodes whose updated degree hits 0 leave the table SILENTLY
+    *    (matching pinned-round semantics, where an isolated node
+    *    simply stops appearing in the edge-derived degree agg and is
+    *    never counted as removed);
+    *  - edge deletion stays the two anti joins (a scan, but against
+    *    the AQE-broadcast shrinking removed set — no shuffle of e).
+    *
+    * Same per-round [[Dedup.checkpointed]] lineage discipline on BOTH
+    * rolling frames (edges and degrees), superseded blocks released
+    * by their RDD handles.
+    */
+  def peelStatsFrontier(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var (e, eRdd) = Dedup.checkpointed(edges.select("u", "v"))
+    var (deg, degRdd) = Dedup.checkpointed(
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg")))
+    val rows = (1 to rounds).map { r =>
+      val bad = deg.filter(col("dg") < k).select("n")
+      val nRemoved = bad.count()
+      val badU = bad.withColumnRenamed("n", "u")
+      val badV = bad.withColumnRenamed("n", "v")
+      // degree decrements: each edge losing its OTHER endpoint takes
+      // one off the surviving endpoint; both-bad edges decrement no one
+      val lostU = e.join(badV, Seq("v"), "left_semi")
+        .join(badU, Seq("u"), "left_anti")
+        .groupBy(col("u").as("n")).agg(count(lit(1)).as("lc"))
+      val lostV = e.join(badU, Seq("u"), "left_semi")
+        .join(badV, Seq("v"), "left_anti")
+        .groupBy(col("v").as("n")).agg(count(lit(1)).as("lc"))
+      val lost = lostU.unionAll(lostV).groupBy("n").agg(sum("lc").as("lost"))
+      val (nextE, nextERdd) = Dedup.checkpointed(
+        e.join(badU, Seq("u"), "left_anti")
+          .join(badV, Seq("v"), "left_anti").select("u", "v"))
+      val (nextDeg, nextDegRdd) = Dedup.checkpointed(
+        deg.join(bad, Seq("n"), "left_anti")
+          .join(lost, Seq("n"), "left")
+          .select(col("n"),
+            (col("dg") - coalesce(col("lost"), lit(0L))).as("dg"))
+          .filter(col("dg") > 0L))
+      val nEdges = nextE.count()
+      val nNodes = nextDeg.count()
+      eRdd.unpersist(blocking = false)
+      degRdd.unpersist(blocking = false)
+      e = nextE; eRdd = nextERdd; deg = nextDeg; degRdd = nextDegRdd
+      (r.toLong, nRemoved, nNodes, nEdges)
+    }
+    eRdd.unpersist(blocking = false)
+    degRdd.unpersist(blocking = false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    rows.toDF("round", "n_removed", "n_nodes", "n_edges")
+  }
+
   /** DuckDB mirror: unrolled rounds over a CTE `e0` (u, v) — emits
     * `d1/bad1/e1/s1 … s{rounds}` with the identical peel; select
     * `SELECT * FROM s1 UNION ALL … ORDER BY round` after it.

@@ -1803,6 +1803,39 @@ object ParityQueries {
               |${graft.ext.KCore.Sql.rounds(3, 4)}
               |${graft.ext.KCore.Sql.select(4)}""".stripMargin)),
 
+    // ----- Graph: FRONTIER k-core peel (round-7 verdict ask 4 — the
+    // deferred frontier treatment, landed): identical peel to g3 but
+    // the per-round degree work shrinks from "re-aggregate every
+    // edge" to "decrement the neighbors of what was just removed"
+    // (see ext/KCore.peelStatsFrontier). Registered against the SAME
+    // unrolled DuckDB mirror as g3 — the oracle replays the
+    // pinned-round peel, so a frontier bookkeeping bug (a missed
+    // decrement, a zero-degree node miscounted as removed) is a hash
+    // mismatch, not just a spec failure; KCoreSpec additionally
+    // proves frontier ≡ pinned on generated random graphs.
+    QueryDef(
+      "g3b_kcore_frontier",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").cast("long").as("u"),
+            col("b.pk").cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select("u", "v")
+        graft.ext.KCore.peelStatsFrontier(edges, k = 3, rounds = 4)
+          .orderBy("round")
+      },
+      Some(s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+              |e0 AS MATERIALIZED (SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
+              |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |${graft.ext.KCore.Sql.rounds(3, 4)}
+              |${graft.ext.KCore.Sql.select(4)}""".stripMargin)),
+
     // ----- Graph: synchronous label-propagation communities over the
     // HIGH-VOLUME purchase graph (edges = customer↔supplier pairs
     // with a qty>47 lineitem — the bulk-trade relationships; the

@@ -29,6 +29,39 @@ class KCoreSpec extends SparkSpec {
       (3L, 0L, 3L, 3L)))
   }
 
+  test("frontier peel is exactly the pinned-round peel (random graphs)") {
+    // the frontier variant maintains degrees incrementally; its whole
+    // contract is bit-identical per-round stats vs the full recompute
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 300)
+        .map { _ =>
+          val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+          (math.min(a, b), math.max(a, b))
+        }
+        .filter(p => p._1 != p._2).distinct
+        .toDF("u", "v")
+      val pinned = KCore.peelStats(edges, k = 3, rounds = 5)
+        .orderBy("round").collect().map(_.toSeq)
+      val frontier = KCore.peelStatsFrontier(edges, k = 3, rounds = 5)
+        .orderBy("round").collect().map(_.toSeq)
+      assert(pinned.toSeq == frontier.toSeq, s"diverged at seed $seed")
+    }
+  }
+
+  test("frontier peel handles silently-isolated nodes like the pinned peel") {
+    // star 1-{2,3,4} plus pendant pair 5-6: k=2 round 1 removes
+    // 2,3,4,5,6 (degree 1), isolating node 1 WITHOUT counting it —
+    // the case where a frontier degree table must drop the zero-degree
+    // row silently rather than report it as removed
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("u", "v")
+    val pinned = KCore.peelStats(edges, k = 2, rounds = 2)
+      .orderBy("round").collect().map(_.toSeq)
+    val frontier = KCore.peelStatsFrontier(edges, k = 2, rounds = 2)
+      .orderBy("round").collect().map(_.toSeq)
+    assert(pinned.toSeq == frontier.toSeq)
+  }
+
   test("k above max degree peels everything to the empty graph") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
     val got = KCore.peelStats(edges, k = 3, rounds = 2)
