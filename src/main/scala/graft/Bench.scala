@@ -386,6 +386,55 @@ object Bench {
     } finally deleteRecursively(base)
   }
 
+  /** Streaming ANN serving throughput (round-7 verdict ask 5): probes
+    * stream against the pinned-IVF-indexed STATIC corpus
+    * (stream/StreamingAnn — stateless stream-static join; the corpus
+    * side is assigned once and persisted, the executor-resident-index
+    * deployment shape). `rows` here are PROBE rows — each fans out to
+    * its nprobe cells' occupants (~corpus/nlist·nprobe candidates),
+    * so the scored-row volume is ~1000× the probe count; the honest
+    * metric is probes/s end-to-end into a noop sink. Same
+    * median-of-n protocol as every streaming block. Throws on error;
+    * skip/capture is main()'s contract.
+    */
+  def streamingAnnBench(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val nProbes = sys.env.getOrElse("SPARK_GRAFT_ANN_PROBES", "2000").toInt
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_ANN_FILES", "8").toInt
+    val filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_ANN_FILES_PER_BATCH", "2").toInt
+    sizeProgressBuffer(spark, (nFiles + filesPerBatch - 1) / filesPerBatch)
+    val base = Files.createTempDirectory("graft_ann_bench")
+    try {
+      val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      val assigned = graft.stream.StreamingAnn
+        .assignCorpus(emb, graft.ext.IvfModel.centroids).persist()
+      assigned.count() // materialize the index before the clock starts
+      val input = s"$base/probes"
+      emb.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        .repartition(nFiles).write.mode("overwrite").parquet(input)
+      val written = spark.read.parquet(input).count()
+      try {
+        sampledStreamJson("ann_serving", written, nStreamSamples) { i =>
+          val stream = spark.readStream
+            .schema(spark.read.parquet(input).schema)
+            .option("maxFilesPerTrigger", filesPerBatch)
+            .parquet(input)
+          val flow = graft.stream.StreamingAnn.scoreIvf(
+            stream, assigned, graft.ext.IvfModel.centroids, nprobe = 4)
+          val t0 = System.nanoTime()
+          val q = flow.writeStream.format("noop")
+            .option("checkpointLocation", s"$base/ckpt$i")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          ((System.nanoTime() - t0) / 1e9, Seq(q))
+        }
+      } finally assigned.unpersist(blocking = false)
+    } finally deleteRecursively(base)
+  }
+
   /** Stress-scale block (round-4 verdict item 4): re-times the heavy
     * dedup/text queries on a COPIES×-enlarged corpus (shifted-id
     * copies — the DevStress recipe, built in-process) so
@@ -732,6 +781,13 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
+    val streamingAnn: Either[String, Option[String]] =
+      if (sys.env.contains("SPARK_GRAFT_STREAM_SKIP")) Right(None)
+      else try Right(Some(streamingAnnBench(spark, sfDir)))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     // stress-scale block: same separate-failure-domain contract
     val stress: Either[String, Option[String]] =
       if (sys.env.contains("SPARK_GRAFT_STRESS_SKIP")) Right(None)
@@ -768,6 +824,11 @@ object Bench {
       case Right(None)      => ""
       case Left(e)          => s""","streaming_stateful_err":"${esc(e)}""""
     }
+    val streamAnnJson = streamingAnn match {
+      case Right(Some(obj)) => s""","streaming_ann":$obj"""
+      case Right(None)      => ""
+      case Left(e)          => s""","streaming_ann_err":"${esc(e)}""""
+    }
     val stressJson = stress match {
       case Right(Some(obj)) => s""","stress8x":$obj"""
       case Right(None)      => ""
@@ -779,7 +840,7 @@ object Bench {
       case Left(e)          => s""","cold_err":"${esc(e)}""""
     }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$streamStatefulJson$stressJson$coldJson,"sf":"${esc(sfDir)}","n":$nSamples,"stat":"median","failed":$nErr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$streamStatefulJson$streamAnnJson$stressJson$coldJson,"sf":"${esc(sfDir)}","n":$nSamples,"stat":"median","failed":$nErr}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()
