@@ -64,9 +64,49 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/verify_times.json"), timesJson)
     // mirror only on FULL sweeps — a dev subset run would otherwise
     // clobber the round artifact with a two-query fragment
-    if (only.isEmpty)
+    if (only.isEmpty) {
+      // regression alarm (round-7 verdict ask 7): before overwriting
+      // the mirror, ratio every query against the PREVIOUS full sweep
+      // and surface the movers. Threshold pinned at ratio >= 3.0 AND
+      // new time >= 1.0 s — sub-second queries swing 2-3x on JIT/page
+      // cache alone (the measured sf0.1 noise band), so the gate only
+      // fires where an accidentally-quadratic oracle or plan would
+      // land. Warn-only by design: the sweep's correctness gate must
+      // not fail on timing jitter, but the alarm lines and the
+      // movers artifact make a real regression visible the round it
+      // lands.
+      val prevPath = Paths.get("VERIFY_TIMES.json")
+      try {
+        if (Files.exists(prevPath)) {
+          val rex = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*([0-9.]+)".r
+          val prev = rex.findAllMatchIn(Files.readString(prevPath))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val ratios = times.toSeq.collect {
+            case (k, v) if prev.get(k).exists(_ > 0.0) =>
+              (k, v, prev(k), v / prev(k))
+          }
+          val movers = ratios.sortBy(-_._4).take(5)
+          movers.foreach { case (k, nv, ov, r) =>
+            System.err.println(
+              f"[verify-times] top-mover $k $ov%.2f -> $nv%.2f s (x$r%.2f)")
+          }
+          val alarms = ratios.filter { case (_, nv, _, r) =>
+            r >= 3.0 && nv >= 1.0 }
+          alarms.foreach { case (k, nv, ov, r) =>
+            System.err.println(f"[verify-times] REGRESSION ALARM $k " +
+              f"$ov%.2f -> $nv%.2f s (x$r%.2f; threshold x3 and >=1 s)")
+          }
+          val moverJson = movers.map { case (k, nv, ov, r) =>
+            s"${q(k)}: {${q("prev")}: $ov, ${q("now")}: $nv, " +
+              s"${q("ratio")}: ${"%.3f".format(r)}}"
+          }.mkString("{", ",", "}")
+          Files.writeString(Paths.get(s"$outDir/verify_time_movers.json"),
+            s"""{"threshold":{"ratio":3.0,"min_sec":1.0},"alarms":${alarms.size},"top_movers":$moverJson}""")
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
       try Files.writeString(Paths.get("VERIFY_TIMES.json"), timesJson)
       catch { case scala.util.control.NonFatal(_) => () }
+    }
     spark.stop()
   }
 }

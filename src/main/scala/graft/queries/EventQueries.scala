@@ -3163,5 +3163,103 @@ object EventQueries {
               |FROM cum c JOIN tot t ON c.r = t.r
               |WHERE c.cw >= (t.bw + 1) // 2
               |GROUP BY 1 ORDER BY replicate""".stripMargin)),
+    // ----- HyperLogLog distinct-count sketch, built in relational
+    // algebra so the SKETCH ITSELF oracle-gates (the count-min lesson
+    // applied to cardinality): at 100 TB "how many distinct users/
+    // urls/ngrams" is answered by a mergeable m-register sketch, not
+    // a countDistinct shuffle — here m = 64 registers via a mod-P
+    // post-mix of the shared poly hash (products stay < 2^60, the
+    // portable alternative to 64-bit wrap mixing DuckDB would
+    // overflow on), rho = trailing-zeros+1 of the remaining ~24 bits
+    // through an integer CASE ladder (no transcendental), and the
+    // register harmonic sum kept EXACT: 2^(25-M_j) is an exact long,
+    // so Sigma 2^(-M_j) = S/2^25 in ONE division — the 64-double
+    // partition-order float-sum trap designed out. The raw estimate
+    // lands 2.5% off truth at sf0.1; sf0.01's +56% sits in HLL's
+    // documented bias region (E between 2.5m and ~5m — the zone
+    // HLL++ empirically corrects; the small-range linear-counting
+    // arm below 2.5m is implemented, ln textually pinned). True
+    // count rides alongside so the error is visible per run.
+    QueryDef(
+      "a41_hll_distinct",
+      (s, d) => {
+        val P = graft.ext.NearDup.P
+        val h0 = graft.ext.NearDup.charHash(col("user_id").cast("string"))
+        val h = (lit(1103515245L) * h0 + lit(12345L)) % P
+        val regs = events(s, d)
+          .select((h % 64L).as("idx"),
+            call_function("div", h, lit(64L)).as("w"))
+          .select(col("idx"), col("w").bitwiseAND(-col("w")).as("lsb"),
+            col("w"))
+          .select(col("idx"),
+            when(col("w") === 0L, 25L)
+          .when(col("lsb") === 1L, 1L)
+          .when(col("lsb") === 2L, 2L)
+          .when(col("lsb") === 4L, 3L)
+          .when(col("lsb") === 8L, 4L)
+          .when(col("lsb") === 16L, 5L)
+          .when(col("lsb") === 32L, 6L)
+          .when(col("lsb") === 64L, 7L)
+          .when(col("lsb") === 128L, 8L)
+          .when(col("lsb") === 256L, 9L)
+          .when(col("lsb") === 512L, 10L)
+          .when(col("lsb") === 1024L, 11L)
+          .when(col("lsb") === 2048L, 12L)
+          .when(col("lsb") === 4096L, 13L)
+          .when(col("lsb") === 8192L, 14L)
+          .when(col("lsb") === 16384L, 15L)
+          .when(col("lsb") === 32768L, 16L)
+          .when(col("lsb") === 65536L, 17L)
+          .when(col("lsb") === 131072L, 18L)
+          .when(col("lsb") === 262144L, 19L)
+          .when(col("lsb") === 524288L, 20L)
+          .when(col("lsb") === 1048576L, 21L)
+          .when(col("lsb") === 2097152L, 22L)
+          .when(col("lsb") === 4194304L, 23L)
+          .when(col("lsb") === 8388608L, 24L)
+              .as("rho"))
+          .groupBy("idx").agg(max("rho").as("mx"))
+        val sk = regs.agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - mx AS INT))"))
+            .as("s2"),
+          count(lit(1)).as("nz"))
+        val truth = events(s, d)
+          .agg(countDistinct(col("user_id")).as("n_true"))
+        val num = lit(0.709365815) * lit(4096.0) * lit(33554432.0)
+        val den = (col("s2") + (lit(64L) - col("nz")) * lit(33554432L))
+          .cast("double")
+        sk.crossJoin(broadcast(truth))
+          .select(col("n_true"), (lit(64L) - col("nz")).as("v_zero"),
+            round(num / den, 4).as("hll_raw"),
+            round(when((lit(64L) - col("nz")) > 0L && num / den <= 160.0,
+                lit(64.0) * log(lit(64.0) /
+                  (lit(64L) - col("nz")).cast("double")))
+              .otherwise(num / den), 4).as("hll_est"))
+      },
+      Some(s"""WITH h0 AS (SELECT ${graft.ext.NearDup.Sql.charHashSql("CAST(user_id AS VARCHAR)")} AS h
+             |  FROM events),
+             |h AS (SELECT ((1103515245::BIGINT * h + 12345) % ${graft.ext.NearDup.P}) AS h FROM h0),
+             |r AS (SELECT h % 64 AS idx, h // 64 AS w FROM h),
+             |rk AS (SELECT idx, CASE WHEN w = 0 THEN 25
+             |    ELSE CASE w & (-w) WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 4 THEN 3 WHEN 8 THEN 4 WHEN 16 THEN 5 WHEN 32 THEN 6 WHEN 64 THEN 7 WHEN 128 THEN 8 WHEN 256 THEN 9 WHEN 512 THEN 10 WHEN 1024 THEN 11 WHEN 2048 THEN 12 WHEN 4096 THEN 13 WHEN 8192 THEN 14 WHEN 16384 THEN 15 WHEN 32768 THEN 16 WHEN 65536 THEN 17 WHEN 131072 THEN 18 WHEN 262144 THEN 19 WHEN 524288 THEN 20 WHEN 1048576 THEN 21 WHEN 2097152 THEN 22 WHEN 4194304 THEN 23 WHEN 8388608 THEN 24 END END AS rho
+             |  FROM r),
+             |regs AS (SELECT idx, CAST(max(rho) AS BIGINT) AS mx
+             |  FROM rk GROUP BY 1),
+             |s AS (SELECT CAST(sum(1::BIGINT << (25 - mx)) AS BIGINT) AS s2,
+             |      CAST(count(*) AS BIGINT) AS nz FROM regs),
+             |t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+             |  FROM events)
+             |SELECT n_true, 64 - nz AS v_zero,
+             |  round(CAST(0.709365815 AS DOUBLE) * 4096.0 * 33554432.0
+             |    / CAST(s2 + (64 - nz) * 33554432 AS DOUBLE), 4) AS hll_raw,
+             |  round(CASE WHEN (64 - nz) > 0
+             |      AND CAST(0.709365815 AS DOUBLE) * 4096.0 * 33554432.0
+             |        / CAST(s2 + (64 - nz) * 33554432 AS DOUBLE) <= 160.0
+             |    THEN 64.0 * ln(64.0 / CAST(64 - nz AS DOUBLE))
+             |    ELSE CAST(0.709365815 AS DOUBLE) * 4096.0 * 33554432.0
+             |      / CAST(s2 + (64 - nz) * 33554432 AS DOUBLE) END, 4)
+             |    AS hll_est
+             |FROM s, t""".stripMargin)),
   )
 }
+

@@ -2534,5 +2534,57 @@ object TextQueries {
               |      AS DOUBLE), 6) AS kappa
               |FROM cells
               |WHERE n * n - ((a + b) * (a + c) + (c + d) * (b + d)) <> 0""".stripMargin)),
+    // ----- Benchmark decontamination via exact n-gram overlap (the
+    // eval-integrity op every serious training corpus runs: a
+    // training doc sharing a verbatim k-token run with an evaluation
+    // benchmark leaks the benchmark into the model — the standard
+    // remedy is exact n-gram matching, not fuzzy similarity, because
+    // eval answers leak VERBATIM): benchmark slice = doc_id % 11 = 0
+    // (stand-in for a real eval set; ~9% of the corpus), k = 5 token
+    // grams through the shared poly shingle hash. Scale shape: the
+    // benchmark gram set is |bench docs|x|grams/doc| — broadcast-
+    // small next to any training corpus (a real eval suite is a few
+    // MB of grams); the corpus side explodes to one row per gram,
+    // meets the bench set on the gram key, and collapses straight
+    // back to per-doc hit counts, so the only data-scale shuffle is
+    // the doc-key re-agg. Output bounded by |sources|. P-collision
+    // false positives are reproduced exactly by the mirror (the
+    // NearDup contract), so the row is hash-stable.
+    QueryDef(
+      "tx41_decontamination",
+      (s, d) => {
+        val k = 5
+        val base = docs(s, d)
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= k)
+        val grams = tracked(base.select(col("doc_id"), col("source"),
+          explode(graft.ext.NearDup.shingleHashList(col("toks"), k)).as("g")))
+        val bench = grams.filter(col("doc_id") % 11 === 0)
+          .select("g").distinct()
+        val hits = grams.filter(col("doc_id") % 11 =!= 0)
+          .join(bench, Seq("g"))
+          .groupBy("doc_id", "source")
+          .agg(countDistinct(col("g")).as("n_hit"))
+        hits.groupBy("source")
+          .agg(count(lit(1)).as("n_contaminated"),
+            sum("n_hit").as("grams_hit"), max("n_hit").as("max_hit"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS toks
+             |  FROM documents),
+             |grams AS (SELECT doc_id, source,
+             |    unnest(${graft.ext.NearDup.Sql.shingleHashList(5)}) AS g
+             |  FROM toks WHERE len(toks) >= 5),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0),
+             |hits AS (SELECT g.doc_id, g.source,
+             |    CAST(count(DISTINCT g.g) AS BIGINT) AS n_hit
+             |  FROM grams g JOIN bench b ON g.g = b.g
+             |  WHERE g.doc_id % 11 <> 0 GROUP BY 1, 2)
+             |SELECT source, count(*) AS n_contaminated,
+             |  CAST(sum(n_hit) AS BIGINT) AS grams_hit,
+             |  CAST(max(n_hit) AS BIGINT) AS max_hit
+             |FROM hits GROUP BY 1 ORDER BY source""".stripMargin)),
   )
 }
+
