@@ -2585,6 +2585,108 @@ object TextQueries {
              |  CAST(sum(n_hit) AS BIGINT) AS grams_hit,
              |  CAST(max(n_hit) AS BIGINT) AS max_hit
              |FROM hits GROUP BY 1 ORDER BY source""".stripMargin)),
+    // ----- Sequence packing audit (the pretraining batcher's op:
+    // concatenate docs in a pinned order and slice into fixed
+    // token-budget sequences; the histogram of docs-started-per-pack
+    // is the fragmentation read-out that decides whether you pack
+    // greedily or length-sort first): cum tokens via ops/Rank
+    // .runningTotals over the SLIM (doc_id, n_tokens) frame — a
+    // data-scale prefix sum with NO single-partition window (the
+    // round-8 primitive consumed at full row scale, not just on
+    // grids); pack_id = (cum - nt) div B is the pack each doc STARTS
+    // in under concat-then-chunk; double collapse to the
+    // docs-per-pack histogram bounds the output by the distinct
+    // start-count values. B = 2048 tokens.
+    QueryDef(
+      "tx42_sequence_packing",
+      (s, d) => {
+        val B = 2048L
+        val slim = docs(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        val cum = graft.ops.Rank.runningTotals(
+          slim, Seq(col("doc_id")), Seq("nt" -> "cum"), tracked(_))
+        cum.select(call_function("div", col("cum") - col("nt"), lit(B))
+            .as("pack_id"))
+          .groupBy("pack_id").agg(count(lit(1)).as("docs_started"))
+          .groupBy("docs_started").agg(count(lit(1)).as("n_packs"))
+          .orderBy("docs_started")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS nt
+             |  FROM documents),
+             |c AS (SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum FROM d),
+             |p AS (SELECT (cum - nt) // 2048 AS pack_id FROM c),
+             |hist AS (SELECT pack_id, CAST(count(*) AS BIGINT)
+             |    AS docs_started FROM p GROUP BY 1)
+             |SELECT docs_started, CAST(count(*) AS BIGINT) AS n_packs
+             |FROM hist GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- Exact AUC of the learned quality gate (the ranking-eval
+    // scalar tx28's threshold metrics cannot see: precision/recall
+    // judge ONE cut point, AUC judges the whole score ORDERING —
+    // "does a random positive outscore a random negative", which is
+    // what score-weighted sampling and threshold tuning consume).
+    // AUC = U/(n1*n0) is the Mann-Whitney relation, so the a38
+    // machinery applies verbatim: collapse to the distinct
+    // score-micros grid, cum via ops/Rank (no single-partition
+    // window), doubled tie-averaged ranks keep everything in exact
+    // longs — AUC = (R1x2 - n1(n1+1)) / (2*n1*n0), ONE division,
+    // round 6. Score = the pinned logreg gate, label = the
+    // quality-above-median heuristic (tx28's two signals, evaluated
+    // as a ranking instead of a confusion table).
+    QueryDef(
+      "tx43_auc_exact",
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
+          .select(
+            graft.ext.QualityClassifier.scoreParts(
+              size(col("__toks")), size(array_distinct(col("__toks"))),
+              TextAnalysis.wordFreqs(col("__toks"),
+                graft.ext.QualityClassifier.featureWords)).as("score"),
+            TextAnalysis.qualityScoreTokens(col("__toks")).as("q"))
+        val med = base.agg(expr("percentile(q, 0.5D)").as("__med"))
+        val xs = base.crossJoin(broadcast(med))
+          .select(expr("CAST(round(score * 1000000) AS BIGINT)").as("x"),
+            when(col("q") > col("__med"), 1L).otherwise(0L).as("g1"))
+        val grid = xs.groupBy("x")
+          .agg(count(lit(1)).as("t"), sum("g1").as("c1"))
+        val cum = graft.ops.Rank.runningTotals(
+          grid, Seq(col("x")), Seq("t" -> "cum"), tracked(_))
+        val st = cum.agg(sum("c1").as("n1"),
+          (sum("t") - sum("c1")).as("n0"),
+          sum(col("c1") * (lit(2L) * col("cum") - col("t") + lit(1L)))
+            .as("r1x2"))
+        st.filter(col("n1") > 0L && col("n0") > 0L)
+          .select(col("n1"), col("n0"),
+            round((col("r1x2") - col("n1") * (col("n1") + 1L)).cast("double")
+              / (lit(2.0) * (col("n1") * col("n0")).cast("double")), 6)
+              .as("auc"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    ${graft.ext.QualityClassifier.Sql.scoreSql} AS score,
+             |    ${TS.qualityScore} AS q
+             |  FROM documents),
+             |med AS (SELECT quantile_cont(q, 0.5) AS m FROM t),
+             |xs AS (SELECT CAST(round(score * 1000000) AS BIGINT) AS x,
+             |    CASE WHEN q > (SELECT m FROM med) THEN 1 ELSE 0 END AS g1
+             |  FROM t),
+             |grid AS (SELECT x, CAST(count(*) AS BIGINT) AS t,
+             |    CAST(sum(g1) AS BIGINT) AS c1 FROM xs GROUP BY 1),
+             |c AS (SELECT x, t, c1, CAST(sum(t) OVER (ORDER BY x
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum FROM grid),
+             |st AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             |    CAST(sum(t) - sum(c1) AS BIGINT) AS n0,
+             |    CAST(sum(c1 * (2 * cum - t + 1)) AS BIGINT) AS r1x2
+             |  FROM c)
+             |SELECT n1, n0,
+             |  round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+             |    / (2.0 * CAST(n1 * n0 AS DOUBLE)), 6) AS auc
+             |FROM st WHERE n1 > 0 AND n0 > 0""".stripMargin)),
   )
 }
+
 

@@ -19,9 +19,13 @@ class Round8PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // the six migrated queries + sim12's borderline arm, plus the
+  // born-clean ops/Rank consumers added since (tx42's data-scale
+  // prefix sum, tx43's AUC grid) — every global-rank query the
+  // registry has is locked here
   private val migrated = Seq("a38_mann_whitney", "w13_gini_mean_diff",
     "tx39_vocab_growth", "audit_key_skew", "g6_hits", "g11_rich_club",
-    "sim12_hybrid_rrf")
+    "sim12_hybrid_rrf", "tx42_sequence_packing", "tx43_auc_exact")
 
   private def releaseAll(): Unit = {
     graft.queries.DedupQueries.releaseSignatureCache()
