@@ -62,9 +62,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_times.json"), timesJson)
-    // mirror only on FULL sweeps — a dev subset run would otherwise
-    // clobber the round artifact with a two-query fragment
-    if (only.isEmpty) {
+    // mirror only on FULL sweeps AT THE DRIVER'S SF — a dev subset
+    // run would clobber the round artifact with a two-query fragment,
+    // and (round-8 lesson, hit in practice) a full dev sweep at
+    // sf0.001/sf0.1 would overwrite the sf0.01 baseline with
+    // incomparable times AND make the regression alarm ratio
+    // apples-to-oranges
+    if (only.isEmpty && sfDir.replaceAll("/+$", "").endsWith("sf0.01")) {
       // regression alarm (round-7 verdict ask 7): before overwriting
       // the mirror, ratio every query against the PREVIOUS full sweep
       // and surface the movers. Threshold pinned at ratio >= 3.0 AND
