@@ -3590,6 +3590,54 @@ object ParityQueries {
              |LIMIT 100""".stripMargin),
       bench = true),
 
+    // ----- Exact equi-depth histogram (the optimizer-statistics op:
+    // B buckets with ~n/B rows each, the selectivity-estimation
+    // structure engines build from table scans — equal-WIDTH
+    // histograms, tx29's variant, mislead on skewed money amounts
+    // where one bucket swallows the mass): the B-quantile cuts need
+    // exact global ranks, so this is the ops/Rank shape — collapse
+    // to the distinct-cents grid, cum = running count, and the
+    // bucket of a tie block is ((cum − t)·B) div n — whole blocks
+    // land in the bucket of their FIRST rank (ties cannot split,
+    // the honest equi-depth behavior: bucket row counts drift from
+    // n/B exactly where ties straddle a cut). Output B rows of
+    // (n_values, n_rows, lo, hi) — the histogram IS the statistics
+    // artifact. No single-partition window anywhere (locked in
+    // Round8PlanSpec's migrated list).
+    QueryDef(
+      "w15_equidepth_hist",
+      (s, d) => {
+        val B = 8L
+        val grid = t(s, d, "orders")
+          .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+          .groupBy("x").agg(count(lit(1)).as("t"))
+        val cum = graft.ops.Rank.runningTotals(
+          grid, Seq(col("x")), Seq("t" -> "cum"), tracked(_))
+        val n = grid.agg(sum("t").as("__n"))
+        cum.crossJoin(broadcast(n))
+          .select(call_function("div",
+              (col("cum") - col("t")) * B, col("__n")).as("bucket"),
+            col("x"), col("t"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_values"), sum("t").as("n_rows"),
+            min("x").as("lo_cents"), max("x").as("hi_cents"))
+          .orderBy("bucket")
+      },
+      Some("""WITH x AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS x
+             |  FROM orders),
+             |grid AS (SELECT x, CAST(count(*) AS BIGINT) AS t
+             |  FROM x GROUP BY 1),
+             |c AS (SELECT x, t, CAST(sum(t) OVER (ORDER BY x
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum FROM grid),
+             |n AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM grid),
+             |b AS (SELECT ((cum - t) * 8) // (SELECT n FROM n) AS bucket,
+             |    x, t FROM c)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_values,
+             |  CAST(sum(t) AS BIGINT) AS n_rows,
+             |  min(x) AS lo_cents, max(x) AS hi_cents
+             |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ----- custom DataSource V2 scan with REAL pushdown (the
     // connector API, demonstrated oracle-gated — see
     // sources/DocsRangeSource): the id-range predicate narrows the

@@ -26,6 +26,13 @@ object SimilarityQueries {
     graft.sources.Tables.table(s, d, "embeddings")
 
   /** DuckDB cosine with the same op order as Similarity.cosine. */
+  /** [[cosSql]] over pre-cast DOUBLE[] expressions (no `.embedding`
+    * suffixing) — for mirrors whose CTEs already carry `e` columns.
+    */
+  private def cosSql2(a: String, b: String): String =
+    s"list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) / " +
       s"(sqrt(list_dot_product($a.embedding::DOUBLE[], $a.embedding::DOUBLE[])) * " +
@@ -1157,5 +1164,117 @@ object SimilarityQueries {
               |  CAST(sum(delta * delta) AS BIGINT) AS l2sq_drift,
               |  CAST(max(abs(delta)) AS BIGINT) AS linf_drift
               |FROM j""".stripMargin)),
+    // ----- Mutual nearest neighbors within IVF cells (the bitext-
+    // mining / embedding-alignment primitive: a pair is a MATCH only
+    // if each side is the other's top-1 — one-directional top-1
+    // produces hubs, the known curse of high-dim retrieval, and
+    // mutuality is the standard filter): candidates restricted to
+    // the probe's own IVF cell (the SemDeDup move — the all-pairs
+    // top-1 is quadratic, the cell-restricted one is
+    // Σ|cell|² ≈ N²/nlist, and at scale the cells ARE the shuffle
+    // partitioning), per-vector top-1 via a PARTITIONED window, the
+    // mutuality check a self-join of the top-1 frame on the
+    // reversed pair. Output every mutual pair (a < b) with its
+    // 6-dp cosine — the alignment edge list downstream clustering
+    // consumes.
+    QueryDef(
+      "sim18_mutual_nn",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val asg = tracked(emb(s, d).select(col("vec_id"), col("embedding"),
+          graft.ext.IvfIndex.assign(col("embedding"),
+            graft.ext.IvfModel.centroids).as("cell")))
+        val a = asg.select(col("cell"), col("vec_id").as("a_id"),
+          col("embedding").as("ea"))
+        val b = asg.select(col("cell"), col("vec_id").as("b_id"),
+          col("embedding").as("eb"))
+        val scored = a.join(b, Seq("cell"))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(graft.ext.Similarity.cosine(col("ea"), col("eb")), 6)
+              .as("cos"))
+        val w = Window.partitionBy("a_id")
+          .orderBy(col("cos").desc, col("b_id"))
+        val top1 = tracked(scored
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).select("a_id", "b_id", "cos"))
+        val other = top1.select(col("a_id").as("y_a"), col("b_id").as("y_b"))
+        top1.join(other,
+            col("a_id") === col("y_b") && col("b_id") === col("y_a"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id").as("a"), col("b_id").as("b"), col("cos"))
+          .orderBy("a")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |d AS (SELECT vec_id, e, ${graft.ext.IvfIndex.Sql.distListSql("e")} AS ds FROM base),
+              |asg AS (SELECT vec_id, e, list_position(ds, list_min(ds)) - 1 AS cell FROM d),
+              |top1 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    round(${cosSql2("a.e", "b.e")}, 6) AS cos
+              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+              |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+              |    ORDER BY round(${cosSql2("a.e", "b.e")}, 6) DESC, b.vec_id) = 1)
+              |SELECT x.a_id AS a, x.b_id AS b, x.cos
+              |FROM top1 x JOIN top1 y ON x.a_id = y.b_id AND x.b_id = y.a_id
+              |WHERE x.a_id < x.b_id ORDER BY a""".stripMargin)),
+
+    // ----- Lowe ratio test over the cell-restricted neighbors (the
+    // match-confidence filter pairing sim18: a top-1 whose top-2 is
+    // nearly as close is AMBIGUOUS — hubs and duplicated content
+    // both produce them — and the classic remedy keeps a match only
+    // when d1 ≤ 0.8·d2 in distance terms, here (1−cos1) vs
+    // 0.8·(1−cos2) on the 6-dp-pinned cosines, both sides one IEEE
+    // expression of the same rounded inputs so the comparison is
+    // hash-stable). Per-cell confident/total counts — output
+    // bounded by nlist at any corpus scale.
+    QueryDef(
+      "sim19_ratio_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val asg = tracked(emb(s, d).select(col("vec_id"), col("embedding"),
+          graft.ext.IvfIndex.assign(col("embedding"),
+            graft.ext.IvfModel.centroids).as("cell")))
+        val a = asg.select(col("cell"), col("vec_id").as("a_id"),
+          col("embedding").as("ea"))
+        val b = asg.select(col("cell"), col("vec_id").as("b_id"),
+          col("embedding").as("eb"))
+        val scored = a.join(b, Seq("cell"))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("cell"), col("a_id"),
+            round(graft.ext.Similarity.cosine(col("ea"), col("eb")), 6)
+              .as("cos"), col("b_id"))
+        val w = Window.partitionBy("a_id")
+          .orderBy(col("cos").desc, col("b_id"))
+        val top2 = scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 2)
+          .groupBy("cell", "a_id")
+          .agg(max(when(col("rk") === 1, col("cos"))).as("c1"),
+            max(when(col("rk") === 2, col("cos"))).as("c2"))
+          .filter(col("c2").isNotNull)
+        top2.groupBy("cell")
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(when((lit(1.0) - col("c1")) <=
+              lit(0.8) * (lit(1.0) - col("c2")), 1L).otherwise(0L))
+              .as("n_confident"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |d AS (SELECT vec_id, e, ${graft.ext.IvfIndex.Sql.distListSql("e")} AS ds FROM base),
+              |asg AS (SELECT vec_id, e, list_position(ds, list_min(ds)) - 1 AS cell FROM d),
+              |sc AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+              |    round(${cosSql2("a.e", "b.e")}, 6) AS cos,
+              |    row_number() OVER (PARTITION BY a.vec_id
+              |      ORDER BY round(${cosSql2("a.e", "b.e")}, 6) DESC, b.vec_id)
+              |      AS rk
+              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+              |top2 AS (SELECT cell, a_id,
+              |    max(CASE WHEN rk = 1 THEN cos END) AS c1,
+              |    max(CASE WHEN rk = 2 THEN cos END) AS c2
+              |  FROM sc WHERE rk <= 2 GROUP BY 1, 2)
+              |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+              |  CAST(sum(CASE WHEN (1.0 - c1) <= 0.8 * (1.0 - c2)
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_confident
+              |FROM top2 WHERE c2 IS NOT NULL
+              |GROUP BY 1 ORDER BY cell""".stripMargin)),
   )
 }
+

@@ -25,7 +25,8 @@ class Round8PlanSpec extends SparkSpec {
   // registry has is locked here
   private val migrated = Seq("a38_mann_whitney", "w13_gini_mean_diff",
     "tx39_vocab_growth", "audit_key_skew", "g6_hits", "g11_rich_club",
-    "sim12_hybrid_rrf", "tx42_sequence_packing", "tx43_auc_exact")
+    "sim12_hybrid_rrf", "tx42_sequence_packing", "tx43_auc_exact",
+    "w15_equidepth_hist")
 
   private def releaseAll(): Unit = {
     graft.queries.DedupQueries.releaseSignatureCache()
