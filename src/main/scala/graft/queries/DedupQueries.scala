@@ -728,5 +728,71 @@ object DedupQueries {
               |SELECT n_truth, n_banded, n_hits,
               |  round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
               |FROM tr, bd, ht""".stripMargin)),
+    // ----- Leakage-safe train/val/test split (the composition the
+    // split and dedup families exist FOR: hashing DOC ids sends
+    // near-duplicate docs to DIFFERENT splits, so the test set
+    // contains paraphrases of training docs and evals inflate — the
+    // remedy is splitting by the DUP-CLUSTER canonical, so whole
+    // clusters move together): groups = CC components over the
+    // banded-minhash graph (singletons are their own group), split =
+    // group-hash % 10 (8/1/1). SELF-CERTIFYING output: the group-
+    // split straddle count is structurally 0 (same group ⇒ same
+    // hash), while the naive doc-hash straddle count alongside
+    // MEASURES the leakage the op prevents — multi-doc clusters
+    // whose members would land in different naive splits. One
+    // CC build + two doc-key aggs; output is one audit row.
+    QueryDef(
+      "tx44_leakage_safe_split",
+      (s, d) => {
+        val edges = minhashPairs(s, d).filter(col("jac") >= JacThreshold)
+        val comps = graft.ext.Dedup.connectedComponents(edges, "a_id", "b_id")
+          .select(col("node").as("doc_id"), col("comp").as("component"))
+        val g = docs(s, d).select(col("doc_id"))
+          .join(comps, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("grp"))
+          .select(col("grp"),
+            (NearDup.charHash(col("grp").cast("string")) % 10L).as("split"),
+            (NearDup.charHash(col("doc_id").cast("string")) % 10L)
+              .as("naive"))
+        val per = g.agg(
+          sum(when(col("split") < 8L, 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === 8L, 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === 9L, 1L).otherwise(0L)).as("n_test"))
+        val straddle = g.groupBy("grp").agg(
+            countDistinct(col("split")).as("ks"),
+            countDistinct(col("naive")).as("kn"),
+            count(lit(1)).as("m"))
+          .agg(
+            sum(when(col("ks") > 1L, 1L).otherwise(0L))
+              .as("groups_straddling"),
+            sum(when(col("kn") > 1L && col("m") > 1L, 1L).otherwise(0L))
+              .as("groups_leaking_naive"))
+        per.crossJoin(broadcast(straddle))
+      },
+      Some(s"""${SqlBase.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |$PairsSql,
+              |g AS (SELECT d.doc_id,
+              |    coalesce(c.component, d.doc_id) AS grp
+              |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+              |gs AS (SELECT grp,
+              |    (${graft.ext.NearDup.Sql.charHashSql("CAST(grp AS VARCHAR)")}) % 10 AS split,
+              |    (${graft.ext.NearDup.Sql.charHashSql("CAST(doc_id AS VARCHAR)")}) % 10 AS naive
+              |  FROM g),
+              |per AS (SELECT
+              |    CAST(sum(CASE WHEN split < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+              |    CAST(sum(CASE WHEN split = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+              |    CAST(sum(CASE WHEN split = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+              |  FROM gs),
+              |st AS (SELECT
+              |    CAST(sum(CASE WHEN ks > 1 THEN 1 ELSE 0 END) AS BIGINT) AS groups_straddling,
+              |    CAST(sum(CASE WHEN kn > 1 AND m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS groups_leaking_naive
+              |  FROM (SELECT grp, count(DISTINCT split) AS ks,
+              |      count(DISTINCT naive) AS kn, count(*) AS m
+              |    FROM gs GROUP BY 1))
+              |SELECT n_train, n_val, n_test, groups_straddling,
+              |  groups_leaking_naive
+              |FROM per, st""".stripMargin)),
   )
 }
+
