@@ -3163,6 +3163,116 @@ object EventQueries {
               |FROM cum c JOIN tot t ON c.r = t.r
               |WHERE c.cw >= (t.bw + 1) // 2
               |GROUP BY 1 ORDER BY replicate""".stripMargin)),
+    // ----- Sessionization gap-threshold sensitivity sweep (the
+    // calibration pass BEFORE anyone pins a session gap constant: the
+    // session count as a function of the inactivity threshold is the
+    // elbow curve that justifies the choice, and computing it per
+    // candidate threshold in separate passes is how pipelines waste
+    // scans): per-user inter-event gaps ONCE (one user_id shuffle +
+    // partition sort — w5's physics), then every threshold is a
+    // conditional COUNT over the same gap column: sessions(T) =
+    // n_users + \|gaps > T\|. Exact integer microseconds end to end;
+    // one audit row with the four candidate thresholds.
+    QueryDef(
+      "t_session_gap_sweep",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gaps = events(s, d)
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        def sessions(minutes: Int) =
+          (countDistinct(col("user_id")) +
+            sum(when(col("gap_us") > minutes * 60000000L, 1L)
+              .otherwise(0L))).as(s"sessions_${minutes}m")
+        gaps.agg(countDistinct(col("user_id")).as("n_users"),
+          sessions(5), sessions(15), sessions(30), sessions(60))
+      },
+      Some("""WITH g AS (SELECT user_id,
+             |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+             |  FROM events)
+             |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(count(DISTINCT user_id)
+             |    + sum(CASE WHEN gap_us > 300000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS sessions_5m,
+             |  CAST(count(DISTINCT user_id)
+             |    + sum(CASE WHEN gap_us > 900000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS sessions_15m,
+             |  CAST(count(DISTINCT user_id)
+             |    + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS sessions_30m,
+             |  CAST(count(DISTINCT user_id)
+             |    + sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS sessions_60m
+             |FROM g""".stripMargin)),
+
+    // ----- Markov stationary distribution of the event-type chain
+    // (the long-run "where does a random walker over user behavior
+    // settle" read-out — the session-paths query lists frequent
+    // SEQUENCES, this summarizes the whole transition structure in
+    // \|types\| numbers; the churn/engagement modeling primitive):
+    // per-user consecutive event-type transitions collapse to the
+    // \|types\|² count grid (one user shuffle + one grid shuffle —
+    // volume never survives past the grid), then the PageRank
+    // integer recipe runs 3 power-iteration rounds ON THE GRID:
+    // pi' = Σ pi(u)·c(u→v) div out(u), all scaled-integer truncating
+    // division (non-negative ⇒ Spark div == DuckDB //), so DuckDB
+    // replays the identical iteration unrolled and the distribution
+    // hash-matches. Output \|types\| rows of scaled-1e6 mass.
+    QueryDef(
+      "a44_markov_stationary",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val S = 1000000L
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = events(s, d)
+          .withColumn("next", lead(col("event_type"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .groupBy(col("event_type").as("src"), col("next").as("dst"))
+          .agg(count(lit(1)).as("c"))
+        val out = trans.groupBy("src").agg(sum("c").as("tot"))
+        val tm = tracked(trans.join(out, Seq("src")))
+        val types = tm.select(col("src").as("t")).distinct()
+        val n = types.count()
+        var pi = types.withColumn("mass",
+          call_function("div", lit(S), lit(n)))
+        for (_ <- 1 to 3) {
+          pi = tm.join(pi, col("src") === col("t"))
+            .select(col("dst"),
+              call_function("div", col("mass") * col("c"), col("tot"))
+                .as("part"))
+            .groupBy(col("dst")).agg(sum("part").as("mass"))
+            .select(col("dst").as("t"), col("mass"))
+        }
+        pi.orderBy("t")
+      },
+      Some(s"""WITH tr AS (SELECT user_id, event_type AS src,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS dst
+             |  FROM events),
+             |tm AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+             |  FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+             |o AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot
+             |  FROM tm GROUP BY 1),
+             |t0 AS (SELECT DISTINCT src AS t FROM tm),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t0),
+             |p0 AS (SELECT t, CAST(1000000 // (SELECT n FROM n) AS BIGINT)
+             |    AS mass FROM t0),
+             |p1 AS (SELECT tm.dst AS t,
+             |    CAST(sum((p.mass * tm.c) // o.tot) AS BIGINT) AS mass
+             |  FROM tm JOIN p0 p ON tm.src = p.t JOIN o ON tm.src = o.src
+             |  GROUP BY 1),
+             |p2 AS (SELECT tm.dst AS t,
+             |    CAST(sum((p.mass * tm.c) // o.tot) AS BIGINT) AS mass
+             |  FROM tm JOIN p1 p ON tm.src = p.t JOIN o ON tm.src = o.src
+             |  GROUP BY 1),
+             |p3 AS (SELECT tm.dst AS t,
+             |    CAST(sum((p.mass * tm.c) // o.tot) AS BIGINT) AS mass
+             |  FROM tm JOIN p2 p ON tm.src = p.t JOIN o ON tm.src = o.src
+             |  GROUP BY 1)
+             |SELECT t, mass FROM p3 ORDER BY t""".stripMargin)),
+
     // ----- HyperLogLog distinct-count sketch, built in relational
     // algebra so the SKETCH ITSELF oracle-gates (the count-min lesson
     // applied to cardinality): at 100 TB "how many distinct users/

@@ -3638,6 +3638,50 @@ object ParityQueries {
              |  min(x) AS lo_cents, max(x) AS hi_cents
              |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ----- Maximum drawdown of daily revenue (the peak-to-trough
+    // monitoring scalar completing t_record_breaks: record-breaks
+    // counts NEW peaks, drawdown measures the worst FALL from a
+    // peak — the figure ops reviews and finance dashboards quote):
+    // exact-cents daily revenue collapsed to the bounded DAY grid
+    // FIRST (the E152 clause — the cumulative-max window runs over
+    // ~\|days\| rows, never over order rows; the fixture spans ~7
+    // years ≈ 2.4k days at any SF), running peak via a ROWS window,
+    // drawdown = peak − rev in exact longs, and the worst day is a
+    // TakeOrdered top-1 with a (dd desc, day) tie pin. One audit row.
+    QueryDef(
+      "a43_max_drawdown",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("rev"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val n = daily.agg(count(lit(1)).as("n_days"))
+        daily.withColumn("peak", max("rev").over(w))
+          .withColumn("dd", col("peak") - col("rev"))
+          .orderBy(col("dd").desc, col("day")).limit(1)
+          .crossJoin(broadcast(n))
+          .select(col("day").as("trough_day"), col("peak").as("peak_cents"),
+            col("rev").as("trough_cents"), col("dd").as("max_dd_cents"),
+            col("n_days"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |dd AS (SELECT day, rev,
+             |    CAST(max(rev) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS peak
+             |  FROM daily),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+             |SELECT day AS trough_day, peak AS peak_cents,
+             |  rev AS trough_cents, peak - rev AS max_dd_cents,
+             |  (SELECT n_days FROM n) AS n_days
+             |FROM dd ORDER BY peak - rev DESC, day LIMIT 1""".stripMargin)),
+
     // ----- custom DataSource V2 scan with REAL pushdown (the
     // connector API, demonstrated oracle-gated — see
     // sources/DocsRangeSource): the id-range predicate narrows the
