@@ -3638,6 +3638,64 @@ object ParityQueries {
              |  min(x) AS lo_cents, max(x) AS hi_cents
              |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ----- Association rules over order baskets (the market-basket
+    // classic the co-occurrence family stops short of: a17/g2 count
+    // raw co-purchases, but a pair can co-occur often merely because
+    // both parts are POPULAR — lift = P(a∧b)/(P(a)·P(b)) corrects
+    // for the marginals and confidence gives the directional rule
+    // strength): basket grid = distinct (order, part), pair counts
+    // from the same-order self-join with the a.pk < b.pk
+    // orientation and a min-support HAVING cut INSIDE the pair agg
+    // (the candidate set never leaves the shuffle unpruned — the
+    // Apriori downward-closure idea applied at the pair tier), then
+    // two marginal joins and a TakeOrdered top-20 on (6-dp lift
+    // desc, pair keys). Exact integers until the two final
+    // divisions.
+    QueryDef(
+      "j10_association_rules",
+      (s, d) => {
+        val op = tracked(t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct())
+        val n = op.agg(countDistinct(col("ok")).as("__n"))
+        val sup = op.groupBy("pk").agg(count(lit(1)).as("c"))
+        val pairs = op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 3)
+        pairs
+          .join(sup.select(col("pk").as("pa"), col("c").as("ca")), Seq("pa"))
+          .join(sup.select(col("pk").as("pb"), col("c").as("cb")), Seq("pb"))
+          .crossJoin(broadcast(n))
+          .select(col("pa").cast("long").as("pa"),
+            col("pb").cast("long").as("pb"), col("cab"),
+            col("ca"), col("cb"),
+            round(col("cab").cast("double") * col("__n") /
+              (col("ca") * col("cb")).cast("double"), 6).as("lift"),
+            round(col("cab").cast("double") / col("ca").cast("double"), 6)
+              .as("conf_a_to_b"))
+          .orderBy(col("lift").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem),
+             |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM op),
+             |sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS c
+             |  FROM op GROUP BY 1),
+             |pairs AS (SELECT a.pk AS pa, b.pk AS pb,
+             |    CAST(count(*) AS BIGINT) AS cab
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+             |  cab, sa.c AS ca, sb.c AS cb,
+             |  round(CAST(cab AS DOUBLE) * (SELECT n FROM n)
+             |    / CAST(sa.c * sb.c AS DOUBLE), 6) AS lift,
+             |  round(CAST(cab AS DOUBLE) / CAST(sa.c AS DOUBLE), 6)
+             |    AS conf_a_to_b
+             |FROM pairs JOIN sup sa ON pa = sa.pk JOIN sup sb ON pb = sb.pk
+             |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin)),
+
     // ----- Maximum drawdown of daily revenue (the peak-to-trough
     // monitoring scalar completing t_record_breaks: record-breaks
     // counts NEW peaks, drawdown measures the worst FALL from a

@@ -2686,7 +2686,113 @@ object TextQueries {
              |  round(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
              |    / (2.0 * CAST(n1 * n0 AS DOUBLE)), 6) AS auc
              |FROM st WHERE n1 > 0 AND n0 > 0""".stripMargin)),
+    // ----- PMI collocations over a ±2-token skip-gram window (the
+    // word2vec-era association statistic: j10's lift corrects basket
+    // co-occurrence for marginals, PMI does the same for TEXT with
+    // the log taken — "which token pairs co-occur far above chance"
+    // is the collocation/phrase-mining primitive behind tokenizer
+    // merges and phrase search): positional co-occurrence from ONE
+    // doc-key self-join on posexplode'd tokens (window b.pos − a.pos
+    // ∈ [1,2], a.tok < b.tok orientation), min-count cut INSIDE the
+    // pair agg; PMI = ln(c_ab·N/(c_a·c_b)) on exact longs with the
+    // textually-pinned ln (the G²/bigram-LM precedent), top-20 by
+    // (6-dp PMI desc, pair) via TakeOrdered.
+    QueryDef(
+      "tx45_pmi_collocations",
+      (s, d) => {
+        val toks = tracked(docs(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok")))
+        val n = toks.agg(count(lit(1)).as("__n"))
+        val u = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val co = toks.as("a").join(toks.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.pos") - col("a.pos") >= 1 &&
+              col("b.pos") - col("a.pos") <= 2 &&
+              col("a.tok") < col("b.tok"))
+          .groupBy(col("a.tok").as("ta"), col("b.tok").as("tb"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+        co.join(u.select(col("tok").as("ta"), col("c").as("ca")), Seq("ta"))
+          .join(u.select(col("tok").as("tb"), col("c").as("cb")), Seq("tb"))
+          .crossJoin(broadcast(n))
+          .select(col("ta"), col("tb"), col("cab"),
+            round(log(col("cab").cast("double") * col("__n") /
+              (col("ca") * col("cb")).cast("double")), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("ta"), col("tb"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split(text,' ')) AS tok,
+             |    unnest(generate_series(1, len(string_split(text,' '))))
+             |      AS pos
+             |  FROM documents),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+             |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM toks GROUP BY 1),
+             |co AS (SELECT a.tok AS ta, b.tok AS tb,
+             |    CAST(count(*) AS BIGINT) AS cab
+             |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+             |    AND b.pos - a.pos BETWEEN 1 AND 2 AND a.tok < b.tok
+             |  GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT ta, tb, cab,
+             |  round(ln(CAST(cab AS DOUBLE) * (SELECT n FROM n)
+             |    / CAST(ua.c * ub.c AS DOUBLE)), 6) AS pmi
+             |FROM co JOIN u ua ON ta = ua.tok JOIN u ub ON tb = ub.tok
+             |ORDER BY pmi DESC, ta, tb LIMIT 20""".stripMargin)),
+
+    // ----- Source style distance via per-mille token profiles (the
+    // stylometry / domain-shift read-out: which sources write most
+    // unlike each other — the signal behind domain-balanced mixtures
+    // and source-aware dedup; a simplified Burrows-Delta with the
+    // z-normalization replaced by EXACT per-mille frequencies so the
+    // whole matrix is integers): profile = (c·10⁵) div total per
+    // (source, token) DENSIFIED over the full source×vocab grid
+    // (absent tokens are 0 — an inner sparse join would silently
+    // drop one-sided tokens and understate every distance), distance
+    // = Σ|pm₁ − pm₂| per source pair. Grid bounded by
+    // \|sources\|·\|vocab\|; output \|sources\|²/2 rows.
+    QueryDef(
+      "tx46_style_distance",
+      (s, d) => {
+        val toks = tracked(docs(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok")))
+        val tot = toks.groupBy("source").agg(count(lit(1)).as("t"))
+        val f = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val grid = tot.select("source", "t")
+          .crossJoin(toks.select("tok").distinct())
+          .join(f, Seq("source", "tok"), "left")
+          .select(col("source"), col("tok"),
+            call_function("div",
+              coalesce(col("c"), lit(0L)) * 100000L, col("t")).as("pm"))
+        val a = grid.select(col("source").as("s1"), col("tok"),
+          col("pm").as("p1"))
+        val b = grid.select(col("source").as("s2"), col("tok"),
+          col("pm").as("p2"))
+        a.join(b, Seq("tok")).filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2")
+          .agg(sum(abs(col("p1") - col("p2"))).as("l1_permille"))
+          .orderBy(col("l1_permille").desc, col("s1"), col("s2"))
+      },
+      Some("""WITH toks AS (SELECT source,
+             |    unnest(string_split(text,' ')) AS tok FROM documents),
+             |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS t
+             |  FROM toks GROUP BY 1),
+             |f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM toks GROUP BY 1, 2),
+             |vocab AS (SELECT DISTINCT tok FROM toks),
+             |grid AS (SELECT tot.source, v.tok,
+             |    CAST(coalesce(f.c, 0) * 100000 // tot.t AS BIGINT) AS pm
+             |  FROM tot CROSS JOIN vocab v
+             |  LEFT JOIN f ON f.source = tot.source AND f.tok = v.tok)
+             |SELECT a.source AS s1, b.source AS s2,
+             |  CAST(sum(abs(a.pm - b.pm)) AS BIGINT) AS l1_permille
+             |FROM grid a JOIN grid b ON a.tok = b.tok
+             |  AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY l1_permille DESC, s1, s2""".stripMargin)),
   )
 }
+
 
 
