@@ -3638,6 +3638,85 @@ object ParityQueries {
              |  min(x) AS lo_cents, max(x) AS hi_cents
              |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ----- Delivery latency distribution per lane (the logistics
+    // read-out the derived receipt dates unlock: ship→receipt days
+    // by returnflag lane — exact percentiles over the 1..30 integer
+    // day grid, the a12 contract; plus the late-vs-commit share as
+    // an exact long ratio). One fact scan, ≤ \|lanes\| rows out.
+    QueryDef(
+      "q24_delivery_latency",
+      (s, d) => {
+        graft.sources.DerivedTables.lineitemExt(s, d)
+          .select(col("l_returnflag"),
+            datediff(col("l_receiptdate"), to_date(col("l_shipdate")))
+              .cast("long").as("delay"),
+            when(col("l_receiptdate") > col("l_commitdate"), 1L)
+              .otherwise(0L).as("late"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(delay, 0.5D)"), 1).as("p50_days"),
+            round(expr("percentile(delay, 0.9D)"), 1).as("p90_days"),
+            max("delay").as("max_days"),
+            round(sum("late").cast("double") / count(lit(1)), 6)
+              .as("late_share"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH ${graft.sources.DerivedTables.Sql.lineitemExt}
+             |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  round(quantile_cont(l_receiptdate - CAST(l_shipdate AS DATE),
+             |    0.5), 1) AS p50_days,
+             |  round(quantile_cont(l_receiptdate - CAST(l_shipdate AS DATE),
+             |    0.9), 1) AS p90_days,
+             |  CAST(max(l_receiptdate - CAST(l_shipdate AS DATE)) AS BIGINT)
+             |    AS max_days,
+             |  round(sum(CASE WHEN l_receiptdate > l_commitdate
+             |    THEN 1.0 ELSE 0.0 END) / count(*), 6) AS late_share
+             |FROM lx GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- Supplier reliability ranking by the WILSON LOWER BOUND of
+    // the late rate (the don't-rank-small-samples lesson applied to
+    // operations: a supplier with 2/2 late lines must not outrank one
+    // with 40/100 — a39's interval machinery reused as a RANKING
+    // key, which is the canonical sort-by-lower-bound remedy): per
+    // supplier exact (n, k late), Wilson lo in ONE pinned expression
+    // of those integers, top-10 worst via TakeOrdered on
+    // (lo desc, suppkey). One fact shuffle on suppkey, supplier dim
+    // joins under AQE.
+    QueryDef(
+      "q25_supplier_reliability",
+      (s, d) => {
+        val perSupp = graft.sources.DerivedTables.lineitemExt(s, d)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_receiptdate") > col("l_commitdate"), 1L)
+              .otherwise(0L)).as("k"))
+        val nd = col("n").cast("double"); val kd = col("k").cast("double")
+        perSupp
+          .join(t(s, d, "supplier").select(col("s_suppkey"), col("s_name")),
+            col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_name"), col("n"), col("k"),
+            round(kd / nd, 6).as("late_share"),
+            round((kd + lit(1.9208)) / (nd + lit(3.8416)) -
+              lit(1.96) * sqrt(kd * (col("n") - col("k")).cast("double") / nd
+                + lit(0.9604)) / (nd + lit(3.8416)), 6).as("wilson_lo"))
+          .orderBy(col("wilson_lo").desc, col("s_name"))
+          .limit(10)
+      },
+      Some(s"""WITH ${graft.sources.DerivedTables.Sql.lineitemExt},
+             |ps AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN l_receiptdate > l_commitdate
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+             |  FROM lx GROUP BY 1)
+             |SELECT s_name, n, k,
+             |  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS late_share,
+             |  round((CAST(k AS DOUBLE) + 1.9208) /
+             |    (CAST(n AS DOUBLE) + 3.8416) -
+             |    1.96 * sqrt(CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE) /
+             |      CAST(n AS DOUBLE) + 0.9604) /
+             |    (CAST(n AS DOUBLE) + 3.8416), 6) AS wilson_lo
+             |FROM ps JOIN supplier ON s_suppkey = l_suppkey
+             |ORDER BY wilson_lo DESC, s_name LIMIT 10""".stripMargin)),
+
     // ----- Association rules over order baskets (the market-basket
     // classic the co-occurrence family stops short of: a17/g2 count
     // raw co-purchases, but a pair can co-occur often merely because
