@@ -90,6 +90,14 @@ object GraftFunctions {
         VecSumAgg(children.head)
       }),
     (
+      new FunctionIdentifier("topk_ll"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_ll"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "topk_ll expects exactly 3 arguments (value, id, k)")
+        TopKAgg(children(0), children(1), children(2))
+      }),
+    (
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
       (children: Seq[Expression]) => {

@@ -3163,6 +3163,43 @@ object EventQueries {
               |FROM cum c JOIN tot t ON c.r = t.r
               |WHERE c.cw >= (t.bw + 1) // 2
               |GROUP BY 1 ORDER BY replicate""".stripMargin)),
+    // ----- Per-user top-3 values through the native topk_ll
+    // aggregate (the library's SECOND TypedImperativeAggregate — the
+    // aggregate-function form of the TakeOrdered discipline, built
+    // for exactly the shape w3/a11 express with a per-group window:
+    // `row_number over (partition by g order by ...)` SORTS EVERY
+    // GROUP IN FULL, while topk_ll keeps a k-bounded sorted buffer
+    // per group with map-side partials — the shuffle carries ≤ k
+    // pairs per (group × partition), and a hot group's millions of
+    // rows never get ordered anywhere). Ordering pinned (v desc, id
+    // asc), so the flattened output is hash-identical to the window
+    // form the DuckDB mirror runs; TopKAggSpec proves the equality
+    // on ties/nulls/small groups/forced merges.
+    QueryDef(
+      "w16_topk_agg",
+      (s, d) => {
+        val tk = events(s, d)
+          .select(col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+            col("event_id"))
+          .groupBy("user_id")
+          .agg(call_function("topk_ll", col("v"), col("event_id"), lit(3))
+            .as("tk"))
+        tk.select(col("user_id"), posexplode(col("tk")).as(Seq("i", "p")))
+          .select(col("user_id"), (col("i") + 1).cast("long").as("rk"),
+            col("p.v").as("value_cents"), col("p.id").as("event_id"))
+          .orderBy("user_id", "rk")
+      },
+      Some("""SELECT user_id, CAST(rk AS BIGINT) AS rk, v AS value_cents,
+             |  event_id
+             |FROM (SELECT user_id, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS v,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+             |        event_id) AS rk
+             |  FROM events)
+             |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin)),
+
     // ----- Sessionization gap-threshold sensitivity sweep (the
     // calibration pass BEFORE anyone pins a session gap constant: the
     // session count as a function of the inactivity threshold is the
