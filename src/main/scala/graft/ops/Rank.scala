@@ -33,7 +33,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * positions (like row_number over a non-unique key). Callers must
   * either pass a globally unique sort key or derive only
   * tie-invariant quantities (per-value lo/hi/cum — what the grid
-  * collapses in a38/w13/audit_key_skew/g11 do).
+  * collapses in a38/w13/audit_key_skew/g11 do). Skew caveat: ties
+  * CO-PARTITION (range boundaries are key values), so one value
+  * holding ≫ 1/numPartitions of the rows skews the range exchange —
+  * the remedy is the same grid collapse (rank the distinct-value
+  * grid, not the rows), which every tied consumer here already does;
+  * rank raw rows only on unique or near-unique keys.
   *
   * The caller passes its registry's TrackedCache as `cache`: the
   * range-partitioned frame is read by two actions (the offset collect
