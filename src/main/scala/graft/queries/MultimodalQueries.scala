@@ -370,5 +370,56 @@ object MultimodalQueries {
            |  CAST(CASE WHEN delta > 0 THEN 1 ELSE 0 END AS INT) AS is_cut
            |FROM d ORDER BY media_id, frame_idx""".stripMargin
       }),
+    // ----- Generic byte-slice frame sampler, ORACLE-GATED (closing
+    // SURVEY E24b's long-standing "spec-only" partial: the fallback
+    // path for containers without a demuxer treats content as
+    // nFrames equal byte slices and samples every stride-th — the
+    // slicing arithmetic, empty-tail clamping, and distributed
+    // mapPartitions shape are exactly what a real codec would plug
+    // into, and THIS query hash-gates all of it cross-engine: the
+    // DuckDB mirror re-slices the same utf-8 bytes in HEX space
+    // (substr over blobs is not portable; substr over hex(blob) is
+    // the m1 byte-safe idiom) and re-derives each frame's byte sum
+    // nibble-by-nibble). nFrames = 10, stride = 3 → frames 0/3/6/9;
+    // per frame (len, byte_sum) exact integers.
+    QueryDef(
+      "m10_byteslice_frames",
+      (s, d) => {
+        import s.implicits._
+        val m = Multimodal
+          .fromDocuments(graft.sources.Tables.table(s, d, "documents"))
+          .filter(col("media_id") < 60)
+          .select(col("media_id"), col("content"))
+          .as[(Long, Array[Byte])]
+        m.flatMap { case (id, c) =>
+            Multimodal.frameSample(c, nFrames = 10, stride = 3)
+              .map { case (idx, bytes) =>
+                (id, idx.toLong, bytes.length.toLong,
+                  bytes.foldLeft(0L)((a, b) => a + (b & 0xff)))
+              }
+          }
+          .toDF("media_id", "frame_idx", "frame_len", "byte_sum")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    upper(hex(encode(text))) AS hx,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+             |  FROM documents WHERE doc_id < 60),
+             |fr AS (SELECT media_id, hx, n, greatest(1, n // 10) AS flen,
+             |    unnest([0, 3, 6, 9]) AS idx FROM m),
+             |sl AS (SELECT media_id, CAST(idx AS BIGINT) AS frame_idx,
+             |    greatest(0, least(n, idx * flen + flen) - idx * flen)
+             |      AS take,
+             |    string_split(substr(hx, 2 * idx * flen + 1,
+             |      2 * greatest(0, least(n, idx * flen + flen)
+             |        - idx * flen)), '') AS h
+             |  FROM fr)
+             |SELECT media_id, frame_idx, CAST(take AS BIGINT) AS frame_len,
+             |  CAST(CASE WHEN take = 0 THEN 0 ELSE list_sum(
+             |    [(strpos('0123456789ABCDEF', h[j]) - 1)
+             |      * (CASE WHEN j % 2 = 1 THEN 16 ELSE 1 END)
+             |     for j in range(1, len(h) + 1)]) END AS BIGINT) AS byte_sum
+             |FROM sl ORDER BY media_id, frame_idx""".stripMargin)),
   )
 }
+
