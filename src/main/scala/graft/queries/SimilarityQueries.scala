@@ -1275,6 +1275,108 @@ object SimilarityQueries {
               |    THEN 1 ELSE 0 END) AS BIGINT) AS n_confident
               |FROM top2 WHERE c2 IS NOT NULL
               |GROUP BY 1 ORDER BY cell""".stripMargin)),
+    // ----- Integer-exact PCA power iteration (relational linear
+    // algebra: the top principal direction of the embedding corpus —
+    // the drift/whitening primitive behind "did the embedding
+    // distribution rotate after the model update"): the scaled
+    // covariance n²·Cov = n·Σxᵢxⱼ − (Σxᵢ)(Σxⱼ) is EXACT LONGS from
+    // two aggregates — per-dim sums via vec_sum_ll on the vectors
+    // themselves, and the 64×64 Gram via vec_sum_ll over PER-ROW
+    // OUTER-PRODUCT arrays (the sim13 map-side-combine lesson applied
+    // to the covariance: the shuffle carries one 4096-long buffer per
+    // partition, never N·64² rows). Three power rounds run on the
+    // 4096-entry grid with FLOOR division on signed values via the
+    // pmod identity floor(a/b) = (a − pmod(a,b))/b — Spark's `div`
+    // truncates toward zero and DuckDB's `//` floors, so bare
+    // division diverges on negatives (the catalogued trap); the pmod
+    // form floors on BOTH engines. Per-round renormalization to max
+    // \|component\| = 1e6; the mirror replays the identical unrolled
+    // iteration. Output: top-8 dims by absolute loading.
+    QueryDef(
+      "sim21_pca_power",
+      (s, d) => {
+        def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          call_function("div", a - pmod(a, b), b)
+        val q = tracked(graft.ext.Lloyd.quantized(emb(s, d)))
+        val nv = q.agg(count(lit(1)).as("__n"))
+        val sums = q.agg(call_function("vec_sum_ll", col("qv")).as("sx"))
+        val outer = q.select(transform(sequence(lit(0), lit(4095)), k =>
+            element_at(col("qv"),
+              (call_function("div", k, lit(64)) + 1).cast("int")) *
+              element_at(col("qv"), ((k % 64) + 1).cast("int"))).as("op"))
+          .agg(call_function("vec_sum_ll", col("op")).as("sxx"))
+        val cc = tracked(outer.crossJoin(broadcast(sums))
+          .crossJoin(broadcast(nv))
+          .select(col("sx"), col("__n"),
+            posexplode(col("sxx")).as(Seq("k", "sxx_k")))
+          .select(call_function("div", col("k"), lit(64)).as("i"),
+            (col("k") % 64).as("j"),
+            fdiv(col("__n") * col("sxx_k") -
+              element_at(col("sx"),
+                (call_function("div", col("k"), lit(64)) + 1).cast("int")) *
+                element_at(col("sx"), ((col("k") % 64) + 1).cast("int")),
+              col("__n") * col("__n")).as("c")))
+        val spark0 = s
+        import spark0.implicits._
+        var v = (0 until 64).map(i => (i.toLong, 1000000L)).toDF("j", "vv")
+        for (_ <- 1 to 3) {
+          val w = cc.join(v, Seq("j"))
+            .groupBy("i").agg(sum(col("c") * col("vv")).as("w"))
+          val m = w.agg(greatest(lit(1L),
+            call_function("div", max(abs(col("w"))), lit(1000000L))).as("m"))
+          v = w.crossJoin(broadcast(m))
+            .select(col("i").as("j"), fdiv(col("w"), col("m")).as("vv"))
+        }
+        v.select(col("j").as("dim"), col("vv").as("loading"))
+          .orderBy(abs(col("loading")).desc, col("dim"))
+          .limit(8)
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(embedding, x ->
+             |      CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+             |e AS (SELECT vec_id, unnest(qv) AS x,
+             |    unnest(generate_series(0, 63)) AS i FROM q),
+             |sx AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM e GROUP BY 1),
+             |cm AS (SELECT a.i AS i, b.i AS j,
+             |    CAST(sum(a.x * b.x) AS BIGINT) AS sxx
+             |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+             |cc0 AS (SELECT cm.i, cm.j,
+             |    (SELECT n FROM nv) * sxx - sa.s * sb.s AS num,
+             |    (SELECT n FROM nv) * (SELECT n FROM nv) AS den
+             |  FROM cm JOIN sx sa ON cm.i = sa.i JOIN sx sb ON cm.j = sb.i),
+             |cc AS (SELECT i, j,
+             |    (num - ((num % den + den) % den)) // den AS c FROM cc0),
+             |v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v
+             |  FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+             |w1 AS (SELECT cc.i, CAST(sum(cc.c * v0.v) AS BIGINT) AS w
+             |  FROM cc JOIN v0 ON cc.j = v0.j GROUP BY 1),
+             |g1 AS (SELECT greatest(1,
+             |    (SELECT CAST(max(abs(w)) AS BIGINT) FROM w1) // 1000000) AS g),
+             |v1 AS (SELECT i AS j,
+             |    (w - ((w % (SELECT g FROM g1) + (SELECT g FROM g1))
+             |      % (SELECT g FROM g1))) // (SELECT g FROM g1) AS v
+             |  FROM w1),
+             |w2 AS (SELECT cc.i, CAST(sum(cc.c * v1.v) AS BIGINT) AS w
+             |  FROM cc JOIN v1 ON cc.j = v1.j GROUP BY 1),
+             |g2 AS (SELECT greatest(1,
+             |    (SELECT CAST(max(abs(w)) AS BIGINT) FROM w2) // 1000000) AS g),
+             |v2 AS (SELECT i AS j,
+             |    (w - ((w % (SELECT g FROM g2) + (SELECT g FROM g2))
+             |      % (SELECT g FROM g2))) // (SELECT g FROM g2) AS v
+             |  FROM w2),
+             |w3 AS (SELECT cc.i, CAST(sum(cc.c * v2.v) AS BIGINT) AS w
+             |  FROM cc JOIN v2 ON cc.j = v2.j GROUP BY 1),
+             |g3 AS (SELECT greatest(1,
+             |    (SELECT CAST(max(abs(w)) AS BIGINT) FROM w3) // 1000000) AS g),
+             |v3 AS (SELECT i AS j,
+             |    (w - ((w % (SELECT g FROM g3) + (SELECT g FROM g3))
+             |      % (SELECT g FROM g3))) // (SELECT g FROM g3) AS v
+             |  FROM w3)
+             |SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS loading
+             |FROM v3 ORDER BY abs(v) DESC, dim LIMIT 8""".stripMargin)),
   )
 }
+
 
