@@ -3198,7 +3198,8 @@ object EventQueries {
              |      ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
              |        event_id) AS rk
              |  FROM events)
-             |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin)),
+             |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin),
+      bench = true),
 
     // ----- Sessionization gap-threshold sensitivity sweep (the
     // calibration pass BEFORE anyone pins a session gap constant: the

@@ -1375,7 +1375,8 @@ object SimilarityQueries {
              |      % (SELECT g FROM g3))) // (SELECT g FROM g3) AS v
              |  FROM w3)
              |SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS loading
-             |FROM v3 ORDER BY abs(v) DESC, dim LIMIT 8""".stripMargin)),
+             |FROM v3 ORDER BY abs(v) DESC, dim LIMIT 8""".stripMargin),
+      bench = true),
   )
 }
 
