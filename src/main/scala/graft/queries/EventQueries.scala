@@ -3163,6 +3163,96 @@ object EventQueries {
               |FROM cum c JOIN tot t ON c.r = t.r
               |WHERE c.cw >= (t.bw + 1) // 2
               |GROUP BY 1 ORDER BY replicate""".stripMargin)),
+    // ----- First-touch vs last-touch attribution (the marketing
+    // credit question behind every conversion dashboard: which event
+    // type OPENED the journey vs which one closed it immediately
+    // before purchase — the two standard single-touch models, shown
+    // side by side so their disagreement IS the read-out): journeys
+    // = events strictly before the user's FIRST purchase; first/last
+    // touch via struct-ordered min/max with the (ts, event_id) tie
+    // pin (the argmin idiom — no window, no sort); full-outer on the
+    // type grid so a type credited by only one model still shows.
+    // Output ≤ \|types\| rows.
+    QueryDef(
+      "t_attribution_touch",
+      (s, d) => {
+        val fp = events(s, d).filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts").as("pts"))
+        val pre = tracked(events(s, d).join(fp, Seq("user_id"))
+          .filter(col("ts") < col("pts"))
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"), col("event_type")).as("s")))
+        val ft = pre.groupBy("user_id").agg(min("s").as("s"))
+          .groupBy(col("s.event_type").as("et"))
+          .agg(count(lit(1)).as("first_touch"))
+        val lt = pre.groupBy("user_id").agg(max("s").as("s"))
+          .groupBy(col("s.event_type").as("et2"))
+          .agg(count(lit(1)).as("last_touch"))
+        ft.join(lt, col("et") === col("et2"), "full_outer")
+          .select(coalesce(col("et"), col("et2")).as("event_type"),
+            coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+            coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+          .orderBy("event_type")
+      },
+      Some("""WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1),
+             |pre AS (SELECT e.user_id, e.ts, e.event_id, e.event_type
+             |  FROM events e JOIN fp ON e.user_id = fp.user_id
+             |  WHERE e.ts < fp.pts),
+             |ft AS (SELECT s.t AS et, CAST(count(*) AS BIGINT) AS n
+             |  FROM (SELECT user_id, min(struct_pack(ts := ts,
+             |      event_id := event_id, t := event_type)) AS s
+             |    FROM pre GROUP BY 1) GROUP BY 1),
+             |lt AS (SELECT s.t AS et, CAST(count(*) AS BIGINT) AS n
+             |  FROM (SELECT user_id, max(struct_pack(ts := ts,
+             |      event_id := event_id, t := event_type)) AS s
+             |    FROM pre GROUP BY 1) GROUP BY 1)
+             |SELECT coalesce(ft.et, lt.et) AS event_type,
+             |  CAST(coalesce(ft.n, 0) AS BIGINT) AS first_touch,
+             |  CAST(coalesce(lt.n, 0) AS BIGINT) AS last_touch
+             |FROM ft FULL JOIN lt ON ft.et = lt.et
+             |ORDER BY event_type""".stripMargin)),
+
+    // ----- Time-to-convert distribution (the product-funnel latency
+    // a16's stage counts don't carry: HOW LONG between a user's
+    // first view and their first subsequent purchase — the metric
+    // behind nudge timing and attribution windows): two first-seen
+    // collapses (min ts per user per type — one user-key shuffle
+    // each), the strictly-after pairing as a join predicate, delays
+    // as exact integer MINUTES via the epoch_us floor-div idiom, and
+    // exact percentiles over the per-user delay values (the a12
+    // contract — converted users bound the frame). One audit row.
+    QueryDef(
+      "t_time_to_convert",
+      (s, d) => {
+        val fv = events(s, d).filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("vts"))
+        val fp = events(s, d).filter(col("event_type") === "purchase")
+          .join(fv, Seq("user_id"))
+          .filter(col("ts") > col("vts"))
+          .groupBy("user_id").agg(min("ts").as("pts"), min("vts").as("vts"))
+        fp.select(call_function("div",
+            unix_micros(col("pts")) - unix_micros(col("vts")),
+            lit(60000000L)).as("mins"))
+          .agg(count(lit(1)).as("n_converted"),
+            round(expr("percentile(mins, 0.5D)"), 1).as("p50_min"),
+            round(expr("percentile(mins, 0.9D)"), 1).as("p90_min"),
+            max("mins").as("max_min"))
+      },
+      Some("""WITH fv AS (SELECT user_id, min(ts) AS vts FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |fp AS (SELECT e.user_id, min(e.ts) AS pts, min(fv.vts) AS vts
+             |  FROM events e JOIN fv ON e.user_id = fv.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > fv.vts
+             |  GROUP BY 1),
+             |d AS (SELECT (epoch_us(pts) - epoch_us(vts)) // 60000000
+             |    AS mins FROM fp)
+             |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |  round(quantile_cont(mins, 0.5), 1) AS p50_min,
+             |  round(quantile_cont(mins, 0.9), 1) AS p90_min,
+             |  CAST(max(mins) AS BIGINT) AS max_min
+             |FROM d""".stripMargin)),
+
     // ----- Per-user top-3 values through the native topk_ll
     // aggregate (the library's SECOND TypedImperativeAggregate — the
     // aggregate-function form of the TakeOrdered discipline, built
