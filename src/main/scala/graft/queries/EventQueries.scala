@@ -3541,6 +3541,107 @@ object EventQueries {
              |    ELSE CAST(63 AS DOUBLE) * 1000000007.0
              |      / CAST(hk AS DOUBLE) END, 4) AS kmv_est
              |FROM st, t""".stripMargin)),
+
+    // ----- KMV set-INTERSECTION estimate — audience overlap, the
+    // theta-sketch use case (a41/a42 answer "how many distinct"; the
+    // harder warehouse question is "how much do two audiences
+    // OVERLAP" — computable exactly only by a distinct-join at full
+    // volume, but two mergeable k-min sketches answer it from
+    // 2·k values): audiences = purchase-days vs error-days at the
+    // (user, day) grain (user-level audiences in this corpus overlap
+    // 100% — every user hits every type; the day grain separates
+    // them, true J ≈ 0.22), same mod-P affine mix as a41/a42. Union
+    // sketch = k smallest of the two k-sets' union, theta = its max;
+    // rho = union-sketch hashes present in BOTH sketches;
+    // jaccard_est = rho/k, union_est = (k−1)·P/theta,
+    // inter_est = their product — the standard KMV/theta estimator
+    // chain, every step a pure function of the hash so the oracle
+    // replays it bit-for-bit. TRUE n_a/n_b/inter ride alongside
+    // (the a41 visible-error discipline): measured J-est 0.156/
+    // 0.25/0.219 vs true 0.205/0.223/0.219 at the three SFs, k=64.
+    // At 100 TB each sketch is a TakeOrdered over a distinct-
+    // collapsed audience (per-partition heaps, k rows to the
+    // driver-side merge), never a cross-audience distinct join.
+    QueryDef(
+      "a45_kmv_overlap",
+      (s, d) => {
+        val P = graft.ext.NearDup.P
+        val k = 64
+        val ev = events(s, d).select(
+          (col("user_id") * 100L + dayofmonth(col("ts")).cast("long"))
+            .as("e"),
+          col("event_type"))
+        def aud(tpe: String): DataFrame =
+          ev.filter(col("event_type") === tpe)
+            .select(((lit(1103515245L) * (col("e") % P) + lit(12345L)) % P)
+              .as("h"))
+            .distinct()
+        val ha = tracked(aud("purchase"))
+        val hb = tracked(aud("error"))
+        val ka = ha.orderBy("h").limit(k)
+        val kb = hb.orderBy("h").limit(k)
+        val ku = ka.unionAll(kb).distinct().orderBy("h").limit(k)
+        val st = ku
+          .join(ka.withColumnRenamed("h", "a"), col("h") === col("a"),
+            "left_outer")
+          .join(kb.withColumnRenamed("h", "b"), col("h") === col("b"),
+            "left_outer")
+          .agg(count(lit(1)).as("nu"), max("h").as("theta"),
+            sum(when(col("a").isNotNull && col("b").isNotNull, 1L)
+              .otherwise(0L)).as("rho"))
+        val truth = ha.agg(count(lit(1)).as("n_a"))
+          .crossJoin(hb.agg(count(lit(1)).as("n_b")))
+          .crossJoin(ha.join(hb, Seq("h"), "left_semi")
+            .agg(count(lit(1)).as("inter_true")))
+        val uEst = when(col("nu") < k, col("nu").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(P.toDouble) /
+            col("theta").cast("double"))
+        st.crossJoin(broadcast(truth))
+          .select(col("n_a"), col("n_b"), col("inter_true"), col("rho"),
+            col("nu"),
+            round(uEst, 4).as("union_est"),
+            round(col("rho").cast("double") / col("nu").cast("double"), 4)
+              .as("jaccard_est"),
+            round(col("rho").cast("double") / col("nu").cast("double")
+              * uEst, 4).as("inter_est"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id * 100 + CAST(day(ts) AS BIGINT)
+             |    AS e, event_type FROM events),
+             |ha AS (SELECT DISTINCT ((1103515245::BIGINT
+             |    * (e % ${graft.ext.NearDup.P}) + 12345)
+             |    % ${graft.ext.NearDup.P}) AS h
+             |  FROM ev WHERE event_type = 'purchase'),
+             |hb AS (SELECT DISTINCT ((1103515245::BIGINT
+             |    * (e % ${graft.ext.NearDup.P}) + 12345)
+             |    % ${graft.ext.NearDup.P}) AS h
+             |  FROM ev WHERE event_type = 'error'),
+             |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+             |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+             |ku AS (SELECT DISTINCT h FROM
+             |    (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+             |  ORDER BY h LIMIT 64),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+             |    CAST(max(h) AS BIGINT) AS theta,
+             |    CAST(sum(CASE WHEN h IN (SELECT h FROM ka)
+             |        AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS rho
+             |  FROM ku),
+             |tr AS (SELECT
+             |    (SELECT CAST(count(*) AS BIGINT) FROM ha) AS n_a,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM hb) AS n_b,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM ha
+             |      WHERE h IN (SELECT h FROM hb)) AS inter_true)
+             |SELECT n_a, n_b, inter_true, rho, nu,
+             |  round(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+             |    ELSE 63.0 * ${graft.ext.NearDup.P}
+             |      / CAST(theta AS DOUBLE) END, 4) AS union_est,
+             |  round(CAST(rho AS DOUBLE) / CAST(nu AS DOUBLE), 4)
+             |    AS jaccard_est,
+             |  round((CAST(rho AS DOUBLE) / CAST(nu AS DOUBLE)) *
+             |    (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+             |     ELSE 63.0 * ${graft.ext.NearDup.P}
+             |       / CAST(theta AS DOUBLE) END), 4) AS inter_est
+             |FROM st, tr""".stripMargin)),
   )
 }
 
