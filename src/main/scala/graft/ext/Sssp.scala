@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Truncated Bellman-Ford single-source shortest path — the min-plus
+  * companion to [[PageRank]]'s sum-times semiring: the same
+  * one-shuffle-per-round relational iteration, with (+, ×) swapped
+  * for (min, +). Round r holds the EXACT minimum cost over paths of
+  * ≤ r edges, so a pinned round count is not an approximation with a
+  * tolerance but a precisely defined radius-r distance — which is
+  * what makes the operator hash-comparable cross-engine (DuckDB
+  * replays the identical unrolled iteration via [[Sql.rounds]]).
+  *
+  * Spark shape per round: frontier-join on the src key (one uniform
+  * shuffle), candidate distances union the previous vector, min-agg
+  * per node (map-side partial combines candidates before the
+  * exchange). The distance vector stays fully distributed — no
+  * driver state — and all arithmetic is exact longs: integer weights
+  * in, integer path costs out, no float accumulation anywhere.
+  * Lineage: one [[Dedup.checkpointed]] cut on the (usually
+  * join-derived) edge input, which every round re-references; at
+  * diameter-scale round counts the per-round re-cut discipline of
+  * [[KCore]] applies unchanged.
+  */
+object Sssp {
+
+  /** `rounds` min-plus relaxations over a weighted directed edge
+    * list `(u, v, w)` — symmetrize first for undirected graphs —
+    * from a seed frame `(node, dist)` (usually one row at dist 0;
+    * multi-source works unchanged and yields the distance to the
+    * NEAREST seed). Returns `(node, dist)` for every node within
+    * `rounds` edges of a seed; exact longs end to end.
+    */
+  def distances(edges: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
+    val (e, _) = Dedup.checkpointed(edges.select("u", "v", "w"))
+    var d = seed.select(col("node"), col("dist"))
+    for (_ <- 1 to rounds) {
+      val relax = e
+        .join(d.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      d = d.unionAll(relax).groupBy("node").agg(min("dist").as("dist"))
+    }
+    d
+  }
+
+  /** DuckDB mirror fragments — the caller defines `e(u, v, w)` and
+    * `d0(node, dist)` CTEs; this unrolls the identical min-plus
+    * rounds as `d1..dN` (MATERIALIZED per round for the same
+    * planner-blow-up reason [[KCore]] documents).
+    */
+  object Sql {
+    def rounds(n: Int): String =
+      (1 to n).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.v AS node, d${i - 1}.dist + e.w AS dist
+           |    FROM d${i - 1} JOIN e ON d${i - 1}.node = e.u)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+  }
+}

@@ -4138,5 +4138,67 @@ object ParityQueries {
              |  bloom_pass, exact_pass,
              |  bloom_pass - (SELECT exact_pass FROM ex) AS false_pos
              |FROM bloom, ex""".stripMargin)),
+
+    // ----- Graph: WEIGHTED single-source shortest path (the min-plus
+    // rung the hop-count family stops short of: g9's BFS layers count
+    // edges, but procurement/routing asks for the CHEAPEST path, and
+    // a 2-hop detour through a discounter genuinely beats a direct
+    // edge — visible in the result, where far nodes land BELOW the
+    // cheapest direct price): bipartite customer↔supplier graph with
+    // exact-cents edge weights (min extendedprice per pair — the
+    // pair agg collapses lineitem volume to the edge grid before any
+    // iteration), 4 truncated Bellman-Ford rounds from the minimum
+    // customer node = exact min cost over ≤4-edge paths, a pure
+    // integer function of the graph (ext/Sssp scaladoc for why
+    // truncation is a DEFINITION here, not an approximation). One
+    // frontier shuffle + map-side min partial per round, distance
+    // vector never on the driver; top-20 nearest rank-pinned
+    // (dist, node), n_reached alongside.
+    QueryDef(
+      "g13_sssp",
+      (s, d) => {
+        val e0 = tracked(t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey").cast("long") * 2).as("u"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("v"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long"))
+            .as("w")))
+        val edges = e0.unionAll(
+          e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+        val seed = e0.agg(min("u").as("node"))
+          .select(col("node"), lit(0L).as("dist"))
+        val dist = graft.ext.Sssp.distances(edges, seed, rounds = 4)
+        val n = dist.agg(count(lit(1)).as("n_reached"))
+        dist.crossJoin(broadcast(e0.agg(min("u").as("__s"))))
+          .filter(col("node") =!= col("__s"))
+          .crossJoin(broadcast(n))
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("kind"),
+            call_function("div", col("node"), lit(2L)).as("key"),
+            col("dist"), col("n_reached"), col("node"))
+          .orderBy(col("dist"), col("node"))
+          .limit(20)
+          .drop("node")
+      },
+      Some(s"""WITH e0 AS MATERIALIZED (
+             |  SELECT CAST(o_custkey AS BIGINT)*2 AS u,
+             |    CAST(l_suppkey AS BIGINT)*2+1 AS v,
+             |    CAST(min(CAST(round(l_extendedprice*100) AS BIGINT))
+             |      AS BIGINT) AS w
+             |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |  GROUP BY 1, 2),
+             |e AS MATERIALIZED (
+             |  SELECT u, v, w FROM e0
+             |  UNION ALL SELECT v AS u, u AS v, w FROM e0),
+             |seed AS (SELECT min(u) AS s FROM e0),
+             |d0 AS (SELECT s AS node, 0::BIGINT AS dist FROM seed),
+             |${graft.ext.Sssp.Sql.rounds(4)}
+             |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+             |    ELSE 'supplier' END AS kind,
+             |  node // 2 AS key, dist,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM d4) AS n_reached
+             |FROM d4 WHERE node != (SELECT s FROM seed)
+             |ORDER BY dist, node LIMIT 20""".stripMargin)),
   )
 }
