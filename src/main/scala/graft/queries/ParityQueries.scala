@@ -4200,5 +4200,75 @@ object ParityQueries {
              |  (SELECT CAST(count(*) AS BIGINT) FROM d4) AS n_reached
              |FROM d4 WHERE node != (SELECT s FROM seed)
              |ORDER BY dist, node LIMIT 20""".stripMargin)),
+
+    // ----- Item-item collaborative filtering: per-item top-3
+    // "also bought" lists by COSINE over binary basket vectors (the
+    // serving table behind every co-purchase recommender; j10 ranks
+    // GLOBAL rules by lift, g8 compares neighbor SETS — this emits a
+    // bounded per-item neighbor list, the thing a recsys actually
+    // ships): cosine = cab/√(ca·cb), but the RANKING key is the
+    // exact integer cab²·10⁶ div (ca·cb) — monotone in cosine, so
+    // order never touches a float (the sim19 6-dp pin applied one
+    // step earlier: the float is display-only). Pair agg keeps the
+    // support cut INSIDE the shuffle (j10's Apriori discipline);
+    // per-item top-3 through the native topk_ll aggregate — map-side
+    // k-bounded buffers, ≤3 pairs per (item × partition) on the
+    // wire, no per-item sort anywhere (the E290 physics; the DuckDB
+    // mirror runs the window form it replaces). Join-back for the
+    // display columns touches only the ≤3·|items| survivors.
+    QueryDef(
+      "j13_item_cf",
+      (s, d) => {
+        val op = tracked(t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct())
+        val m = op.groupBy("pk").agg(count(lit(1)).as("c"))
+        val pairs = op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 2)
+        val sc = tracked(pairs
+          .join(m.select(col("pk").as("pa"), col("c").as("ca")), Seq("pa"))
+          .join(m.select(col("pk").as("pb"), col("c").as("cb")), Seq("pb"))
+          .select(col("pa").cast("long").as("pa"),
+            col("pb").cast("long").as("pb"),
+            col("cab"), col("ca"), col("cb"),
+            call_function("div", col("cab") * col("cab") * lit(1000000L),
+              col("ca") * col("cb")).as("skey")))
+        sc.groupBy("pa")
+          .agg(call_function("topk_ll", col("skey"), col("pb"), lit(3))
+            .as("tk"))
+          .select(col("pa"), posexplode(col("tk")).as(Seq("i", "p")))
+          .select(col("pa"), (col("i") + 1).cast("long").as("rk"),
+            col("p.id").as("pb"))
+          .join(sc, Seq("pa", "pb"))
+          .select(col("pa"), col("rk"), col("pb"), col("cab"),
+            round(col("cab").cast("double") /
+              sqrt((col("ca") * col("cb")).cast("double")), 6).as("cosine"))
+          .orderBy("pa", "rk")
+      },
+      Some("""WITH op AS MATERIALIZED (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem),
+             |m AS (SELECT pk, CAST(count(*) AS BIGINT) AS c
+             |  FROM op GROUP BY 1),
+             |pairs AS (SELECT a.pk AS pa, b.pk AS pb,
+             |    CAST(count(*) AS BIGINT) AS cab
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk != b.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sc AS (SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT)
+             |      AS pb, cab, ma.c AS ca, mb.c AS cb,
+             |    (cab * cab * 1000000) // (ma.c * mb.c) AS skey
+             |  FROM pairs JOIN m ma ON pairs.pa = ma.pk
+             |    JOIN m mb ON pairs.pb = mb.pk)
+             |SELECT pa, CAST(rk AS BIGINT) AS rk, pb, cab,
+             |  round(CAST(cab AS DOUBLE) / sqrt(CAST(ca * cb AS DOUBLE)), 6)
+             |    AS cosine
+             |FROM (SELECT pa, pb, cab, ca, cb,
+             |    row_number() OVER (PARTITION BY pa
+             |      ORDER BY skey DESC, pb) AS rk
+             |  FROM sc) WHERE rk <= 3
+             |ORDER BY pa, rk""".stripMargin)),
   )
 }
