@@ -1377,6 +1377,139 @@ object SimilarityQueries {
              |SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS loading
              |FROM v3 ORDER BY abs(v) DESC, dim LIMIT 8""".stripMargin),
       bench = true),
+
+    // ----- DBSCAN as a relational composition (density clustering —
+    // the OTHER clustering family next to sim9's k-means: no K, no
+    // centroids, clusters are dense regions and sparse points are
+    // NOISE, which is what near-dup corpora actually look like):
+    // ε-graph = exact cosine pairs > 0.9 (the dedup_embedding_near
+    // block-pair engine), core = ε-degree ≥ 3 (minPts 4 counting the
+    // point itself), clusters = connected components over the
+    // CORE-CORE subgraph (the textbook density-reachability
+    // fixpoint), borders = non-core points attached to their min
+    // adjacent core cluster, everything else noise. The corpus'
+    // planted-clone discipline (dedup_embedding_lsh) extends to a
+    // three-clone MOTIF — 0.125/0.25/0.75·rot1 at %10/%20/%20, all
+    // dyadic scales so both engines round the float re-cast
+    // identically — so cores, borders, and noise all occur
+    // organically (26/70/504 at sf0.001). Every stage is a bounded
+    // relational op: degree agg, two semi-joins, the iterative
+    // min-label CC (one node-key shuffle per round) vs DuckDB's
+    // RECURSIVE-CTE fixpoint; output ≤ |clusters| rows + the noise
+    // count on every row.
+    QueryDef(
+      "sim22_dbscan",
+      (s, d) => {
+        val e = emb(s, d).select("vec_id", "embedding")
+        val rot = concat(slice(col("embedding"), 2, Dim - 1),
+          slice(col("embedding"), 1, 1))
+        def clone(f: Double, off: Long, mod: Int): DataFrame =
+          e.filter(col("vec_id") % mod === 0)
+            .select((col("vec_id") + off).as("vec_id"),
+              zip_with(col("embedding"), rot,
+                (x, y) => (x.cast("double") + lit(f) * y.cast("double"))
+                  .cast("float")).as("embedding"))
+        val aug = tracked(e
+          .unionAll(clone(0.125, 1000000L, 10))
+          .unionAll(clone(0.25, 2000000L, 20))
+          .unionAll(clone(0.75, 3000000L, 20)))
+        val pairs = Similarity.exactCosinePairsBlocked(aug, "vec_id",
+            "embedding", rawThreshold = 0.9, blocks = 8)
+          .filter(round(col("cos_raw"), 6) > 0.9)
+          .select("a_id", "b_id")
+        val edges = tracked(pairs.unionAll(
+          pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+        val core = tracked(edges.groupBy(col("a_id").as("node"))
+          .agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= 3).select("node"))
+        val ce = edges
+          .join(core.withColumnRenamed("node", "a_id"), Seq("a_id"),
+            "left_semi")
+          .join(core.withColumnRenamed("node", "b_id"), Seq("b_id"),
+            "left_semi")
+          .filter(col("a_id") < col("b_id"))
+        val ccRaw = graft.ext.Dedup.connectedComponents(ce, "a_id", "b_id")
+        val comps = tracked(ccRaw
+          .select(col("node"), col("comp").as("cluster"))
+          .unionAll(core
+            .join(ccRaw.select("node"), Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("cluster"))))
+        val bord = edges
+          .join(core.withColumnRenamed("node", "a_id"), Seq("a_id"),
+            "left_anti")
+          .join(comps.select(col("node").as("b_id"), col("cluster")),
+            Seq("b_id"))
+          .groupBy(col("a_id").as("node"))
+          .agg(min("cluster").as("cluster"))
+        val clusters = comps.groupBy("cluster")
+          .agg(count(lit(1)).as("n_core"))
+          .join(bord.groupBy("cluster").agg(count(lit(1)).as("n_border")),
+            Seq("cluster"), "left_outer")
+          .select(col("cluster"), col("n_core"),
+            coalesce(col("n_border"), lit(0L)).as("n_border"))
+        val noise = aug.select("vec_id")
+          .join(comps.select(col("node").as("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .join(bord.select(col("node").as("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .agg(count(lit(1)).as("n_noise"))
+        clusters.crossJoin(broadcast(noise)).orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE base AS (
+             |  SELECT vec_id, embedding::FLOAT[] AS embedding
+             |  FROM embeddings),
+             |aug AS (
+             |  SELECT vec_id, embedding FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, list_transform(
+             |      generate_series(1, $Dim), j -> CAST(embedding[j]::DOUBLE
+             |      + 0.125 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
+             |  FROM base WHERE vec_id % 10 = 0
+             |  UNION ALL
+             |  SELECT vec_id + 2000000, list_transform(
+             |      generate_series(1, $Dim), j -> CAST(embedding[j]::DOUBLE
+             |      + 0.25 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
+             |  FROM base WHERE vec_id % 20 = 0
+             |  UNION ALL
+             |  SELECT vec_id + 3000000, list_transform(
+             |      generate_series(1, $Dim), j -> CAST(embedding[j]::DOUBLE
+             |      + 0.75 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
+             |  FROM base WHERE vec_id % 20 = 0),
+             |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+             |  WHERE round(${cosSql("a", "b")}, 6) > 0.9),
+             |edges AS (SELECT a_id AS u, b_id AS v FROM p
+             |  UNION SELECT b_id, a_id FROM p),
+             |deg AS (SELECT u AS node, count(*) AS dg FROM edges
+             |  GROUP BY 1),
+             |core AS (SELECT node FROM deg WHERE dg >= 3),
+             |ce AS (SELECT u, v FROM edges
+             |  WHERE u IN (SELECT node FROM core)
+             |    AND v IN (SELECT node FROM core)),
+             |reach(u, v) AS (
+             |  SELECT node, node FROM core
+             |  UNION
+             |  SELECT r.u, e.v FROM reach r JOIN ce e ON r.v = e.u),
+             |comp AS (SELECT u AS node, min(v) AS cluster FROM reach
+             |  GROUP BY 1),
+             |bord AS (SELECT e.u AS node, min(c.cluster) AS cluster
+             |  FROM edges e JOIN comp c ON e.v = c.node
+             |  WHERE e.u NOT IN (SELECT node FROM core) GROUP BY 1),
+             |cl AS (
+             |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_core,
+             |    0::BIGINT AS n_border FROM comp GROUP BY 1
+             |  UNION ALL
+             |  SELECT cluster, 0, CAST(count(*) AS BIGINT) FROM bord
+             |  GROUP BY 1),
+             |clusters AS (SELECT cluster,
+             |    CAST(sum(n_core) AS BIGINT) AS n_core,
+             |    CAST(sum(n_border) AS BIGINT) AS n_border
+             |  FROM cl GROUP BY 1),
+             |noise AS (SELECT CAST(count(*) AS BIGINT) AS n_noise FROM aug
+             |  WHERE vec_id NOT IN (SELECT node FROM comp)
+             |    AND vec_id NOT IN (SELECT node FROM bord))
+             |SELECT cluster, n_core, n_border, n_noise
+             |FROM clusters, noise ORDER BY cluster""".stripMargin)),
   )
 }
 
