@@ -4270,5 +4270,79 @@ object ParityQueries {
              |      ORDER BY skey DESC, pb) AS rk
              |  FROM sc) WHERE rk <= 3
              |ORDER BY pa, rk""".stripMargin)),
+
+    // ----- Incremental JOIN-view maintenance (the delta rule behind
+    // every materialized join view and streaming join: a28 maintains
+    // an AGGREGATE from partials, but V = A ⋈ B refreshed from
+    // deltas needs the bilinear identity ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
+    // — the three delta joins touch |Δ|-proportional data while the
+    // naive refresh re-scans A⋈B in full, THE scale argument for
+    // incremental pipelines at 100 TB): orders/lineitem split into
+    // old + delta batches by independent deterministic predicates
+    // (a delta order's lineitems may be old — real CDC arrival is
+    // uncorrelated across tables; the algebra holds for ANY
+    // partition), each of the four components counted and cents-
+    // checksummed, and the audit is SELF-CERTIFYING — rows_gap and
+    // cents_gap vs the full recompute are structurally 0, computed
+    // cross-engine rather than asserted (the tx44 discipline). One
+    // audit row; exact integers end to end.
+    QueryDef(
+      "j14_mv_join_delta",
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * 100).cast("long")
+        val o = t(s, d, "orders").select(col("o_orderkey").as("ok"),
+          (col("o_orderkey") % 10 === 7).as("da"))
+        val l = t(s, d, "lineitem").select(col("l_orderkey").as("ok"),
+          cents.as("c"),
+          ((col("l_orderkey") + col("l_linenumber")) % 13 === 0).as("db"))
+        def part(aDelta: Boolean, bDelta: Boolean): DataFrame =
+          o.filter(col("da") === aDelta).join(
+            l.filter(col("db") === bDelta), Seq("ok"))
+            .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+              coalesce(sum("c"), lit(0L)).as("cents"))
+        val vOld = part(false, false)
+          .select(col("n").as("n_v_old"), col("cents").as("c_v_old"))
+        val dA = part(true, false)
+          .select(col("n").as("n_da"), col("cents").as("c_da"))
+        val dB = part(false, true)
+          .select(col("n").as("n_db"), col("cents").as("c_db"))
+        val dD = part(true, true)
+          .select(col("n").as("n_dd"), col("cents").as("c_dd"))
+        val full = o.join(l, Seq("ok"))
+          .agg(count(lit(1)).as("n_full"), sum("c").as("c_full"))
+        vOld.crossJoin(broadcast(dA)).crossJoin(broadcast(dB))
+          .crossJoin(broadcast(dD)).crossJoin(broadcast(full))
+          .select(col("n_v_old"), col("n_da"), col("n_db"), col("n_dd"),
+            col("n_full"),
+            (col("n_full") - col("n_v_old") - col("n_da") - col("n_db")
+              - col("n_dd")).as("rows_gap"),
+            (col("c_full") - col("c_v_old") - col("c_da") - col("c_db")
+              - col("c_dd")).as("cents_gap"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS ok,
+             |    (o_orderkey % 10 = 7) AS da FROM orders),
+             |l AS (SELECT l_orderkey AS ok,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             |    ((l_orderkey + l_linenumber) % 13 = 0) AS db
+             |  FROM lineitem),
+             |v0 AS (SELECT CAST(count(*) AS BIGINT) AS n_v_old,
+             |    CAST(coalesce(sum(c), 0) AS BIGINT) AS c_v_old
+             |  FROM o JOIN l USING (ok) WHERE NOT o.da AND NOT l.db),
+             |pa AS (SELECT CAST(count(*) AS BIGINT) AS n_da,
+             |    CAST(coalesce(sum(c), 0) AS BIGINT) AS c_da
+             |  FROM o JOIN l USING (ok) WHERE o.da AND NOT l.db),
+             |pb AS (SELECT CAST(count(*) AS BIGINT) AS n_db,
+             |    CAST(coalesce(sum(c), 0) AS BIGINT) AS c_db
+             |  FROM o JOIN l USING (ok) WHERE NOT o.da AND l.db),
+             |pd AS (SELECT CAST(count(*) AS BIGINT) AS n_dd,
+             |    CAST(coalesce(sum(c), 0) AS BIGINT) AS c_dd
+             |  FROM o JOIN l USING (ok) WHERE o.da AND l.db),
+             |f AS (SELECT CAST(count(*) AS BIGINT) AS n_full,
+             |    CAST(coalesce(sum(c), 0) AS BIGINT) AS c_full
+             |  FROM o JOIN l USING (ok))
+             |SELECT n_v_old, n_da, n_db, n_dd, n_full,
+             |  n_full - n_v_old - n_da - n_db - n_dd AS rows_gap,
+             |  c_full - c_v_old - c_da - c_db - c_dd AS cents_gap
+             |FROM v0, pa, pb, pd, f""".stripMargin)),
   )
 }
