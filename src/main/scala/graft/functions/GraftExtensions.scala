@@ -98,6 +98,14 @@ object GraftFunctions {
         TopKAgg(children(0), children(1), children(2))
       }),
     (
+      new FunctionIdentifier("freq_ll"),
+      new ExpressionInfo(classOf[FreqAgg].getName, "freq_ll"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "freq_ll expects exactly 2 arguments (item, k)")
+        FreqAgg(children(0), children(1))
+      }),
+    (
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
       (children: Seq[Expression]) => {

@@ -3642,6 +3642,46 @@ object EventQueries {
              |     ELSE 63.0 * ${graft.ext.NearDup.P}
              |       / CAST(theta AS DOUBLE) END), 4) AS inter_est
              |FROM st, tr""".stripMargin)),
+
+    // ----- Heavy hitters through the native Misra-Gries aggregate
+    // `freq_ll` (the library's THIRD TypedImperativeAggregate — the
+    // frequent-items sketch next to a41's cardinality and
+    // sketch_cms's point lookup: it DISCOVERS the hot keys instead
+    // of counting a known one): the exact formulation shuffles on
+    // every distinct item; freq_ll keeps 64 counters per partition
+    // and merges by the mergeable-summaries rule, ≤ 64 pairs per
+    // partition on the wire whatever the domain. MG's surviving
+    // counter SET is partition-order-dependent — so the query uses
+    // the sketch ONLY as a candidate generator and gates on exact
+    // recounts (items with 65·n > total over the rounded-value
+    // domain, 410 items / 11 hitters at sf0.1): the semi-join
+    // against the candidates makes the n/(k+1) SUPERSET GUARANTEE
+    // the thing being oracle-verified — if Misra-Gries ever dropped
+    // a true heavy hitter under Spark's real partitioning, a row
+    // would vanish and the hash would mismatch (the LSH-recall
+    // gating idea applied to a frequency sketch).
+    QueryDef(
+      "a46_heavy_hitters",
+      (s, d) => {
+        val items = tracked(events(s, d)
+          .select(round(col("value")).cast("long").as("item")))
+        val cand = items
+          .agg(call_function("freq_ll", col("item"), lit(64)).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.item").as("item"))
+        val exact = items.groupBy("item").agg(count(lit(1)).as("n"))
+        val total = items.agg(count(lit(1)).as("total"))
+        exact.crossJoin(broadcast(total))
+          .filter(col("n") * 65L > col("total"))
+          .join(cand, Seq("item"), "left_semi")
+          .select(col("item"), col("n"), col("total"))
+          .orderBy(col("n").desc, col("item"))
+      },
+      Some("""WITH c AS (SELECT CAST(round(value) AS BIGINT) AS item,
+             |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+             |SELECT item, n, total FROM c, tot
+             |WHERE n * 65 > total ORDER BY n DESC, item""".stripMargin)),
   )
 }
 
