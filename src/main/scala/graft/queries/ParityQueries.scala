@@ -4344,5 +4344,88 @@ object ParityQueries {
              |  n_full - n_v_old - n_da - n_db - n_dd AS rows_gap,
              |  c_full - c_v_old - c_da - c_db - c_dd AS cents_gap
              |FROM v0, pa, pb, pd, f""".stripMargin)),
+
+    // ----- Referential-integrity audit (the FK-orphan check every
+    // warehouse load gate runs, completing the audit family next to
+    // contracts/k-anonymity/functional-deps): orphans = child keys
+    // with no parent, per declared FK edge. Formulated as LEFT ANTI
+    // joins, never NOT IN — anti-join is the shape that scales (one
+    // key shuffle per edge, parent side broadcast when small) AND
+    // dodges SQL's NOT-IN null trap (one NULL in the subquery and
+    // NOT IN returns nothing — silently green); the mirror may use
+    // NOT IN because these keys are non-null by schema. The clean
+    // corpus audits 0 orphans on all five edges, so a SIMULATED
+    // PARTIAL LOAD rides alongside as the negative control (parent
+    // orders with o_orderkey % 97 = 0 dropped — the mid-backfill
+    // state): its measured orphan count proves the operator detects
+    // what the clean rows claim is absent (the tx44/j14
+    // self-certifying discipline). ≤ 6 rows at any scale.
+    QueryDef(
+      "audit_referential",
+      (s, d) => {
+        def edge(name: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String): DataFrame = {
+          val orphans = child
+            .join(parent.select(col(pkey).as(key)).distinct(), Seq(key),
+              "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(broadcast(orphans))
+            .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+        }
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        edge("customer.c_nationkey -> nation",
+            t(s, d, "customer"), "c_nationkey", t(s, d, "nation"),
+            "n_nationkey")
+          .unionAll(edge("lineitem.l_orderkey -> orders",
+            li.select(col("l_orderkey")), "l_orderkey", o, "o_orderkey"))
+          .unionAll(edge("lineitem.l_orderkey -> orders[partial load]",
+            li.select(col("l_orderkey")), "l_orderkey",
+            o.filter(col("o_orderkey") % 97 =!= 0), "o_orderkey"))
+          .unionAll(edge("lineitem.l_partkey -> part",
+            li.select(col("l_partkey")), "l_partkey", t(s, d, "part"),
+            "p_partkey"))
+          .unionAll(edge("lineitem.l_suppkey -> supplier",
+            li.select(col("l_suppkey")), "l_suppkey", t(s, d, "supplier"),
+            "s_suppkey"))
+          .unionAll(edge("orders.o_custkey -> customer",
+            o.select(col("o_custkey")), "o_custkey", t(s, d, "customer"),
+            "c_custkey"))
+          .orderBy("fk")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'customer.c_nationkey -> nation' AS fk,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+             |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+             |    AS n_orphans
+             |UNION ALL
+             |SELECT 'lineitem.l_orderkey -> orders',
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |UNION ALL
+             |SELECT 'lineitem.l_orderkey -> orders[partial load]',
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+             |                            WHERE o_orderkey % 97 != 0))
+             |UNION ALL
+             |SELECT 'lineitem.l_partkey -> part',
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+             |UNION ALL
+             |SELECT 'lineitem.l_suppkey -> supplier',
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+             |UNION ALL
+             |SELECT 'orders.o_custkey -> customer',
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+             |ORDER BY fk""".stripMargin)),
   )
 }
