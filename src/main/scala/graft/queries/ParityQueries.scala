@@ -4427,5 +4427,71 @@ object ParityQueries {
              |  (SELECT CAST(count(*) AS BIGINT) FROM orders
              |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
              |ORDER BY fk""".stripMargin)),
+
+    // ----- Changepoint by binary segmentation (the mean-shift
+    // LOCATOR next to t_cusum_shift's sequential detector: CUSUM
+    // answers "did the level shift past the threshold", binseg
+    // answers WHERE the single best split lies — the first step of
+    // the standard recursive segmentation): for a split after
+    // position i, SSE_L + SSE_R = Q − (S_i²/i + (S−S_i)²/(n−i)) and
+    // the sum-of-squares Q is split-invariant, so argmin(SSE) =
+    // argmax g(i) = S_i²/i + (S−S_i)²/(n−i) — prefix sums ONLY, no
+    // per-day squares (whose cents² sums would overflow longs). The
+    // order volume collapses to the bounded ~2.4k-day grid FIRST
+    // (E152 clause), prefix sums via ops/Rank.runningTotals (range
+    // exchange + per-partition offsets — no single-partition window,
+    // the Round8PlanSpec rule), and g is ONE pinned IEEE expression
+    // of exact longs — identical bits cross-engine, argmax tie
+    // pinned (g desc, day). One audit row: split day, segment means
+    // as truncating-div cents, variance-reduction gain.
+    QueryDef(
+      "a47_changepoint_binseg",
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .groupBy(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+            " div 86400000000").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+          .withColumn("one", lit(1L))
+        val cum = graft.ops.Rank.runningTotals(
+          daily, Seq(col("day")), Seq("c" -> "s", "one" -> "i"), tracked(_))
+        val tot = daily.agg(count(lit(1)).as("n"), sum("c").as("st"))
+        val sd = col("s").cast("double"); val id = col("i").cast("double")
+        val rd = (col("st") - col("s")).cast("double")
+        val md = (col("n") - col("i")).cast("double")
+        cum.crossJoin(broadcast(tot))
+          .filter(col("i") < col("n"))
+          .withColumn("gg", sd * sd / id + rd * rd / md)
+          .orderBy(col("gg").desc, col("day"))
+          .limit(1)
+          .select(col("day").as("split_day"), col("n").as("n_days"),
+            call_function("div", col("s"), col("i")).as("mean_left_cents"),
+            call_function("div", col("st") - col("s"), col("n") - col("i"))
+              .as("mean_right_cents"),
+            round(col("gg") - col("st").cast("double")
+              * col("st").cast("double") / col("n").cast("double"), 2)
+              .as("gain"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000
+             |      AS day,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS c
+             |  FROM orders GROUP BY 1),
+             |cum AS (SELECT day, c,
+             |    CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS s,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+             |  FROM daily),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(c) AS BIGINT) AS st FROM daily),
+             |g AS (SELECT day, i, s, n, st,
+             |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(i AS DOUBLE)
+             |    + CAST(st - s AS DOUBLE) * CAST(st - s AS DOUBLE)
+             |      / CAST(n - i AS DOUBLE) AS gg
+             |  FROM cum, tot WHERE i < n)
+             |SELECT day AS split_day, n AS n_days,
+             |  s // i AS mean_left_cents,
+             |  (st - s) // (n - i) AS mean_right_cents,
+             |  round(gg - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+             |    / CAST(n AS DOUBLE), 2) AS gain
+             |FROM g ORDER BY gg DESC, day LIMIT 1""".stripMargin)),
   )
 }
