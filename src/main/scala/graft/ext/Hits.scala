@@ -48,9 +48,15 @@ object Hits {
   /** `rounds` full HITS iterations (authority half then hub half)
     * over a bipartite edge list (hub, auth). Returns
     * (hubs(hub, score), auths(auth, score)) — both scaled longs,
-    * max element exactly Scale.
+    * max element exactly Scale. The two returned frames are
+    * lineage-cut (localCheckpoint) block sets living outside the
+    * CacheManager; their RDD handles are reported through `track`
+    * (pass the registry's `TrackedCache.track` so the end-of-sweep
+    * release frees them — round-8 advice: discarding the handles
+    * pinned the hub/auth blocks for the session's lifetime).
     */
-  def hubsAuthorities(edges: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+  def hubsAuthorities(edges: DataFrame, rounds: Int,
+      track: org.apache.spark.rdd.RDD[_] => Unit = _ => ()): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"hubsAuthorities needs at least one round, got $rounds")
     // one lineage cut: every half-round references the (often
     // join-derived) edge input twice more — without the cut the
@@ -75,8 +81,10 @@ object Hits {
     // materialize the final frames (one cut each), then release the
     // edge blocks — without this the session pins them indefinitely
     // (Truss/KCore unpersist per round; HITS has one shared input)
-    val (hOut, _) = Dedup.checkpointed(hubs)
-    val (aOut, _) = Dedup.checkpointed(auths)
+    val (hOut, hRdd) = Dedup.checkpointed(hubs)
+    val (aOut, aRdd) = Dedup.checkpointed(auths)
+    track(hRdd)
+    track(aRdd)
     eRdd.unpersist(blocking = false)
     (hOut, aOut)
   }

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * driver state — and all arithmetic is exact longs: integer weights
   * in, integer path costs out, no float accumulation anywhere.
   * Lineage: one [[Dedup.checkpointed]] cut on the (usually
-  * join-derived) edge input, which every round re-references; at
-  * diameter-scale round counts the per-round re-cut discipline of
-  * [[KCore]] applies unchanged.
+  * join-derived) edge input, which every round re-references, plus
+  * the per-round re-cut discipline of [[KCore]] on the distance
+  * vector itself — each round references the previous vector twice
+  * (relax + union), so an uncut plan doubles per round (2^rounds
+  * leaf refs by optimization time); superseded rounds release by
+  * their own RDD handle, the final one via the caller's `track`.
   */
 object Sssp {
 
@@ -32,15 +35,29 @@ object Sssp {
     * NEAREST seed). Returns `(node, dist)` for every node within
     * `rounds` edges of a seed; exact longs end to end.
     */
-  def distances(edges: DataFrame, seed: DataFrame, rounds: Int): DataFrame = {
-    val (e, _) = Dedup.checkpointed(edges.select("u", "v", "w"))
+  def distances(edges: DataFrame, seed: DataFrame, rounds: Int,
+      track: org.apache.spark.rdd.RDD[_] => Unit = _ => ()): DataFrame = {
+    val (e, eRdd) = Dedup.checkpointed(edges.select("u", "v", "w"))
     var d = seed.select(col("node"), col("dist"))
-    for (_ <- 1 to rounds) {
+    // per-round lineage cut (the KCore discipline): without it the
+    // distance frame references itself twice per round (relax +
+    // union), so the LOGICAL plan doubles per round — 2^rounds leaf
+    // refs by Catalyst optimization time (round-8 advice). Each
+    // superseded round's block set is released by its own handle; the
+    // final round's handle goes to `track` for end-of-sweep release.
+    var dRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (r <- 1 to rounds) {
       val relax = e
         .join(d.withColumnRenamed("node", "u"), Seq("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
-      d = d.unionAll(relax).groupBy("node").agg(min("dist").as("dist"))
+      val (next, nextRdd) = Dedup.checkpointed(
+        d.unionAll(relax).groupBy("node").agg(min("dist").as("dist")))
+      dRdd.foreach(_.unpersist(blocking = false))
+      d = next
+      dRdd = Some(nextRdd)
     }
+    dRdd.foreach(track)
+    eRdd.unpersist(blocking = false)
     d
   }
 

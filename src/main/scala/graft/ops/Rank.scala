@@ -111,10 +111,21 @@ object Rank {
       sums: Seq[(String, String)],
       cache: DataFrame => DataFrame): DataFrame = {
     require(sums.nonEmpty, "runningTotals needs at least one sum column")
+    // the per-partition partials are read back as primitive longs
+    // below — fail CLEARLY on a non-long src rather than with a
+    // ClassCastException mid-collect (round-8 advice); the
+    // coalesce covers a partition whose src is entirely NULL
+    // (sum → NULL → NPE on getLong without it)
+    sums.foreach { case (src, _) =>
+      val dt = df.schema(src).dataType
+      require(dt == LongType,
+        s"runningTotals requires a LongType src column; '$src' is $dt — cast it first")
+    }
     val spark = df.sparkSession
     val p = cache(df.repartitionByRange(nParts(df), sort: _*))
       .withColumn("__pid", spark_partition_id())
-    val aggCols = sums.map { case (src, _) => sum(col(src)).as(s"__t_$src") }
+    val aggCols =
+      sums.map { case (src, _) => coalesce(sum(col(src)), lit(0L)).as(s"__t_$src") }
     val stats = p.groupBy("__pid").agg(aggCols.head, aggCols.tail: _*)
       .collect()
       .map(r => (r.getInt(0), sums.indices.map(i => r.getLong(i + 1)).toArray))

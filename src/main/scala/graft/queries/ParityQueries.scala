@@ -28,6 +28,7 @@ final case class QueryDef(
   */
 final class TrackedCache {
   private val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val rdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
   def apply(df: DataFrame): DataFrame = {
     val cached = df.persist()
@@ -39,9 +40,21 @@ final class TrackedCache {
     cached
   }
 
+  /** Track a localCheckpoint block set by its RDD handle — checkpoint
+    * blocks live outside the CacheManager, so iterative operators
+    * (Hits, Sssp) hand their FINAL cut's handle here to be freed by
+    * the same end-of-sweep [[release]] that drops the persisted
+    * frames (round-8 advice: discarded final-cut handles pinned the
+    * hub/auth blocks for the session's lifetime).
+    */
+  def track(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    handles.synchronized { rdds += rdd }
+
   def release(): Unit = handles.synchronized {
     handles.foreach(_.unpersist(blocking = false))
     handles.clear()
+    rdds.foreach(_.unpersist(blocking = false))
+    rdds.clear()
   }
 }
 
@@ -1896,7 +1909,7 @@ object ParityQueries {
           .select(col("o_custkey").cast("long").as("hub"),
             col("l_suppkey").cast("long").as("auth"))
           .distinct()
-        val (hubs, auths) = graft.ext.Hits.hubsAuthorities(edges, 2)
+        val (hubs, auths) = graft.ext.Hits.hubsAuthorities(edges, 2, tracked.track)
         // top-15 is TakeOrderedAndProject (per-partition heaps +
         // driver merge of 15·P rows), NOT a global window rank over
         // every node score (the round-7 scale-killer); ranks are then
@@ -2137,7 +2150,11 @@ object ParityQueries {
         // the 1-row boundary: degree class containing rank m = ⌈nn/10⌉,
         // and how many of its (node-ascending) members make the cut
         val bound = cum.crossJoin(broadcast(nTot))
-          .withColumn("m", (col("nn") + 9L) / 10L)
+          // integer div, not `/` (Spark double division): m and need
+          // must be structurally exact longs to compare against the
+          // integer cum/t/pos — the mirror's (nn+9)//10 semantics,
+          // not a float that happens to coincide (round-8 advice)
+          .withColumn("m", call_function("div", col("nn") + lit(9L), lit(10L)))
           .filter(col("cum") - col("t") < col("m") && col("m") <= col("cum"))
           .select(col("dg").as("dstar"),
             (col("m") - (col("cum") - col("t"))).as("need"))
@@ -4167,7 +4184,7 @@ object ParityQueries {
           e0.select(col("v").as("u"), col("u").as("v"), col("w")))
         val seed = e0.agg(min("u").as("node"))
           .select(col("node"), lit(0L).as("dist"))
-        val dist = graft.ext.Sssp.distances(edges, seed, rounds = 4)
+        val dist = graft.ext.Sssp.distances(edges, seed, rounds = 4, tracked.track)
         val n = dist.agg(count(lit(1)).as("n_reached"))
         dist.crossJoin(broadcast(e0.agg(min("u").as("__s"))))
           .filter(col("node") =!= col("__s"))

@@ -62,7 +62,12 @@ object DerivedTables {
   }
 
   /** DuckDB mirrors — splice into a WITH clause; both expect the base
-    * `part`/`supplier`/`lineitem` views the driver registers.
+    * `part`/`supplier`/`lineitem` views the driver registers. Every
+    * key multiply casts the key to BIGINT FIRST: DuckDB ERRORS on
+    * INT32 overflow (no wrap), so `l_orderkey*31` in the base
+    * column's native width dies at large scale factors while the
+    * Spark side casts to long before multiplying (round-8 advice) —
+    * the ::BIGINT keeps the derivation valid at any SF.
     */
   object Sql {
 
@@ -73,12 +78,12 @@ object DerivedTables {
       """nsupp AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
         |partsupp AS (
         |  SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
-        |    CAST((p_partkey + i.i * ((SELECT s FROM nsupp) // 4))
+        |    CAST((p_partkey::BIGINT + i.i * ((SELECT s FROM nsupp) // 4))
         |      % (SELECT s FROM nsupp) AS BIGINT) AS ps_suppkey,
-        |    CAST(1 + (p_partkey * 7 + i.i * 13) % 9999 AS BIGINT)
+        |    CAST(1 + (p_partkey::BIGINT * 7 + i.i * 13) % 9999 AS BIGINT)
         |      AS ps_availqty,
         |    CAST(1 + (CAST(round(p_retailprice*100) AS BIGINT)
-        |      * (47 + (p_partkey + i.i*3) % 51)) // 100 AS BIGINT)
+        |      * (47 + (p_partkey::BIGINT + i.i*3) % 51)) // 100 AS BIGINT)
         |      AS ps_supplycost_cents
         |  FROM part, (SELECT unnest([0,1,2,3]) AS i) i)""".stripMargin
 
@@ -88,10 +93,12 @@ object DerivedTables {
         |    l_quantity, l_extendedprice, l_discount, l_returnflag,
         |    l_shipdate,
         |    CAST(l_shipdate AS DATE)
-        |      + CAST((l_orderkey*31 + l_linenumber*7) % 61 - 30 AS INTEGER)
+        |      + CAST((l_orderkey::BIGINT*31 + l_linenumber::BIGINT*7) % 61
+        |          - 30 AS INTEGER)
         |      AS l_commitdate,
         |    CAST(l_shipdate AS DATE)
-        |      + CAST(1 + (l_orderkey*17 + l_linenumber*11) % 30 AS INTEGER)
+        |      + CAST(1 + (l_orderkey::BIGINT*17 + l_linenumber::BIGINT*11)
+        |          % 30 AS INTEGER)
         |      AS l_receiptdate
         |  FROM lineitem)""".stripMargin
   }
