@@ -3682,6 +3682,60 @@ object EventQueries {
              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
              |SELECT item, n, total FROM c, tot
              |WHERE n * 65 > total ORDER BY n DESC, item""".stripMargin)),
+
+    // ----- Bitmap-EXACT distinct counting (Spark 3.5+ bitmap_*
+    // functions) — the third rung of the distinct-count ladder next
+    // to a41's HLL (approximate, 1 KB) and a42's KMV (approximate,
+    // k values): EXACT like count(DISTINCT) but ADDITIVE like a
+    // sketch. The key move is materializing a daily per-type bitmap
+    // table — (event_type, day, bucket) → a ≤4 KB bitmap of the
+    // 32768-wide user-id slice — after which every coarser grain is
+    // a rollup of bitmaps, never a rescan of raw events: the global
+    // per-type distinct here is bitmap_or_agg over the DAILY table
+    // (the Druid/ClickHouse groupBitmap pattern). At 100 TB that's
+    // the difference between re-reading the fact table per reporting
+    // window and OR-ing a metadata-sized cube; partials are
+    // fixed-size and map-side combine by OR, so the shuffle carries
+    // ≤ |groups|·|buckets| 4 KB blobs whatever the row count. The
+    // query also surfaces sum-of-daily-distincts next to the true
+    // distinct — the non-additivity gap (1601 vs 150 at sf0.01) that
+    // makes naive distinct cubes wrong and this operator necessary.
+    // Oracle: plain COUNT(DISTINCT) per grain — the bitmap path must
+    // reproduce it exactly, not approximately.
+    QueryDef(
+      "a48_bitmap_distinct",
+      (s, d) => {
+        val daily = tracked(events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            expr("bitmap_bucket_number(user_id)").as("bkt"),
+            expr("bitmap_bit_position(user_id)").as("pos"))
+          .groupBy("event_type", "day", "bkt")
+          .agg(expr("bitmap_construct_agg(pos)").as("bm")))
+        val dd = daily
+          .groupBy("event_type", "day")
+          .agg(sum(expr("bitmap_count(bm)")).as("du"))
+          .groupBy("event_type")
+          .agg(sum("du").as("daily_sum"), count(lit(1)).as("days_active"))
+        val ex = daily
+          .groupBy("event_type", "bkt")
+          .agg(expr("bitmap_or_agg(bm)").as("obm"))
+          .groupBy("event_type")
+          .agg(sum(expr("bitmap_count(obm)")).as("exact_distinct"))
+        ex.join(dd, Seq("event_type"))
+          .select(col("event_type"), col("exact_distinct"),
+            col("daily_sum"), col("days_active"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS du
+             |  FROM events GROUP BY 1, 2),
+             |ex AS (SELECT event_type,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+             |  FROM events GROUP BY 1),
+             |dd AS (SELECT event_type, CAST(sum(du) AS BIGINT) AS daily_sum,
+             |    CAST(count(*) AS BIGINT) AS days_active FROM daily GROUP BY 1)
+             |SELECT ex.event_type, exact_distinct, daily_sum, days_active
+             |FROM ex JOIN dd USING (event_type) ORDER BY event_type""".stripMargin)),
   )
 }
 
