@@ -4510,5 +4510,81 @@ object ParityQueries {
              |  round(gg - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
              |    / CAST(n AS DOUBLE), 2) AS gain
              |FROM g ORDER BY gg DESC, day LIMIT 1""".stripMargin)),
+
+    // ----- Spearman rank correlation per nation — the MONOTONE
+    // association measure next to a29's Pearson: spend is heavy-
+    // tailed, so Pearson is dominated by whale customers while
+    // Spearman asks only "do bigger spenders place more orders",
+    // invariant under any monotone rescale (the robust screen a
+    // feature-correlation pass over skewed pipeline signals needs).
+    // Exactness discipline: ties take AVERAGE ranks, which are
+    // half-integers — so the query carries 2·rank throughout
+    // (2·avg = 2·rank() + peers − 1, an exact long; Pearson-of-
+    // ranks is scale-invariant so the doubling cancels), and rho is
+    // assembled a29-style from integer sufficient statistics with
+    // ONE pinned sqrt+divide at the end. Shuffle shape: all four
+    // windows (two rank orders + two peer counts) share the SINGLE
+    // nation hash exchange — the peer count is a RANGE-frame peers
+    // read (CURRENT ROW..CURRENT ROW) over the same partitioning,
+    // NOT a window partitioned by (nation, value), which would be a
+    // second exchange family. Headroom: ranks ≤ 2n so n·Σax² ≤ 4n⁴
+    // holds in longs to n ≈ 3·10⁴ per group; beyond that the three
+    // combination differences move to DECIMAL(38,0) unchanged.
+    QueryDef(
+      "a49_spearman",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = t(s, d, "customer")
+          .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nk"), col("c_custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice*100) AS BIGINT)")).as("spend"),
+            count(lit(1)).as("ncnt"))
+        def twiceAvgRank(v: String) = {
+          val o = Window.partitionBy("nk").orderBy(v)
+          lit(2L) * rank().over(o).cast("long") - 1L +
+            count(lit(1)).over(o.rangeBetween(Window.currentRow, Window.currentRow))
+        }
+        val r = m.select(col("nk"),
+          twiceAvgRank("spend").as("ax"), twiceAvgRank("ncnt").as("ay"))
+        r.groupBy("nk")
+          .agg(count(lit(1)).as("n"),
+            sum("ax").as("sx"), sum("ay").as("sy"),
+            sum(col("ax") * col("ax")).as("sxx"),
+            sum(col("ay") * col("ay")).as("syy"),
+            sum(col("ax") * col("ay")).as("sxy"))
+          .filter((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+          .select(col("nk"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+              6).as("rho"))
+          .orderBy("nk")
+      },
+      Some("""WITH m AS (SELECT CAST(c_nationkey AS BIGINT) AS nk, c_custkey,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |      AS spend,
+             |    CAST(count(*) AS BIGINT) AS ncnt
+             |  FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1, 2),
+             |r AS (SELECT nk,
+             |    2*rank() OVER (PARTITION BY nk ORDER BY spend) - 1
+             |      + count(*) OVER (PARTITION BY nk ORDER BY spend
+             |          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS ax,
+             |    2*rank() OVER (PARTITION BY nk ORDER BY ncnt) - 1
+             |      + count(*) OVER (PARTITION BY nk ORDER BY ncnt
+             |          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS ay
+             |  FROM m),
+             |s AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(ax) AS BIGINT) AS sx, CAST(sum(ay) AS BIGINT) AS sy,
+             |    CAST(sum(ax*ax) AS BIGINT) AS sxx,
+             |    CAST(sum(ay*ay) AS BIGINT) AS syy,
+             |    CAST(sum(ax*ay) AS BIGINT) AS sxy
+             |  FROM r GROUP BY 1)
+             |SELECT nk, n,
+             |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+             |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+             |      * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS rho
+             |FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+             |ORDER BY nk""".stripMargin)),
   )
 }
