@@ -4586,5 +4586,85 @@ object ParityQueries {
              |      * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS rho
              |FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
              |ORDER BY nk""".stripMargin)),
+
+    // ----- Mann-Kendall trend test + Kendall tau-b per priority
+    // class over the monthly revenue grid — the NONPARAMETRIC trend
+    // detector next to a31's OLS slope and t_theil_sen's robust
+    // slope: no linearity or normality assumption, just "do later
+    // months tend to exceed earlier ones", with a z-statistic that
+    // says whether the trend is significant (the standard
+    // environmental/KPI monitoring test). Scale discipline: the
+    // O(n²) pair enumeration happens AFTER collapsing volume to the
+    // calendar-bounded (priority, month) grid — ~80 rows per group
+    // at any data scale, so the quadratic self-join is over ~3k
+    // pairs per group while the fact scan stays a single linear
+    // grouped aggregate (grid-collapse-first, the a47_changepoint
+    // rule). All statistics exact longs: S = Σ sign(c_j − c_i),
+    // tie-group terms for the tau-b denominator and the variance
+    // correction; the final tau_b and continuity-corrected z are
+    // each ONE pinned IEEE expression. Revenue pinned to cents so S
+    // itself is hash-stable.
+    QueryDef(
+      "a50_mann_kendall",
+      (s, d) => {
+        val grid = tracked(t(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("m"))
+          .agg(sum(expr("CAST(round(o_totalprice*100) AS BIGINT)")).as("c")))
+        val a = grid.select(col("pri"), col("m").as("m1"), col("c").as("c1"))
+        val b = grid.select(col("pri"), col("m").as("m2"), col("c").as("c2"))
+        val sS = a.join(b, Seq("pri")).filter(col("m2") > col("m1"))
+          .groupBy("pri")
+          .agg(sum(when(col("c2") > col("c1"), 1L)
+            .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s"))
+        val ties = grid.groupBy("pri", "c").agg(count(lit(1)).as("tt"))
+          .groupBy("pri")
+          .agg(sum(call_function("div",
+            col("tt") * (col("tt") - 1L), lit(2L))).as("ty"),
+            sum(col("tt") * (col("tt") - 1L) * (lit(2L) * col("tt") + 5L))
+              .as("tv"))
+        val nn = grid.groupBy("pri").agg(count(lit(1)).as("n"))
+        val n0 = call_function("div", col("n") * (col("n") - 1L), lit(2L))
+        nn.join(sS, "pri").join(ties, "pri")
+          .select(col("pri"), col("n"), col("s"),
+            round(col("s").cast("double") /
+              sqrt(n0.cast("double") * (n0 - col("ty")).cast("double")), 6)
+              .as("tau_b"),
+            round(when(col("s") === 0L, lit(0.0)).otherwise(
+              (col("s") - when(col("s") > 0L, 1L).otherwise(-1L))
+                .cast("double") /
+                sqrt((col("n") * (col("n") - 1L) *
+                  (lit(2L) * col("n") + 5L) - col("tv")).cast("double")
+                  / 18.0)), 6).as("z"))
+          .orderBy("pri")
+      },
+      Some("""WITH grid AS (SELECT o_orderpriority AS pri,
+             |    CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT)
+             |      AS m,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |      AS c
+             |  FROM orders GROUP BY 1, 2),
+             |pairs AS (SELECT a.pri,
+             |    CAST(sum(CASE WHEN b.c > a.c THEN 1
+             |      WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+             |  FROM grid a JOIN grid b ON a.pri = b.pri AND b.m > a.m
+             |  GROUP BY 1),
+             |ties AS (SELECT pri, CAST(sum(t*(t-1)//2) AS BIGINT) AS ty,
+             |    CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tv
+             |  FROM (SELECT pri, c, CAST(count(*) AS BIGINT) AS t
+             |    FROM grid GROUP BY 1, 2) g
+             |  GROUP BY 1),
+             |nn AS (SELECT pri, CAST(count(*) AS BIGINT) AS n
+             |  FROM grid GROUP BY 1)
+             |SELECT nn.pri, n, s,
+             |  round(CAST(s AS DOUBLE) / sqrt(CAST(n*(n-1)//2 AS DOUBLE)
+             |    * CAST(n*(n-1)//2 - ty AS DOUBLE)), 6) AS tau_b,
+             |  round(CASE WHEN s = 0 THEN 0.0 ELSE
+             |    CAST(s - CASE WHEN s > 0 THEN 1 ELSE -1 END AS DOUBLE)
+             |    / sqrt(CAST(n*(n-1)*(2*n+5) - tv AS DOUBLE) / 18.0) END, 6)
+             |    AS z
+             |FROM nn JOIN pairs USING (pri) JOIN ties USING (pri)
+             |ORDER BY pri""".stripMargin)),
   )
 }
