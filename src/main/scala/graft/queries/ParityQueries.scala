@@ -4666,5 +4666,71 @@ object ParityQueries {
              |    AS z
              |FROM nn JOIN pairs USING (pri) JOIN ties USING (pri)
              |ORDER BY pri""".stripMargin)),
+
+    // ----- Hierarchy / BOM subtree rollup via POINTER DOUBLING —
+    // the recursive-CTE shape Spark has no native operator for
+    // (org charts, bill-of-materials explosions, category trees).
+    // The naive translation walks one level per round = O(depth)
+    // shuffles; here each round composes the ancestor map with
+    // ITSELF (anc after 2^r steps, clamped at the root), so three
+    // pinned rounds resolve any hierarchy of depth ≤ 8 — O(log d)
+    // equi-join shuffles, each on the anc key, with the per-round
+    // lineage cut the self-reference demands (KCore discipline;
+    // final cut's handle tracked for end-of-sweep release). The
+    // hierarchy itself is derived deterministically from the corpus
+    // (parent = key div 10, keys < 10 are roots → a 10-tree forest,
+    // depth 4 at sf0.1 growing with log₁₀ SF). The oracle climbs
+    // with a TRUE recursive CTE to the fixpoint — equality proves
+    // the doubling ladder reached every node's real root and depth,
+    // not just that both sides ran the same loop. Depths are summed
+    // through the composition (d + d'), so per-root max_depth is
+    // exact; cents rollup rides the same grouped aggregate.
+    QueryDef(
+      "g14_hierarchy_rollup",
+      (s, d) => {
+        val part = t(s, d, "part").select(
+          col("p_partkey").cast("long").as("node"),
+          expr("CAST(round(p_retailprice*100) AS BIGINT)").as("cents"))
+        val st0 = part.select(col("node"),
+          when(col("node") < 10L, col("node"))
+            .otherwise(call_function("div", col("node"), lit(10L))).as("anc"),
+          when(col("node") < 10L, lit(0L)).otherwise(lit(1L)).as("d"))
+        var (st, stRdd) = graft.ext.Dedup.checkpointed(st0)
+        for (_ <- 1 to 3) {
+          val m = st.select(col("node").as("anc"), col("anc").as("anc2"),
+            col("d").as("d2"))
+          val (next, nextRdd) = graft.ext.Dedup.checkpointed(
+            st.join(m, Seq("anc"))
+              .select(col("node"), col("anc2").as("anc"),
+                (col("d") + col("d2")).as("d")))
+          stRdd.unpersist(blocking = false)
+          st = next
+          stRdd = nextRdd
+        }
+        tracked.track(stRdd)
+        st.join(part, Seq("node"))
+          .groupBy(col("anc").as("root"))
+          .agg(count(lit(1)).as("n_parts"), sum("cents").as("total_cents"),
+            max("d").as("max_depth"))
+          .orderBy("root")
+      },
+      Some("""WITH RECURSIVE climb AS (
+             |  SELECT CAST(p_partkey AS BIGINT) AS node,
+             |    CASE WHEN p_partkey < 10 THEN CAST(p_partkey AS BIGINT)
+             |         ELSE p_partkey::BIGINT // 10 END AS anc,
+             |    CAST(CASE WHEN p_partkey < 10 THEN 0 ELSE 1 END AS BIGINT)
+             |      AS d
+             |  FROM part
+             |  UNION ALL
+             |  SELECT node, anc // 10, d + 1 FROM climb WHERE anc >= 10),
+             |rooted AS (SELECT node, anc AS root, d FROM climb
+             |  WHERE anc < 10),
+             |pc AS (SELECT CAST(p_partkey AS BIGINT) AS node,
+             |    CAST(round(p_retailprice*100) AS BIGINT) AS cents FROM part)
+             |SELECT root, CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(sum(cents) AS BIGINT) AS total_cents,
+             |  CAST(max(d) AS BIGINT) AS max_depth
+             |FROM rooted JOIN pc USING (node)
+             |GROUP BY 1 ORDER BY root""".stripMargin)),
   )
 }
