@@ -3736,7 +3736,162 @@ object EventQueries {
              |    CAST(count(*) AS BIGINT) AS days_active FROM daily GROUP BY 1)
              |SELECT ex.event_type, exact_distinct, daily_sum, days_active
              |FROM ex JOIN dd USING (event_type) ORDER BY event_type""".stripMargin)),
+
+    // ----- Markov removal-effect attribution — the DATA-DRIVEN
+    // credit model next to a23's positional heuristics (first/last/
+    // linear are conventions; removal effect asks the causal-shaped
+    // question "how much would conversion drop if channel c
+    // vanished", the standard Markov attribution of Anderl et al.).
+    // Journeys: per-user event prefix before the first purchase
+    // (START → touches → CONV, non-converters → NULL); transition
+    // counts collapse the corpus to a ≤ |channels|² integer matrix,
+    // after which EVERYTHING runs on that grid (grid-collapse-first
+    // — the fact scan is two user-partitioned windows + one grouped
+    // count, and the iteration below touches ~200 rows whatever the
+    // data scale). Absorption probabilities via 8 pinned rounds of
+    // the integer value iteration v'(s) = Σ_dst n·v(dst) div n_s
+    // (CONV pinned at Scale=10¹², NULL at 0) — the PageRank/HITS
+    // scaled-integer discipline, so DuckDB replays identical longs;
+    // all 1+|channels| scenarios (base + each channel clamped to 0)
+    // iterate TOGETHER as one (scenario, state) frame. Removal
+    // effect = 1 − v_c(START)/v_base(START); shares renormalize the
+    // exact long diffs with one pinned division each.
+    QueryDef(
+      "a51_markov_removal",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val Scale = 1000000000000L
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val seq = events(s, d).select(col("user_id"), col("event_type"),
+          row_number().over(w).cast("long").as("rn"))
+        val fp = seq.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("rn").as("frn"))
+        val tch = tracked(seq.join(fp, Seq("user_id"), "left")
+          .filter(col("frn").isNull || col("rn") < col("frn")))
+        val wr = Window.partitionBy("user_id").orderBy("rn")
+        val eg = tch.select(
+          coalesce(lag(col("event_type"), 1).over(wr), lit("__START__"))
+            .as("src"),
+          col("event_type").as("dst"))
+        val lastT = tch.groupBy("user_id").agg(max("rn").as("mrn"))
+        val term = tch.join(lastT, Seq("user_id"))
+          .filter(col("rn") === col("mrn"))
+          .select(col("event_type").as("src"),
+            when(col("frn").isNotNull, "__CONV__").otherwise("__NULL__")
+              .as("dst"))
+        val direct = fp
+          .join(tch.select("user_id").distinct(), Seq("user_id"), "left_anti")
+          .select(lit("__START__").as("src"), lit("__CONV__").as("dst"))
+        val trc = eg.unionAll(term).unionAll(direct)
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        val tr = tracked(trc.join(
+          trc.groupBy("src").agg(sum("n").as("tot")), Seq("src")))
+        val scen = tr.select(col("src").as("scen"))
+          .filter(col("scen") =!= "__START__").distinct()
+          .unionAll(s.range(1).select(lit("__base__").as("scen")))
+        val grid = tracked(scen.crossJoin(tr))
+        var v = scen.crossJoin(tr.select("src").distinct())
+          .select(col("scen"), col("src").as("st"), lit(0L).as("v"))
+        for (_ <- 1 to 8) {
+          val vp = v.select(col("scen").as("vscen"), col("st").as("vst"),
+            col("v").as("pv"))
+          v = grid
+            .join(broadcast(vp),
+              col("vscen") === col("scen") && col("vst") === col("dst"),
+              "left")
+            .groupBy(col("scen"), col("src"), col("tot"))
+            .agg(sum(col("n") * (when(col("dst") === "__CONV__", lit(Scale))
+              .when(col("dst") === "__NULL__", lit(0L))
+              .otherwise(coalesce(col("pv"), lit(0L))))).as("acc"))
+            .select(col("scen"), col("src").as("st"),
+              when(col("scen") === col("src"), lit(0L))
+                .otherwise(call_function("div", col("acc"), col("tot")))
+                .as("v"))
+        }
+        val vK = v.filter(col("st") === "__START__")
+        val base = vK.filter(col("scen") === "__base__")
+          .select(col("v").as("vb"))
+        val diffs = tracked(vK.filter(col("scen") =!= "__base__")
+          .select(col("scen").as("channel"), col("v").as("vr"))
+          .crossJoin(broadcast(base))
+          .withColumn("diff", col("vb") - col("vr")))
+        val tdiff = diffs.agg(sum("diff").as("td"))
+        diffs.crossJoin(broadcast(tdiff))
+          .filter(col("vb") > 0 && col("td") > 0)
+          .select(col("channel"),
+            round(col("vb").cast("double") / lit(Scale), 6).as("p_conv_base"),
+            round(col("diff").cast("double") / col("vb").cast("double"), 6)
+              .as("removal_effect"),
+            round(col("diff").cast("double") / col("td").cast("double"), 6)
+              .as("share"))
+          .orderBy("channel")
+      },
+      Some(markovRemovalSql(8))),
   )
+
+  /** DuckDB mirror for a51: identical journey extraction, then the
+    * 8 integer value-iteration rounds UNROLLED as CTEs (the
+    * Hits.Sql/Sssp.Sql pattern — recursive CTEs disallow grouped
+    * self-reference, so pinned-round iterations unroll).
+    */
+  private def markovRemovalSql(k: Int): String = {
+    val Scale = "1000000000000"
+    val rounds = (1 to k).map { i =>
+      s"""v$i AS (SELECT sc.scen, tr.src AS st,
+         |    CASE WHEN sc.scen = tr.src THEN CAST(0 AS BIGINT) ELSE
+         |      CAST(sum(tr.n * (CASE WHEN tr.dst = '__CONV__' THEN $Scale
+         |        WHEN tr.dst = '__NULL__' THEN 0
+         |        ELSE COALESCE(vp.v, 0) END)) // tr.tot AS BIGINT) END AS v
+         |  FROM scen sc CROSS JOIN tr
+         |  LEFT JOIN v${i - 1} vp ON vp.scen = sc.scen AND vp.st = tr.dst
+         |  GROUP BY sc.scen, tr.src, tr.tot)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, min(rn) AS frn FROM seq
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |tch AS (SELECT s.user_id, s.event_type, s.rn, fp.frn
+       |  FROM seq s LEFT JOIN fp USING (user_id)
+       |  WHERE fp.frn IS NULL OR s.rn < fp.frn),
+       |eg AS (SELECT COALESCE(lag(event_type) OVER
+       |      (PARTITION BY user_id ORDER BY rn), '__START__') AS src,
+       |    event_type AS dst FROM tch),
+       |term AS (SELECT t.event_type AS src,
+       |    CASE WHEN t.frn IS NOT NULL THEN '__CONV__'
+       |         ELSE '__NULL__' END AS dst
+       |  FROM tch t
+       |  JOIN (SELECT user_id, max(rn) AS mrn FROM tch GROUP BY 1) lastt
+       |    ON t.user_id = lastt.user_id AND t.rn = lastt.mrn),
+       |direct AS (SELECT '__START__' AS src, '__CONV__' AS dst
+       |  FROM fp LEFT JOIN (SELECT DISTINCT user_id FROM tch) tu
+       |    USING (user_id)
+       |  WHERE tu.user_id IS NULL),
+       |alle AS (SELECT src, dst FROM eg UNION ALL SELECT src, dst FROM term
+       |  UNION ALL SELECT src, dst FROM direct),
+       |trc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM alle GROUP BY 1, 2),
+       |tr AS (SELECT src, dst, n,
+       |    CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS tot FROM trc),
+       |scen AS (SELECT '__base__' AS scen
+       |  UNION ALL SELECT DISTINCT src FROM tr WHERE src <> '__START__'),
+       |v0 AS (SELECT sc.scen, tr2.src AS st, CAST(0 AS BIGINT) AS v
+       |  FROM scen sc CROSS JOIN (SELECT DISTINCT src FROM tr) tr2),
+       |$rounds,
+       |base AS (SELECT v AS vb FROM v$k
+       |  WHERE scen = '__base__' AND st = '__START__'),
+       |diffs AS (SELECT scen AS channel, vb, vb - v AS diff FROM v$k, base
+       |  WHERE scen <> '__base__' AND st = '__START__')
+       |SELECT channel, round(CAST(vb AS DOUBLE)/$Scale, 6) AS p_conv_base,
+       |  round(CAST(diff AS DOUBLE)/CAST(vb AS DOUBLE), 6)
+       |    AS removal_effect,
+       |  round(CAST(diff AS DOUBLE)
+       |    /CAST((SELECT sum(diff) FROM diffs) AS DOUBLE), 6) AS share
+       |FROM diffs
+       |WHERE vb > 0 AND (SELECT sum(diff) FROM diffs) > 0
+       |ORDER BY channel""".stripMargin
+  }
 }
 
 
