@@ -4732,5 +4732,65 @@ object ParityQueries {
              |  CAST(max(d) AS BIGINT) AS max_depth
              |FROM rooted JOIN pc USING (node)
              |GROUP BY 1 ORDER BY root""".stripMargin)),
+
+    // ----- Out-of-fold TARGET ENCODING — the leakage-free way to
+    // turn a categorical column into a numeric feature (mean target
+    // per category), completing the leakage family next to tx44's
+    // group-aware split and tx41's decontamination: encoding a row
+    // with a mean that includes ITS OWN fold leaks the label into
+    // the feature, the classic silent train-eval contamination.
+    // Scale discipline: the naive per-row "mean over everything but
+    // my fold" recompute is O(rows × folds) — here it collapses to
+    // per-(category, fold) integer sums, one broadcast of per-
+    // category totals, and the complement identity enc(cat, f) =
+    // (S_cat − S_cat,f + m·prior) / (N_cat − N_cat,f + m): a
+    // |categories|×K GRID computed once, which rows then join by
+    // (cat, fold) — two grouped aggregates over the fact scan, no
+    // second pass. Smoothing m = 20 toward the global prior keeps
+    // rare categories from memorizing their few labels. Target =
+    // order has a returned lineitem; fold = key mod 5 (the E48
+    // deterministic-split discipline). Integer sums end-to-end, the
+    // encoding ONE pinned float expression.
+    QueryDef(
+      "tx47_target_encoding",
+      (s, d) => {
+        val ret = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o_orderkey")).distinct()
+        val y = t(s, d, "orders")
+          .join(ret.withColumn("hasr", lit(1L)), Seq("o_orderkey"), "left")
+          .select(col("o_orderpriority").as("cat"),
+            (col("o_orderkey") % 5).cast("long").as("fold"),
+            coalesce(col("hasr"), lit(0L)).as("tgt"))
+        val cf = y.groupBy("cat", "fold")
+          .agg(count(lit(1)).as("nf"), sum("tgt").as("sf"))
+        val ct = cf.groupBy("cat")
+          .agg(sum("nf").as("n"), sum("sf").as("s"))
+        val g = ct.agg(sum("n").as("gn"), sum("s").as("gs"))
+        cf.join(broadcast(ct), Seq("cat")).crossJoin(broadcast(g))
+          .select(col("cat"), col("fold"), col("nf"),
+            round(((col("s") - col("sf")).cast("double") +
+              lit(20.0) * (col("gs").cast("double") / col("gn").cast("double")))
+              / ((col("n") - col("nf")).cast("double") + lit(20.0)), 6)
+              .as("enc"))
+          .orderBy("cat", "fold")
+      },
+      Some("""WITH y AS (SELECT o_orderpriority AS cat,
+             |    CAST(o_orderkey % 5 AS BIGINT) AS fold,
+             |    CAST(CASE WHEN EXISTS (SELECT 1 FROM lineitem
+             |      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             |      THEN 1 ELSE 0 END AS BIGINT) AS tgt
+             |  FROM orders),
+             |cf AS (SELECT cat, fold, CAST(count(*) AS BIGINT) AS nf,
+             |    CAST(sum(tgt) AS BIGINT) AS sf FROM y GROUP BY 1, 2),
+             |ct AS (SELECT cat, CAST(sum(nf) AS BIGINT) AS n,
+             |    CAST(sum(sf) AS BIGINT) AS s FROM cf GROUP BY 1),
+             |g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+             |    CAST(sum(s) AS BIGINT) AS gs FROM ct)
+             |SELECT cat, fold, nf,
+             |  round((CAST(s - sf AS DOUBLE)
+             |    + 20.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+             |    / (CAST(n - nf AS DOUBLE) + 20.0), 6) AS enc
+             |FROM cf JOIN ct USING (cat) CROSS JOIN g
+             |ORDER BY cat, fold""".stripMargin)),
   )
 }
