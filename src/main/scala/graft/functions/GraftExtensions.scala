@@ -48,6 +48,20 @@ object GraftFunctions {
         VecL2Norm(children.head)
       }),
     (
+      new FunctionIdentifier("sq8_pack"),
+      new ExpressionInfo(classOf[Sq8Pack].getName, "sq8_pack"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "sq8_pack expects exactly 1 argument")
+        Sq8Pack(children.head)
+      }),
+    (
+      new FunctionIdentifier("vec_dot_sq8"),
+      new ExpressionInfo(classOf[Sq8Dot].getName, "vec_dot_sq8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot_sq8 expects exactly 2 arguments")
+        Sq8Dot(children.head, children(1))
+      }),
+    (
       new FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (children: Seq[Expression]) => {

@@ -1510,6 +1510,110 @@ object SimilarityQueries {
              |    AND vec_id NOT IN (SELECT node FROM bord))
              |SELECT cluster, n_core, n_border, n_noise
              |FROM clusters, noise ORDER BY cluster""".stripMargin)),
+
+    // ----- SQ8 scalar-quantized ANN with a measured recall gauge —
+    // the THIRD compression rung next to sim10/sim11's product
+    // quantization: PQ learns a codebook (training step, pinned
+    // model); SQ8 is TRAINING-FREE — L2-normalize, then SYMMETRIC
+    // signed-int8 codes q = round(u·127/A) with ONE global scale A =
+    // max|u| — which is what serving stacks reach for first (FAISS
+    // SQ8, Lucene int8 vectors). Symmetric-around-zero matters: a
+    // zero offset and a uniform scale make the integer code dot
+    // EXACTLY monotone in the quantized cosine (an affine per-dim
+    // offset leaks mn·Σq cross-terms that swamp the signal — the
+    // first cut of this query measured recall ~0 that way). Memory
+    // is the scale argument: 64 int8 codes = 64 B/vector packed into
+    // BINARY by the native `sq8_pack` vs 256 B float (4×) — at 10⁹
+    // vectors the difference between a resident candidate scan and a
+    // spilled one — and the candidate score is an EXACT integer byte
+    // dot via the native codegen'd `vec_dot_sq8` (a signed-byte
+    // multiply loop the JIT vectorizes; the E15 escalation rung —
+    // HOFs over long arrays would interpret one lambda per element).
+    // Quantization arithmetic is ONE pinned double expression so
+    // DuckDB derives bit-identical codes, and the integer dots hash
+    // exactly (|dot| ≤ 64·127² < 2⁵³ rides list_dot_product
+    // exactly). Output: per probe, how many of the exact cosine
+    // top-10 survive in the SQ8 top-10 and top-30 (99/100 and
+    // 100/100 at sf0.1) — the candidate-then-exact-rerank operating
+    // point read directly off the result.
+    QueryDef(
+      "sim23_sq8_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d)
+        val n0 = e.select(col("vec_id"),
+          Similarity.norm(col("embedding")).as("nrm"))
+          .filter(col("nrm") > 0)
+        val pu = tracked(e.join(n0, Seq("vec_id"))
+          .select(col("vec_id"), col("nrm"),
+            posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .select(col("vec_id"), col("pos"),
+            (col("xf").cast("double") / col("nrm")).as("u")))
+        val aa = pu.agg(max(abs(col("u"))).as("a"))
+        val qc = tracked(pu.crossJoin(broadcast(aa))
+          .select(col("vec_id"), col("pos"),
+            round(col("u") * 127.0 / col("a")).cast("long").as("code"))
+          .groupBy("vec_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("code")))),
+            c => c.getField("code")).as("codes"))
+          .select(col("vec_id"),
+            call_function("sq8_pack", col("codes")).as("q")))
+        val probes = qc.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+        val scored = qc.join(broadcast(probes),
+            col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            call_function("vec_dot_sq8", col("pq"), col("q")).as("qdot"))
+        val wq = Window.partitionBy("probe_id")
+          .orderBy(col("qdot").desc, col("vec_id"))
+        val sq = scored.withColumn("qrk", row_number().over(wq))
+          .filter(col("qrk") <= 30)
+        val exact = Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("probe_id"),
+              col("embedding").as("probe_vec")), 10)
+        exact.join(sq, Seq("probe_id", "vec_id"), "left")
+          .groupBy("probe_id")
+          .agg(sum(when(col("qrk") <= 10, 1L).otherwise(0L)).as("hit10"),
+            sum(when(col("qrk") <= 30, 1L).otherwise(0L)).as("hit30"))
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH n0 AS (SELECT vec_id,
+              |    sqrt(list_dot_product(embedding::DOUBLE[],
+              |      embedding::DOUBLE[])) AS nrm
+              |  FROM embeddings),
+              |px AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+              |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+              |pu AS (SELECT vec_id, pos, x/nrm AS u
+              |  FROM px JOIN n0 USING (vec_id) WHERE nrm > 0),
+              |aa AS (SELECT max(abs(u)) AS a FROM pu),
+              |codes AS (SELECT vec_id,
+              |    list(CAST(round(u*127.0/a) AS BIGINT) ORDER BY pos) AS q
+              |  FROM pu, aa GROUP BY vec_id),
+              |scored AS (SELECT p.vec_id AS probe_id, c.vec_id,
+              |    CAST(list_dot_product(p.q::DOUBLE[], c.q::DOUBLE[])
+              |      AS BIGINT) AS qdot
+              |  FROM codes c JOIN codes p
+              |    ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+              |sq AS (SELECT probe_id, vec_id,
+              |    row_number() OVER (PARTITION BY probe_id
+              |      ORDER BY qdot DESC, vec_id) AS qrk
+              |  FROM scored QUALIFY qrk <= 30),
+              |exact AS (SELECT probe_id, vec_id FROM (
+              |  SELECT p.vec_id AS probe_id, e.vec_id,
+              |    row_number() OVER (PARTITION BY p.vec_id
+              |      ORDER BY round(${cosSql("p", "e")}, 6) DESC, e.vec_id)
+              |      AS rk
+              |  FROM embeddings e JOIN embeddings p
+              |    ON p.vec_id < 10 AND e.vec_id <> p.vec_id) WHERE rk <= 10)
+              |SELECT ex.probe_id,
+              |  CAST(sum(CASE WHEN sq.qrk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS hit10,
+              |  CAST(sum(CASE WHEN sq.qrk <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS hit30
+              |FROM exact ex LEFT JOIN sq USING (probe_id, vec_id)
+              |GROUP BY 1 ORDER BY probe_id""".stripMargin)),
   )
 }
 
