@@ -2390,6 +2390,121 @@ object EventQueries {
              |  round(surv, 6) AS survival
              |FROM f ORDER BY dur_10min""".stripMargin)),
 
+    // ----- Nelson-Aalen cumulative hazard — the ADDITIVE estimator
+    // next to a36's multiplicative Kaplan-Meier over the identical
+    // censored sessions: H(t) = Σ_{s≤t} d_s/n_s estimates the
+    // integrated hazard directly, with the Poisson variance
+    // Σ d_s/n_s² giving a standard error KM's curve doesn't carry —
+    // the pair (H, se) is what competing-risk and rate-comparison
+    // reads consume. Same scale collapse as a36 (events → sessions →
+    // duration histogram → death-time grid); the cumulative sums run
+    // as left-to-right folds over the packed bounded list (the EWMA
+    // discipline — identical op sequence both engines, so the float
+    // sums are bit-identical before the 6-dp pin; no exp(−H)
+    // column on purpose: exp is not cross-engine correctly-rounded).
+    QueryDef(
+      "a52_nelson_aalen",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = Window.partitionBy("user_id").orderBy("ts")
+        val sess = events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("ts"))
+          .withColumn("new_s",
+            when(col("ts") - lag("ts", 1).over(
+              Window.partitionBy("user_id").orderBy("ts")) > 21600L, 1L)
+              .otherwise(when(lag("ts", 1).over(
+                Window.partitionBy("user_id").orderBy("ts")).isNull, 1L)
+                .otherwise(0L)))
+          .withColumn("sid", sum("new_s").over(
+            uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("first_s"), max("ts").as("last_s"))
+        val edge = events(s, d)
+          .agg(max(unix_timestamp(col("ts"))).as("__edge"))
+        val durs = sess.crossJoin(broadcast(edge))
+          .select(
+            call_function("div", col("last_s") - col("first_s"), lit(600L))
+              .as("dur"),
+            when(col("last_s") > col("__edge") - 21600L, 0L).otherwise(1L)
+              .as("died"))
+        val hist = durs.groupBy("dur")
+          .agg(count(lit(1)).as("n_all"), sum("died").as("d"))
+        val risk = hist
+          .withColumn("n_risk", sum("n_all").over(Window.orderBy("dur")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+          .filter(col("d") > 0L)
+        risk
+          .agg(sort_array(collect_list(struct(col("dur"), col("d"),
+            col("n_risk")))).as("xs"))
+          .filter(size(col("xs")) >= 1)
+          .select(explode(expr(
+            """transform(sequence(1, size(xs)), t -> named_struct(
+              |  'dur', xs[t-1].dur, 'd', xs[t-1].d, 'n_risk', xs[t-1].n_risk,
+              |  'haz', aggregate(slice(xs, 1, t), CAST(0.0 AS DOUBLE),
+              |    (acc, x) -> acc + CAST(x.d AS DOUBLE)
+              |      / CAST(x.n_risk AS DOUBLE)),
+              |  'hvar', aggregate(slice(xs, 1, t), CAST(0.0 AS DOUBLE),
+              |    (acc, x) -> acc + CAST(x.d AS DOUBLE)
+              |      / (CAST(x.n_risk AS DOUBLE) * CAST(x.n_risk AS DOUBLE)))))
+              |""".stripMargin)).as("r"))
+          .select(col("r.dur").as("dur_10min"), col("r.n_risk"),
+            col("r.d").as("deaths"),
+            round(col("r.haz"), 6).as("cum_hazard"),
+            round(sqrt(col("r.hvar")), 6).as("se"))
+          .orderBy("dur_10min")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts
+             |  FROM events),
+             |fl AS (SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      IS NULL THEN 1
+             |    WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      > 21600 THEN 1 ELSE 0 END AS new_s
+             |  FROM ev),
+             |si AS (SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM fl),
+             |sess AS (SELECT user_id, sid,
+             |    CAST(min(ts) AS BIGINT) AS first_s,
+             |    CAST(max(ts) AS BIGINT) AS last_s
+             |  FROM si GROUP BY 1, 2),
+             |edge AS (SELECT CAST(max(ts) AS BIGINT) AS e FROM ev),
+             |durs AS (SELECT (last_s - first_s) // 600 AS dur,
+             |    CASE WHEN last_s > (SELECT e FROM edge) - 21600
+             |      THEN 0 ELSE 1 END AS died
+             |  FROM sess),
+             |hist AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_all,
+             |    CAST(sum(died) AS BIGINT) AS d
+             |  FROM durs GROUP BY 1),
+             |risk AS (SELECT dur, d,
+             |    CAST(sum(n_all) OVER (ORDER BY dur DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n_risk
+             |  FROM hist),
+             |packed AS (SELECT list_sort(list(struct_pack(dur := dur, d := d,
+             |      n_risk := n_risk))) AS xs
+             |  FROM risk WHERE d > 0),
+             |f AS (SELECT unnest(list_transform(range(1, len(xs) + 1),
+             |    t -> struct_pack(
+             |      dur := xs[t].dur, d := xs[t].d, n_risk := xs[t].n_risk,
+             |      haz := list_reduce(
+             |        list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(xs[1 : t],
+             |            x -> CAST(x.d AS DOUBLE) / CAST(x.n_risk AS DOUBLE))),
+             |        (acc, v) -> acc + v),
+             |      hvar := list_reduce(
+             |        list_prepend(CAST(0.0 AS DOUBLE),
+             |          list_transform(xs[1 : t],
+             |            x -> CAST(x.d AS DOUBLE)
+             |              / (CAST(x.n_risk AS DOUBLE)
+             |                 * CAST(x.n_risk AS DOUBLE)))),
+             |        (acc, v) -> acc + v))), recursive := true)
+             |  FROM packed WHERE len(xs) >= 1)
+             |SELECT dur AS dur_10min, n_risk, d AS deaths,
+             |  round(haz, 6) AS cum_hazard, round(sqrt(hvar), 6) AS se
+             |FROM f ORDER BY dur_10min""".stripMargin)),
+
     // ----- Interval-OVERLAP join with overlap-length weighting (the
     // exposure-attribution shape j3's range join does not cover:
     // j3 assigns POINTS to intervals; here BOTH sides are intervals

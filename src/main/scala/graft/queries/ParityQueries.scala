@@ -4792,5 +4792,72 @@ object ParityQueries {
              |    / (CAST(n - nf AS DOUBLE) + 20.0), 6) AS enc
              |FROM cf JOIN ct USING (cat) CROSS JOIN g
              |ORDER BY cat, fold""".stripMargin)),
+
+    // ----- Link prediction by the RESOURCE-ALLOCATION index — the
+    // "which edges come NEXT" read the descriptive graph family
+    // (g8's neighbor Jaccard describes existing overlap) stops short
+    // of: for part pairs that share buyers but have NEVER co-occurred
+    // in one order, RA(a,b) = Σ_z 1/deg(z) over common customers z —
+    // Zhou/Lü/Zhang's index, which outperforms plain common-neighbor
+    // counts precisely because a 40-part generalist customer is weak
+    // evidence while a 3-part specialist is strong. 1/deg as the
+    // scaled integer 10¹² div deg keeps the score-sum exact and
+    // hash-stable (the float sum would be partition-order-dependent).
+    // Shape: pair generation via self-join on the customer key —
+    // per-customer fan-out is deg², so degrees bound the quadratic
+    // (fixture ≤ ~40; at real scale cap or sample hub customers, the
+    // E27 skew rule); candidate set cut to ≥ 2 common customers
+    // INSIDE the pair aggregate; non-edge filter is one LEFT ANTI
+    // against the distinct same-order co-occurrence set; top-15 is
+    // TakeOrderedAndProject on (ra, pa, pb).
+    QueryDef(
+      "g15_link_prediction",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val cp = tracked(t(s, d, "orders")
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("cust"),
+            col("l_partkey").cast("long").as("part")).distinct())
+        val deg = cp.groupBy("cust").agg(count(lit(1)).as("dg"))
+        val op = li.select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("part")).distinct()
+        val co = op.select(col("ok"), col("part").as("pa"))
+          .join(op.select(col("ok"), col("part").as("pb")), Seq("ok"))
+          .filter(col("pa") < col("pb"))
+          .select("pa", "pb").distinct()
+        val pairs = cp.select(col("cust"), col("part").as("pa"))
+          .join(cp.select(col("cust"), col("part").as("pb")), Seq("cust"))
+          .filter(col("pa") < col("pb"))
+          .join(deg, Seq("cust"))
+          .groupBy("pa", "pb")
+          .agg(sum(call_function("div", lit(1000000000000L), col("dg")))
+            .as("ra"),
+            count(lit(1)).as("n_common"))
+          .filter(col("n_common") >= 2)
+        pairs.join(co, Seq("pa", "pb"), "left_anti")
+          .select(col("pa"), col("pb"), col("n_common"), col("ra"))
+          .orderBy(col("ra").desc, col("pa"), col("pb"))
+          .limit(15)
+      },
+      Some("""WITH cp AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+             |    CAST(l_partkey AS BIGINT) AS part
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |deg AS (SELECT cust, CAST(count(*) AS BIGINT) AS dg
+             |  FROM cp GROUP BY 1),
+             |op AS (SELECT DISTINCT l_orderkey AS ok,
+             |    CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+             |co AS (SELECT DISTINCT a.part AS pa, b.part AS pb
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.part < b.part),
+             |pairs AS (SELECT a.part AS pa, b.part AS pb,
+             |    CAST(sum(1000000000000 // d.dg) AS BIGINT) AS ra,
+             |    CAST(count(*) AS BIGINT) AS n_common
+             |  FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+             |  JOIN deg d ON d.cust = a.cust
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |pred AS (SELECT p.pa, p.pb, p.n_common, p.ra FROM pairs p
+             |  LEFT JOIN co ON co.pa = p.pa AND co.pb = p.pb
+             |  WHERE co.pa IS NULL)
+             |SELECT pa, pb, n_common, ra FROM pred
+             |ORDER BY ra DESC, pa, pb LIMIT 15""".stripMargin)),
   )
 }
