@@ -3942,7 +3942,7 @@ object EventQueries {
           .orderBy("channel")
       },
       Some(markovRemovalSql(8))),
-  )
+  ) :+ shapleyQuery
 
   /** DuckDB mirror for a51: identical journey extraction, then the
     * 8 integer value-iteration rounds UNROLLED as CTEs (the
@@ -4007,6 +4007,134 @@ object EventQueries {
        |WHERE vb > 0 AND (SELECT sum(diff) FROM diffs) > 0
        |ORDER BY channel""".stripMargin
   }
+
+  /** EXACT Shapley-value attribution — the third and game-theoretic
+    * member of the attribution family (a23 positional conventions,
+    * a51 Markov removal effects, and now the axiomatically-fair
+    * split: Shapley is the UNIQUE credit assignment satisfying
+    * efficiency/symmetry/dummy/additivity). Exact computation is
+    * exponential in channels — feasible HERE because the
+    * characteristic function collapses to a 2⁴-subset grid first:
+    * journeys are 6 h gap sessions (the a36 convention) reduced to a
+    * (channel-bitmask, conversions, sessions) table, so the fact
+    * scan is two user-partitioned windows + one grouped count and
+    * the 4!·marginal enumeration runs on ≤ 15 rows whatever the data
+    * scale (at >~10 channels this pivots to permutation sampling —
+    * documented, not silently assumed away). v(S) = conversion rate
+    * of sessions whose touch set is exactly S, v(∅) = 0 and absent
+    * sets → 0 by convention (purchase-first sessions carry no
+    * attribution question and are excluded). Weights |S|!(n−1−|S|)!
+    * ride ×4! as exact integers {6,2,2,6}; φ_c folds its 8 marginal
+    * terms in pinned mask order over a packed list (bit-identical
+    * float op sequence both engines) with ONE final /24.
+    */
+  private[queries] def shapleyQuery: QueryDef =
+    QueryDef(
+      "a53_shapley_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = Window.partitionBy("user_id").orderBy(col("tsec"), col("event_id"))
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          col("event_id"), unix_timestamp(col("ts")).as("tsec"))
+        val si = ev
+          .withColumn("new_s",
+            when(lag("tsec", 1).over(uw).isNull, 1L)
+              .when(col("tsec") - lag("tsec", 1).over(uw) > 21600L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum("new_s").over(
+            uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val seq = tracked(si.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "sid")
+            .orderBy(col("tsec"), col("event_id"))).cast("long")))
+        val fp = seq.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "sid").agg(min("rn").as("frn"))
+        val tch = seq.join(fp, Seq("user_id", "sid"), "left")
+          .filter((col("frn").isNull || col("rn") < col("frn")) &&
+            col("event_type") =!= "purchase")
+        val grid = tch.groupBy("user_id", "sid")
+          .agg(bit_or(when(col("event_type") === "view", 1L)
+            .when(col("event_type") === "click", 2L)
+            .when(col("event_type") === "signup", 4L)
+            .when(col("event_type") === "error", 8L)).as("mask"),
+            max(when(col("frn").isNotNull, 1L).otherwise(0L)).as("conv"))
+          .groupBy("mask")
+          .agg(count(lit(1)).as("users"), sum("conv").as("convs"))
+        val g1 = grid.select(col("mask"),
+          (col("convs").cast("double") / col("users").cast("double")).as("v"))
+        val ch = s.range(0, 4).select(
+          expr("CAST(shiftleft(1L, CAST(id AS INT)) AS BIGINT)").as("c"),
+          element_at(array(lit("view"), lit("click"), lit("signup"),
+            lit("error")), col("id").cast("int") + 1).as("channel"))
+        val sub = s.range(0, 16).select(col("id").as("sm"))
+        val terms = ch.crossJoin(sub)
+          .filter((col("sm").bitwiseAND(col("c"))) === 0)
+          .join(broadcast(g1.select(col("mask").as("sm"), col("v").as("v0"))),
+            Seq("sm"), "left")
+          .join(broadcast(g1.select(col("mask").as("smc"), col("v").as("v1"))),
+            col("smc") === col("sm") + col("c"), "left")
+          .select(col("channel"), col("sm"),
+            (when(bit_count(col("sm")) === 0, 6.0)
+              .when(bit_count(col("sm")) === 1, 2.0)
+              .when(bit_count(col("sm")) === 2, 2.0)
+              .otherwise(6.0) *
+              (coalesce(col("v1"), lit(0.0)) - coalesce(col("v0"), lit(0.0))))
+              .as("term"))
+        terms.groupBy("channel")
+          .agg(sort_array(collect_list(struct(col("sm"), col("term"))))
+            .as("xs"))
+          .select(col("channel"),
+            round(expr("aggregate(xs, CAST(0.0 AS DOUBLE)," +
+              " (acc, x) -> acc + x.term)") / 24.0, 6).as("phi"))
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, event_id,
+             |    epoch_us(ts) // 1000000 AS tsec FROM events),
+             |fl AS (SELECT *, CASE WHEN lag(tsec) OVER w IS NULL THEN 1
+             |    WHEN tsec - lag(tsec) OVER w > 21600 THEN 1 ELSE 0 END
+             |      AS new_s
+             |  FROM ev WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY tsec, event_id)),
+             |si AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM fl),
+             |seq AS (SELECT user_id, sid, event_type,
+             |    CAST(row_number() OVER (PARTITION BY user_id, sid
+             |      ORDER BY tsec, event_id) AS BIGINT) AS rn FROM si),
+             |fp AS (SELECT user_id, sid, min(rn) AS frn FROM seq
+             |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |tch AS (SELECT s.user_id, s.sid, s.event_type, fp.frn
+             |  FROM seq s LEFT JOIN fp USING (user_id, sid)
+             |  WHERE (fp.frn IS NULL OR s.rn < fp.frn)
+             |    AND s.event_type <> 'purchase'),
+             |um AS (SELECT user_id, sid,
+             |    CAST(bit_or(CASE event_type WHEN 'view' THEN 1
+             |      WHEN 'click' THEN 2 WHEN 'signup' THEN 4
+             |      WHEN 'error' THEN 8 END) AS BIGINT) AS mask,
+             |    CAST(max(CASE WHEN frn IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS conv
+             |  FROM tch GROUP BY 1, 2),
+             |grid AS (SELECT mask, CAST(count(*) AS BIGINT) AS users,
+             |    CAST(sum(conv) AS BIGINT) AS convs FROM um GROUP BY 1),
+             |g1 AS (SELECT mask, CAST(convs AS DOUBLE)/CAST(users AS DOUBLE)
+             |    AS v FROM grid),
+             |ch AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'view'),
+             |  (2, 'click'), (4, 'signup'), (8, 'error')) t(c, channel)),
+             |sub AS (SELECT CAST(range AS BIGINT) AS sm FROM range(0, 16)),
+             |terms AS (SELECT ch.channel, sub.sm,
+             |    (CASE bit_count(sub.sm) WHEN 0 THEN 6.0 WHEN 1 THEN 2.0
+             |      WHEN 2 THEN 2.0 ELSE 6.0 END)
+             |    * (COALESCE(v1.v, 0.0) - COALESCE(v0.v, 0.0)) AS term
+             |  FROM ch JOIN sub ON (sub.sm & ch.c) = 0
+             |  LEFT JOIN g1 v0 ON v0.mask = sub.sm
+             |  LEFT JOIN g1 v1 ON v1.mask = sub.sm + ch.c),
+             |packed AS (SELECT channel,
+             |    list_sort(list(struct_pack(sm := sm, term := term))) AS xs
+             |  FROM terms GROUP BY 1)
+             |SELECT channel,
+             |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |    list_transform(xs, x -> x.term)), (a, v) -> a + v) / 24.0, 6)
+             |    AS phi
+             |FROM packed ORDER BY channel""".stripMargin))
 }
 
 
