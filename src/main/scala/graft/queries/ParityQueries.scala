@@ -4859,5 +4859,100 @@ object ParityQueries {
              |  WHERE co.pa IS NULL)
              |SELECT pa, pb, n_common, ra FROM pred
              |ORDER BY ra DESC, pa, pb LIMIT 15""".stripMargin)),
+
+    // ----- Banded Dynamic Time Warping between the monthly revenue
+    // curves of each priority-class pair — the ELASTIC distance the
+    // pointwise family (tx46's per-mille L1 style distance, a27's
+    // lockstep rolling correlation) cannot express: two curves with
+    // the same shape shifted a month apart are far in L1 but near in
+    // DTW, which is why DTW is the standard series-clustering /
+    // motif-matching kernel. Scale discipline is twofold: (1)
+    // grid-collapse-first — the O(n·m) DP runs AFTER the fact table
+    // collapses to calendar-bounded ~80-point monthly curves, so the
+    // quadratic is ~6.4k cells per pair regardless of data scale;
+    // (2) the Sakoe-Chiba band (r = 8) prunes warps beyond ±8
+    // months — the standard constraint that both bounds cost to
+    // O(n·r) and prevents degenerate all-to-one alignments. The DP
+    // itself is a nested fold (rows carry the previous DP row, cells
+    // read left-neighbor from the row being built) in Spark's
+    // `aggregate` HOF; costs are |Δcents| so the ENTIRE distance is
+    // exact long arithmetic — no float ever appears, and the DuckDB
+    // mirror replays the identical recurrence as a nested
+    // list_reduce (list-typed accumulators ride the singleton-list
+    // encoding, DuckDB 1.0 list_reduce has no init arg; prototype
+    // verified cell-for-cell against an imperative reference DP).
+    QueryDef(
+      "t_dtw_monthly",
+      (s, d) => {
+        val Inf = "1000000000000000"
+        val grid = t(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("m"))
+          .agg(sum(expr("CAST(round(o_totalprice*100) AS BIGINT)")).as("c"))
+        val ser = tracked(grid.groupBy("pri")
+          .agg(transform(array_sort(collect_list(struct(col("m"), col("c")))),
+            x => x.getField("c")).as("v")))
+        val pairs = ser.select(col("pri").as("p1"), col("v").as("va"))
+          .join(broadcast(ser.select(col("pri").as("p2"), col("v").as("vb"))),
+            col("p1") < col("p2"))
+        pairs.select(col("p1"), col("p2"),
+          size(col("va")).cast("long").as("na"),
+          size(col("vb")).cast("long").as("nb"),
+          expr(s"""aggregate(
+            |  sequence(1, size(va)),
+            |  transform(sequence(1, size(vb)), j -> CAST($Inf AS BIGINT)),
+            |  (prev, i) -> aggregate(
+            |    sequence(1, size(vb)),
+            |    CAST(array() AS ARRAY<BIGINT>),
+            |    (acc, j) -> concat(acc, array(
+            |      CASE WHEN abs(i - j) > 8 THEN CAST($Inf AS BIGINT)
+            |      ELSE abs(element_at(va, i) - element_at(vb, j)) + least(
+            |        element_at(prev, j),
+            |        CASE WHEN j > 1 THEN element_at(prev, j - 1)
+            |             WHEN i = 1 THEN CAST(0 AS BIGINT)
+            |             ELSE CAST($Inf AS BIGINT) END,
+            |        CASE WHEN j > 1 THEN element_at(acc, size(acc))
+            |             ELSE CAST($Inf AS BIGINT) END) END))),
+            |  row -> element_at(row, size(vb)))""".stripMargin)
+            .as("dtw_cents"))
+          .orderBy("p1", "p2")
+      },
+      Some("""WITH grid AS (SELECT o_orderpriority AS pri,
+             |    CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT)
+             |      AS m,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |      AS c
+             |  FROM orders GROUP BY 1, 2),
+             |ser AS (SELECT pri, list(c ORDER BY m) AS v FROM grid
+             |  GROUP BY 1),
+             |pairs AS (SELECT a.pri AS p1, b.pri AS p2, a.v AS va, b.v AS vb
+             |  FROM ser a JOIN ser b ON a.pri < b.pri),
+             |dp AS (SELECT p1, p2, CAST(len(va) AS BIGINT) AS na,
+             |  CAST(len(vb) AS BIGINT) AS nb,
+             |  list_reduce(
+             |    list_prepend(
+             |      list_transform(range(1, len(vb)+1),
+             |        j -> CAST(1000000000000000 AS BIGINT)),
+             |      list_transform(range(1, len(va)+1),
+             |        i -> [CAST(i AS BIGINT)])),
+             |    (prev, x) -> list_reduce(
+             |      list_prepend(CAST([] AS BIGINT[]),
+             |        list_transform(range(1, len(vb)+1),
+             |          j -> [CAST(j AS BIGINT)])),
+             |      (acc, y) -> list_append(acc,
+             |        CASE WHEN abs(x[1] - y[1]) > 8
+             |          THEN CAST(1000000000000000 AS BIGINT)
+             |        ELSE abs(va[x[1]] - vb[y[1]]) + least(
+             |          prev[y[1]],
+             |          CASE WHEN y[1] > 1 THEN prev[y[1]-1]
+             |               WHEN x[1] = 1 THEN CAST(0 AS BIGINT)
+             |               ELSE CAST(1000000000000000 AS BIGINT) END,
+             |          CASE WHEN y[1] > 1 THEN acc[len(acc)]
+             |               ELSE CAST(1000000000000000 AS BIGINT) END) END))
+             |  ) AS lastrow
+             |  FROM pairs)
+             |SELECT p1, p2, na, nb, lastrow[CAST(nb AS INT)] AS dtw_cents
+             |FROM dp ORDER BY p1, p2""".stripMargin)),
   )
 }
