@@ -4954,5 +4954,77 @@ object ParityQueries {
              |  FROM pairs)
              |SELECT p1, p2, na, nb, lastrow[CAST(nb AS INT)] AS dtw_cents
              |FROM dp ORDER BY p1, p2""".stripMargin)),
+
+    // ----- Welch's t-test between market segments' order values —
+    // the MEANS test that completes the two-sample family: a38's
+    // Mann-Whitney compares distributions rank-wise, t_ab_ztest
+    // compares proportions; Welch compares means WITHOUT the
+    // equal-variance assumption Student's t needs (the variant
+    // statisticians now recommend by default), with the
+    // Welch-Satterthwaite effective df reported alongside. All ten
+    // segment pairs in one shot. Exactness: sufficient statistics
+    // (n, Σv, Σv²) shuffle as exact integers — Σv² rides
+    // DECIMAL(38,0) on the Spark side / HUGEINT in DuckDB because
+    // cents² sums clear int64 at large SFs (per-row v² ≤ 2.5·10¹⁵
+    // is long-safe; the SUM is not) — and t/df assemble from the
+    // exact sums in two pinned IEEE expressions (identical ÷ and ×
+    // order both engines). One scalars-only shuffle, 5 rows into
+    // the pair join.
+    QueryDef(
+      "a54_welch_ttest",
+      (s, d) => {
+        val x = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            expr("CAST(round(o_totalprice*100) AS BIGINT)").as("v"))
+        val st = x.groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum("v").as("s"),
+            sum((col("v") * col("v")).cast("decimal(38,0)")).as("ss"))
+        val a = st.select(col("seg").as("s1"), col("n").as("n1"),
+          col("s").as("sa"), col("ss").as("ssa"))
+        val b = st.select(col("seg").as("s2"), col("n").as("n2"),
+          col("s").as("sb"), col("ss").as("ssb"))
+        def varOf(ss: Column, sm: Column, n: Column): Column =
+          (ss.cast("double") - sm.cast("double") * sm.cast("double")
+            / n.cast("double")) / (n - 1L).cast("double")
+        val p = a.join(broadcast(b), col("s1") < col("s2"))
+          .select(col("s1"), col("s2"), col("n1"), col("n2"),
+            varOf(col("ssa"), col("sa"), col("n1")).as("v1"),
+            varOf(col("ssb"), col("sb"), col("n2")).as("v2"),
+            (col("sa").cast("double") / col("n1").cast("double")
+              - col("sb").cast("double") / col("n2").cast("double")).as("md"))
+        val se1 = col("v1") / col("n1").cast("double")
+        val se2 = col("v2") / col("n2").cast("double")
+        p.select(col("s1"), col("s2"), col("n1"), col("n2"),
+          round(col("md") / sqrt(se1 + se2), 6).as("t"),
+          round((se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (col("n1") - 1L).cast("double")
+              + se2 * se2 / (col("n2") - 1L).cast("double")), 6).as("df"))
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH x AS (SELECT c_mktsegment AS seg,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |st AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(v) AS BIGINT) AS s,
+             |    CAST(sum(v*v) AS HUGEINT) AS ss FROM x GROUP BY 1),
+             |p AS (SELECT a.seg AS s1, b.seg AS s2, a.n AS n1, b.n AS n2,
+             |    (CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE)*CAST(a.s AS DOUBLE)
+             |      /CAST(a.n AS DOUBLE)) / CAST(a.n - 1 AS DOUBLE) AS v1,
+             |    (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE)*CAST(b.s AS DOUBLE)
+             |      /CAST(b.n AS DOUBLE)) / CAST(b.n - 1 AS DOUBLE) AS v2,
+             |    CAST(a.s AS DOUBLE)/CAST(a.n AS DOUBLE)
+             |      - CAST(b.s AS DOUBLE)/CAST(b.n AS DOUBLE) AS md
+             |  FROM st a JOIN st b ON a.seg < b.seg)
+             |SELECT s1, s2, n1, n2,
+             |  round(md / sqrt(v1/CAST(n1 AS DOUBLE) + v2/CAST(n2 AS DOUBLE)),
+             |    6) AS t,
+             |  round((v1/CAST(n1 AS DOUBLE) + v2/CAST(n2 AS DOUBLE))
+             |    * (v1/CAST(n1 AS DOUBLE) + v2/CAST(n2 AS DOUBLE))
+             |    / ((v1/CAST(n1 AS DOUBLE))*(v1/CAST(n1 AS DOUBLE))
+             |        /CAST(n1 - 1 AS DOUBLE)
+             |      + (v2/CAST(n2 AS DOUBLE))*(v2/CAST(n2 AS DOUBLE))
+             |        /CAST(n2 - 1 AS DOUBLE)), 6) AS df
+             |FROM p ORDER BY s1, s2""".stripMargin)),
   )
 }
