@@ -2904,6 +2904,90 @@ object TextQueries {
              |    * (1.0 - CAST(yy AS DOUBLE)/CAST(nn AS DOUBLE)), 6)
              |    AS brier
              |FROM f, tot""".stripMargin)),
+
+    // ----- Gini-impurity feature ranking — decision-stump feature
+    // selection for the quality gate WITHOUT logs (information gain
+    // needs log₂, which is transcendental and not cross-engine
+    // correctly-rounded; Gini 2p(1−p) is the CART impurity and pure
+    // rational arithmetic): for each of the 16 pinned marker words,
+    // split the corpus on word-presence and rank by impurity
+    // DECREASE vs the gate label — the screen that says which
+    // features the logreg (E102) actually had to work with, and the
+    // first stage of any tree/stump ensemble over corpus signals.
+    // Shape: ONE corpus pass — presence rides the same wordFreqs
+    // vector the classifier uses (posexplode → 16·N skinny rows →
+    // grouped integer counts); the DuckDB mirror re-scans per word
+    // (16 generated UNION ALL arms) which is exactly the redundancy
+    // the vectorized freqs pass avoids — the shape difference IS the
+    // scale point. Counts stay integers across the shuffle; each
+    // gain is ONE pinned rational expression with zero-branch
+    // guards.
+    QueryDef(
+      "tx49_gini_features",
+      (s, d) => {
+        val words = graft.ext.QualityClassifier.featureWords
+        val base = docs(s, d)
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
+          .select(TextAnalysis.wordFreqs(col("__toks"), words).as("fr"),
+            TextAnalysis.qualityScoreTokens(col("__toks")).as("q"))
+        val med = base.agg(expr("percentile(q, 0.5D)").as("__med"))
+        val py = base.crossJoin(broadcast(med))
+          .select(col("fr"),
+            when(col("q") > col("__med"), 1L).otherwise(0L).as("y"))
+        val st = py
+          .select(col("y"), posexplode(col("fr")).as(Seq("i", "cnt")))
+          .groupBy("i")
+          .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("cnt") > 0, col("y")).otherwise(0L)).as("p1"),
+            count(lit(1)).as("n"), sum("y").as("p"))
+        def gini(p: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          lit(2.0) * (p.cast("double") / n.cast("double")) *
+            (lit(1.0) - p.cast("double") / n.cast("double"))
+        val n0 = col("n") - col("n1")
+        val p0 = col("p") - col("p1")
+        st.select(
+          element_at(array(words.map(lit): _*), col("i") + 1).as("w"),
+          col("n1").as("n_present"),
+          round(gini(col("p"), col("n")) -
+            (when(col("n1") > 0, col("n1").cast("double") /
+              col("n").cast("double") * gini(col("p1"), col("n1")))
+              .otherwise(lit(0.0)) +
+              when(n0 > 0, n0.cast("double") / col("n").cast("double") *
+                gini(p0, n0)).otherwise(lit(0.0))), 6).as("gain"))
+          .orderBy(col("gain").desc, col("w"))
+      },
+      Some {
+        val words = graft.ext.QualityClassifier.featureWords
+        val arms = words.map(w =>
+          s"""SELECT '$w' AS w,
+             |  CAST(CASE WHEN ${TS.wordCount(w)} > 0 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS pres, y FROM py""".stripMargin)
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH t AS (SELECT text, ${TS.qualityScore} AS q FROM documents),
+           |med AS (SELECT quantile_cont(q, 0.5) AS m FROM t),
+           |py AS (SELECT text,
+           |    CASE WHEN q > (SELECT m FROM med) THEN 1 ELSE 0 END AS y
+           |  FROM t),
+           |pw AS ($arms),
+           |st AS (SELECT w, CAST(sum(pres) AS BIGINT) AS n1,
+           |    CAST(sum(pres*y) AS BIGINT) AS p1,
+           |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+           |  FROM pw GROUP BY 1)
+           |SELECT w, n1 AS n_present,
+           |  round(2.0 * (CAST(p AS DOUBLE)/CAST(n AS DOUBLE))
+           |      * (1.0 - CAST(p AS DOUBLE)/CAST(n AS DOUBLE))
+           |    - (CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE)/CAST(n AS DOUBLE)
+           |        * (2.0 * (CAST(p1 AS DOUBLE)/CAST(n1 AS DOUBLE))
+           |          * (1.0 - CAST(p1 AS DOUBLE)/CAST(n1 AS DOUBLE)))
+           |        ELSE 0.0 END
+           |      + CASE WHEN n - n1 > 0
+           |        THEN CAST(n - n1 AS DOUBLE)/CAST(n AS DOUBLE)
+           |        * (2.0 * (CAST(p - p1 AS DOUBLE)/CAST(n - n1 AS DOUBLE))
+           |          * (1.0 - CAST(p - p1 AS DOUBLE)/CAST(n - n1 AS DOUBLE)))
+           |        ELSE 0.0 END), 6) AS gain
+           |FROM st ORDER BY gain DESC, w""".stripMargin
+      }),
   )
 }
 
