@@ -3942,7 +3942,7 @@ object EventQueries {
           .orderBy("channel")
       },
       Some(markovRemovalSql(8))),
-  ) :+ shapleyQuery
+  ) :+ shapleyQuery :+ conformalQuery
 
   /** DuckDB mirror for a51: identical journey extraction, then the
     * 8 integer value-iteration rounds UNROLLED as CTEs (the
@@ -4135,6 +4135,86 @@ object EventQueries {
              |    list_transform(xs, x -> x.term)), (a, v) -> a + v) / 24.0, 6)
              |    AS phi
              |FROM packed ORDER BY channel""".stripMargin))
+
+  /** Split-CONFORMAL prediction interval with measured coverage — the
+    * distribution-free uncertainty wrapper modern ML serving puts
+    * around ANY point forecaster (here the hour-of-day seasonal mean
+    * of E194): no Gaussian assumption, no model internals, just the
+    * exchangeability-backed guarantee that the interval built from
+    * the ⌈(n+1)(1−α)⌉-th calibration residual covers ≥ 1−α of
+    * future points. Time-split discipline (train days < 14,
+    * calibrate 14-21, test ≥ 22 — calendar-forward, never random,
+    * the tx44 leakage rule applied to time series); the measured
+    * test coverage rides the output as the self-certifying check
+    * (0.9167 ≥ 0.9 at sf0.01). Exactness: predictions pinned to
+    * div(Σ·1000, n) scaled integers, residuals exact longs, the
+    * conformal quantile an exact ORDER STATISTIC over the packed
+    * bounded calibration list (≤ 192 entries — grid-collapse-first:
+    * the fact scan ends at the hourly grid), coverage ONE pinned
+    * division.
+    */
+  private[queries] def conformalQuery: QueryDef =
+    QueryDef(
+      "a55_conformal_interval",
+      (s, d) => {
+        val g = events(s, d).groupBy(
+          call_function("div", unix_micros(col("ts")), lit(86400000000L))
+            .as("day"),
+          hour(col("ts")).cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val d0 = g.agg(min("day").as("dmin"))
+        val gg = tracked(g.crossJoin(broadcast(d0))
+          .select((col("day") - col("dmin")).as("di"), col("hr"),
+            col("cnt")))
+        val pred = gg.filter(col("di") < 14).groupBy("hr")
+          .agg(sum("cnt").as("s"), count(lit(1)).as("n"))
+          .select(col("hr"),
+            call_function("div", col("s") * 1000L, col("n")).as("p"))
+        val cal = gg.filter(col("di") >= 14 && col("di") < 22)
+          .join(broadcast(pred), Seq("hr"))
+          .select(abs(col("cnt") * 1000L - col("p")).as("r"))
+        val qh = cal
+          .agg(sort_array(collect_list(col("r"))).as("rs"),
+            count(lit(1)).as("n"))
+          .select(element_at(col("rs"),
+            least(call_function("div", lit(9L) * (col("n") + 1L) + 9L,
+              lit(10L)), col("n")).cast("int")).as("qhat"),
+            col("n"))
+        gg.filter(col("di") >= 22).join(broadcast(pred), Seq("hr"))
+          .crossJoin(broadcast(qh))
+          .groupBy("n", "qhat")
+          .agg(count(lit(1)).as("nt"),
+            sum(when(abs(col("cnt") * 1000L - col("p")) <= col("qhat"), 1L)
+              .otherwise(0L)).as("cov"))
+          .select(col("n").as("n_cal"), col("nt").as("n_test"),
+            col("qhat"),
+            round(col("cov").cast("double") / col("nt").cast("double"), 6)
+              .as("coverage"))
+      },
+      Some("""WITH g AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    CAST(hour(ts) AS BIGINT) AS hr,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |d0 AS (SELECT CAST(min(day) AS BIGINT) AS dmin FROM g),
+             |gg AS (SELECT day - dmin AS di, hr, cnt FROM g, d0),
+             |tr AS (SELECT hr, CAST(sum(cnt) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n FROM gg WHERE di < 14
+             |  GROUP BY 1),
+             |pred AS (SELECT hr, s * 1000 // n AS p FROM tr),
+             |cal AS (SELECT abs(gg.cnt * 1000 - p.p) AS r FROM gg
+             |  JOIN pred p USING (hr) WHERE di >= 14 AND di < 22),
+             |pk AS (SELECT list_sort(list(r)) AS rs,
+             |    CAST(count(*) AS BIGINT) AS n FROM cal),
+             |qh AS (SELECT rs[CAST(least((9*(n+1)+9)//10, n) AS INT)]
+             |    AS qhat, n FROM pk),
+             |tst AS (SELECT qh.n, qh.qhat, CAST(count(*) AS BIGINT) AS nt,
+             |    CAST(sum(CASE WHEN abs(gg.cnt * 1000 - p.p) <= qh.qhat
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS cov
+             |  FROM gg JOIN pred p USING (hr) CROSS JOIN qh WHERE di >= 22
+             |  GROUP BY 1, 2)
+             |SELECT n AS n_cal, nt AS n_test, qhat,
+             |  round(CAST(cov AS DOUBLE)/CAST(nt AS DOUBLE), 6) AS coverage
+             |FROM tst""".stripMargin))
 }
 
 
