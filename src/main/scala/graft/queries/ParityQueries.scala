@@ -5026,5 +5026,86 @@ object ParityQueries {
              |      + (v2/CAST(n2 AS DOUBLE))*(v2/CAST(n2 AS DOUBLE))
              |        /CAST(n2 - 1 AS DOUBLE)), 6) AS df
              |FROM p ORDER BY s1, s2""".stripMargin)),
+
+    // ----- LOCAL BRIDGES (Granovetter's weak ties / Burt's
+    // structural holes) over the support-thresholded co-purchase
+    // graph — the edge-level openness read dual to the closure
+    // family (g2 counts triangles, g7 keeps only edges IN enough
+    // triangles; a local bridge is an edge in NO triangle at all:
+    // its endpoints share zero neighbors, so it is the only <=2-hop
+    // path between its sides — the edges along which novel
+    // information/demand flows, and whose removal lengthens paths).
+    // Shape: triangle-closure test as ONE wedge equi-join on the
+    // symmetrized adjacency (closed edges = e x sym x sym on the
+    // shared-neighbor key, distinct'd) and a LEFT ANTI for the open
+    // rest — no per-edge neighborhood intersection materialized;
+    // same wedge-join scale law as g2 (sum deg^2, the skew cap rule).
+    // Output: bridge fraction (94.7% at sf0.01 — a thresholded
+    // co-purchase graph is mostly open, exactly why the closed part
+    // is signal) + the top-10 highest-combined-degree bridges: both
+    // endpoints busy, yet no shared neighbor — the structural holes.
+    QueryDef(
+      "g16_local_bridges",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = tracked(op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").cast("long").as("u"),
+            col("b.pk").cast("long").as("v"))
+          .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+          .select("u", "v"))
+        val sym = tracked(e.select(col("u").as("node"), col("v").as("nbr"))
+          .unionAll(e.select(col("v").as("node"), col("u").as("nbr"))))
+        val deg = sym.groupBy("node").agg(count(lit(1)).as("dg"))
+        val closed = e
+          .join(sym.select(col("node").as("u"), col("nbr").as("zu")), Seq("u"))
+          .join(sym.select(col("node").as("v"), col("nbr").as("zv")), Seq("v"))
+          .filter(col("zu") === col("zv"))
+          .select("u", "v").distinct()
+        val bridges = tracked(e.join(closed, Seq("u", "v"), "left_anti"))
+        val st = e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(bridges.agg(count(lit(1)).as("n_bridges")))
+        bridges
+          .join(deg.select(col("node").as("u"), col("dg").as("deg_u")),
+            Seq("u"))
+          .join(deg.select(col("node").as("v"), col("dg").as("deg_v")),
+            Seq("v"))
+          .orderBy((col("deg_u") + col("deg_v")).desc, col("u"), col("v"))
+          .limit(10)
+          .crossJoin(broadcast(st))
+          .select(col("u"), col("v"), col("deg_u"), col("deg_v"),
+            col("n_edges"), col("n_bridges"),
+            round(col("n_bridges").cast("double")
+              / col("n_edges").cast("double"), 6).as("bridge_frac"))
+          .orderBy((col("deg_u") + col("deg_v")).desc, col("u"), col("v"))
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |    FROM lineitem),
+             |e AS (SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sym AS (SELECT u AS node, v AS nbr FROM e
+             |  UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM sym
+             |  GROUP BY 1),
+             |closed AS (SELECT DISTINCT e.u, e.v
+             |  FROM e JOIN sym su ON su.node = e.u
+             |  JOIN sym sv ON sv.node = e.v AND sv.nbr = su.nbr),
+             |bridges AS (SELECT e.u, e.v FROM e
+             |  LEFT JOIN closed c ON c.u = e.u AND c.v = e.v
+             |  WHERE c.u IS NULL),
+             |top AS (SELECT b.u, b.v, du.dg AS deg_u, dv.dg AS deg_v
+             |  FROM bridges b JOIN deg du ON du.node = b.u
+             |  JOIN deg dv ON dv.node = b.v
+             |  ORDER BY du.dg + dv.dg DESC, b.u, b.v LIMIT 10),
+             |st AS (SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM bridges) AS n_bridges)
+             |SELECT u, v, deg_u, deg_v, n_edges, n_bridges,
+             |  round(CAST(n_bridges AS DOUBLE)/CAST(n_edges AS DOUBLE), 6)
+             |    AS bridge_frac
+             |FROM top, st ORDER BY deg_u + deg_v DESC, u, v""".stripMargin)),
   )
 }
