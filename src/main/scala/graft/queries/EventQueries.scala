@@ -3942,7 +3942,7 @@ object EventQueries {
           .orderBy("channel")
       },
       Some(markovRemovalSql(8))),
-  ) :+ shapleyQuery :+ conformalQuery
+  ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for a51: identical journey extraction, then the
     * 8 integer value-iteration rounds UNROLLED as CTEs (the
@@ -4215,6 +4215,52 @@ object EventQueries {
              |SELECT n AS n_cal, nt AS n_test, qhat,
              |  round(CAST(cov AS DOUBLE)/CAST(nt AS DOUBLE), 6) AS coverage
              |FROM tst""".stripMargin))
+
+  /** MEDIAN-OF-MEANS robust mean — the sub-Gaussian estimator that
+    * completes the robust-location family (w7 MAD flags outliers,
+    * a43-adjacent trimmed/trimean CUT them; MoM instead shards the
+    * data into k deterministic blocks and takes the MEDIAN of block
+    * means, so any minority of corrupted blocks is outvoted — the
+    * estimator of choice in the heavy-tail literature because its
+    * deviation bound needs only finite variance). Distribution
+    * shape: block = id mod 15 (deterministic, so blocks are
+    * reproducible across engines AND balanced); per-block integer
+    * micro-sums are ONE scalars-only shuffle, the 15 block means one
+    * pinned division each, the median an exact order statistic over
+    * the packed 15-list. The plain mean rides alongside: the
+    * fixture's 5% injected anomalies pull it 0.15 above MoM — the
+    * gap IS the demonstration.
+    */
+  private[queries] def medianOfMeansQuery: QueryDef =
+    QueryDef(
+      "a56_median_of_means",
+      (s, d) => {
+        val x = events(s, d).select((col("event_id") % 15).as("blk"),
+          expr("CAST(round(value*1000000) AS BIGINT)").as("v"))
+        val b = x.groupBy("blk").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        val bm = b.select(
+          (col("s").cast("double") / col("n").cast("double")).as("m"))
+        val pk = bm.agg(sort_array(collect_list(col("m"))).as("ms"))
+        val tot = b.agg(sum("s").as("ts"), sum("n").as("tn"))
+        pk.crossJoin(broadcast(tot))
+          .select(col("tn").as("n"),
+            round(col("ts").cast("double") / col("tn").cast("double")
+              / 1000000.0, 6).as("plain_mean"),
+            round(element_at(col("ms"), 8) / 1000000.0, 6).as("mom_mean"))
+      },
+      Some("""WITH x AS (SELECT event_id % 15 AS blk,
+             |    CAST(round(value*1000000) AS BIGINT) AS v FROM events),
+             |b AS (SELECT blk, CAST(sum(v) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1),
+             |bm AS (SELECT CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS m FROM b),
+             |pk AS (SELECT list_sort(list(m)) AS ms FROM bm),
+             |tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
+             |    CAST(sum(n) AS BIGINT) AS tn FROM b)
+             |SELECT tn AS n,
+             |  round(CAST(ts AS DOUBLE)/CAST(tn AS DOUBLE)/1000000.0, 6)
+             |    AS plain_mean,
+             |  round(ms[8]/1000000.0, 6) AS mom_mean
+             |FROM pk, tot""".stripMargin))
 }
 
 
