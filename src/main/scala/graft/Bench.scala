@@ -487,6 +487,11 @@ object Bench {
       // g7_ktruss is deliberately NOT in the default: triangle
       // support on the densified graph measured 47 s/sample — ~4 min
       // of tier time for a shape g3/g3b already regression-gate.
+      // round-9 note: g15_link_prediction was considered for the tier
+      // and deliberately left OUT — 12.5 s at sf0.1 extrapolates to
+      // ~100 s/sample at 8× (the customer-key pair fan-out scales
+      // linearly in copies but starts too heavy), the g7_ktruss
+      // precedent applied before burning tier time.
       .getOrElse(Seq("dedup_minhash_pairs", "dedup_simhash_pairs",
         "pipeline_curation", "tx12_bigram_lm_score",
         "dedup_embedding_lsh", "dedup_components",
@@ -611,7 +616,22 @@ object Bench {
           }
           val pq = Seq("sim10_pq_adc_topk", "sim11_ivfpq_topk")
             .map(n => recallOf(n)(exactL2))
-          cosine ++ pq
+          // sim23 carries its own exact-vs-SQ8 overlap counts: the
+          // gated number is hit30 coverage of the exact top-10 —
+          // the candidate-then-rerank operating point (1.0 at sf0.1;
+          // a sub-floor value means quantization geometry broke, not
+          // benign drift, because identity clones share codes).
+          val sq8 = Seq("sim23_sq8_recall" -> (try {
+            import org.apache.spark.sql.functions.{count => cnt, lit, sum => fsum}
+            val r = SparkEntry.queries("sim23_sq8_recall")(spark, dir)
+              .agg(fsum("hit30"), cnt(lit(1))).head()
+            val n = r.getLong(1)
+            Right(if (n == 0) 1.0 else r.getLong(0).toDouble / (10.0 * n))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }))
+          cosine ++ pq ++ sq8
         }
       graft.queries.SimilarityQueries.releaseCaches()
       graft.queries.ParityQueries.releaseCaches()

@@ -3899,36 +3899,53 @@ object EventQueries {
           .select(lit("__START__").as("src"), lit("__CONV__").as("dst"))
         val trc = eg.unionAll(term).unionAll(direct)
           .groupBy("src", "dst").agg(count(lit(1)).as("n"))
-        val tr = tracked(trc.join(
-          trc.groupBy("src").agg(sum("n").as("tot")), Seq("src")))
-        val scen = tr.select(col("src").as("scen"))
-          .filter(col("scen") =!= "__START__").distinct()
-          .unionAll(s.range(1).select(lit("__base__").as("scen")))
-        val grid = tracked(scen.crossJoin(tr))
-        var v = scen.crossJoin(tr.select("src").distinct())
-          .select(col("scen"), col("src").as("st"), lit(0L).as("v"))
+        val tr = trc.join(
+          trc.groupBy("src").agg(sum("n").as("tot")), Seq("src"))
+        // the transition matrix is ≤ |states|² rows (≤ ~42 here) —
+        // the bounded-grid boundary where driver math is the RIGHT
+        // call (the Rank per-partition-offsets / Lloyd-centroids
+        // precedent): iterating relationally cost 8 re-planned
+        // broadcast-join rounds ≈ 14 s of pure overhead at sf0.1
+        // (measured, bench r9) for arithmetic on a few hundred longs.
+        // The integer update below is IDENTICAL to the relational
+        // form (same truncating div, same long sums — addition of
+        // longs is exactly associative, so map order cannot matter)
+        // and the DuckDB mirror still replays the full unrolled
+        // iteration relationally, so the hash gate also certifies
+        // this driver loop.
+        val trRows = tr.select("src", "dst", "n", "tot").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3)))
+        val channels = trRows.map(_._1).filter(_ != "__START__").distinct.sorted
+        val states = trRows.map(_._1).distinct
+        val scens = "__base__" +: channels
+        var v: Map[(String, String), Long] =
+          (for (sc <- scens; st <- states) yield (sc, st) -> 0L).toMap
         for (_ <- 1 to 8) {
-          val vp = v.select(col("scen").as("vscen"), col("st").as("vst"),
-            col("v").as("pv"))
-          v = grid
-            .join(broadcast(vp),
-              col("vscen") === col("scen") && col("vst") === col("dst"),
-              "left")
-            .groupBy(col("scen"), col("src"), col("tot"))
-            .agg(sum(col("n") * (when(col("dst") === "__CONV__", lit(Scale))
-              .when(col("dst") === "__NULL__", lit(0L))
-              .otherwise(coalesce(col("pv"), lit(0L))))).as("acc"))
-            .select(col("scen"), col("src").as("st"),
-              when(col("scen") === col("src"), lit(0L))
-                .otherwise(call_function("div", col("acc"), col("tot")))
-                .as("v"))
+          val next = for (sc <- scens; st <- states) yield {
+            val nv =
+              if (sc == st) 0L
+              else {
+                val acc = trRows.filter(_._1 == st).map {
+                  case (_, dst, n, _) =>
+                    val value =
+                      if (dst == "__CONV__") Scale
+                      else if (dst == "__NULL__") 0L
+                      else v.getOrElse((sc, dst), 0L)
+                    n * value
+                }.sum
+                val tot = trRows.find(_._1 == st).get._4
+                acc / tot // both operands non-negative: trunc == floor
+              }
+            (sc, st) -> nv
+          }
+          v = next.toMap
         }
-        val vK = v.filter(col("st") === "__START__")
-        val base = vK.filter(col("scen") === "__base__")
-          .select(col("v").as("vb"))
-        val diffs = tracked(vK.filter(col("scen") =!= "__base__")
-          .select(col("scen").as("channel"), col("v").as("vr"))
-          .crossJoin(broadcast(base))
+        val vb = v.getOrElse(("__base__", "__START__"), 0L)
+        import s.implicits._
+        val diffs = tracked(channels
+          .map(c => (c, vb, v.getOrElse((c, "__START__"), 0L)))
+          .toSeq.toDF("channel", "vb", "vr")
           .withColumn("diff", col("vb") - col("vr")))
         val tdiff = diffs.agg(sum("diff").as("td"))
         diffs.crossJoin(broadcast(tdiff))
@@ -3941,7 +3958,8 @@ object EventQueries {
               .as("share"))
           .orderBy("channel")
       },
-      Some(markovRemovalSql(8))),
+      Some(markovRemovalSql(8)),
+      bench = true),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for a51: identical journey extraction, then the

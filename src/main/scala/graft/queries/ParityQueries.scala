@@ -4953,7 +4953,8 @@ object ParityQueries {
              |  ) AS lastrow
              |  FROM pairs)
              |SELECT p1, p2, na, nb, lastrow[CAST(nb AS INT)] AS dtw_cents
-             |FROM dp ORDER BY p1, p2""".stripMargin)),
+             |FROM dp ORDER BY p1, p2""".stripMargin),
+      bench = true),
 
     // ----- Welch's t-test between market segments' order values —
     // the MEANS test that completes the two-sample family: a38's
@@ -5107,5 +5108,244 @@ object ParityQueries {
              |  round(CAST(n_bridges AS DOUBLE)/CAST(n_edges AS DOUBLE), 6)
              |    AS bridge_frac
              |FROM top, st ORDER BY deg_u + deg_v DESC, u, v""".stripMargin)),
+
+    // ----- CUPED variance reduction — the experimentation-platform
+    // workhorse (Deng et al., Microsoft): adjust each unit's outcome
+    // by its PRE-period covariate, Y' = Y − θ(X − X̄), cutting metric
+    // variance by ρ² and therefore experiment runtime by the same
+    // factor — the single highest-leverage trick in industrial A/B
+    // practice, here computed per segment over customer spend with
+    // pre ≤ 1997 / post ≥ 1998 calendar-forward periods (the tx44
+    // leakage rule: the covariate must predate treatment). θ and the
+    // realized variance reduction ρ² assemble from integer
+    // sufficient statistics — per-customer cents sums, with the
+    // second-moment sums on DECIMAL(38,0)/HUGEINT (the a54 rule:
+    // per-row products are long-safe, their SUMS are not) and the
+    // three combination differences (nΣxy−ΣxΣy etc., ≈10²⁴) exact in
+    // 128-bit before ONE double conversion each. One scalars-only
+    // shuffle; 5 rows out.
+    QueryDef(
+      "a57_cuped",
+      (s, d) => {
+        val cu = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"))
+          .agg(
+            sum(when(year(col("o_orderdate")) <= 1997,
+              expr("CAST(round(o_totalprice*100) AS BIGINT)"))
+              .otherwise(0L)).as("x"),
+            sum(when(year(col("o_orderdate")) >= 1998,
+              expr("CAST(round(o_totalprice*100) AS BIGINT)"))
+              .otherwise(0L)).as("y"))
+        val st = cu.groupBy("seg").agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        val dd = st.select(col("seg"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double").as("dxy"),
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double").as("dxx"),
+          (col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double").as("dyy"))
+        dd.filter(col("dxx") > 0 && col("dyy") > 0)
+          .select(col("seg"), col("n"),
+            round(col("dxy") / col("dxx"), 6).as("theta"),
+            round(col("dxy") * col("dxy") / (col("dxx") * col("dyy")), 6)
+              .as("var_reduction"))
+          .orderBy("seg")
+      },
+      Some("""WITH cu AS (SELECT c_custkey AS ck, c_mktsegment AS seg,
+             |    CAST(sum(CASE WHEN year(o_orderdate) <= 1997
+             |      THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END)
+             |      AS BIGINT) AS x,
+             |    CAST(sum(CASE WHEN year(o_orderdate) >= 1998
+             |      THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END)
+             |      AS BIGINT) AS y
+             |  FROM customer JOIN orders ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |st AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             |    CAST(sum(x*y) AS HUGEINT) AS sxy,
+             |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+             |    CAST(sum(y*y) AS HUGEINT) AS syy
+             |  FROM cu GROUP BY 1),
+             |dd AS (SELECT seg, n,
+             |    CAST(n*sxy - sx*sy AS DOUBLE) AS dxy,
+             |    CAST(n*sxx - sx*sx AS DOUBLE) AS dxx,
+             |    CAST(n*syy - sy*sy AS DOUBLE) AS dyy
+             |  FROM st)
+             |SELECT seg, n, round(dxy / dxx, 6) AS theta,
+             |  round(dxy * dxy / (dxx * dyy), 6) AS var_reduction
+             |FROM dd WHERE dxx > 0 AND dyy > 0 ORDER BY seg""".stripMargin)),
+
+    // ----- Difference-in-differences — the quasi-experimental
+    // estimator for when you CANNOT randomize (policy launched to
+    // one group at a known date): the treatment effect is the
+    // treated group's pre→post change MINUS the control group's,
+    // which nets out both stable group differences and the common
+    // time trend, under the parallel-trends assumption the four
+    // printed cell means let a reader eyeball. Completes the causal
+    // trio with a57 (variance reduction under randomization) and
+    // a51/a53 (observational attribution). Cells are (treated =
+    // BUILDING segment) × (post = year ≥ 1998); four integer
+    // (n, Σcents) pairs — the entire fact volume collapses to a
+    // 4-row grid (grid-collapse-first), means and the DiD contrast
+    // are pinned rational expressions.
+    QueryDef(
+      "a58_diff_in_diff",
+      (s, d) => {
+        val x = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(
+            when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+              .as("trt"),
+            when(year(col("o_orderdate")) >= 1998, 1L).otherwise(0L)
+              .as("post"),
+            expr("CAST(round(o_totalprice*100) AS BIGINT)").as("v"))
+        val cells = x.groupBy("trt", "post")
+          .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        def m(trt: Int, post: Int) = max(when(
+          col("trt") === trt.toLong && col("post") === post.toLong,
+          col("s").cast("double") / col("n").cast("double")))
+        cells.agg(m(1, 1).as("tp"), m(1, 0).as("tr"),
+          m(0, 1).as("cp"), m(0, 0).as("cr"), sum("n").as("n"))
+          .select(col("n"),
+            round(col("tp") / 100.0, 6).as("t_post"),
+            round(col("tr") / 100.0, 6).as("t_pre"),
+            round(col("cp") / 100.0, 6).as("c_post"),
+            round(col("cr") / 100.0, 6).as("c_pre"),
+            round((col("tp") - col("tr") - (col("cp") - col("cr")))
+              / 100.0, 6).as("did"))
+      },
+      Some("""WITH x AS (SELECT
+             |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+             |      AS trt,
+             |    CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END
+             |      AS post,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |cells AS (SELECT trt, post, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(v) AS BIGINT) AS s FROM x GROUP BY 1, 2),
+             |w AS (SELECT
+             |    max(CASE WHEN trt=1 AND post=1
+             |      THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE) END) AS tp,
+             |    max(CASE WHEN trt=1 AND post=0
+             |      THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE) END) AS tr,
+             |    max(CASE WHEN trt=0 AND post=1
+             |      THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE) END) AS cp,
+             |    max(CASE WHEN trt=0 AND post=0
+             |      THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE) END) AS cr,
+             |    CAST(sum(n) AS BIGINT) AS n
+             |  FROM cells)
+             |SELECT n, round(tp/100.0, 6) AS t_post,
+             |  round(tr/100.0, 6) AS t_pre, round(cp/100.0, 6) AS c_post,
+             |  round(cr/100.0, 6) AS c_pre,
+             |  round((tp - tr - (cp - cr))/100.0, 6) AS did
+             |FROM w""".stripMargin)),
+
+    // ----- EXACT two-sample energy distance between segments' order-
+    // value distributions — the distribution-equality measure that
+    // completes the two-sample family with a DISTANCE rather than a
+    // test (a30's KS is a sup-norm statistic, a38's MWU a rank test;
+    // energy distance 2E|X−Y| − E|X−X'| − E|Y−Y'| is a METRIC, zero
+    // iff the distributions coincide — usable as a drift score or a
+    // clustering kernel between cohorts). The naive form is O(n²)
+    // pairwise |x−y|; the identity Σ|x−y| = Σ_x [x·#{y≤x} − Σ_{y≤x}y
+    // + (Σ_{y>x}y − x·#{y>x})] computes it EXACTLY from prefix sums
+    // on the tie-collapsed value grid — Rank.runningTotals' intended
+    // shape (one range exchange, no single-partition window), so the
+    // quadratic collapses to O(grid) integer arithmetic. Per-grid-row
+    // terms are long-safe at fixture scale (v·cnt ≈ 10¹¹); their
+    // SUMS ride DECIMAL(38,0)/HUGEINT (the a54 rule). One pinned
+    // float expression at the very end; verified against an
+    // imperative prefix-sum reference during development.
+    QueryDef(
+      "a59_energy_distance",
+      (s, d) => {
+        val x = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_mktsegment").as("seg"),
+            expr("CAST(round(o_totalprice*100) AS BIGINT)").as("v"))
+        val g = tracked(x.groupBy("v").agg(
+          sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("cb"))
+          .withColumn("cav", col("ca") * col("v"))
+          .withColumn("cbv", col("cb") * col("v")))
+        val cum = graft.ops.Rank.runningTotals(g, Seq(col("v")),
+          Seq("ca" -> "cca", "cb" -> "ccb", "cav" -> "sva",
+            "cbv" -> "svb"), tracked(_))
+        val tot = g.agg(sum("ca").as("na"), sum("cb").as("nb"),
+          sum("cav").as("ta"), sum("cbv").as("tb"))
+        def half(cnt: org.apache.spark.sql.Column,
+            cc: org.apache.spark.sql.Column, sv: org.apache.spark.sql.Column,
+            tn: org.apache.spark.sql.Column,
+            tv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          cnt * (col("v") * cc - sv) +
+            cnt * ((tv - sv) - col("v") * (tn - cc))
+        val sums = cum.crossJoin(broadcast(tot))
+          .select(col("na"), col("nb"),
+            half(col("ca"), col("ccb"), col("svb"), col("nb"), col("tb"))
+              .cast("decimal(38,0)").as("tab"),
+            half(col("ca"), col("cca"), col("sva"), col("na"), col("ta"))
+              .cast("decimal(38,0)").as("taa"),
+            half(col("cb"), col("ccb"), col("svb"), col("nb"), col("tb"))
+              .cast("decimal(38,0)").as("tbb"))
+          .groupBy("na", "nb")
+          .agg(sum("tab").as("sab"), sum("taa").as("saa"),
+            sum("tbb").as("sbb"))
+        sums.select(col("na"), col("nb"),
+          round(lit(2.0) * col("sab").cast("double")
+            / (col("na").cast("double") * col("nb").cast("double")) / 100.0
+            - col("saa").cast("double")
+            / (col("na").cast("double") * col("na").cast("double")) / 100.0
+            - col("sbb").cast("double")
+            / (col("nb").cast("double") * col("nb").cast("double")) / 100.0,
+            6).as("energy_dist"))
+      },
+      Some("""WITH x AS (SELECT c_mktsegment AS seg,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+             |g AS (SELECT v,
+             |    CAST(sum(CASE WHEN seg='BUILDING' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN seg='MACHINERY' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cb
+             |  FROM x GROUP BY 1),
+             |g2 AS (SELECT v, ca, cb, ca*v AS cav, cb*v AS cbv FROM g),
+             |cum AS (SELECT v, ca, cb,
+             |    CAST(sum(ca) OVER w AS BIGINT) AS cca,
+             |    CAST(sum(cb) OVER w AS BIGINT) AS ccb,
+             |    CAST(sum(cav) OVER w AS BIGINT) AS sva,
+             |    CAST(sum(cbv) OVER w AS BIGINT) AS svb
+             |  FROM g2 WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+             |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb,
+             |    CAST(sum(cav) AS BIGINT) AS ta,
+             |    CAST(sum(cbv) AS BIGINT) AS tb FROM g2),
+             |sums AS (SELECT na, nb,
+             |    CAST(sum(CAST(ca*(v*ccb - svb)
+             |      + ca*((tb - svb) - v*(nb - ccb)) AS HUGEINT)) AS HUGEINT)
+             |      AS sab,
+             |    CAST(sum(CAST(ca*(v*cca - sva)
+             |      + ca*((ta - sva) - v*(na - cca)) AS HUGEINT)) AS HUGEINT)
+             |      AS saa,
+             |    CAST(sum(CAST(cb*(v*ccb - svb)
+             |      + cb*((tb - svb) - v*(nb - ccb)) AS HUGEINT)) AS HUGEINT)
+             |      AS sbb
+             |  FROM cum, tot GROUP BY 1, 2)
+             |SELECT na, nb,
+             |  round(2.0*CAST(sab AS DOUBLE)
+             |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))/100.0
+             |    - CAST(saa AS DOUBLE)
+             |      /(CAST(na AS DOUBLE)*CAST(na AS DOUBLE))/100.0
+             |    - CAST(sbb AS DOUBLE)
+             |      /(CAST(nb AS DOUBLE)*CAST(nb AS DOUBLE))/100.0, 6)
+             |    AS energy_dist
+             |FROM sums""".stripMargin)),
   )
 }

@@ -2988,8 +2988,100 @@ object TextQueries {
            |        ELSE 0.0 END), 6) AS gain
            |FROM st ORDER BY gain DESC, w""".stripMargin
       }),
+
+    // ----- Unigram-LM Viterbi segmentation with a PINNED piece table
+    // — the SentencePiece-style tokenizer that completes the
+    // tokenizer family (tx8/tx8b train BPE merges bottom-up, the BPE
+    // encoder applies a pinned merge list; unigram segmentation
+    // instead finds the GLOBALLY optimal split of each word under a
+    // piece cost model — the algorithm inside SentencePiece's
+    // default mode). The DP is exact integer: combined value =
+    // cost*1000 + pieces, so ONE min both optimizes cost and,
+    // through the +1 per piece, tie-breaks toward fewer pieces — and
+    // the piece count of the optimal path rides out as comb % 1000
+    // with no backtrace. Scale discipline: the Viterbi runs on the
+    // DISTINCT VOCABULARY (bounded — the classic tokenizer trick),
+    // never the corpus; token instances join back by word for
+    // source-weighted stats; words pinned to length <= 20 (the fold
+    // is O(len*|pieces|)). The 46-piece table (20 multi-char + a-z
+    // singles, unknown-char fallback 100) is pinned literally in
+    // BOTH engines; the recurrence reuses the t_dtw nested-fold
+    // machinery (Spark aggregate HOF with init, DuckDB
+    // singleton-list list_reduce).
+    QueryDef(
+      "tx50_unigram_viterbi",
+      (s, d) => {
+        val tf = tracked(docs(s, d)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .filter(length(col("w")).between(1, 20))
+          .groupBy("source", "w").agg(count(lit(1)).as("cnt")))
+        val vocab = tf.select("w").distinct()
+        val dp = vocab
+          .withColumn("__ps", expr("array('the','ing','ion','ent','er','in','on','an','re','at','en','es','or','te','ti','nd','st','ar','al','ed','a','b','c','d','e','f','g','h','i','j','k','l','m','n','o','p','q','r','s','t','u','v','w','x','y','z')"))
+          .withColumn("__pc", expr("array(50L,55L,60L,60L,38L,36L,38L,38L,38L,40L,40L,40L,42L,42L,42L,42L,42L,44L,44L,40L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L,60L)"))
+          .select(col("w"), expr("""element_at(aggregate(sequence(1, length(w)),
+          CAST(array() AS ARRAY<BIGINT>),
+          (acc, i) -> concat(acc, array(least(
+            array_min(transform(sequence(1, 46), j ->
+              CASE WHEN i >= length(element_at(__ps, j))
+                AND substring(w, i - length(element_at(__ps, j)) + 1,
+                      length(element_at(__ps, j))) = element_at(__ps, j)
+              THEN (CASE WHEN i = length(element_at(__ps, j))
+                    THEN CAST(0 AS BIGINT)
+                    ELSE element_at(acc, i - length(element_at(__ps, j)))
+                    END) + element_at(__pc, j)*1000 + 1
+              ELSE CAST(1000000000000000 AS BIGINT) END)),
+            (CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+             ELSE element_at(acc, i - 1) END) + 100*1000 + 1)))),
+          length(w))""").as("comb"))
+        val st = tf.join(dp, Seq("w"))
+          .groupBy("source")
+          .agg(sum("cnt").as("n_tokens"),
+            sum(col("cnt") * (col("comb") % 1000)).as("tot_pieces"),
+            sum(col("cnt") * call_function("div", col("comb"), lit(1000L)))
+              .as("tot_cost"))
+        st.select(col("source"), col("n_tokens"),
+          round(col("tot_pieces").cast("double")
+            / col("n_tokens").cast("double"), 6).as("avg_pieces"),
+          round(col("tot_cost").cast("double")
+            / col("n_tokens").cast("double"), 6).as("avg_cost"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source,
+             |    unnest(string_split(text,' ')) AS w FROM documents),
+             |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM toks WHERE length(w) BETWEEN 1 AND 20 GROUP BY 1, 2),
+             |vocab AS (SELECT DISTINCT w FROM tf),
+             |dp AS (SELECT w,
+             |  list_reduce(
+             |    list_prepend(CAST([] AS BIGINT[]),
+             |      list_transform(range(1, length(w)+1),
+             |        i -> [CAST(i AS BIGINT)])),
+             |    (acc, x) -> list_append(acc,
+             |      least(
+             |        list_min(list_transform([struct_pack(p:='the', c:=50),struct_pack(p:='ing', c:=55),struct_pack(p:='ion', c:=60),struct_pack(p:='ent', c:=60),struct_pack(p:='er', c:=38),struct_pack(p:='in', c:=36),struct_pack(p:='on', c:=38),struct_pack(p:='an', c:=38),struct_pack(p:='re', c:=38),struct_pack(p:='at', c:=40),struct_pack(p:='en', c:=40),struct_pack(p:='es', c:=40),struct_pack(p:='or', c:=42),struct_pack(p:='te', c:=42),struct_pack(p:='ti', c:=42),struct_pack(p:='nd', c:=42),struct_pack(p:='st', c:=42),struct_pack(p:='ar', c:=44),struct_pack(p:='al', c:=44),struct_pack(p:='ed', c:=40),struct_pack(p:='a', c:=60),struct_pack(p:='b', c:=60),struct_pack(p:='c', c:=60),struct_pack(p:='d', c:=60),struct_pack(p:='e', c:=60),struct_pack(p:='f', c:=60),struct_pack(p:='g', c:=60),struct_pack(p:='h', c:=60),struct_pack(p:='i', c:=60),struct_pack(p:='j', c:=60),struct_pack(p:='k', c:=60),struct_pack(p:='l', c:=60),struct_pack(p:='m', c:=60),struct_pack(p:='n', c:=60),struct_pack(p:='o', c:=60),struct_pack(p:='p', c:=60),struct_pack(p:='q', c:=60),struct_pack(p:='r', c:=60),struct_pack(p:='s', c:=60),struct_pack(p:='t', c:=60),struct_pack(p:='u', c:=60),struct_pack(p:='v', c:=60),struct_pack(p:='w', c:=60),struct_pack(p:='x', c:=60),struct_pack(p:='y', c:=60),struct_pack(p:='z', c:=60)], pc ->
+             |          CASE WHEN x[1] >= length(pc.p)
+             |            AND substr(w, CAST(x[1] - length(pc.p) + 1 AS INT),
+             |                  length(pc.p)) = pc.p
+             |          THEN (CASE WHEN x[1] = length(pc.p) THEN 0
+             |                ELSE acc[CAST(x[1] - length(pc.p) AS INT)] END)
+             |               + pc.c*1000 + 1
+             |          ELSE CAST(1000000000000000 AS BIGINT) END)),
+             |        (CASE WHEN x[1] = 1 THEN 0
+             |         ELSE acc[CAST(x[1]-1 AS INT)] END) + 100*1000 + 1))
+             |  )[CAST(length(w) AS INT)] AS comb
+             |  FROM vocab),
+             |st AS (SELECT tf.source,
+             |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |    CAST(sum(cnt * (dp.comb % 1000)) AS BIGINT) AS tot_pieces,
+             |    CAST(sum(cnt * (dp.comb // 1000)) AS BIGINT) AS tot_cost
+             |  FROM tf JOIN dp USING (w) GROUP BY 1)
+             |SELECT source, n_tokens,
+             |  round(CAST(tot_pieces AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+             |    AS avg_pieces,
+             |  round(CAST(tot_cost AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+             |    AS avg_cost
+             |FROM st ORDER BY source""".stripMargin)),
   )
 }
-
-
-
