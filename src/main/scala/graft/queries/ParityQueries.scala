@@ -5347,5 +5347,102 @@ object ParityQueries {
              |      /(CAST(nb AS DOUBLE)*CAST(nb AS DOUBLE))/100.0, 6)
              |    AS energy_dist
              |FROM sums""".stripMargin)),
+
+    // ----- Randomization (permutation) test on the segment mean gap
+    // — the assumption-free p-value that completes the inference
+    // family WITHOUT a transcendental CDF (a54's Welch t needs the
+    // t-distribution to become a p-value; normal/t CDFs are erf-
+    // based and not cross-engine correctly-rounded, so this engine
+    // never ships one — the randomization test replaces the
+    // reference distribution with 19 PINNED hash reassignments of
+    // group labels, Bernoulli-p = n_a/(n_a+n_b), the Monte-Carlo
+    // variant of Fisher's exact randomization logic with
+    // p = (1+#{T_k ≥ T_obs})/(k+1), resolution 0.05 at k = 19).
+    // Shape: ONE pass computes the observed statistic; the 19
+    // permutations ride a crossJoin with a broadcast k-series — 19×
+    // the fact rows through ONE grouped aggregate, no per-perm scan;
+    // the reassignment hash is pure integer (k-salted multiplicative
+    // mod 10⁹+7, overflow-free to keys ~3.5·10⁹), per-perm means
+    // two pinned divisions, and the ≥ comparison runs on identical
+    // doubles both engines.
+    QueryDef(
+      "a60_permutation_test",
+      (s, d) => {
+        val x = tracked(t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("o_orderkey").cast("long").as("ok"),
+            when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+              .as("grp"),
+            expr("CAST(round(o_totalprice*100) AS BIGINT)").as("v")))
+        val obs = x.agg(
+          sum(when(col("grp") === 1L, col("v")).otherwise(0L)).as("sa"),
+          sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("na"),
+          sum(when(col("grp") === 0L, col("v")).otherwise(0L)).as("sb"),
+          sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("nb"))
+        val tObs = obs.select(
+          abs(col("sa").cast("double") / col("na").cast("double")
+            - col("sb").cast("double") / col("nb").cast("double"))
+            .as("t_obs"),
+          col("na"), col("nb"))
+        val perms = x
+          .crossJoin(broadcast(s.range(1, 20).select(col("id").as("k"))))
+          .crossJoin(broadcast(tObs))
+          .select(col("k"), col("v"),
+            when((col("ok") * lit(2654435761L) + col("k") * lit(40503L))
+              % 1000000007L % (col("na") + col("nb")) < col("na"), 1L)
+              .otherwise(0L).as("pg"))
+        val ps = perms.groupBy("k").agg(
+          abs(sum(when(col("pg") === 1L, col("v")).otherwise(0L))
+            .cast("double")
+            / sum(when(col("pg") === 1L, 1L).otherwise(0L)).cast("double")
+            - sum(when(col("pg") === 0L, col("v")).otherwise(0L))
+              .cast("double")
+            / sum(when(col("pg") === 0L, 1L).otherwise(0L)).cast("double"))
+            .as("tk"))
+        ps.crossJoin(broadcast(tObs)).groupBy("t_obs")
+          .agg(sum(when(col("tk") >= col("t_obs"), 1L).otherwise(0L))
+            .as("n_ge"))
+          .select(round(col("t_obs") / 100.0, 6).as("t_obs"),
+            col("n_ge"),
+            round((lit(1.0) + col("n_ge")) / 20.0, 6).as("p_emp"))
+      },
+      Some("""WITH x AS (SELECT o_orderkey AS ok,
+             |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+             |      AS grp,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+             |obs AS (SELECT
+             |    CAST(sum(CASE WHEN grp=1 THEN v ELSE 0 END) AS BIGINT)
+             |      AS sa,
+             |    CAST(sum(CASE WHEN grp=1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS na,
+             |    CAST(sum(CASE WHEN grp=0 THEN v ELSE 0 END) AS BIGINT)
+             |      AS sb,
+             |    CAST(sum(CASE WHEN grp=0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS nb
+             |  FROM x),
+             |to_ AS (SELECT abs(CAST(sa AS DOUBLE)/CAST(na AS DOUBLE)
+             |    - CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)) AS t_obs, na, nb
+             |  FROM obs),
+             |perms AS (SELECT k, v,
+             |    CASE WHEN (ok::BIGINT * 2654435761 + k * 40503)
+             |        % 1000000007 % (o.na + o.nb) < o.na
+             |      THEN 1 ELSE 0 END AS pg
+             |  FROM x CROSS JOIN range(1, 20) r(k) CROSS JOIN to_ o),
+             |ps AS (SELECT k,
+             |    abs(CAST(sum(CASE WHEN pg=1 THEN v ELSE 0 END) AS DOUBLE)
+             |      / CAST(sum(CASE WHEN pg=1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    - CAST(sum(CASE WHEN pg=0 THEN v ELSE 0 END) AS DOUBLE)
+             |      / CAST(sum(CASE WHEN pg=0 THEN 1 ELSE 0 END) AS DOUBLE))
+             |      AS tk
+             |  FROM perms GROUP BY 1)
+             |SELECT round(t_obs/100.0, 6) AS t_obs,
+             |  CAST(sum(CASE WHEN tk >= t_obs THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_ge,
+             |  round((1.0 + sum(CASE WHEN tk >= t_obs THEN 1 ELSE 0 END))
+             |    / 20.0, 6) AS p_emp
+             |FROM ps, to_ GROUP BY t_obs""".stripMargin)),
   )
 }
