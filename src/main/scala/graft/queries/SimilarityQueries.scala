@@ -1614,7 +1614,97 @@ object SimilarityQueries {
               |    AS hit30
               |FROM exact ex LEFT JOIN sq USING (probe_id, vec_id)
               |GROUP BY 1 ORDER BY probe_id""".stripMargin)),
+
+    // ----- IVF OPERATING CURVE: recall@10 as a function of nprobe —
+    // the tuning read every ANN deployment needs (sim5 pins ONE
+    // operating point; capacity planning asks "how many cells must I
+    // probe for the recall target", the latency↔recall dial): one
+    // query sweeps nprobe ∈ {1,2,3} against the exact cosine top-10
+    // and emits the curve as integer hit counts (recall = hits/50 —
+    // the gauge discipline of sim23/E172: result QUALITY as an
+    // oracle-gated number, not a hoped property). All three sweeps
+    // share the corpus cell ASSIGNMENT (computed once, the fitted
+    // pinned IvfModel centroids as plan literals); per point the
+    // probe fans to its np nearest cells, candidates re-rank
+    // exactly. At 10⁹ vectors the curve is what justifies nprobe:
+    // cells scanned scale ~np/nlist of the corpus per probe, so the
+    // marginal recall per added cell — visible directly in this
+    // output — is the cost-benefit slope.
+    QueryDef(
+      "sim24_ivf_nprobe_curve",
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("probe_vec"))
+        val exact = tracked(Similarity.bruteForceTopK(e, probes, 10)
+          .select("probe_id", "vec_id"))
+        val pts = (1 to 3).map { np =>
+          graft.ext.IvfIndex.topK(e, probes,
+              graft.ext.IvfModel.centroids, k = 10, nprobe = np)
+            .select(col("probe_id"), col("vec_id"))
+            .join(exact, Seq("probe_id", "vec_id"))
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(np.toLong).as("nprobe"), col("hits"))
+        }
+        val tot = exact.agg(count(lit(1)).as("n_exact"))
+        pts.reduce(_ unionAll _).crossJoin(broadcast(tot))
+          .select(col("nprobe"), col("hits"), col("n_exact"),
+            round(col("hits").cast("double") / col("n_exact").cast("double"),
+              6).as("recall"))
+          .orderBy("nprobe")
+      },
+      Some(ivfNprobeCurveSql)),
   )
+
+  /** DuckDB mirror for sim24: shared assignment CTEs + one candidate/
+    * re-rank/hit-count arm per nprobe point, unioned (generated — the
+    * Hits.Sql pattern applied to a parameter sweep).
+    */
+  private lazy val ivfNprobeCurveSql: String = {
+    val arms = (1 to 3).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS hits FROM (
+         |  SELECT t.probe_id, t.vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cos DESC, vec_id) AS rk
+         |    FROM (
+         |      SELECT c.probe_id, c.vec_id,
+         |        round(${cosSql("pe", "e")}, 6) AS cos
+         |      FROM (
+         |        SELECT p.probe_id, a.vec_id
+         |        FROM (SELECT probe_id, cell FROM (
+         |            SELECT vec_id AS probe_id,
+         |              unnest(generate_series(0,
+         |                ${graft.ext.IvfModel.nlist - 1})) AS cell,
+         |              unnest(ds) AS dist
+         |            FROM d WHERE vec_id < 5) x
+         |          QUALIFY row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY dist, cell) <= $np) p
+         |        JOIN asg a USING (cell)
+         |        WHERE a.vec_id <> p.probe_id) c
+         |      JOIN embeddings pe ON pe.vec_id = c.probe_id
+         |      JOIN embeddings e ON e.vec_id = c.vec_id))t
+         |  WHERE rk <= 10) h
+         |  JOIN exact USING (probe_id, vec_id)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |    FROM embeddings),
+       |d AS (SELECT vec_id, ${graft.ext.IvfIndex.Sql.distListSql("e")} AS ds
+       |  FROM base),
+       |asg AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell
+       |  FROM d),
+       |exact AS (SELECT probe_id, vec_id FROM (
+       |  SELECT p.vec_id AS probe_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY round(${cosSql("p", "e")}, 6) DESC, e.vec_id) AS rk
+       |  FROM embeddings e JOIN embeddings p
+       |    ON p.vec_id < 5 AND e.vec_id <> p.vec_id) WHERE rk <= 10),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+       |pts AS ($arms)
+       |SELECT nprobe, hits, n_exact,
+       |  round(CAST(hits AS DOUBLE)/CAST(n_exact AS DOUBLE), 6) AS recall
+       |FROM pts, tot ORDER BY nprobe""".stripMargin
+  }
 }
-
-
