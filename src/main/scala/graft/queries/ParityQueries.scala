@@ -84,6 +84,29 @@ object ParityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.table(s, dir, name)
 
+  /** Co-purchase pair counts over (ok, pk) baskets with an EXPLICIT
+    * per-basket fan-out cap: each basket is truncated to its
+    * `maxBasket` globally-most-frequent items (frequency from `m(pk,
+    * c)`, ties by pk — deterministic) BEFORE the self-join, so one
+    * pathological key can emit at most maxBasket·(maxBasket−1) pairs
+    * instead of |basket|² (the j10 Apriori support discipline applied
+    * one stage earlier, round-8 verdict minor). The truncation rank
+    * is a window PARTITIONED by the order key — frames are
+    * basket-sized, never data-sized. Returns (pa, pb, cab).
+    */
+  def basketPairs(op: DataFrame, m: DataFrame, maxBasket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val opc = op.join(m, Seq("pk"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("ok").orderBy(col("c").desc, col("pk"))))
+      .filter(col("__r") <= maxBasket)
+      .select("ok", "pk")
+    opc.as("a").join(opc.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("cab"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- A1: global no-group multi-aggregate (spark_streaming.py:78-87)
@@ -1271,15 +1294,20 @@ object ParityQueries {
     QueryDef(
       "a21_pareto_abc",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val pq = t(s, d, "lineitem")
           .groupBy(col("l_partkey").as("pk"))
           .agg(sum("l_quantity").cast("long").as("q"))
         val tot = pq.agg(sum("q").as("__tot"))
-        val w = Window.orderBy(col("q").desc, col("pk"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pq.withColumn("cum", sum("q").over(w))
-          .crossJoin(broadcast(tot))
+        // the per-part grid is NOT a bounded dimension (parts scale
+        // with the corpus — the "which sources carry the corpus" read
+        // of this query makes the key count data-sized), so the
+        // cumulative volume runs on ops/Rank's range-partitioned
+        // prefix sum, never an unpartitioned window (round-8 verdict
+        // item 1); (q desc, pk) is unique via pk, as runningTotals
+        // requires
+        val cum = graft.ops.Rank.runningTotals(pq,
+          Seq(col("q").desc, col("pk")), Seq("q" -> "cum"), tracked(_))
+        cum.crossJoin(broadcast(tot))
           .withColumn("cls",
             when(col("cum") * 100 <= col("__tot") * 80, "A")
               .when(col("cum") * 100 <= col("__tot") * 95, "B")
@@ -4233,6 +4261,14 @@ object ParityQueries {
     // wire, no per-item sort anywhere (the E290 physics; the DuckDB
     // mirror runs the window form it replaces). Join-back for the
     // display columns touches only the ≤3·|items| survivors.
+    // The basket self-join is O(Σ|basket|²) per order — fine for
+    // bounded baskets, but one pathological 10⁶-item key would yield
+    // 10¹² pairs, so pair generation runs through [[basketPairs]]'
+    // explicit cap (round-8 verdict minor): each basket truncated to
+    // its 32 globally-most-frequent items BEFORE the self-join,
+    // mirrored structurally in the oracle. TPC-H baskets are ≤ 7
+    // distinct parts, so the cap never binds on the fixture (hashes
+    // unchanged) — it exists for the pathological key.
     QueryDef(
       "j13_item_cf",
       (s, d) => {
@@ -4240,10 +4276,7 @@ object ParityQueries {
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct())
         val m = op.groupBy("pk").agg(count(lit(1)).as("c"))
-        val pairs = op.as("a").join(op.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-          .agg(count(lit(1)).as("cab"))
+        val pairs = basketPairs(op, m, maxBasket = 32)
           .filter(col("cab") >= 2)
         val sc = tracked(pairs
           .join(m.select(col("pk").as("pa"), col("c").as("ca")), Seq("pa"))
@@ -4270,9 +4303,13 @@ object ParityQueries {
              |  FROM lineitem),
              |m AS (SELECT pk, CAST(count(*) AS BIGINT) AS c
              |  FROM op GROUP BY 1),
+             |opc AS MATERIALIZED (SELECT ok, pk FROM (
+             |  SELECT op.ok, op.pk, row_number() OVER (
+             |      PARTITION BY op.ok ORDER BY m.c DESC, op.pk) AS r
+             |    FROM op JOIN m ON op.pk = m.pk) WHERE r <= 32),
              |pairs AS (SELECT a.pk AS pa, b.pk AS pb,
              |    CAST(count(*) AS BIGINT) AS cab
-             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk != b.pk
+             |  FROM opc a JOIN opc b ON a.ok = b.ok AND a.pk != b.pk
              |  GROUP BY 1, 2 HAVING count(*) >= 2),
              |sc AS (SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT)
              |      AS pb, cab, ma.c AS ca, mb.c AS cb,

@@ -65,6 +65,21 @@ object SimilarityQueries {
     */
   private val dedupSpec = Similarity.PlaneSpec(Dim, 10, 16)
 
+  /** LSH bank for sim22b's ε-graph, sized to the DBSCAN motif's PAIR
+    * SPECTRUM rather than the threshold alone: the closest true pair
+    * to the cos > 0.9 ε-cut is the 0.25↔0.75 clone pair at cos ≈
+    * 0.9216 — per-plane bit-agree p = 1 − acos(0.9216)/π ≈ 0.872, so
+    * dedupSpec's 10-bit bands hit it only w.p. 0.872¹⁰ ≈ 0.25 per
+    * table (miss over 16 tables ≈ 0.93% per pair — an expected ~1
+    * missed ε-edge per sf0.1 sweep, fatal under a shared exact
+    * oracle). 6 bits × 24 tables: per-table hit 0.872⁶ ≈ 0.44, miss
+    * (0.56)²⁴ ≈ 9·10⁻⁷ — recall 1.0 with real margin, at background
+    * candidates ≈ 24·n²/2⁷ (the capacity law: fewer bits = more
+    * re-checks; at corpus scale grow nbits with log₂ n and spend
+    * tables on recall at the spectrum's floor).
+    */
+  private val dbscanSpec = Similarity.PlaneSpec(Dim, 6, 24)
+
   /** Releasable plan-deduped cache (shared [[TrackedCache]]
     * machinery): a long-lived session doesn't keep the augmented
     * corpus resident forever.
@@ -73,6 +88,70 @@ object SimilarityQueries {
 
   /** Unpersist every cache entry created by this registry (idempotent). */
   def releaseCaches(): Unit = tracked.release()
+
+  /** The ONE DBSCAN oracle, shared verbatim by sim22 (exact ε-graph)
+    * and sim22b (LSH ε-graph) — the g3/g3b shared-mirror pattern:
+    * DuckDB computes the exact all-pairs ε-graph and the full
+    * density-reachability fixpoint, so the LSH variant's recall is
+    * gated end-to-end (a missed ε-edge changes a cluster row and the
+    * hash), not just its candidate count.
+    */
+  private lazy val dbscanOracle: String =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id, embedding::FLOAT[] AS embedding
+       |  FROM embeddings),
+       |aug AS (
+       |  SELECT vec_id, embedding FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(
+       |      generate_series(1, $Dim), j -> CAST(embedding[j]::DOUBLE
+       |      + 0.125 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
+       |  FROM base WHERE vec_id % 10 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 2000000, list_transform(
+       |      generate_series(1, $Dim), j -> CAST(embedding[j]::DOUBLE
+       |      + 0.25 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
+       |  FROM base WHERE vec_id % 20 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 3000000, list_transform(
+       |      generate_series(1, $Dim), j -> CAST(embedding[j]::DOUBLE
+       |      + 0.75 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
+       |  FROM base WHERE vec_id % 20 = 0),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+       |  WHERE round(${cosSql("a", "b")}, 6) > 0.9),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM p
+       |  UNION SELECT b_id, a_id FROM p),
+       |deg AS (SELECT u AS node, count(*) AS dg FROM edges
+       |  GROUP BY 1),
+       |core AS (SELECT node FROM deg WHERE dg >= 3),
+       |ce AS (SELECT u, v FROM edges
+       |  WHERE u IN (SELECT node FROM core)
+       |    AND v IN (SELECT node FROM core)),
+       |reach(u, v) AS (
+       |  SELECT node, node FROM core
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN ce e ON r.v = e.u),
+       |comp AS (SELECT u AS node, min(v) AS cluster FROM reach
+       |  GROUP BY 1),
+       |bord AS (SELECT e.u AS node, min(c.cluster) AS cluster
+       |  FROM edges e JOIN comp c ON e.v = c.node
+       |  WHERE e.u NOT IN (SELECT node FROM core) GROUP BY 1),
+       |cl AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_core,
+       |    0::BIGINT AS n_border FROM comp GROUP BY 1
+       |  UNION ALL
+       |  SELECT cluster, 0, CAST(count(*) AS BIGINT) FROM bord
+       |  GROUP BY 1),
+       |clusters AS (SELECT cluster,
+       |    CAST(sum(n_core) AS BIGINT) AS n_core,
+       |    CAST(sum(n_border) AS BIGINT) AS n_border
+       |  FROM cl GROUP BY 1),
+       |noise AS (SELECT CAST(count(*) AS BIGINT) AS n_noise FROM aug
+       |  WHERE vec_id NOT IN (SELECT node FROM comp)
+       |    AND vec_id NOT IN (SELECT node FROM bord))
+       |SELECT cluster, n_core, n_border, n_noise
+       |FROM clusters, noise ORDER BY cluster""".stripMargin
 
   /** Shared oracle CTE: per-vector LSH bucket ids b0..b3 (plane
     * constants as SQL literals — bit-identical sign decisions).
@@ -1387,7 +1466,11 @@ object SimilarityQueries {
     // point itself), clusters = connected components over the
     // CORE-CORE subgraph (the textbook density-reachability
     // fixpoint), borders = non-core points attached to their min
-    // adjacent core cluster, everything else noise. The corpus'
+    // adjacent core cluster, everything else noise. The exact
+    // all-pairs ε-graph here is O(n²) BY DESIGN — this is the
+    // recall-1.0 oracle form; sim22b below is the same clustering on
+    // the sub-quadratic LSH ε-graph (the documented 100 TB path),
+    // gated against the SAME oracle. The corpus'
     // planted-clone discipline (dedup_embedding_lsh) extends to a
     // three-clone MOTIF — 0.125/0.25/0.75·rot1 at %10/%20/%20, all
     // dyadic scales so both engines round the float re-cast
@@ -1455,62 +1538,90 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_noise"))
         clusters.crossJoin(broadcast(noise)).orderBy("cluster")
       },
-      Some(s"""WITH RECURSIVE base AS (
-             |  SELECT vec_id, embedding::FLOAT[] AS embedding
-             |  FROM embeddings),
-             |aug AS (
-             |  SELECT vec_id, embedding FROM base
-             |  UNION ALL
-             |  SELECT vec_id + 1000000, list_transform(
-             |      generate_series(1, $Dim), j -> CAST(embedding[j]::DOUBLE
-             |      + 0.125 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
-             |  FROM base WHERE vec_id % 10 = 0
-             |  UNION ALL
-             |  SELECT vec_id + 2000000, list_transform(
-             |      generate_series(1, $Dim), j -> CAST(embedding[j]::DOUBLE
-             |      + 0.25 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
-             |  FROM base WHERE vec_id % 20 = 0
-             |  UNION ALL
-             |  SELECT vec_id + 3000000, list_transform(
-             |      generate_series(1, $Dim), j -> CAST(embedding[j]::DOUBLE
-             |      + 0.75 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))
-             |  FROM base WHERE vec_id % 20 = 0),
-             |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
-             |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-             |  WHERE round(${cosSql("a", "b")}, 6) > 0.9),
-             |edges AS (SELECT a_id AS u, b_id AS v FROM p
-             |  UNION SELECT b_id, a_id FROM p),
-             |deg AS (SELECT u AS node, count(*) AS dg FROM edges
-             |  GROUP BY 1),
-             |core AS (SELECT node FROM deg WHERE dg >= 3),
-             |ce AS (SELECT u, v FROM edges
-             |  WHERE u IN (SELECT node FROM core)
-             |    AND v IN (SELECT node FROM core)),
-             |reach(u, v) AS (
-             |  SELECT node, node FROM core
-             |  UNION
-             |  SELECT r.u, e.v FROM reach r JOIN ce e ON r.v = e.u),
-             |comp AS (SELECT u AS node, min(v) AS cluster FROM reach
-             |  GROUP BY 1),
-             |bord AS (SELECT e.u AS node, min(c.cluster) AS cluster
-             |  FROM edges e JOIN comp c ON e.v = c.node
-             |  WHERE e.u NOT IN (SELECT node FROM core) GROUP BY 1),
-             |cl AS (
-             |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_core,
-             |    0::BIGINT AS n_border FROM comp GROUP BY 1
-             |  UNION ALL
-             |  SELECT cluster, 0, CAST(count(*) AS BIGINT) FROM bord
-             |  GROUP BY 1),
-             |clusters AS (SELECT cluster,
-             |    CAST(sum(n_core) AS BIGINT) AS n_core,
-             |    CAST(sum(n_border) AS BIGINT) AS n_border
-             |  FROM cl GROUP BY 1),
-             |noise AS (SELECT CAST(count(*) AS BIGINT) AS n_noise FROM aug
-             |  WHERE vec_id NOT IN (SELECT node FROM comp)
-             |    AND vec_id NOT IN (SELECT node FROM bord))
-             |SELECT cluster, n_core, n_border, n_noise
-             |FROM clusters, noise ORDER BY cluster""".stripMargin)),
+      Some(dbscanOracle)),
 
+    // ----- DBSCAN on the LSH ε-graph — sim22's 100 TB twin (the
+    // g3/g3b equality-pair pattern, round-8 verdict ask 6): identical
+    // density clustering, but the ε-graph candidates come from banded
+    // LSH (Similarity.lshCandidatePairs) + exact re-check instead of
+    // the exact all-pairs block engine — sub-quadratic candidate
+    // generation, so the graph build survives a 100× corpus where
+    // sim22's O(n²) dies. Gated against the SAME exact-all-pairs
+    // oracle as sim22, so LSH recall is enforced end-to-end: any true
+    // ε-edge the bands miss changes a cluster and the hash. The bank
+    // is sized to the motif's PAIR SPECTRUM, not the threshold alone:
+    // the closest-to-threshold true pair is the 0.25↔0.75 clone pair
+    // at cos ≈ 0.9216 (bit-agree p ≈ 0.872), so dedupSpec's 10×16
+    // bank would miss it w.p. ~0.93% per pair — an expected ~1 miss
+    // per sweep at sf0.1. This bank (6 bits × 24 tables) misses it
+    // w.p. (1−0.872⁶)²⁴ ≈ 9·10⁻⁷ — recall 1.0 with real margin —
+    // paying background candidates ≈ 24·n²/2⁷ exact re-checks
+    // (≈10⁶ cheap dots at sf0.1; size nbits up with log₂ n per the
+    // lshCandidatePairs capacity law at scale).
+    QueryDef(
+      "sim22b_dbscan_lsh",
+      (s, d) => {
+        val e = emb(s, d).select("vec_id", "embedding")
+        val rot = concat(slice(col("embedding"), 2, Dim - 1),
+          slice(col("embedding"), 1, 1))
+        def clone(f: Double, off: Long, mod: Int): DataFrame =
+          e.filter(col("vec_id") % mod === 0)
+            .select((col("vec_id") + off).as("vec_id"),
+              zip_with(col("embedding"), rot,
+                (x, y) => (x.cast("double") + lit(f) * y.cast("double"))
+                  .cast("float")).as("embedding"))
+        val aug = tracked(e
+          .unionAll(clone(0.125, 1000000L, 10))
+          .unionAll(clone(0.25, 2000000L, 20))
+          .unionAll(clone(0.75, 3000000L, 20)))
+        val cand = Similarity.lshCandidatePairs(aug, "vec_id", "embedding",
+          dbscanSpec)
+        val pairs = cand
+          .join(aug.select(col("vec_id").as("a_id"),
+            col("embedding").as("va")), Seq("a_id"))
+          .join(aug.select(col("vec_id").as("b_id"),
+            col("embedding").as("vb")), Seq("b_id"))
+          .filter(round(Similarity.cosine(col("va"), col("vb")), 6) > 0.9)
+          .select("a_id", "b_id")
+        val edges = tracked(pairs.unionAll(
+          pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))))
+        val core = tracked(edges.groupBy(col("a_id").as("node"))
+          .agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= 3).select("node"))
+        val ce = edges
+          .join(core.withColumnRenamed("node", "a_id"), Seq("a_id"),
+            "left_semi")
+          .join(core.withColumnRenamed("node", "b_id"), Seq("b_id"),
+            "left_semi")
+          .filter(col("a_id") < col("b_id"))
+        val ccRaw = graft.ext.Dedup.connectedComponents(ce, "a_id", "b_id")
+        val comps = tracked(ccRaw
+          .select(col("node"), col("comp").as("cluster"))
+          .unionAll(core
+            .join(ccRaw.select("node"), Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("cluster"))))
+        val bord = edges
+          .join(core.withColumnRenamed("node", "a_id"), Seq("a_id"),
+            "left_anti")
+          .join(comps.select(col("node").as("b_id"), col("cluster")),
+            Seq("b_id"))
+          .groupBy(col("a_id").as("node"))
+          .agg(min("cluster").as("cluster"))
+        val clusters = comps.groupBy("cluster")
+          .agg(count(lit(1)).as("n_core"))
+          .join(bord.groupBy("cluster").agg(count(lit(1)).as("n_border")),
+            Seq("cluster"), "left_outer")
+          .select(col("cluster"), col("n_core"),
+            coalesce(col("n_border"), lit(0L)).as("n_border"))
+        val noise = aug.select("vec_id")
+          .join(comps.select(col("node").as("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .join(bord.select(col("node").as("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .agg(count(lit(1)).as("n_noise"))
+        clusters.crossJoin(broadcast(noise)).orderBy("cluster")
+      },
+      Some(dbscanOracle)),
     // ----- SQ8 scalar-quantized ANN with a measured recall gauge —
     // the THIRD compression rung next to sim10/sim11's product
     // quantization: PQ learns a codebook (training step, pinned

@@ -1944,17 +1944,25 @@ object TextQueries {
     // diversified-corpus gauge a mixing policy can threshold on).
     // Entropy terms are p·ln(p) on exact-integer ratios (tx30's ln
     // precedent, 6-dp pin); the Gini numerator Σ(2i−S−1)·nᵢ is EXACT
-    // longs — rank i from a window over the ≤|sources| aggregate
-    // (bounded like the skyline frontier, never data-sized), ties
-    // pinned by source name. One source-key shuffle total.
+    // longs — rank i via ops/Rank over the per-source aggregate. The
+    // source grid is NOT bounded at the north-star workload (source =
+    // web domain → 10⁷-10⁸ keys, growing with the corpus), so the
+    // rank is the distributed range-exchange primitive, never an
+    // unpartitioned window. One source-key shuffle + one grid-sized
+    // range exchange total.
     QueryDef(
       "a25_source_entropy",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val bySrc = docs(s, d).groupBy("source").agg(count(lit(1)).as("n"))
-        val ranked = bySrc
-          .withColumn("i", row_number()
-            .over(Window.orderBy(col("n"), col("source"))).cast("long"))
+        // rank i = running count of ones via ops/Rank — at the
+        // north-star workload source is a web DOMAIN (10⁷-10⁸ keys),
+        // so the per-source grid grows with the corpus and fails the
+        // bounded-frame test; no unpartitioned window (round-8
+        // verdict item 4). (n, source) is unique via source.
+        val ranked = graft.ops.Rank.runningTotals(
+            bySrc.withColumn("__one", lit(1L)),
+            Seq(col("n"), col("source")), Seq("__one" -> "i"), tracked(_))
+          .drop("__one")
         // H = ln N − (Σ n·ln n)/N (the algebraic form that keeps every
         // log argument an exact integer); Gini from Σ i·nᵢ exact longs
         ranked
@@ -1995,13 +2003,13 @@ object TextQueries {
     // source name). The allocation step every stratified sampler runs
     // before the per-stratum draw (sample_exact_k consumes exactly
     // such budgets); floats never appear, so there is no .5-rounding
-    // drift cross-engine. Window ranks over the ≤|sources| aggregate
-    // — bounded like the skyline frontier. Invariant Σalloc = k holds
-    // by construction (floors + exactly-leftover remainders).
+    // drift cross-engine. The remainder rank runs on ops/Rank (the
+    // source grid is data-scale under a domain key — no unpartitioned
+    // window). Invariant Σalloc = k holds by construction (floors +
+    // exactly-leftover remainders).
     QueryDef(
       "sample_allocation",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val k = 100L
         val bySrc = docs(s, d).groupBy("source").agg(count(lit(1)).as("n"))
         // floor quotas + leftover computed from the same exact ints
@@ -2009,9 +2017,14 @@ object TextQueries {
           .withColumn("fl", expr(s"(${k}L * n) div nn"))
           .withColumn("rem", expr(s"(${k}L * n) % nn"))
         val leftover = base.agg((lit(k) - sum("fl")).as("lo"))
-        base.crossJoin(broadcast(leftover))
-          .withColumn("rk", row_number()
-            .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        // remainder rank via ops/Rank running count — the per-source
+        // grid is data-scale at the domain-key workload (round-8
+        // verdict item 4), so no unpartitioned window; (rem desc,
+        // source) is unique via source
+        graft.ops.Rank.runningTotals(
+            base.crossJoin(broadcast(leftover)).withColumn("__one", lit(1L)),
+            Seq(col("rem").desc, col("source")), Seq("__one" -> "rk"),
+            tracked(_))
           .select(col("source"), col("n").as("n_docs"),
             (col("fl") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
               .as("alloc"))
@@ -2171,7 +2184,7 @@ object TextQueries {
     // corpus tokens — find the per-source cap LEVEL that exactly
     // exhausts it: big sources are cut to the common level t, small
     // sources keep everything, Σ min(nᵢ, t) = B). The level has a
-    // CLOSED FORM over window algebra — no iteration: sort sources
+    // CLOSED FORM over prefix-sum algebra — no iteration: sort sources
     // by n, and for candidate "j sources uncapped" the level is
     // t = (B − Pⱼ) div (m−j); exactly one candidate satisfies
     // nⱼ ≤ t < nⱼ₊₁ (equal-n runs make all but the last group row
@@ -2184,18 +2197,27 @@ object TextQueries {
     QueryDef(
       "tx36_waterfill_budget",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val per = docs(s, d).groupBy("source")
           .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n"))
         val tot = per.agg(sum("n").as("tt"), count(lit(1)).as("m"))
-        val ow = Window.orderBy(col("n"), col("source"))
-        val ranked = per.crossJoin(broadcast(tot))
-          .withColumn("b", call_function("div", col("tt") * 60L, lit(100L)))
-          .withColumn("rn", row_number().over(ow).cast("long"))
-          .withColumn("p", sum("n").over(
-            ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("ln", coalesce(lag("n", 1).over(ow), lit(0L)))
+        // rank rn + prefix sum p in ONE ops/Rank range exchange (the
+        // ones-column running count gives rn); the per-source grid is
+        // data-scale under the domain-key workload (round-8 verdict
+        // item 4), so no unpartitioned window. lag(n) becomes an
+        // equi self-join on rn — a grid-sized shuffle, not a funnel.
+        val rt = graft.ops.Rank.runningTotals(
+            per.crossJoin(broadcast(tot))
+              .withColumn("b", call_function("div", col("tt") * 60L, lit(100L)))
+              .withColumn("__one", lit(1L)),
+            Seq(col("n"), col("source")), Seq("n" -> "p", "__one" -> "rn"),
+            tracked(_))
+          .drop("__one")
+        val ranked = rt
+          .join(rt.select((col("rn") + 1L).as("rn"), col("n").as("__pn")),
+            Seq("rn"), "left_outer")
+          .withColumn("ln", coalesce(col("__pn"), lit(0L)))
           .withColumn("pl", col("p") - col("n"))
+          .drop("__pn")
         val cand = ranked
           .filter(col("b") >= col("pl"))
           .withColumn("t", call_function("div",
@@ -2208,9 +2230,10 @@ object TextQueries {
         val c1 = cand.agg(max("t").as("t"), max("r").as("r"),
           max("jrow").as("jrow"))
         val base = ranked.crossJoin(broadcast(c1))
-        val capped = base
-          .filter(col("t").isNotNull && col("rn") >= col("jrow"))
-          .withColumn("cidx", row_number().over(Window.orderBy("source")).cast("long"))
+        val capped = graft.ops.Rank.runningTotals(
+            base.filter(col("t").isNotNull && col("rn") >= col("jrow"))
+              .withColumn("__one", lit(1L)),
+            Seq(col("source")), Seq("__one" -> "cidx"), tracked(_))
           .select(col("source"), col("n"),
             (col("t") + when(col("cidx") <= col("r"), 1L).otherwise(0L))
               .as("alloc"), lit(1L).as("capped"))

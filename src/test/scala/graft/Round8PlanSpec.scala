@@ -1,9 +1,6 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Structural lock for the round-7 verdict's one scale-killer class:
   * a `Window` with an EMPTY partition spec plans as a single task and
@@ -28,33 +25,12 @@ class Round8PlanSpec extends SparkSpec {
     "sim12_hybrid_rrf", "tx42_sequence_packing", "tx43_auc_exact",
     "w15_equidepth_hist")
 
-  private def releaseAll(): Unit = {
-    graft.queries.DedupQueries.releaseSignatureCache()
-    graft.queries.SimilarityQueries.releaseCaches()
-    graft.queries.ParityQueries.releaseCaches()
-    graft.queries.EventQueries.releaseCaches()
-    graft.queries.TextQueries.releaseCaches()
-  }
+  private def releaseAll(): Unit = PlanWindows.releaseAll()
 
-  /** Collect Window nodes across the whole physical tree, descending
-    * into AQE wrappers, finalized query stages, cached-plan scans,
-    * and (scalar/broadcast) subqueries — anywhere a window could hide.
-    */
-  private def windows(p: SparkPlan): Seq[SparkPlan] = {
-    val here = p match {
-      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
-      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => Seq(w)
-      case _ => Nil
-    }
-    val kids: Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
-      case o => o.children
-    }
-    val subs = p.subqueries
-    here ++ (kids ++ subs).flatMap(windows)
-  }
+  // the walker lives in the shared [[PlanWindows]] object (the
+  // round-9 registry-wide sweep uses the same one — so the negative
+  // control below proves BOTH specs' lock is non-vacuous)
+  private def windows(p: SparkPlan): Seq[SparkPlan] = PlanWindows.windows(p)
 
   test("no single-partition Window node in the migrated global-rank family") {
     migrated.foreach { q =>
