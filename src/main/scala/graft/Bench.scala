@@ -402,7 +402,12 @@ object Bench {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
     val nProbes = sys.env.getOrElse("SPARK_GRAFT_ANN_PROBES", "2000").toInt
-    val nFiles = sys.env.getOrElse("SPARK_GRAFT_ANN_FILES", "8").toInt
+    // ≥10 micro-batches (round-8 verdict ask 7): at 4 batches the
+    // block was cold-start-dominated (first sample 793 vs steady 974
+    // rows/s) — 20 files / 2 per trigger puts the first batch's
+    // stream-static plan build at 1/10th of the run, so the reported
+    // median reflects steady-state serving
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_ANN_FILES", "20").toInt
     val filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_ANN_FILES_PER_BATCH", "2").toInt
     sizeProgressBuffer(spark, (nFiles + filesPerBatch - 1) / filesPerBatch)
     val base = Files.createTempDirectory("graft_ann_bench")
@@ -416,8 +421,19 @@ object Bench {
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
         .repartition(nFiles).write.mode("overwrite").parquet(input)
       val written = spark.read.parquet(input).count()
+      // the honest workload context (SCALING.md's own point: rows/s
+      // alone hides the fan-out — each probe row scores ~occupancy ×
+      // nprobe candidates): total candidates = Σ over probes of their
+      // nprobe cells' occupancy, a deterministic batch-side number,
+      // reported with the per-probe mean and derived candidates/s
+      val occ = assigned.groupBy("cell").agg(count(lit(1)).as("__occ"))
+      val candScanned = spark.read.parquet(input)
+        .withColumn("cell", explode(graft.ext.IvfIndex.probeCells(
+          col("probe_vec"), graft.ext.IvfModel.centroids, 4)))
+        .join(occ, Seq("cell"))
+        .agg(coalesce(sum("__occ"), lit(0L))).head().getLong(0)
       try {
-        sampledStreamJson("ann_serving", written, nStreamSamples) { i =>
+        val inner = sampledStreamJson("ann_serving", written, nStreamSamples) { i =>
           val stream = spark.readStream
             .schema(spark.read.parquet(input).schema)
             .option("maxFilesPerTrigger", filesPerBatch)
@@ -431,6 +447,18 @@ object Bench {
           q.awaitTermination()
           ((System.nanoTime() - t0) / 1e9, Seq(q))
         }
+        // rows here ARE probes, so rows_per_sec is probes/s; surface
+        // the fan-out context alongside (median-run candidates/s)
+        val medSec = {
+          val m = """"elapsed_sec":([0-9.]+)""".r.findFirstMatchIn(inner)
+          m.map(_.group(1).toDouble)
+        }
+        val candPerSec = medSec.filter(_ > 0)
+          .map(s => s""","candidates_per_sec":${(candScanned / s).toLong}""")
+          .getOrElse("")
+        inner.dropRight(1) +
+          s""","candidates_scanned":$candScanned""" +
+          s""","candidates_per_probe":${if (written == 0) 0L else candScanned / written}$candPerSec}"""
       } finally assigned.unpersist(blocking = false)
     } finally deleteRecursively(base)
   }
@@ -640,6 +668,9 @@ object Bench {
       val medians = results.map { case (k, r) =>
         k -> r.map(s => s.sorted.apply(s.length / 2))
       }
+      medians.collect { case (k, Right(t)) => tierTimes(s"stress8x/$k") = t }
+      results.collect { case (k, Right(s)) =>
+        tierSpreads(s"stress8x/$k") = (s.min, s.max) }
       val (qs, errJson, nErr) = resultJson(medians)
       val spreads = results.collect { case (k, Right(s)) =>
         "\"" + esc(k) + s"""":[${s.min},${s.max}]"""
@@ -660,6 +691,141 @@ object Bench {
         }
       s"""{"copies":$copies,"n":$nSamples,"stat":"median","total_sec":$total,"queries":$qs,"spread":$spreads$recallJson$errJson,"failed":${nErr + nRecallErr}}"""
     } finally deleteRecursively(base)
+  }
+
+  /** Per-tier per-query medians of the CURRENT run, flattened as
+    * `tier/name` → seconds — the raw material for the bench
+    * regression alarm (round-8 verdict ask 4; the verify sweep got
+    * its alarm in round 7, BENCH had nothing). Populated by the
+    * headline loop and each tier as they run; read (with the spread
+    * context map) by [[moversJson]] at the end of main.
+    */
+  private val tierTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+  private val tierSpreads = scala.collection.mutable.HashMap[String, (Double, Double)]()
+
+  /** Bench regression alarm (round-8 verdict ask 4): ratio every
+    * `tier/query` median of this run against the previous FULL run's
+    * mirror (BENCH_TIMES.json at the repo root, the VERIFY_TIMES
+    * discipline), surface the top movers on stderr + a movers JSON
+    * block on the bench line + bench_movers.json, and rewrite the
+    * mirror — all ONLY on full default-tier runs at the driver's SF
+    * (a dev subset or stress-tuned run must not clobber the baseline
+    * or fire apples-to-oranges alarms). Alarm = ratio ≥ 2 AND new ≥
+    * 1 s AND, where the previous run recorded a [min,max] spread for
+    * the query, the new median clears the previous max — the stress
+    * tier's documented roaming-outlier bands (16-44 s on g3b in r8)
+    * make a spread-blind ratio gate fire on jitter. Warn-only: the
+    * bench must not fail on timing.
+    */
+  private def moversJson(fullDefaultRun: Boolean): String = {
+    if (!fullDefaultRun) return ""
+    val path = Paths.get("BENCH_TIMES.json")
+    val rex = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*([0-9.]+)".r
+    val out = new StringBuilder
+    try {
+      if (Files.exists(path)) {
+        val body = Files.readString(path)
+        val prev = rex.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val spreadRex =
+          "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\[([0-9.]+),([0-9.]+)\\]".r
+        val prevSpread = spreadRex.findAllMatchIn(body)
+          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+          .toMap
+        val ratios = tierTimes.toSeq.collect {
+          case (k, v) if prev.get(k).exists(_ > 0.0) => (k, v, prev(k), v / prev(k))
+        }
+        val movers = ratios.sortBy(-_._4).take(5)
+        movers.foreach { case (k, nv, ov, r) =>
+          System.err.println(f"[bench-times] top-mover $k $ov%.2f -> $nv%.2f s (x$r%.2f)")
+        }
+        val alarms = ratios.filter { case (k, nv, _, r) =>
+          r >= 2.0 && nv >= 1.0 &&
+            prevSpread.get(k).forall { case (_, prevMax) => nv > prevMax }
+        }
+        alarms.foreach { case (k, nv, ov, r) =>
+          System.err.println(f"[bench-times] REGRESSION ALARM $k $ov%.2f -> " +
+            f"$nv%.2f s (x$r%.2f; threshold x2, >=1 s, above prev spread max)")
+        }
+        val moverJson = movers.map { case (k, nv, ov, r) =>
+          s""""${esc(k)}":{"prev":$ov,"now":$nv,"ratio":${"%.3f".format(r)}}"""
+        }.mkString("{", ",", "}")
+        val block =
+          s"""{"threshold":{"ratio":2.0,"min_sec":1.0,"spread_guard":true},""" +
+            s""""alarms":${alarms.size},"top_movers":$moverJson}"""
+        Files.writeString(Paths.get("bench_movers.json"), block)
+        out ++= s""","movers":$block"""
+      }
+      // mirror for the NEXT run: medians, plus spreads as a sibling
+      // map so the next alarm has the band context
+      val timesJson = tierTimes
+        .map { case (k, v) => s""""${esc(k)}":${"%.3f".format(v)}""" }
+        .mkString("{", ",", "}")
+      val spreadJson = tierSpreads.toSeq.sortBy(_._1)
+        .map { case (k, (lo, hi)) => s""""${esc(k)}":[$lo,$hi]""" }
+        .mkString("{", ",", "}")
+      Files.writeString(path,
+        s"""{"times":$timesJson,"spreads":$spreadJson}""")
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out.toString
+  }
+
+  /** Heavy-tail tier (round-8 verdict ask 5): the registry's most
+    * expensive queries — g13_sssp was #1 in VERIFY_TIMES at 7.2 s,
+    * tx41/j13/sim22 right behind — were benched NOWHERE (not
+    * headline, not stress, not cold), so a regression in any of them
+    * was invisible to BENCH. Same per-sample protocol as the stress
+    * tier (clearCache + release, one untimed warm-up, n medians +
+    * spreads) but on the driver's corpus directly: these queries are
+    * heavy at sf0.1 already, and stress-scaling the iterative ones
+    * (g13's frontier rounds, sim22's ε-graph) would cost tier minutes
+    * the g7_ktruss precedent argues against. sim22b rides along so
+    * the exact-vs-LSH DBSCAN pair is regression-tracked TOGETHER.
+    */
+  def heavyBench(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    val names = sys.env.get("SPARK_GRAFT_HEAVY_QUERIES")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("g13_sssp", "tx41_decontamination", "j13_item_cf",
+        "sim22_dbscan", "sim22b_dbscan_lsh"))
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_HEAVY_N", "3").toInt
+    def releaseAll(): Unit = {
+      graft.queries.DedupQueries.releaseSignatureCache()
+      graft.queries.SimilarityQueries.releaseCaches()
+      graft.queries.ParityQueries.releaseCaches()
+      graft.queries.EventQueries.releaseCaches()
+      graft.queries.TextQueries.releaseCaches()
+    }
+    val results = names.map { name =>
+      name -> (try {
+        releaseAll(); spark.catalog.clearCache()
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val samples = (1 to nSamples).map { _ =>
+          releaseAll(); spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        System.err.println(
+          f"[heavy] $name samples=${samples.map(s => f"$s%.2f").mkString(",")}")
+        Right(samples)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      })
+    }
+    releaseAll()
+    val medians = results.map { case (k, r) =>
+      k -> r.map(s => s.sorted.apply(s.length / 2))
+    }
+    medians.collect { case (k, Right(t)) => tierTimes(s"heavy/$k") = t }
+    results.collect { case (k, Right(s)) =>
+      tierSpreads(s"heavy/$k") = (s.min, s.max) }
+    val (qs, errJson, nErr) = resultJson(medians)
+    val spreads = results.collect { case (k, Right(s)) =>
+      "\"" + esc(k) + s"""":[${s.min},${s.max}]"""
+    }.mkString("{", ",", "}")
+    val total = medians.collect { case (_, Right(t)) => t }.sum
+    s"""{"n":$nSamples,"stat":"median","total_sec":$total,"queries":$qs,"spread":$spreads$errJson,"failed":$nErr}"""
   }
 
   /** Cold-tier block (round-6 verdict item 2): a production dedup run
@@ -708,6 +874,12 @@ object Bench {
     graft.queries.ParityQueries.releaseCaches()
     graft.queries.EventQueries.releaseCaches()
     graft.queries.TextQueries.releaseCaches()
+    // the FIRST (truly cold) sample is this tier's metric; the spread
+    // across samples gives the alarm its band
+    results.collect { case (k, Right(s)) if s.nonEmpty =>
+      tierTimes(s"cold/$k") = s.head
+      tierSpreads(s"cold/$k") = (s.min, s.max)
+    }
     val qs = results.map {
       case (k, Right(s)) => "\"" + esc(k) + s"""":[${s.mkString(",")}]"""
       case (k, Left(_))  => "\"" + esc(k) + "\":null"
@@ -776,6 +948,7 @@ object Bench {
     graft.queries.ParityQueries.releaseCaches()
     graft.queries.EventQueries.releaseCaches()
     graft.queries.TextQueries.releaseCaches()
+    results.collect { case (k, Right(t)) => tierTimes(s"headline/$k") = t }
 
     // streaming throughput (round-3 verdict item 2): separate failure
     // domain — a streaming error must not zero the batch numbers, but
@@ -812,6 +985,14 @@ object Bench {
     val stress: Either[String, Option[String]] =
       if (sys.env.contains("SPARK_GRAFT_STRESS_SKIP")) Right(None)
       else try Right(Some(stressBench(spark, sfDir)))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+    // heavy-tail tier: same contract
+    val heavy: Either[String, Option[String]] =
+      if (sys.env.contains("SPARK_GRAFT_HEAVY_SKIP")) Right(None)
+      else try Right(Some(heavyBench(spark, sfDir)))
       catch {
         case scala.util.control.NonFatal(e) =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -859,8 +1040,25 @@ object Bench {
       case Right(None)      => ""
       case Left(e)          => s""","cold_err":"${esc(e)}""""
     }
+    val heavyJson = heavy match {
+      case Right(Some(obj)) => s""","heavy":$obj"""
+      case Right(None)      => ""
+      case Left(e)          => s""","heavy_err":"${esc(e)}""""
+    }
+    // alarm + mirror ONLY on full default-tier runs at the driver's
+    // SF: a subset/custom run must not clobber the baseline or ratio
+    // against incomparable numbers (the Verify mirror's discipline)
+    val fullDefaultRun =
+      sfDir.replaceAll("/+$", "").endsWith("sf0.1") &&
+        Seq("SPARK_GRAFT_STREAM_SKIP", "SPARK_GRAFT_STRESS_SKIP",
+          "SPARK_GRAFT_COLD_SKIP", "SPARK_GRAFT_HEAVY_SKIP",
+          "SPARK_GRAFT_STRESS_QUERIES", "SPARK_GRAFT_COLD_QUERIES",
+          "SPARK_GRAFT_HEAVY_QUERIES", "SPARK_GRAFT_BENCH_QUERIES")
+          .forall(k => !sys.env.contains(k)) &&
+        sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "8") == "8"
+    val moversBlock = moversJson(fullDefaultRun)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$streamStatefulJson$streamAnnJson$stressJson$coldJson,"sf":"${esc(sfDir)}","n":$nSamples,"stat":"median","failed":$nErr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$streamStatefulJson$streamAnnJson$stressJson$heavyJson$coldJson$moversBlock,"sf":"${esc(sfDir)}","n":$nSamples,"stat":"median","failed":$nErr}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()
