@@ -72,13 +72,25 @@ object SimilarityQueries {
     * dedupSpec's 10-bit bands hit it only w.p. 0.872¹⁰ ≈ 0.25 per
     * table (miss over 16 tables ≈ 0.93% per pair — an expected ~1
     * missed ε-edge per sf0.1 sweep, fatal under a shared exact
-    * oracle). 6 bits × 24 tables: per-table hit 0.872⁶ ≈ 0.44, miss
-    * (0.56)²⁴ ≈ 9·10⁻⁷ — recall 1.0 with real margin, at background
-    * candidates ≈ 24·n²/2⁷ (the capacity law: fewer bits = more
-    * re-checks; at corpus scale grow nbits with log₂ n and spend
-    * tables on recall at the spectrum's floor).
+    * oracle).
+    *
+    * The bank SHAPE comes from the capacity law taken to its
+    * conclusion: holding per-pair miss δ at the spectrum floor needs
+    * tables T ≈ ln(1/δ)/p^b, and background candidates cost
+    * T·n²/2^(b+1) ∝ ln(1/δ)/(p^b·2^(b+1)) — MONOTONE DECREASING in b
+    * whenever 2p > 1 (true for any floor above cos 0), so the right
+    * move is always MORE BITS + enough tables, never fewer bits.
+    * This was measured, not just derived: the first cut (6 bits × 24
+    * tables — "low bits for recall") paid 24·n²/2⁷ ≈ 69M candidate
+    * rows at the 8× corpus and ran 13× SLOWER than sim22's exact
+    * block engine (116 vs 8.8 s); this bank (16 bits × 144 tables)
+    * holds the floor pair's miss at (1−0.872¹⁶)¹⁴⁴ ≈ 4·10⁻⁸ while
+    * cutting background to 144·n²/2¹⁷ ≈ n²/910 — ~70× fewer
+    * re-checks for BETTER recall. Hash cost is T·b·d ≈ 147k
+    * mult-adds per row in the one fused native pass — linear in n,
+    * the part that's supposed to dominate at scale.
     */
-  private val dbscanSpec = Similarity.PlaneSpec(Dim, 6, 24)
+  private val dbscanSpec = Similarity.PlaneSpec(Dim, 16, 144)
 
   /** Releasable plan-deduped cache (shared [[TrackedCache]]
     * machinery): a long-lived session doesn't keep the augmented
