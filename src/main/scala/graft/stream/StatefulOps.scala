@@ -51,7 +51,17 @@ object StatefulOps {
               UserState(s.count + 1, s.sum + e.value, math.max(s.lastTs, e.ts.getTime))
             }
             state.update(next)
-            state.setTimeoutTimestamp(next.lastTs + inactivityTimeoutMs)
+            // clamp to just past the CURRENT watermark: a batch whose
+            // max event advances the watermark beyond this key's
+            // lastTs + timeout would otherwise make this call throw
+            // ("timeout cannot be earlier than watermark") — a
+            // batch-composition race, not a semantic choice; the key
+            // then times out on the next watermark move, which is the
+            // earliest the contract allows (the StreamingNearDup
+            // clamp, hit live in the round-9 bench)
+            state.setTimeoutTimestamp(math.max(
+              next.lastTs + inactivityTimeoutMs,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.single(UserUpdate(userId, next.count, next.sum / next.count, expired = false))
           }
       }
