@@ -5736,5 +5736,100 @@ object ParityQueries {
              |  CAST(CASE WHEN r <= (SELECT ks FROM kstar) THEN 1 ELSE 0
              |    END AS BIGINT) AS rejected
              |FROM rk ORDER BY bh_rank, pa, pb""".stripMargin)),
+
+    // ----- Kruskal-Wallis H across ALL five segments (the k-sample
+    // extension of a38's two-sample Mann-Whitney — "is ANY segment's
+    // spend distribution shifted" in one rank test, the omnibus step
+    // an analyst runs BEFORE a61's pairwise family): the a38 grid
+    // collapse carries over verbatim — group to the distinct-cents
+    // grid first, where a tie block spanning global ranks
+    // [cum−t+1, cum] contributes average rank ×2 = 2·cum − t + 1
+    // EXACTLY (half-integers ride as doubled longs; no event row ever
+    // meets a sort) — and the grid cumsum runs on Rank.runningTotals
+    // (one range exchange, no unpartitioned window, the a59 shape).
+    // Doubled rank sums stay ≤ 2N² < 2⁶³ at any plausible SF; the
+    // tie term Σ(t³−t) sums on DECIMAL(38,0)/HUGEINT (the a54 rule).
+    // H = 3/(N(N+1))·Σ R2ᵢ²/nᵢ − 3(N+1) on the doubled sums; the
+    // five per-segment terms fold over a seg-ordered packed list
+    // (pinned order — a 5-row double sum through a hash shuffle
+    // would be partition-order-dependent), tie correction
+    // C = 1 − Σ(t³−t)/(N³−N) as one more pinned expression.
+    QueryDef(
+      "a62_kruskal_wallis",
+      (s, d) => {
+        val x = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            expr("CAST(round(o_totalprice*100) AS BIGINT)").as("v"))
+        val g = tracked(x.groupBy("v", "seg").agg(count(lit(1)).as("c")))
+        val tg = g.groupBy("v").agg(sum("c").as("t"))
+        val cum = graft.ops.Rank.runningTotals(
+          tg, Seq(col("v")), Seq("t" -> "cum"), tracked(_))
+        val nn = cum.agg(sum("t").as("n"),
+          sum((col("t") * col("t") * col("t") - col("t"))
+            .cast("decimal(38,0)")).as("tie"))
+        val r2 = g.join(cum, Seq("v"))
+          .groupBy("seg").agg(sum("c").as("n_i"),
+            sum(col("c") * (lit(2L) * col("cum") - col("t") + 1L)).as("r2"))
+        // Σ R2ᵢ²/nᵢ folded in pinned seg order (5 doubles — exact-sum
+        // discipline for a float crossing a grid, not a shuffle)
+        val hsum = r2
+          .agg(aggregate(
+            sort_array(collect_list(struct(col("seg"),
+              (col("r2").cast("double") * col("r2").cast("double")
+                / col("n_i").cast("double")).as("term")))),
+            lit(0.0d), (acc, e) => acc + e.getField("term")).as("hs"))
+        r2.crossJoin(broadcast(nn)).crossJoin(broadcast(hsum))
+          .select(col("seg"), col("n_i"),
+            round(col("r2").cast("double")
+              / (lit(2.0d) * col("n_i").cast("double")), 6).as("mean_rank"),
+            round(lit(3.0d) / (col("n").cast("double")
+              * (col("n").cast("double") + 1.0d)) * col("hs")
+              - lit(3.0d) * (col("n").cast("double") + 1.0d), 6).as("h_stat"),
+            round((lit(3.0d) / (col("n").cast("double")
+              * (col("n").cast("double") + 1.0d)) * col("hs")
+              - lit(3.0d) * (col("n").cast("double") + 1.0d))
+              / (lit(1.0d) - col("tie").cast("double")
+                / (col("n").cast("double") * col("n").cast("double")
+                  * col("n").cast("double") - col("n").cast("double"))), 6)
+              .as("h_tie_corrected"))
+          .orderBy("seg")
+      },
+      Some("""WITH x AS (SELECT c_mktsegment AS seg,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |g AS (SELECT v, seg, CAST(count(*) AS BIGINT) AS c
+             |  FROM x GROUP BY 1, 2),
+             |t AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM g
+             |  GROUP BY 1),
+             |cum AS (SELECT v, t,
+             |    CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum
+             |  FROM t),
+             |nn AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+             |    CAST(sum(t*t*t - t) AS HUGEINT) AS tie FROM cum),
+             |r2 AS (SELECT g.seg, CAST(sum(g.c) AS BIGINT) AS n_i,
+             |    CAST(sum(g.c * (2*cum.cum - cum.t + 1)) AS BIGINT) AS r2
+             |  FROM g JOIN cum ON g.v = cum.v GROUP BY 1),
+             |hs AS (SELECT list_reduce(
+             |    list_prepend(CAST(0 AS DOUBLE), list(
+             |      CAST(r2 AS DOUBLE)*CAST(r2 AS DOUBLE)/CAST(n_i AS DOUBLE)
+             |      ORDER BY seg)),
+             |    (a, b) -> a + b) AS hs FROM r2),
+             |h AS (SELECT
+             |    3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+             |      * (SELECT hs FROM hs)
+             |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_raw,
+             |    1.0 - CAST(tie AS DOUBLE)
+             |      / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)
+             |        - CAST(n AS DOUBLE)) AS cc
+             |  FROM nn)
+             |SELECT seg, n_i,
+             |  round(CAST(r2 AS DOUBLE) / (2.0*CAST(n_i AS DOUBLE)), 6)
+             |    AS mean_rank,
+             |  round((SELECT h_raw FROM h), 6) AS h_stat,
+             |  round((SELECT h_raw FROM h) / (SELECT cc FROM h), 6)
+             |    AS h_tie_corrected
+             |FROM r2 ORDER BY seg""".stripMargin)),
   )
 }
