@@ -522,6 +522,104 @@ object EventQueries {
              |  cnt IS NOT NULL AS observed
              |FROM f ORDER BY hour""".stripMargin)),
 
+    // ----- linear-INTERPOLATION join: evaluate each event type's raw
+    // value series at a fixed half-hour probe spine (sensor/metric
+    // alignment — the step before any cross-series correlation or
+    // model join can happen; j2's as-of takes the LAST value, this
+    // takes the time-weighted line between the BRACKETING samples,
+    // and t_gap_fill interpolates an already-aggregated hourly count
+    // while this brackets raw events). Scale shape: raw events never
+    // meet a data-sized window — one grouped agg collapses them to
+    // per-(type, half-hour-bucket) boundary samples (max/min ts, a
+    // uniform key shuffle), the bracketing fill then runs over the
+    // CALENDAR grid (≤1440 half-hours/month × |types|, domain-
+    // bounded), and probes sit exactly ON half-bucket boundaries so
+    // "strictly before the probe" = "bucket index < probe's odd
+    // index" with no within-bucket tie cases: prev fills over ROWS
+    // …,-1 (buckets before the boundary), next over 0,… (the probe's
+    // own bucket starts AT the probe, so an event at exactly probe ts
+    // is the next bracket and the pinned expression degrades to that
+    // sample's value). Interpolation is ONE pinned IEEE expression
+    // over exact micros and the two bracket values.
+    QueryDef(
+      "j15_interp_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val T0 = 1704067200000000L // 2024-01-01 00:00:00 UTC, micros
+        val HB = 1800000000L // half-hour in micros
+        val base = events(s, d)
+          .select(col("event_type").as("et"), unix_micros(col("ts")).as("tsm"),
+            col("value"))
+          .groupBy("et", "tsm").agg(max("value").as("v")) // unique series key
+        val b = tracked(base
+          .withColumn("hb", expr(s"(tsm - ${T0}L) div ${HB}L"))
+          .groupBy("et", "hb")
+          .agg(max("tsm").as("bl_ts"), min("tsm").as("bf_ts")))
+        val bl = b.join(base.select(col("et"), col("tsm").as("bl_ts"),
+          col("v").as("bl_v")), Seq("et", "bl_ts"))
+        val bf = bl.join(base.select(col("et"), col("tsm").as("bf_ts"),
+          col("v").as("bf_v")), Seq("et", "bf_ts"))
+        val span = b.groupBy("et").agg(min("hb").as("__lo"), max("hb").as("__hi"))
+        val grid = span.select(col("et"),
+          explode(sequence(col("__lo"), col("__hi"))).as("hb"))
+        val wPrev = Window.partitionBy("et").orderBy("hb")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = Window.partitionBy("et").orderBy("hb")
+          .rowsBetween(0, Window.unboundedFollowing)
+        grid.join(bf, Seq("et", "hb"), "left")
+          .withColumn("pl_ts", last(col("bl_ts"), ignoreNulls = true).over(wPrev))
+          .withColumn("pl_v", last(col("bl_v"), ignoreNulls = true).over(wPrev))
+          .withColumn("nf_ts", first(col("bf_ts"), ignoreNulls = true).over(wNext))
+          .withColumn("nf_v", first(col("bf_v"), ignoreNulls = true).over(wNext))
+          .filter(col("hb") % 2 === 1 && col("pl_ts").isNotNull
+            && col("nf_ts").isNotNull)
+          .withColumn("p_us", expr(s"${T0}L + hb * ${HB}L"))
+          .select(col("et").as("event_type"),
+            timestamp_micros(col("p_us")).as("probe_ts"),
+            round(col("pl_v") + (col("nf_v") - col("pl_v"))
+              * (col("p_us") - col("pl_ts")).cast("double")
+              / (col("nf_ts") - col("pl_ts")).cast("double"), 6)
+              .as("v_interp"),
+            (col("p_us") - col("pl_ts")).as("lag_us"),
+            (col("nf_ts") - col("p_us")).as("lead_us"))
+          .orderBy("event_type", "probe_ts")
+      },
+      Some("""WITH base AS (SELECT event_type AS et,
+             |    CAST(epoch_us(ts) AS BIGINT) AS tsm, max(value) AS v
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT et, (tsm - 1704067200000000) // 1800000000 AS hb,
+             |    max(tsm) AS bl_ts, min(tsm) AS bf_ts
+             |  FROM base GROUP BY 1, 2),
+             |bl AS (SELECT b.*, x.v AS bl_v FROM b
+             |  JOIN base x ON b.et = x.et AND b.bl_ts = x.tsm),
+             |bf AS (SELECT bl.*, x.v AS bf_v FROM bl
+             |  JOIN base x ON bl.et = x.et AND bl.bf_ts = x.tsm),
+             |span AS (SELECT et, min(hb) AS lo, max(hb) AS hi FROM b
+             |  GROUP BY 1),
+             |grid AS (SELECT et, unnest(generate_series(lo, hi)) AS hb
+             |  FROM span),
+             |f AS (SELECT g.et, g.hb, bf.bf_ts, bf.bf_v,
+             |    last_value(bf.bl_ts IGNORE NULLS) OVER w_prev AS pl_ts,
+             |    last_value(bf.bl_v IGNORE NULLS) OVER w_prev AS pl_v,
+             |    first_value(bf.bf_ts IGNORE NULLS) OVER w_next AS nf_ts,
+             |    first_value(bf.bf_v IGNORE NULLS) OVER w_next AS nf_v
+             |  FROM grid g LEFT JOIN bf ON g.et = bf.et AND g.hb = bf.hb
+             |  WINDOW w_prev AS (PARTITION BY g.et ORDER BY g.hb
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |  w_next AS (PARTITION BY g.et ORDER BY g.hb
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT et AS event_type,
+             |  make_timestamp(1704067200000000 + hb * 1800000000)
+             |    AS probe_ts,
+             |  round(pl_v + (nf_v - pl_v)
+             |    * CAST(1704067200000000 + hb * 1800000000 - pl_ts AS DOUBLE)
+             |    / CAST(nf_ts - pl_ts AS DOUBLE), 6) AS v_interp,
+             |  1704067200000000 + hb * 1800000000 - pl_ts AS lag_us,
+             |  nf_ts - (1704067200000000 + hb * 1800000000) AS lead_us
+             |FROM f
+             |WHERE hb % 2 = 1 AND pl_ts IS NOT NULL AND nf_ts IS NOT NULL
+             |ORDER BY event_type, probe_ts""".stripMargin)),
+
     // ----- two-proportion A/B z-test: the experiment read-out every
     // product analytics stack ships (arm = deterministic user split,
     // conversion = purchase events). One aggregation collapses any
