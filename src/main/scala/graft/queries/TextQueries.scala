@@ -3106,5 +3106,91 @@ object TextQueries {
              |  round(CAST(tot_cost AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
              |    AS avg_cost
              |FROM st ORDER BY source""".stripMargin)),
+
+    // ----- RAKE keyword extraction (Rose et al. — the degree/
+    // frequency keyword scorer completing the keyphrase family:
+    // tx10's TF-IDF ranks single terms by corpus contrast, tx27's
+    // TextRank runs a graph fixpoint, RAKE is the one-pass
+    // co-occurrence heuristic production pipelines reach for first):
+    // candidate phrases = maximal stopword-free token runs, found by
+    // gaps-and-islands (island = pos − row_number among non-stop
+    // tokens, a DOC-partitioned window — frames are document-sized,
+    // never corpus-sized); word score = deg/freq where deg counts
+    // phrase-mate co-occurrences INCLUDING self (Σ phrase_len over
+    // the word's phrase instances), carried as the exact integer
+    // deg·10⁶ div freq; phrase score = Σ member-word scores —
+    // computed as sum-over-occurrences div n_occ, which divides
+    // EXACTLY because equal phrase text ⇒ equal member multiset.
+    // Global top-15 via orderBy+limit (TakeOrderedAndProject — the
+    // g6 discipline, no rank window). One token shuffle, one
+    // word-key shuffle, one phrase-key shuffle — all uniform keys.
+    QueryDef(
+      "tx51_rake_keywords",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stop = graft.ext.TextAnalysis.qualityStopwords
+        val toks = docs(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " "))
+            .as(Seq("pos", "tok")))
+        val ns = toks
+          .filter(!col("tok").isin(stop: _*) && col("tok") =!= "")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+          .withColumn("island", col("pos") - col("rn"))
+        val ph = tracked(ns.select("doc_id", "island", "pos", "tok"))
+        val phrases = tracked(ph.groupBy("doc_id", "island")
+          .agg(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok"))).as("phrase"),
+            count(lit(1)).as("plen")))
+        val words = phrases.join(ph, Seq("doc_id", "island"))
+        val ws = words.groupBy("tok")
+          .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+          .select(col("tok"),
+            call_function("div", col("deg") * 1000000L, col("freq"))
+              .as("wscore"))
+        words.join(ws, Seq("tok"))
+          .groupBy("phrase")
+          .agg(max("plen").as("n_words"),
+            countDistinct(struct(col("doc_id"), col("island"))).as("n_occ"),
+            sum("wscore").as("__ssum"))
+          .select(col("phrase"), col("n_words"), col("n_occ"),
+            call_function("div", col("__ssum"), col("n_occ")).as("score"))
+          .orderBy(col("score").desc, col("phrase"))
+          .limit(15)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, j AS pos, string_split(text, ' ')[j] AS tok
+             |  FROM (SELECT doc_id, text,
+             |      unnest(generate_series(1, len(string_split(text, ' '))))
+             |        AS j
+             |    FROM documents)),
+             |ns AS (SELECT doc_id, pos, tok,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             |      AS rn
+             |  FROM toks
+             |  WHERE tok NOT IN ('the','a','and','of') AND tok != ''),
+             |ph AS (SELECT doc_id, pos - rn AS island, pos, tok FROM ns),
+             |phrases AS (SELECT doc_id, island,
+             |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             |    CAST(count(*) AS BIGINT) AS plen
+             |  FROM ph GROUP BY 1, 2),
+             |words AS (SELECT p.doc_id, p.island, p.phrase, p.plen, ph.tok
+             |  FROM phrases p
+             |  JOIN ph ON p.doc_id = ph.doc_id AND p.island = ph.island),
+             |ws AS (SELECT tok,
+             |    (CAST(sum(plen) AS BIGINT) * 1000000)
+             |      // CAST(count(*) AS BIGINT) AS wscore
+             |  FROM words GROUP BY 1),
+             |pscore AS (SELECT w.phrase,
+             |    CAST(max(w.plen) AS BIGINT) AS n_words,
+             |    CAST(count(DISTINCT (w.doc_id, w.island)) AS BIGINT)
+             |      AS n_occ,
+             |    CAST(sum(ws.wscore) AS BIGINT)
+             |      // CAST(count(DISTINCT (w.doc_id, w.island)) AS BIGINT)
+             |      AS score
+             |  FROM words w JOIN ws ON w.tok = ws.tok GROUP BY 1)
+             |SELECT phrase, n_words, n_occ, score FROM pscore
+             |ORDER BY score DESC, phrase LIMIT 15""".stripMargin)),
   )
 }
