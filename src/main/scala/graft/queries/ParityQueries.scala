@@ -1366,6 +1366,88 @@ object ParityQueries {
              |SELECT l, count(*) AS n_classes, CAST(sum(sz) AS BIGINT) AS n_rows
              |FROM cls GROUP BY 1 ORDER BY l""".stripMargin)),
 
+    // ----- t-closeness audit — the third rung of the privacy triad
+    // (k-anonymity bounds class SIZE, l-diversity bounds distinct
+    // sensitive values, t-closeness bounds how much a class's
+    // sensitive DISTRIBUTION deviates from the global one — the
+    // attack both miss: a large, 3-diverse class that is 90% one
+    // segment still leaks; Li/Li/Venkatasubramanian's gate is
+    // EMD(class, global) ≤ t): sensitive attribute is the market
+    // segment (nominal), where EMD reduces to total-variation
+    // distance ½Σ|p_s − q_s|. ALL-INTEGER: per class, num =
+    // Σ_s |n_cs·N − N_s·n_c| with ABSENT segments folded in
+    // algebraically (Σ_absent N_s·n_c = N·n_c − Σ_present N_s·n_c —
+    // no 5-way right-join to materialize zero rows), and
+    // t_micro = num·10⁶ div (2·n_c·N) an exact truncating division
+    // (num ≤ 2·n_c·N by construction, so the scaled product is
+    // long-safe while n_c·N ≤ 4.6·10¹² — DECIMAL(38,0)/HUGEINT
+    // beyond, the a54 rule). One (class, segment) shuffle + one
+    // class shuffle; output = the 10 worst classes, ordered by the
+    // INTEGER t (floats are display-only — the sim19 pin).
+    QueryDef(
+      "audit_t_closeness",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val nTot = cust.agg(count(lit(1)).as("nn"))
+        val segTot = cust.groupBy(col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("ns"))
+        val cs = tracked(cust
+          .groupBy(col("c_nationkey").as("nation"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"),
+            col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("ncs"))
+          .join(broadcast(segTot), Seq("seg"))
+          .crossJoin(broadcast(nTot)))
+        val ncls = cs.groupBy("nation", "bal_bucket").agg(sum("ncs").as("nc"))
+        cs.join(ncls, Seq("nation", "bal_bucket"))
+          .groupBy("nation", "bal_bucket")
+          .agg(max("nc").as("nc"), max("nn").as("nn"),
+            sum(abs(col("ncs") * col("nn") - col("ns") * col("nc")))
+              .as("pres"),
+            sum(col("ns") * col("nc")).as("pres_ns"))
+          .select(col("nation"), col("bal_bucket"), col("nc").as("n_rows"),
+            call_function("div",
+              (col("pres") + col("nn") * col("nc") - col("pres_ns"))
+                * 1000000L,
+              lit(2L) * col("nc") * col("nn")).as("t_micro"))
+          .select(col("nation"), col("bal_bucket"), col("n_rows"),
+            col("t_micro"),
+            round(col("t_micro").cast("double") / 1000000.0d, 6).as("t"))
+          .orderBy(col("t_micro").desc, col("nation"), col("bal_bucket"))
+          .limit(10)
+      },
+      Some("""WITH nt AS (SELECT CAST(count(*) AS BIGINT) AS nn
+             |  FROM customer),
+             |st AS (SELECT c_mktsegment AS seg,
+             |    CAST(count(*) AS BIGINT) AS ns
+             |  FROM customer GROUP BY 1),
+             |cs AS (SELECT c_nationkey AS nation,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             |    c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS ncs
+             |  FROM customer GROUP BY 1, 2, 3),
+             |ncls AS (SELECT nation, bal_bucket,
+             |    CAST(sum(ncs) AS BIGINT) AS nc
+             |  FROM cs GROUP BY 1, 2),
+             |cls AS (SELECT cs.nation, cs.bal_bucket,
+             |    CAST(max(ncls.nc) AS BIGINT) AS nc,
+             |    CAST(max(nt.nn) AS BIGINT) AS nn,
+             |    CAST(sum(abs(cs.ncs * nt.nn - st.ns * ncls.nc))
+             |      AS BIGINT) AS pres,
+             |    CAST(sum(st.ns * ncls.nc) AS BIGINT) AS pres_ns
+             |  FROM cs
+             |  JOIN ncls ON cs.nation = ncls.nation
+             |    AND cs.bal_bucket = ncls.bal_bucket
+             |  JOIN st ON cs.seg = st.seg CROSS JOIN nt
+             |  GROUP BY 1, 2),
+             |tm AS (SELECT nation, bal_bucket, nc AS n_rows,
+             |    ((pres + nn * nc - pres_ns) * 1000000) // (2 * nc * nn)
+             |      AS t_micro
+             |  FROM cls)
+             |SELECT nation, bal_bucket, n_rows, t_micro,
+             |  round(CAST(t_micro AS DOUBLE) / 1000000.0, 6) AS t
+             |FROM tm
+             |ORDER BY t_micro DESC, nation, bal_bucket LIMIT 10""".stripMargin)),
+
     // ----- SCD Type-2 dimension-history build (Kimball): turn a
     // change LOG (each customer's orders carry that period's
     // priority) into an effective-dated dimension — collapse
