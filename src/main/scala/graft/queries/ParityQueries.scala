@@ -2987,6 +2987,152 @@ object ParityQueries {
              |  CAST(max(score) AS BIGINT) AS max_score
              |FROM p GROUP BY 1 ORDER BY cls""".stripMargin)),
 
+    // ----- Fellegi-Sunter probabilistic record linkage (the
+    // PARAMETER-ESTIMATING upgrade of j8's fixed-weight scorer — the
+    // 1969 model every production linker (Splink, dedupe.io) still
+    // implements): per-field m = P(agree | match) and u = P(agree |
+    // non-match) are ESTIMATED from data, and a pair classifies by
+    // the likelihood ratio Π mᵢ/uᵢ (agree) · (1−mᵢ)/(1−uᵢ)
+    // (disagree) against pinned odds thresholds λ=8 / 1/8. No
+    // logs anywhere — the textbook log-weights exist only to make
+    // products sums, and a transcendental-free engine can keep the
+    // PRODUCT: exact integer counts ride DECIMAL(38,0)/HUGEINT
+    // numerator/denominator products (three factors, each ≤ m·ud —
+    // value-safe to ud ≈ 10¹² pairs; the a54 rule). Ground truth for
+    // m: planted clones (ck%10, +10⁶ key offset, balance perturbed
+    // ±300 cents deterministically — the dedup-corpus discipline
+    // applied to the relational side); u from the blocked non-planted
+    // candidates (the standard random-pair surrogate, here exact
+    // over the full blocked set). Blocking = j8's (nation, balance
+    // band); the output's n_planted column is the self-certifying
+    // recall evidence (all 150 planted pairs land in 'match' at
+    // sf0.01, alongside 30 organic false positives — the FS
+    // trade-off made visible, not hidden).
+    QueryDef(
+      "j8d_fellegi_sunter",
+      (s, d) => {
+        val c0 = t(s, d, "customer").select(
+          col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val clones = c0.filter(col("ck") % 10 === 0)
+          .select((col("ck") + 1000000L).as("ck"), col("nk"), col("seg"),
+            (col("cents") + (col("ck") % 7) * 100L - 300L).as("cents"))
+        val u = tracked(c0.unionAll(clones)
+          .withColumn("band", expr("cents div 100000")))
+        def f1 = when(abs(col("a.cents") - col("b.cents")) < 1000L, 1L)
+          .otherwise(0L)
+        def f2 = when(col("a.seg") === col("b.seg"), 1L).otherwise(0L)
+        def f3 = when((col("a.cents") < 0L) === (col("b.cents") < 0L), 1L)
+          .otherwise(0L)
+        val pl = c0.filter(col("ck") % 10 === 0).as("a")
+          .join(u.as("b"), col("b.ck") === col("a.ck") + 1000000L)
+          .select(f1.as("f1"), f2.as("f2"), f3.as("f3"))
+        val m = pl.agg(count(lit(1)).as("md"), sum("f1").as("m1"),
+          sum("f2").as("m2"), sum("f3").as("m3"))
+        val cand = tracked(u.as("a").join(u.as("b"),
+            col("a.nk") === col("b.nk") && col("a.band") === col("b.band")
+              && col("a.ck") < col("b.ck"))
+          .select(f1.as("f1"), f2.as("f2"), f3.as("f3"),
+            when(col("b.ck") - col("a.ck") === 1000000L
+              && col("a.ck") % 10 === 0, 1L).otherwise(0L).as("planted")))
+        val uu = cand.filter(col("planted") === 0L)
+          .agg(count(lit(1)).as("ud"), sum("f1").as("u1"),
+            sum("f2").as("u2"), sum("f3").as("u3"))
+        def dec(c: Column) = c.cast("decimal(38,0)")
+        def numF(f: String, mc: String) =
+          dec((when(col(f) === 1L, col(mc))
+            .otherwise(col("md") - col(mc))) * col("ud"))
+        def denF(f: String, uc: String) =
+          dec((when(col(f) === 1L, col(uc))
+            .otherwise(col("ud") - col(uc))) * col("md"))
+        val sc = cand.crossJoin(broadcast(m)).crossJoin(broadcast(uu))
+          .withColumn("num",
+            numF("f1", "m1") * numF("f2", "m2") * numF("f3", "m3"))
+          .withColumn("den",
+            denF("f1", "u1") * denF("f2", "u2") * denF("f3", "u3"))
+          .withColumn("cls",
+            when(col("num") >= dec(lit(8L)) * col("den"), "match")
+              .when(dec(lit(8L)) * col("num") <= col("den"), "nonmatch")
+              .otherwise("possible"))
+        sc.groupBy("cls")
+          .agg(count(lit(1)).as("n_pairs"), sum("planted").as("n_planted"))
+          .crossJoin(broadcast(m)).crossJoin(broadcast(uu))
+          .select(col("cls"), col("n_pairs"), col("n_planted"),
+            col("md").as("planted_total"),
+            round(col("m1").cast("double") / col("md").cast("double"), 6)
+              .as("m1_p"),
+            round(col("u1").cast("double") / col("ud").cast("double"), 6)
+              .as("u1_p"),
+            round(col("m3").cast("double") / col("md").cast("double"), 6)
+              .as("m3_p"),
+            round(col("u3").cast("double") / col("ud").cast("double"), 6)
+              .as("u3_p"))
+          .orderBy("cls")
+      },
+      Some("""WITH c0 AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+             |    c_mktsegment AS seg,
+             |    CAST(round(c_acctbal*100) AS BIGINT) AS cents
+             |  FROM customer),
+             |u AS (SELECT * FROM c0
+             |  UNION ALL
+             |  SELECT ck + 1000000, nk, seg, cents + (ck % 7) * 100 - 300
+             |  FROM c0 WHERE ck % 10 = 0),
+             |b AS (SELECT *, cents // 100000 AS band FROM u),
+             |pl AS (SELECT
+             |    CASE WHEN abs(a.cents - b.cents) < 1000 THEN 1 ELSE 0
+             |      END AS f1,
+             |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS f2,
+             |    CASE WHEN (a.cents < 0) = (b.cents < 0) THEN 1 ELSE 0
+             |      END AS f3
+             |  FROM c0 a JOIN u b ON b.ck = a.ck + 1000000
+             |  WHERE a.ck % 10 = 0),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS md,
+             |    CAST(sum(f1) AS BIGINT) AS m1,
+             |    CAST(sum(f2) AS BIGINT) AS m2,
+             |    CAST(sum(f3) AS BIGINT) AS m3 FROM pl),
+             |cand AS (SELECT
+             |    CASE WHEN abs(a.cents - b.cents) < 1000 THEN 1 ELSE 0
+             |      END AS f1,
+             |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS f2,
+             |    CASE WHEN (a.cents < 0) = (b.cents < 0) THEN 1 ELSE 0
+             |      END AS f3,
+             |    CASE WHEN b.ck - a.ck = 1000000 AND a.ck % 10 = 0
+             |      THEN 1 ELSE 0 END AS planted
+             |  FROM b a JOIN b b
+             |    ON a.nk = b.nk AND a.band = b.band AND a.ck < b.ck),
+             |uu AS (SELECT CAST(count(*) AS BIGINT) AS ud,
+             |    CAST(sum(f1) AS BIGINT) AS u1,
+             |    CAST(sum(f2) AS BIGINT) AS u2,
+             |    CAST(sum(f3) AS BIGINT) AS u3
+             |  FROM cand WHERE planted = 0),
+             |sc AS (SELECT cand.*,
+             |    (CASE WHEN f1=1 THEN CAST(m1 AS HUGEINT)*ud
+             |      ELSE CAST(md-m1 AS HUGEINT)*ud END)
+             |    * (CASE WHEN f2=1 THEN CAST(m2 AS HUGEINT)*ud
+             |      ELSE CAST(md-m2 AS HUGEINT)*ud END)
+             |    * (CASE WHEN f3=1 THEN CAST(m3 AS HUGEINT)*ud
+             |      ELSE CAST(md-m3 AS HUGEINT)*ud END) AS num,
+             |    (CASE WHEN f1=1 THEN CAST(u1 AS HUGEINT)*md
+             |      ELSE CAST(ud-u1 AS HUGEINT)*md END)
+             |    * (CASE WHEN f2=1 THEN CAST(u2 AS HUGEINT)*md
+             |      ELSE CAST(ud-u2 AS HUGEINT)*md END)
+             |    * (CASE WHEN f3=1 THEN CAST(u3 AS HUGEINT)*md
+             |      ELSE CAST(ud-u3 AS HUGEINT)*md END) AS den
+             |  FROM cand, m, uu),
+             |cls AS (SELECT CASE WHEN num >= 8*den THEN 'match'
+             |      WHEN 8*num <= den THEN 'nonmatch'
+             |      ELSE 'possible' END AS cls,
+             |    CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(planted) AS BIGINT) AS n_planted
+             |  FROM sc GROUP BY 1)
+             |SELECT cls, n_pairs, n_planted, m.md AS planted_total,
+             |  round(CAST(m.m1 AS DOUBLE)/m.md, 6) AS m1_p,
+             |  round(CAST(uu.u1 AS DOUBLE)/uu.ud, 6) AS u1_p,
+             |  round(CAST(m.m3 AS DOUBLE)/m.md, 6) AS m3_p,
+             |  round(CAST(uu.u3 AS DOUBLE)/uu.ud, 6) AS u3_p
+             |FROM cls, m, uu ORDER BY cls""".stripMargin)),
+
     // ----- blocked sorted-neighborhood candidate generation (the
     // recall-completing alternative j8's banding trades away: banding
     // misses near pairs straddling a band edge; sorting within the
