@@ -3192,5 +3192,68 @@ object TextQueries {
              |  FROM words w JOIN ws ON w.tok = ws.tok GROUP BY 1)
              |SELECT phrase, n_words, n_occ, score FROM pscore
              |ORDER BY score DESC, phrase LIMIT 15""".stripMargin)),
+
+    // ----- Fleiss' kappa across THREE raters (the multi-rater
+    // chance-corrected agreement tx40's Cohen kappa cannot express —
+    // Cohen is pairwise-only; Fleiss is what an annotation pipeline
+    // reports when 3+ labelers or 3+ heuristic gates vote): raters =
+    // two correlated length rules (chars > 280, tokens > 55) plus
+    // one orthogonal rule (lang = 'en'), so the statistic exercises
+    // the interesting regime — high pairwise agreement between the
+    // length twins diluted by the independent third. ALL-RATIONAL:
+    // per doc the agreeing pair count is C(k,2)+C(3−k,2) ∈ {1,3} for
+    // k passing raters, so kappa = (3N·SA − SK² − (3N−SK)²) /
+    // ((3N)² − SK² − (3N−SK)²) from three exact integer sums (ONE
+    // corpus pass, scalars-only shuffle); displayed at 6 dp via one
+    // pinned division, ordering-free (single row).
+    QueryDef(
+      "tx52_fleiss_kappa",
+      (s, d) => {
+        val r = docs(s, d).select(
+          when(col("n_chars") > 280, 1L).otherwise(0L).as("r1"),
+          when(size(split(col("text"), " ")) > 55, 1L).otherwise(0L)
+            .as("r2"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("r3"))
+          .withColumn("k", col("r1") + col("r2") + col("r3"))
+        // k(k−1) + (3−k)(2−k) is even for every k ∈ 0..3, so the
+        // pair count divides exactly (integer div, never `/`)
+        val agg = r.agg(count(lit(1)).as("n"),
+          sum("r1").as("p1"), sum("r2").as("p2"), sum("r3").as("p3"),
+          sum("k").as("sk"),
+          sum(call_function("div",
+            col("k") * (col("k") - 1L)
+              + (lit(3L) - col("k")) * (lit(2L) - col("k")),
+            lit(2L))).as("sa"))
+        agg.select(col("n").as("n_docs"), col("p1"), col("p2"), col("p3"),
+          col("sa").as("agree_pairs"),
+          round((lit(3L) * col("n") * col("sa")
+            - col("sk") * col("sk")
+            - (lit(3L) * col("n") - col("sk"))
+              * (lit(3L) * col("n") - col("sk"))).cast("double")
+            / (lit(9L) * col("n") * col("n")
+              - col("sk") * col("sk")
+              - (lit(3L) * col("n") - col("sk"))
+                * (lit(3L) * col("n") - col("sk"))).cast("double"), 6)
+            .as("kappa"))
+      },
+      Some("""WITH r AS (SELECT
+             |    CASE WHEN n_chars > 280 THEN 1 ELSE 0 END AS r1,
+             |    CASE WHEN len(string_split(text, ' ')) > 55 THEN 1
+             |      ELSE 0 END AS r2,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r3
+             |  FROM documents),
+             |k AS (SELECT r1, r2, r3, r1 + r2 + r3 AS k FROM r),
+             |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(r1) AS BIGINT) AS p1,
+             |    CAST(sum(r2) AS BIGINT) AS p2,
+             |    CAST(sum(r3) AS BIGINT) AS p3,
+             |    CAST(sum(k) AS BIGINT) AS sk,
+             |    CAST(sum((k*(k-1) + (3-k)*(2-k)) // 2) AS BIGINT) AS sa
+             |  FROM k)
+             |SELECT n AS n_docs, p1, p2, p3, sa AS agree_pairs,
+             |  round(CAST(3*n*sa - sk*sk - (3*n-sk)*(3*n-sk) AS DOUBLE)
+             |    / CAST(9*n*n - sk*sk - (3*n-sk)*(3*n-sk) AS DOUBLE), 6)
+             |    AS kappa
+             |FROM agg""".stripMargin)),
   )
 }
