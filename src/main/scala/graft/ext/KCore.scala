@@ -85,6 +85,32 @@ object KCore {
     rows.toDF("round", "n_removed", "n_nodes", "n_edges")
   }
 
+  /** The surviving edge set after R pinned peel rounds at threshold
+    * k — the MEMBERSHIP companion of [[peelStats]] (stats say how
+    * many survive; decomposition consumers need WHO). Same per-round
+    * [[Dedup.checkpointed]] discipline, no stats actions (each round
+    * is exactly one checkpoint job); the final round's block handle
+    * goes to `track` for end-of-sweep release.
+    */
+  def peelEdges(edges: DataFrame, k: Int, rounds: Int,
+      track: org.apache.spark.rdd.RDD[_] => Unit): DataFrame = {
+    var (e, eRdd) = Dedup.checkpointed(edges.select("u", "v"))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val bad = deg.filter(col("dg") < k).select("n")
+      val (next, nextRdd) = Dedup.checkpointed(
+        e.join(bad.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
+          .join(bad.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
+          .select("u", "v"))
+      eRdd.unpersist(blocking = false)
+      e = next; eRdd = nextRdd
+    }
+    track(eRdd)
+    e
+  }
+
   /** Frontier peel — identical output to [[peelStats]] (equality
     * proven by KCoreSpec on generated graphs and by `g3b` sharing
     * g3's oracle), with the per-round DEGREE work reduced from

@@ -2186,6 +2186,69 @@ object ParityQueries {
               |${graft.ext.KCore.Sql.rounds(3, 4)}
               |${graft.ext.KCore.Sql.select(4)}""".stripMargin)),
 
+    // ----- Graph: full k-core DECOMPOSITION — per-node core numbers
+    // over the k ∈ 2..5 ladder (g3/g3b peel at ONE k and emit
+    // counts; the decomposition assigns every node its MAXIMUM
+    // surviving k, which is the per-entity robustness gate a curation
+    // pipeline actually joins on — "keep documents whose entities sit
+    // in a ≥3-core"). Four pinned 4-round peels share the ONE
+    // checkpointed edge build (KCore.peelEdges — the membership
+    // companion of peelStats: one checkpoint job per round, no stats
+    // actions); core(n) = max k whose peel retains n, nodes shed by
+    // k=2 fold in as core 1 via a left join on the node universe —
+    // never materializing per-k node sets beyond the shrinking edge
+    // frames themselves. Output = the core-number histogram (≤ 5
+    // rows at any scale). The DuckDB mirror runs the identical four
+    // unrolled peels, each scoped inside its own subquery-WITH so
+    // the e1..e4 names don't collide (CTE shadowing as namespacing).
+    QueryDef(
+      "g17_core_decomposition",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = tracked(op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").cast("long").as("u"),
+            col("b.pk").cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select("u", "v"))
+        val allNodes = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n"))).distinct()
+        val surv = (2 to 5).map { k =>
+          val e = graft.ext.KCore.peelEdges(edges, k, rounds = 4, tracked.track(_))
+          e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+            .distinct().withColumn("k", lit(k.toLong))
+        }.reduce(_ unionAll _)
+        val core = surv.groupBy("n").agg(max("k").as("core"))
+        allNodes.join(core, Seq("n"), "left")
+          .select(coalesce(col("core"), lit(1L)).as("core"))
+          .groupBy("core").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("core")
+      },
+      Some {
+        def peel(k: Int) =
+          s"""(WITH e0 AS MATERIALIZED (SELECT u, v FROM eb),
+             |${graft.ext.KCore.Sql.rounds(k, 4)}
+             |SELECT DISTINCT n FROM (
+             |  SELECT u AS n FROM e4 UNION ALL SELECT v FROM e4))""".stripMargin
+        s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |eb AS MATERIALIZED (SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
+           |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |nodes AS (SELECT DISTINCT n FROM (
+           |  SELECT u AS n FROM eb UNION ALL SELECT v FROM eb)),
+           |svu AS (${(2 to 5).map(k =>
+              s"SELECT n, CAST($k AS BIGINT) AS k FROM ${peel(k)} s$k")
+              .mkString("\n  UNION ALL\n")}),
+           |mx AS (SELECT n, max(k) AS core FROM svu GROUP BY 1)
+           |SELECT coalesce(mx.core, 1)::BIGINT AS core,
+           |  count(*)::BIGINT AS n_nodes
+           |FROM nodes LEFT JOIN mx ON nodes.n = mx.n
+           |GROUP BY 1 ORDER BY core""".stripMargin
+      }),
+
     // ----- Graph: synchronous label-propagation communities over the
     // HIGH-VOLUME purchase graph (edges = customer↔supplier pairs
     // with a qty>47 lineitem — the bulk-trade relationships; the
