@@ -2287,6 +2287,82 @@ object ParityQueries {
               |FROM (SELECT label, count(*)::BIGINT AS size FROM l3 GROUP BY 1)
               |GROUP BY 1 ORDER BY size""".stripMargin)),
 
+    // ----- Graph: Newman MODULARITY of g5's LPA communities — the
+    // QUALITY metric the community family was missing (g5 emits the
+    // size histogram; modularity says whether the partition beats
+    // chance: Q = Σ_c [m_c/m − (d_c/2m)²], fraction of edges inside
+    // communities minus the degree-preserving-random expectation).
+    // EXACT-INTEGER: on the symmetrized arc list (M2 = 2m arcs),
+    // Q·M2² = Σ_c (M2·W_c − d_c²) with W_c = within-community arcs
+    // and d_c = arc endpoints in c — ONE integer per community sums
+    // shuffle-safely (a per-community DOUBLE sum would be partition-
+    // order-dependent; the integer identity is the a59 prefix-sum
+    // move applied to a graph invariant), one pinned division at the
+    // end. Long-safe while M2 ≲ 10⁹ (d_c² ≤ M2²; DECIMAL beyond).
+    // The fixture's answer is itself the honest reading: Q ≈ −0.068
+    // — 3-round LPA on a dense BIPARTITE high-volume graph merges
+    // into hub-dominated communities WORSE than random within-edges,
+    // exactly the known LPA-on-bipartite failure mode, measured
+    // rather than assumed (the partition is pinned by g5's oracle,
+    // so this number is stable, not a flaky seed artifact).
+    QueryDef(
+      "g18_modularity",
+      (s, d) => {
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem").filter(col("l_quantity") > 47),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = tracked(e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst"))))
+        val lab = tracked(graft.ext.LabelProp.labels(edges, 3))
+        val arcs = edges
+          .join(lab.select(col("node").as("src"), col("label").as("ls")),
+            Seq("src"))
+          .join(lab.select(col("node").as("dst"), col("label").as("ld")),
+            Seq("dst"))
+        val m2df = arcs.agg(count(lit(1)).as("m2"))
+        val per = arcs.groupBy(col("ls").as("label"))
+          .agg(count(lit(1)).as("dc"),
+            sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("wc"))
+        per.crossJoin(broadcast(m2df))
+          .agg(count(lit(1)).as("n_communities"),
+            max("m2").as("m2"),
+            sum(col("m2") * col("wc") - col("dc") * col("dc")).as("q_num"),
+            sum("wc").as("w_total"))
+          .select(
+            call_function("div", col("m2"), lit(2L)).as("m_edges"),
+            col("n_communities"), col("w_total"),
+            round(col("q_num").cast("double")
+              / (col("m2").cast("double") * col("m2").cast("double")), 6)
+              .as("modularity"))
+      },
+      Some(s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+              |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |  WHERE l_quantity > 47),
+              |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+              |${graft.ext.LabelProp.Sql.rounds(3)},
+              |arcs AS (SELECT ls.label AS ls, ld.label AS ld
+              |  FROM edges e
+              |  JOIN l3 ls ON e.src = ls.node
+              |  JOIN l3 ld ON e.dst = ld.node),
+              |m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM arcs),
+              |per AS (SELECT ls AS label, CAST(count(*) AS BIGINT) AS dc,
+              |    CAST(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS wc
+              |  FROM arcs GROUP BY 1)
+              |SELECT (SELECT m2 FROM m2t) // 2 AS m_edges,
+              |  CAST(count(*) AS BIGINT) AS n_communities,
+              |  CAST(sum(wc) AS BIGINT) AS w_total,
+              |  round(CAST(sum((SELECT m2 FROM m2t) * wc - dc * dc)
+              |      AS DOUBLE)
+              |    / (CAST((SELECT m2 FROM m2t) AS DOUBLE)
+              |      * CAST((SELECT m2 FROM m2t) AS DOUBLE)), 6)
+              |    AS modularity
+              |FROM per""".stripMargin)),
+
     // ----- Graph: integer-exact HITS hubs-and-authorities over the
     // BIPARTITE purchase graph (customer = hub side, supplier =
     // authority side — no node encoding needed, the sides stay as
