@@ -793,6 +793,65 @@ object DedupQueries {
               |SELECT n_train, n_val, n_test, groups_straddling,
               |  groups_leaking_naive
               |FROM per, st""".stripMargin)),
+
+    // ----- Cross-source duplication mix (the PROVENANCE read the
+    // dedup family computes but never interprets: a near-dup cluster
+    // confined to one source is re-crawl noise; one spanning sources
+    // is SYNDICATION — the same content entering through independent
+    // pipelines, which changes both dedup keep-policy and any
+    // per-source quality statistic computed before dedup): clusters
+    // are tx44's minhash-CC components (jac ≥ 0.5 — the measured
+    // mid-gap threshold), joined to each member's source; per-cluster
+    // majority source via a lexicographic struct max (deterministic
+    // tie-break, no window), output ≤ 2 rows — single_source vs
+    // cross_source cluster counts, doc volumes, majority-share
+    // purity (one pinned division). Same scale shape as tx44: banded
+    // candidates, frontier CC, one (cluster, source) shuffle after.
+    QueryDef(
+      "tx55_dup_source_mix",
+      (s, d) => {
+        val edges = minhashPairs(s, d).filter(col("jac") >= JacThreshold)
+        val comps = graft.ext.Dedup.connectedComponents(edges, "a_id", "b_id")
+          .select(col("node").as("doc_id"), col("comp").as("cluster"))
+        val perSrc = comps
+          .join(docs(s, d).select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("cluster", "source").agg(count(lit(1)).as("cnt"))
+        perSrc.groupBy("cluster")
+          .agg(sum("cnt").as("n_docs"), count(lit(1)).as("n_sources"),
+            max(struct(col("cnt"), col("source"))).as("mj"))
+          .select(when(col("n_sources") === 1, "single_source")
+            .otherwise("cross_source").as("mix"),
+            col("n_docs"), col("mj.cnt").as("maj_docs"))
+          .groupBy("mix")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum("n_docs").as("n_docs"),
+            sum("maj_docs").as("n_majority_docs"))
+          .select(col("mix"), col("n_clusters"), col("n_docs"),
+            col("n_majority_docs"),
+            round(col("n_majority_docs").cast("double")
+              / col("n_docs").cast("double"), 6).as("purity"))
+          .orderBy("mix")
+      },
+      Some(s"""${SqlBase.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |$PairsSql,
+              |ws AS (SELECT c.component AS cluster, d.source
+              |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+              |ps AS (SELECT cluster, source,
+              |    CAST(count(*) AS BIGINT) AS cnt
+              |  FROM ws GROUP BY 1, 2),
+              |pt AS (SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n_docs,
+              |    CAST(count(*) AS BIGINT) AS n_sources,
+              |    CAST(max({'cnt': cnt, 'source': source}).cnt AS BIGINT)
+              |      AS maj_docs
+              |  FROM ps GROUP BY 1)
+              |SELECT CASE WHEN n_sources = 1 THEN 'single_source'
+              |    ELSE 'cross_source' END AS mix,
+              |  CAST(count(*) AS BIGINT) AS n_clusters,
+              |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+              |  CAST(sum(maj_docs) AS BIGINT) AS n_majority_docs,
+              |  round(CAST(sum(maj_docs) AS DOUBLE)
+              |    / CAST(sum(n_docs) AS DOUBLE), 6) AS purity
+              |FROM pt GROUP BY 1 ORDER BY mix""".stripMargin)),
   )
 }
 

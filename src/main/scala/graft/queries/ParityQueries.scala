@@ -6475,5 +6475,97 @@ object ParityQueries {
              |  round(CAST(abs(sample_cents - exact_cents) AS DOUBLE)
              |    / CAST(exact_cents AS DOUBLE), 6) AS rel_err
              |FROM fp JOIN sp ON fp.q = sp.q ORDER BY fp.q""".stripMargin)),
+
+    // ----- Jarque-Bera normality test on order values (the
+    // DISTRIBUTIONAL-SHAPE gate completing the inference family: a30
+    // compares two empirical distributions, a24 tests independence —
+    // JB asks "is this sample Gaussian at all", the precondition
+    // check before anyone trusts a z/t read; JB = n/6·(S² +
+    // (K−3)²/4) from skewness and kurtosis): the four raw moment
+    // sums ride ONE scalars-only aggregate — Σx and Σx² exact longs,
+    // Σx³/Σx⁴ on DECIMAL(38,0)/HUGEINT (cents⁴ ≈ 10²⁷/row; the sum
+    // clears 10³² at sf0.1, inside DECIMAL(38) to ~10¹⁰ rows) — and
+    // the central-moment algebra (m₂/m₃/m₄ from raw sums), S, K, JB
+    // are pinned IEEE expressions written identically on both
+    // engines (powers spelled as explicit products, never pow). The
+    // fixture reads JB ≫ 5.99: order values are emphatically
+    // non-Gaussian — which is WHY the engine's location stats lean
+    // on ranks, medians and MoM.
+    QueryDef(
+      "a64_jarque_bera",
+      (s, d) => {
+        val x = t(s, d, "orders").select(
+          expr("CAST(round(o_totalprice*100) AS BIGINT)").as("c"))
+        // per-row c² is long-safe but EVERY moment SUM rides
+        // DECIMAL(38,0): Σc² clears 2⁶³ already at sf0.1 (Spark's
+        // non-ANSI long sum would WRAP SILENTLY where DuckDB errors —
+        // caught live by the oracle at first verify)
+        val agg = x.agg(count(lit(1)).as("n"),
+          sum("c").as("s1"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"),
+          sum((col("c") * col("c")).cast("decimal(38,0)") * col("c"))
+            .as("s3"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")
+            * (col("c") * col("c"))).as("s4"))
+        agg.select(col("n"),
+          (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+          col("s2").cast("double").as("d2"),
+          col("s3").cast("double").as("d3"),
+          col("s4").cast("double").as("d4"),
+          col("n").cast("double").as("nd"))
+          .select(col("n"), col("mu"),
+            (col("d2") / col("nd") - col("mu") * col("mu")).as("m2"),
+            (col("d3") / col("nd") - lit(3.0d) * col("mu")
+              * (col("d2") / col("nd"))
+              + lit(2.0d) * col("mu") * col("mu") * col("mu")).as("m3"),
+            (col("d4") / col("nd") - lit(4.0d) * col("mu")
+              * (col("d3") / col("nd"))
+              + lit(6.0d) * col("mu") * col("mu")
+                * (col("d2") / col("nd"))
+              - lit(3.0d) * col("mu") * col("mu") * col("mu")
+                * col("mu")).as("m4"),
+            col("nd"))
+          .select(col("n"),
+            round(col("mu") / 100.0d, 6).as("mean"),
+            round(col("m3") / sqrt(col("m2") * col("m2") * col("m2")), 6)
+              .as("skewness"),
+            round(col("m4") / (col("m2") * col("m2")), 6).as("kurtosis"),
+            round(col("nd") / lit(6.0d)
+              * (col("m3") / sqrt(col("m2") * col("m2") * col("m2"))
+                * (col("m3") / sqrt(col("m2") * col("m2") * col("m2")))
+                + (col("m4") / (col("m2") * col("m2")) - lit(3.0d))
+                  * (col("m4") / (col("m2") * col("m2")) - lit(3.0d))
+                  / lit(4.0d)), 6).as("jb"))
+      },
+      Some("""WITH x AS (SELECT CAST(round(o_totalprice*100) AS BIGINT)
+             |    AS c FROM orders),
+             |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(c) AS BIGINT) AS s1,
+             |    CAST(sum(CAST(c*c AS HUGEINT)) AS HUGEINT) AS s2,
+             |    CAST(sum(CAST(c*c AS HUGEINT) * c) AS HUGEINT) AS s3,
+             |    CAST(sum(CAST(c*c AS HUGEINT) * (c*c)) AS HUGEINT) AS s4
+             |  FROM x),
+             |dd AS (SELECT n,
+             |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             |    CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+             |    CAST(s4 AS DOUBLE) AS d4, CAST(n AS DOUBLE) AS nd
+             |  FROM agg),
+             |mm AS (SELECT n, mu,
+             |    d2 / nd - mu * mu AS m2,
+             |    d3 / nd - 3.0 * mu * (d2 / nd)
+             |      + 2.0 * mu * mu * mu AS m3,
+             |    d4 / nd - 4.0 * mu * (d3 / nd)
+             |      + 6.0 * mu * mu * (d2 / nd)
+             |      - 3.0 * mu * mu * mu * mu AS m4,
+             |    nd
+             |  FROM dd)
+             |SELECT n, round(mu / 100.0, 6) AS mean,
+             |  round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+             |  round(m4 / (m2 * m2), 6) AS kurtosis,
+             |  round(nd / 6.0
+             |    * (m3 / sqrt(m2 * m2 * m2) * (m3 / sqrt(m2 * m2 * m2))
+             |      + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+             |        / 4.0), 6) AS jb
+             |FROM mm""".stripMargin)),
   )
 }

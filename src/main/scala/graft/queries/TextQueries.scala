@@ -3255,5 +3255,6 @@ object TextQueries {
              |    / CAST(9*n*n - sk*sk - (3*n-sk)*(3*n-sk) AS DOUBLE), 6)
              |    AS kappa
              |FROM agg""".stripMargin)),
+
   )
 }
