@@ -852,6 +852,108 @@ object DedupQueries {
               |  round(CAST(sum(maj_docs) AS DOUBLE)
               |    / CAST(sum(n_docs) AS DOUBLE), 6) AS purity
               |FROM pt GROUP BY 1 ORDER BY mix""".stripMargin)),
+
+    // ----- LSH banding-parameter sweep, DATA-DRIVEN (the (b, r)
+    // planner as a query — the capacity-law knob math evaluated
+    // against the corpus's OWN similarity spectrum instead of a
+    // textbook threshold: for every banding of the K=16 signature,
+    // expected recall over the measured true-pair sims and expected
+    // background collisions over a sampled random-pair sim
+    // distribution): true-pair sims from the banded candidates at
+    // jac ≥ 0.3 (the corpus is mid-gap separated — planted pairs
+    // ≥ 0.5, background ≈ 0.001 — so the candidate set IS the
+    // near-dup spectrum), background sims from a deterministic 3%
+    // key-hash sample's exact all-pairs. BOTH distributions collapse
+    // to a ≤1001-value rounded-sim GRID first (grid-collapse-first),
+    // detection probability p(s) = 1 − (1 − s^r)^b with the integer
+    // powers spelled as explicit products, and the grid-weighted
+    // sums fold over sim-ORDERED packed lists (the a62 pinned-fold
+    // discipline — a double sum through a hash shuffle would be
+    // partition-order-dependent). Output: one row per banding with
+    // expected recall and expected collisions per 10⁹ pairs — the
+    // S-curve trade read directly against this corpus (measured at
+    // sf0.1: (16,1) buys recall 1.0 at 1.2×10⁷ collisions/10⁹ — 1.2%
+    // of ALL pairs; (8,2) keeps recall 0.999999 at 1.6×10⁵, a 76×
+    // cut, which is why production runs (8,2); deeper rows stop
+    // paying because the sampled background itself contains a few
+    // true near-dups whose collisions no banding can refuse).
+    QueryDef(
+      "tx53_lsh_param_sweep",
+      (s, d) => {
+        def powc(c: org.apache.spark.sql.Column, n: Int) = Seq.fill(n)(c).reduce(_ * _)
+        val tpGrid = tracked(minhashPairs(s, d).filter(col("jac") >= 0.3)
+          .select(round(col("jac"), 3).as("s3"))
+          .groupBy("s3").agg(count(lit(1)).as("ct")))
+        val base = hashed(docs(s, d)).filter(size(col("hs")) > 0)
+          .filter((col("doc_id") * 2654435761L) % 1000000007L % 100L < 3L)
+          .select(col("doc_id"), col("hs"))
+        val bgGrid = tracked(base.as("a")
+          .join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(round(graft.ext.NearDup.jaccardSorted(
+            col("a.hs"), col("b.hs")), 3).as("s3"))
+          .groupBy("s3").agg(count(lit(1)).as("ct")))
+        def sweep(grid: DataFrame, b: Int, r: Int): DataFrame = {
+          val lst = sort_array(collect_list(struct(col("s3"), col("ct"))))
+          grid.agg(sum("ct").as("n"),
+            aggregate(lst, lit(0.0d), (acc, e) =>
+              acc + e.getField("ct").cast("double")
+                * (lit(1.0d) - powc(lit(1.0d)
+                  - powc(e.getField("s3"), r), b))).as("w"))
+            .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+              col("n"), col("w"))
+        }
+        val combos = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+        val rows = combos.map { case (b, r) =>
+          sweep(tpGrid, b, r)
+            .select(col("b"), col("r"), col("n").as("n_true"),
+              col("w").as("wt"))
+            .crossJoin(broadcast(sweep(bgGrid, b, r)
+              .select(col("n").as("n_bg"), col("w").as("wb"))))
+        }.reduce(_ unionAll _)
+        rows.select(col("b"), col("r"), col("n_true"), col("n_bg"),
+          round(col("wt") / col("n_true").cast("double"), 6)
+            .as("exp_recall"),
+          round(col("wb") / col("n_bg").cast("double") * 1.0e9d, 3)
+            .as("exp_fp_per_1e9"))
+          .orderBy("r")
+      },
+      Some {
+        def powS(e: String, n: Int) = Seq.fill(n)(s"($e)").mkString(" * ")
+        def pSql(b: Int, r: Int) =
+          s"(1.0 - ${powS(s"1.0 - ${powS("s3", r)}", b)})"
+        val arms = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+          s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r,
+             |  (SELECT n FROM tn) AS n_true, (SELECT n FROM bn) AS n_bg,
+             |  round((SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list(CAST(ct AS DOUBLE) * ${pSql(b, r)} ORDER BY s3)),
+             |      (x, y) -> x + y) FROM tg)
+             |    / CAST((SELECT n FROM tn) AS DOUBLE), 6) AS exp_recall,
+             |  round((SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list(CAST(ct AS DOUBLE) * ${pSql(b, r)} ORDER BY s3)),
+             |      (x, y) -> x + y) FROM bg)
+             |    / CAST((SELECT n FROM bn) AS DOUBLE) * 1e9, 3)
+             |    AS exp_fp_per_1e9""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""$SqlBase,
+           |sig AS (SELECT doc_id, hs,
+           |    ${graft.ext.NearDup.Sql.minhashCols(mhParams)} FROM h),
+           |tp AS (SELECT round(${graft.ext.NearDup.Sql.jaccardSql("a.hs", "b.hs")}, 6) AS jac
+           |  FROM sig a JOIN sig b
+           |    ON a.doc_id < b.doc_id
+           |    AND (${graft.ext.NearDup.Sql.bandEq(MinhashK, BandR)})),
+           |tg AS (SELECT round(jac, 3) AS s3, CAST(count(*) AS BIGINT)
+           |    AS ct FROM tp WHERE jac >= 0.3 GROUP BY 1),
+           |tn AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM tg),
+           |sb AS (SELECT doc_id, hs FROM h
+           |  WHERE len(hs) > 0
+           |    AND (doc_id * 2654435761) % 1000000007 % 100 < 3),
+           |bp AS (SELECT round(${graft.ext.NearDup.Sql.jaccardSql("a.hs", "b.hs")}, 3) AS s3
+           |  FROM sb a JOIN sb b ON a.doc_id < b.doc_id),
+           |bg AS (SELECT s3, CAST(count(*) AS BIGINT) AS ct FROM bp
+           |  GROUP BY 1),
+           |bn AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM bg)
+           |SELECT * FROM ($arms) ORDER BY r""".stripMargin
+      }),
   )
 }
 
