@@ -6567,5 +6567,96 @@ object ParityQueries {
              |      + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
              |        / 4.0), 6) AS jb
              |FROM mm""".stripMargin)),
+
+    // ----- Minimum detectable effect / power analysis for the a22
+    // experiment design (the question every experiment review asks
+    // BEFORE launch: "at this n, what lift can we even see?" — MDE =
+    // (z_{1−α/2} + z_{power})·σ_pooled·√(1/nA + 1/nB) at α = 0.05,
+    // power 0.8): normal quantiles are transcendental FUNCTIONS but
+    // the two needed here are CONSTANTS of the design — z = 1.959964
+    // and 0.841621 ride as pinned literals (the same move as pinned
+    // DCG/Poisson ladders: the engine never computes Φ⁻¹, it cites
+    // it), everything else is exact — arm split by the a22 key hash,
+    // per-arm (n, Σ, Σ²) with second moments on DECIMAL(38,0)/
+    // HUGEINT (cents² sums clear int64 — the a54 rule), pooled σ and
+    // the MDE in pinned IEEE expressions. Output: one row with arm
+    // sizes, means, σ, absolute MDE (cents→currency) and relative
+    // MDE — the design sensitivity read straight off the corpus.
+    QueryDef(
+      "a66_power_mde",
+      (s, d) => {
+        val x = t(s, d, "orders").select(
+          (col("o_custkey") % 2 === 0).as("arm_a"),
+          expr("CAST(round(o_totalprice*100) AS BIGINT)").as("c"))
+        val agg = x.agg(
+          sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm_a"), col("c")).otherwise(0L)).as("sa"),
+          sum(when(col("arm_a"), (col("c") * col("c"))
+            .cast("decimal(38,0)")).otherwise(lit(0L).cast("decimal(38,0)")))
+            .as("qa"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("nb"),
+          sum(when(!col("arm_a"), col("c")).otherwise(0L)).as("sb"),
+          sum(when(!col("arm_a"), (col("c") * col("c"))
+            .cast("decimal(38,0)")).otherwise(lit(0L).cast("decimal(38,0)")))
+            .as("qb"))
+        agg.select(col("na"), col("nb"),
+          (col("sa").cast("double") / col("na").cast("double")).as("ma"),
+          (col("sb").cast("double") / col("nb").cast("double")).as("mb"),
+          ((col("qa").cast("double") + col("qb").cast("double")
+            - col("sa").cast("double") * col("sa").cast("double")
+              / col("na").cast("double")
+            - col("sb").cast("double") * col("sb").cast("double")
+              / col("nb").cast("double"))
+            / (col("na") + col("nb") - 2L).cast("double")).as("v"),
+          (lit(1.0d) / col("na").cast("double")
+            + lit(1.0d) / col("nb").cast("double")).as("invn"))
+          .select(col("na"), col("nb"),
+            round(col("ma") / 100.0d, 6).as("mean_a"),
+            round(col("mb") / 100.0d, 6).as("mean_b"),
+            round(sqrt(col("v")) / 100.0d, 6).as("sigma"),
+            round(lit(1.959964d + 0.841621d) * sqrt(col("v"))
+              * sqrt(col("invn")) / 100.0d, 6).as("mde_abs"),
+            round(lit(1.959964d + 0.841621d) * sqrt(col("v"))
+              * sqrt(col("invn"))
+              / ((col("ma") + col("mb")) / 2.0d), 6).as("mde_rel"))
+      },
+      Some("""WITH x AS (SELECT (o_custkey % 2 = 0) AS arm_a,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS c
+             |  FROM orders),
+             |agg AS (SELECT
+             |    CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS na,
+             |    CAST(sum(CASE WHEN arm_a THEN c ELSE 0 END) AS BIGINT)
+             |      AS sa,
+             |    CAST(sum(CASE WHEN arm_a THEN CAST(c AS HUGEINT)*c
+             |      ELSE 0 END) AS HUGEINT) AS qa,
+             |    CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nb,
+             |    CAST(sum(CASE WHEN NOT arm_a THEN c ELSE 0 END)
+             |      AS BIGINT) AS sb,
+             |    CAST(sum(CASE WHEN NOT arm_a THEN CAST(c AS HUGEINT)*c
+             |      ELSE 0 END) AS HUGEINT) AS qb
+             |  FROM x),
+             |dd AS (SELECT na, nb,
+             |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+             |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+             |    (CAST(qa AS DOUBLE) + CAST(qb AS DOUBLE)
+             |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+             |        / CAST(na AS DOUBLE)
+             |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+             |        / CAST(nb AS DOUBLE))
+             |      / CAST(na + nb - 2 AS DOUBLE) AS v,
+             |    1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)
+             |      AS invn
+             |  FROM agg)
+             |SELECT na, nb,
+             |  round(ma / 100.0, 6) AS mean_a,
+             |  round(mb / 100.0, 6) AS mean_b,
+             |  round(sqrt(v) / 100.0, 6) AS sigma,
+             |  round(2.801585 * sqrt(v) * sqrt(invn) / 100.0, 6)
+             |    AS mde_abs,
+             |  round(2.801585 * sqrt(v) * sqrt(invn)
+             |    / ((ma + mb) / 2.0), 6) AS mde_rel
+             |FROM dd""".stripMargin)),
   )
 }
