@@ -616,6 +616,99 @@ object SimilarityQueries {
               |  ON c${KmeansRounds + 1}.cell = members.cell
               |GROUP BY 1, 2 ORDER BY cell""".stripMargin)),
 
+    // ----- Davies-Bouldin index of sim9's k-means clustering — the
+    // clustering-QUALITY metric the similarity family was missing
+    // (sim9 emits centroids and sizes; DB says whether the partition
+    // is any good: for each cluster the worst (sᵢ+sⱼ)/dᵢⱼ ratio of
+    // within-scatter to between-centroid distance, averaged — lower
+    // is better, the g18-modularity move applied to vector
+    // clustering). Same pinned model as sim9 (Lloyd.fitQuantized on
+    // the quantized corpus — the mirror replays the identical rounds,
+    // so assignments are a{R+1} under c{R}); scatter uses the RMS
+    // form sᵢ = √(Σdist²/n) so the per-cluster reduction is an EXACT
+    // integer sum (an avg-of-sqrt would sum data-scale doubles —
+    // partition-order-dependent), one sqrt per cluster after; the
+    // K×K ratio grid and per-cluster max are grid-sized, and the
+    // final K-term average folds over a cell-ordered packed list
+    // (the a62 discipline). Output: one row per cluster with its
+    // size, RMS scatter, worst ratio, and the shared DB index.
+    QueryDef(
+      "sim25_davies_bouldin",
+      (s, d) => {
+        val qdf = tracked(Lloyd.quantized(emb(s, d)))
+        val cents = Lloyd.fitQuantized(qdf, KmeansK, KmeansRounds)
+        val spark0 = s
+        import spark0.implicits._
+        val centDf = broadcast((for {
+          (cv, cell) <- cents.zipWithIndex
+          (c, di) <- cv.zipWithIndex
+        } yield (cell.toLong, di.toLong, c)).toDF("cell", "d", "c"))
+        val assigned = qdf
+          .withColumn("cell", Lloyd.assignCell(col("qv"), cents).cast("long"))
+        val md = assigned
+          .select(col("cell"), col("vec_id"),
+            posexplode(col("qv")).as(Seq("d0", "v")))
+          .select(col("cell"), col("vec_id"),
+            (col("d0")).cast("long").as("d"), col("v"))
+          .join(centDf, Seq("cell", "d"))
+          .groupBy("cell")
+          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("ss"),
+            countDistinct(col("vec_id")).as("n"))
+        val si = tracked(md.select(col("cell"), col("n"),
+          sqrt(col("ss").cast("double") / col("n").cast("double")).as("s")))
+        val dij = centDf.as("a")
+          .join(centDf.as("b"),
+            col("a.d") === col("b.d") && col("a.cell") =!= col("b.cell"))
+          .groupBy(col("a.cell").as("i"), col("b.cell").as("j"))
+          .agg(sqrt(sum((col("a.c") - col("b.c"))
+            * (col("a.c") - col("b.c"))).cast("double")).as("dd"))
+        val rij = tracked(dij
+          .join(si.select(col("cell").as("i"), col("s").as("si_")), Seq("i"))
+          .join(si.select(col("cell").as("j"), col("s").as("sj_")), Seq("j"))
+          .groupBy("i")
+          .agg(max((col("si_") + col("sj_")) / col("dd")).as("mr")))
+        val db = rij.agg((aggregate(
+          sort_array(collect_list(struct(col("i"), col("mr")))),
+          lit(0.0d), (acc, e) => acc + e.getField("mr"))
+          / count(lit(1)).cast("double")).as("db"))
+        si.join(rij.select(col("i").as("cell"), col("mr")), Seq("cell"))
+          .crossJoin(broadcast(db))
+          .select(col("cell"), col("n").as("n_members"),
+            round(col("s"), 6).as("s_rms"),
+            round(col("mr"), 6).as("max_ratio"),
+            round(col("db"), 6).as("db_index"))
+          .orderBy("cell")
+      },
+      Some {
+        val R = KmeansRounds
+        s"""WITH ${Lloyd.Sql.base(KmeansK, Dim)},
+           |${(1 to R + 1).map(Lloyd.Sql.round).mkString(",\n")},
+           |md AS (SELECT a${R + 1}.cell,
+           |    CAST(sum((qd.v - c$R.c) * (qd.v - c$R.c)) AS BIGINT) AS ss,
+           |    CAST(count(DISTINCT a${R + 1}.vec_id) AS BIGINT) AS n
+           |  FROM a${R + 1} JOIN qd USING (vec_id)
+           |  JOIN c$R ON qd.d = c$R.d AND a${R + 1}.cell = c$R.cell
+           |  GROUP BY 1),
+           |si AS (SELECT cell, n,
+           |    sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) AS s FROM md),
+           |dij AS (SELECT a.cell AS i, b.cell AS j,
+           |    sqrt(CAST(sum((a.c - b.c) * (a.c - b.c)) AS DOUBLE)) AS dd
+           |  FROM c$R a JOIN c$R b ON a.d = b.d AND a.cell != b.cell
+           |  GROUP BY 1, 2),
+           |rij AS (SELECT i, max((sa.s + sb.s) / dd) AS mr
+           |  FROM dij JOIN si sa ON dij.i = sa.cell
+           |  JOIN si sb ON dij.j = sb.cell GROUP BY 1),
+           |db AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list(mr ORDER BY i)), (x, y) -> x + y)
+           |    / CAST(count(*) AS DOUBLE) AS db FROM rij)
+           |SELECT CAST(si.cell AS BIGINT) AS cell, si.n AS n_members,
+           |  round(si.s, 6) AS s_rms,
+           |  round(rij.mr, 6) AS max_ratio,
+           |  round((SELECT db FROM db), 6) AS db_index
+           |FROM si JOIN rij ON si.cell = rij.i
+           |ORDER BY si.cell""".stripMargin
+      }),
+
     // ----- product-quantization ADC top-k: the memory-compression ANN
     // path (IVF prunes WHICH vectors to score; PQ compresses WHAT is
     // stored — 4 byte codes vs 64 floats per vector, 64×, which is
