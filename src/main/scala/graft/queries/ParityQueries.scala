@@ -6658,5 +6658,73 @@ object ParityQueries {
              |  round(2.801585 * sqrt(v) * sqrt(invn)
              |    / ((ma + mb) / 2.0), 6) AS mde_rel
              |FROM dd""".stripMargin)),
+
+    // ----- Winsorized mean (the robust-location family's fourth
+    // member, each answering a different outlier stance: w7 FLAGS
+    // them, w10 DELETES the tails, a56 outvotes them by blocks —
+    // winsorizing CLAMPS the tails to the [p5, p95] order statistics,
+    // keeping every observation's vote while bounding its leverage,
+    // the estimator metric pipelines prefer when tail mass is real
+    // but its magnitude is noise): the clamp bounds are exact type-1
+    // order statistics read off the tie-collapsed cents grid
+    // (Rank.runningTotals prefix sums — never a data-sized sort), and
+    // the winsorized SUM is computed ON THE GRID — Σ t·clamp(v) over
+    // ≤|distinct cents| rows, exact longs — so no second pass over
+    // the facts and no per-row double anywhere before the single
+    // final division. Raw mean rides alongside; the gap is the tail
+    // leverage the clamp removed.
+    QueryDef(
+      "w17_winsorized_mean",
+      (s, d) => {
+        val grid = tracked(t(s, d, "orders")
+          .select(expr("CAST(round(o_totalprice*100) AS BIGINT)").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("t")))
+        val cum = tracked(graft.ops.Rank.runningTotals(
+          grid, Seq(col("v")), Seq("t" -> "cum"), tracked(_)))
+        val nn = cum.agg(max("cum").as("n"))
+        def orderStat(q: Int) = cum.crossJoin(broadcast(nn))
+          .filter(col("cum") - col("t") < expr(s"($q * n + 99) div 100")
+            && expr(s"($q * n + 99) div 100") <= col("cum"))
+          .select(col("v"))
+        val lo = orderStat(5).select(col("v").as("p5"))
+        val hi = orderStat(95).select(col("v").as("p95"))
+        cum.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .crossJoin(broadcast(nn))
+          .agg(max("n").as("n"), max("p5").as("p5c"), max("p95").as("p95c"),
+            sum(col("t") * col("v")).as("raw_sum"),
+            sum(col("t") * greatest(col("p5"),
+              least(col("p95"), col("v")))).as("win_sum"))
+          .select(col("n"),
+            round(col("p5c").cast("double") / 100.0d, 2).as("p5"),
+            round(col("p95c").cast("double") / 100.0d, 2).as("p95"),
+            round(col("raw_sum").cast("double")
+              / col("n").cast("double") / 100.0d, 6).as("mean"),
+            round(col("win_sum").cast("double")
+              / col("n").cast("double") / 100.0d, 6).as("winsorized_mean"))
+      },
+      Some("""WITH g AS (SELECT CAST(round(o_totalprice*100) AS BIGINT)
+             |    AS v, CAST(count(*) AS BIGINT) AS t
+             |  FROM orders GROUP BY 1),
+             |cum AS (SELECT v, t, CAST(sum(t) OVER (ORDER BY v
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g),
+             |nn AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum),
+             |lo AS (SELECT v AS p5 FROM cum, nn
+             |  WHERE cum - t < (5 * n + 99) // 100
+             |    AND (5 * n + 99) // 100 <= cum),
+             |hi AS (SELECT v AS p95 FROM cum, nn
+             |  WHERE cum - t < (95 * n + 99) // 100
+             |    AND (95 * n + 99) // 100 <= cum)
+             |SELECT (SELECT n FROM nn) AS n,
+             |  round(CAST((SELECT p5 FROM lo) AS DOUBLE) / 100.0, 2)
+             |    AS p5,
+             |  round(CAST((SELECT p95 FROM hi) AS DOUBLE) / 100.0, 2)
+             |    AS p95,
+             |  round(CAST(sum(t * v) AS DOUBLE)
+             |    / CAST((SELECT n FROM nn) AS DOUBLE) / 100.0, 6) AS mean,
+             |  round(CAST(sum(t * greatest((SELECT p5 FROM lo),
+             |      least((SELECT p95 FROM hi), v))) AS DOUBLE)
+             |    / CAST((SELECT n FROM nn) AS DOUBLE) / 100.0, 6)
+             |    AS winsorized_mean
+             |FROM cum""".stripMargin)),
   )
 }
