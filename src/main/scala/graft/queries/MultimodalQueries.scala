@@ -420,6 +420,71 @@ object MultimodalQueries {
              |      * (CASE WHEN j % 2 = 1 THEN 16 ELSE 1 END)
              |     for j in range(1, len(h) + 1)]) END AS BIGINT) AS byte_sum
              |FROM sl ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // ----- Byte-ENTROPY profile of the media blobs — the
+    // compressed-vs-raw detector every media-ingest gate runs first
+    // (already-compressed payloads shouldn't be recompressed or
+    // near-dup'd byte-wise; a "video" whose byte entropy sits at
+    // text level is mislabeled — this corpus's fake media ARE text
+    // bytes, and the ~4.2-nat reading says so, which is the gate
+    // working): per-blob byte HISTOGRAM (≤256 rows/blob — the grid
+    // collapse), Shannon entropy in the a25 algebraic form H =
+    // ln n − (Σ c·ln c)/n so every log argument is an exact integer
+    // (tx30's ln precedent, 6-dp pin), and the ≤256-term Σ c·ln c
+    // folds over a byte-ORDERED packed list (the a62 discipline —
+    // doubles never sum through a hash shuffle). Byte extraction is
+    // the m10 idiom pair: typed flatMap over Array[Byte] on the
+    // Spark side, hex-digit parsing in the mirror.
+    QueryDef(
+      "m11_byte_entropy",
+      (s, d) => {
+        import s.implicits._
+        val m = Multimodal
+          .fromDocuments(graft.sources.Tables.table(s, d, "documents"))
+          .filter(col("media_id") < 60)
+          .select(col("media_id"), col("content"))
+          .as[(Long, Array[Byte])]
+        val bytes = m.flatMap { case (id, c) =>
+          c.map(b => (id, (b & 0xff).toLong))
+        }.toDF("media_id", "byte")
+        val hist = bytes.groupBy("media_id", "byte")
+          .agg(count(lit(1)).as("c"))
+        hist.groupBy("media_id")
+          .agg(sum("c").as("n_bytes"), count(lit(1)).as("n_distinct"),
+            aggregate(
+              sort_array(collect_list(struct(col("byte"), col("c")))),
+              lit(0.0d), (acc, e) => acc + e.getField("c").cast("double")
+                * log(e.getField("c").cast("double"))).as("sl"))
+          .select(col("media_id"), col("n_bytes"), col("n_distinct"),
+            round(log(col("n_bytes").cast("double"))
+              - col("sl") / col("n_bytes").cast("double"), 6)
+              .as("entropy_nats"))
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    upper(hex(encode(text))) AS hx,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+             |  FROM documents WHERE doc_id < 60),
+             |j AS (SELECT media_id, hx,
+             |    unnest(generate_series(1, n)) AS j FROM m),
+             |b AS (SELECT media_id,
+             |    (strpos('0123456789ABCDEF', substr(hx, 2*j - 1, 1)) - 1)
+             |      * 16
+             |    + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1)) - 1)
+             |      AS byte
+             |  FROM j),
+             |h AS (SELECT media_id, byte, CAST(count(*) AS BIGINT) AS c
+             |  FROM b GROUP BY 1, 2),
+             |e AS (SELECT media_id, CAST(sum(c) AS BIGINT) AS n_bytes,
+             |    CAST(count(*) AS BIGINT) AS n_distinct,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+             |        ORDER BY byte)), (x, y) -> x + y) AS sl
+             |  FROM h GROUP BY 1)
+             |SELECT media_id, n_bytes, n_distinct,
+             |  round(ln(CAST(n_bytes AS DOUBLE))
+             |    - sl / CAST(n_bytes AS DOUBLE), 6) AS entropy_nats
+             |FROM e ORDER BY media_id""".stripMargin)),
   )
 }
 
