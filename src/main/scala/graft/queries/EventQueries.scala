@@ -620,6 +620,80 @@ object EventQueries {
              |WHERE hb % 2 = 1 AND pl_ts IS NOT NULL AND nf_ts IS NOT NULL
              |ORDER BY event_type, probe_ts""".stripMargin)),
 
+    // ----- SEASONAL STRENGTH of the hourly event series (the
+    // decomposition-quality scalar on top of t_seasonal_residual's
+    // per-hour anomaly rows: Fs = 1 − SSE(residual)/SST = the
+    // variance share the hour-of-day profile explains — the number
+    // that says whether seasonal adjustment is worth running at all,
+    // Hyndman's seasonal-strength read): volume collapses to the
+    // hourly-count grid, the seasonal model is the hod mean bs/bn
+    // (exact rational), and each hod's residual SSE rides the
+    // DENOMINATOR-CLEARED exact identity SSE_h·bn² = bn²·Σc² −
+    // 2·bn·bs·Σc + n_h·bs² — pure longs per hod — with the 24
+    // per-hod doubles (÷bn² each) folded in hod order (the a62
+    // discipline). SST from the same grid's global sufficient
+    // statistics. Output: one row (n_hours, sst, sse_resid,
+    // strength).
+    QueryDef(
+      "t_stl_strength",
+      (s, d) => {
+        val hourly = tracked(events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"),
+            hour(col("ts")).cast("long").as("hod"))
+          .agg(count(lit(1)).as("cnt")))
+        val perHod = hourly.groupBy("hod")
+          .agg(sum("cnt").as("bs"), count(lit(1)).as("bn"),
+            sum(col("cnt") * col("cnt")).as("q"))
+        val sse = perHod
+          .select(col("hod"),
+            ((col("bn") * col("bn") * col("q")
+              - lit(2L) * col("bn") * col("bs") * col("bs")
+              + col("bn") * col("bs") * col("bs")).cast("double")
+              / (col("bn") * col("bn")).cast("double")).as("sse_h"))
+        val tot = hourly.agg(count(lit(1)).as("nh"), sum("cnt").as("sc"),
+          sum(col("cnt") * col("cnt")).as("sq"))
+        val folded = sse.agg(aggregate(
+          sort_array(collect_list(struct(col("hod"), col("sse_h")))),
+          lit(0.0d), (acc, e) => acc + e.getField("sse_h")).as("sse"))
+        folded.crossJoin(broadcast(tot))
+          .select(col("nh").as("n_hours"),
+            round(col("sq").cast("double")
+              - col("sc").cast("double") * col("sc").cast("double")
+                / col("nh").cast("double"), 6).as("sst"),
+            round(col("sse"), 6).as("sse_resid"),
+            round(lit(1.0d) - col("sse")
+              / (col("sq").cast("double")
+                - col("sc").cast("double") * col("sc").cast("double")
+                  / col("nh").cast("double")), 6).as("strength"))
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+             |    CAST(hour(ts) AS BIGINT) AS hod,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |ph AS (SELECT hod, CAST(sum(cnt) AS BIGINT) AS bs,
+             |    CAST(count(*) AS BIGINT) AS bn,
+             |    CAST(sum(cnt*cnt) AS BIGINT) AS q
+             |  FROM hourly GROUP BY 1),
+             |sse AS (SELECT hod,
+             |    CAST(bn*bn*q - 2*bn*bs*bs + bn*bs*bs AS DOUBLE)
+             |      / CAST(bn*bn AS DOUBLE) AS sse_h
+             |  FROM ph),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS nh,
+             |    CAST(sum(cnt) AS BIGINT) AS sc,
+             |    CAST(sum(cnt*cnt) AS BIGINT) AS sq FROM hourly),
+             |f AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list(sse_h ORDER BY hod)), (a, b) -> a + b) AS sse
+             |  FROM sse)
+             |SELECT nh AS n_hours,
+             |  round(CAST(sq AS DOUBLE)
+             |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+             |      / CAST(nh AS DOUBLE), 6) AS sst,
+             |  round(sse, 6) AS sse_resid,
+             |  round(1.0 - sse / (CAST(sq AS DOUBLE)
+             |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+             |      / CAST(nh AS DOUBLE)), 6) AS strength
+             |FROM f, tot""".stripMargin)),
+
     // ----- two-proportion A/B z-test: the experiment read-out every
     // product analytics stack ships (arm = deterministic user split,
     // conversion = purchase events). One aggregation collapses any

@@ -6726,5 +6726,76 @@ object ParityQueries {
              |    / CAST((SELECT n FROM nn) AS DOUBLE) / 100.0, 6)
              |    AS winsorized_mean
              |FROM cum""".stripMargin)),
+
+    // ----- Cramér's V for segment × order-priority (the EFFECT-SIZE
+    // companion a24's chi-square lacks: at 150k orders a χ² p-value
+    // flags associations too small to matter — V = √(χ²/(N·min(r−1,
+    // c−1))) ∈ [0,1] is the magnitude an analyst can threshold, the
+    // standard categorical effect size): the fact volume collapses to
+    // the 25-cell contingency grid in one grouped count; χ² assembles
+    // per cell from EXACT LONGS — (n_ij·N − r_i·c_j) is exact, the
+    // square and division go to double per cell — and the 25 cell
+    // terms fold over a (seg, pri)-ORDERED packed list (the a62
+    // discipline), with V one more pinned expression. Output: one
+    // row (n, dof, chi2, v).
+    QueryDef(
+      "a67_cramers_v",
+      (s, d) => {
+        val x = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            substring(col("o_orderpriority"), 1, 1).as("pri"))
+        val cells = tracked(x.groupBy("seg", "pri")
+          .agg(count(lit(1)).as("nij")))
+        val rT = cells.groupBy("seg").agg(sum("nij").as("ri"))
+        val cT = cells.groupBy("pri").agg(sum("nij").as("cj"))
+        val nT = cells.agg(sum("nij").as("nn"))
+        val terms = cells.join(rT, Seq("seg")).join(cT, Seq("pri"))
+          .crossJoin(broadcast(nT))
+          .select(col("seg"), col("pri"),
+            ((col("nij") * col("nn") - col("ri") * col("cj"))
+              .cast("double")
+              * (col("nij") * col("nn") - col("ri") * col("cj"))
+                .cast("double")
+              / (col("ri").cast("double") * col("cj").cast("double")
+                * col("nn").cast("double"))).as("term"),
+            col("nn"))
+        terms.groupBy("nn")
+          .agg(aggregate(
+            sort_array(collect_list(struct(col("seg"), col("pri"),
+              col("term")))),
+            lit(0.0d), (acc, e) => acc + e.getField("term")).as("chi2"))
+          .select(col("nn").as("n"), lit(4L).as("dof"),
+            round(col("chi2"), 6).as("chi2"),
+            round(sqrt(col("chi2")
+              / (col("nn").cast("double") * lit(4.0d))), 6)
+              .as("cramers_v"))
+      },
+      Some("""WITH x AS (SELECT c_mktsegment AS seg,
+             |    substr(o_orderpriority, 1, 1) AS pri
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |cells AS (SELECT seg, pri, CAST(count(*) AS BIGINT) AS nij
+             |  FROM x GROUP BY 1, 2),
+             |rt AS (SELECT seg, CAST(sum(nij) AS BIGINT) AS ri
+             |  FROM cells GROUP BY 1),
+             |ct AS (SELECT pri, CAST(sum(nij) AS BIGINT) AS cj
+             |  FROM cells GROUP BY 1),
+             |nt AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells),
+             |terms AS (SELECT cells.seg, cells.pri,
+             |    CAST(nij * nn - ri * cj AS DOUBLE)
+             |      * CAST(nij * nn - ri * cj AS DOUBLE)
+             |      / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+             |        * CAST(nn AS DOUBLE)) AS term, nn
+             |  FROM cells JOIN rt USING (seg) JOIN ct USING (pri)
+             |  CROSS JOIN nt),
+             |chi AS (SELECT nn, list_reduce(list_prepend(
+             |    CAST(0 AS DOUBLE),
+             |    list(term ORDER BY seg, pri)), (a, b) -> a + b) AS chi2
+             |  FROM terms GROUP BY nn)
+             |SELECT nn AS n, CAST(4 AS BIGINT) AS dof,
+             |  round(chi2, 6) AS chi2,
+             |  round(sqrt(chi2 / (CAST(nn AS DOUBLE) * 4.0)), 6)
+             |    AS cramers_v
+             |FROM chi""".stripMargin)),
   )
 }
