@@ -863,7 +863,13 @@ object DedupQueries {
     // jac ≥ 0.3 (the corpus is mid-gap separated — planted pairs
     // ≥ 0.5, background ≈ 0.001 — so the candidate set IS the
     // near-dup spectrum), background sims from a deterministic 3%
-    // key-hash sample's exact all-pairs. BOTH distributions collapse
+    // key-hash sample's exact all-pairs — note the SAMPLE-SIZE knob:
+    // a fixed FRACTION squares with the corpus (3%² of n² pairs), so
+    // at scale the threshold is set to target a CONSTANT ~10³-doc
+    // sample (hash < k·P/n), which this fixture's 3% approximates;
+    // the estimator only needs enough pairs to pin the background
+    // sim histogram, not a corpus-proportional share. BOTH
+    // distributions collapse
     // to a ≤1001-value rounded-sim GRID first (grid-collapse-first),
     // detection probability p(s) = 1 − (1 − s^r)^b with the integer
     // powers spelled as explicit products, and the grid-weighted
