@@ -2287,6 +2287,64 @@ object ParityQueries {
               |FROM (SELECT label, count(*)::BIGINT AS size FROM l3 GROUP BY 1)
               |GROUP BY 1 ORDER BY size""".stripMargin)),
 
+    // ----- Graph: degree-distribution TAIL profile in doubling
+    // buckets (the heavy-tail check behind every hub-mitigation
+    // decision — salting, degree caps, the E27 rule — made WITHOUT
+    // logarithms: bucket = ⌊log₂ deg⌋ computed as the BIT LENGTH of
+    // the integer degree, length(bin(dg)) − 1 on both engines — an
+    // exact integer, not a transcendental; for a power-law tail with
+    // exponent α the node count falls by a factor 2^(α−1) per
+    // doubling bucket, so the successive-bucket decay ratio IS the
+    // tail read — flat ratios ≈ heavy tail that will hotspot a
+    // shuffle, steep ratios ≈ safe): one degree agg (uniform key),
+    // histogram over ≤ ~35 buckets at ANY scale (buckets are log₂ of
+    // max degree — domain-bounded by 2⁶³), decay via a bucket-grid
+    // self-join on b−1.
+    QueryDef(
+      "g19_degree_tail",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").cast("long").as("u"),
+            col("b.pk").cast("long").as("v"))
+          .distinct()
+        val deg = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val hist = tracked(deg
+          .select((length(bin(col("dg"))) - 1).cast("long").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n_nodes")))
+        hist.join(hist.select((col("b") + 1L).as("b"),
+            col("n_nodes").as("prev")), Seq("b"), "left")
+          .select(col("b").as("bucket"),
+            expr("CAST(pow(2, b) AS BIGINT)").as("min_degree"),
+            col("n_nodes"),
+            round(col("prev").cast("double")
+              / col("n_nodes").cast("double"), 6).as("decay_ratio"))
+          .orderBy("bucket")
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok,
+             |    l_partkey AS pk FROM lineitem),
+             |e AS (SELECT DISTINCT CAST(a.pk AS BIGINT) AS u,
+             |    CAST(b.pk AS BIGINT) AS v
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+             |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM (
+             |  SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+             |  GROUP BY 1),
+             |h AS (SELECT CAST(length(bin(dg)) - 1 AS BIGINT) AS b,
+             |    CAST(count(*) AS BIGINT) AS n_nodes
+             |  FROM deg GROUP BY 1)
+             |SELECT h.b AS bucket,
+             |  CAST(pow(2, h.b) AS BIGINT) AS min_degree,
+             |  h.n_nodes,
+             |  round(CAST(p.n_nodes AS DOUBLE)
+             |    / CAST(h.n_nodes AS DOUBLE), 6) AS decay_ratio
+             |FROM h LEFT JOIN h p ON p.b = h.b - 1
+             |ORDER BY bucket""".stripMargin)),
+
     // ----- Graph: Newman MODULARITY of g5's LPA communities — the
     // QUALITY metric the community family was missing (g5 emits the
     // size histogram; modularity says whether the partition beats
