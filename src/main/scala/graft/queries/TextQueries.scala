@@ -3256,5 +3256,69 @@ object TextQueries {
              |    AS kappa
              |FROM agg""".stripMargin)),
 
+    // ----- Kendall's W across three per-source RANKINGS (the
+    // rank-concordance companion of tx52's label agreement — Fleiss
+    // asks "do the raters assign the same class", W asks "do three
+    // metrics ORDER the sources the same way", the multi-judge
+    // leaderboard-stability read): judges = doc count, total chars,
+    // total tokens per source; each ranking is a runningTotals
+    // ones-count over the per-source grid (the source key is
+    // data-scale at the north-star workload — round-8 verdict item 4
+    // — so ranks ride the range-exchange primitive, never an
+    // unpartitioned window; ties broken by source name, so ranks are
+    // permutations and the no-ties W form is exact). The statistic
+    // is ALL-INTEGER via doubling: Dᵢ = 2Rᵢ − m(n+1) clears the
+    // half-integer mean, S4 = ΣDᵢ² exact, W = 3·S4/(m²·(n³−n))/...
+    // assembled in one pinned division. One row out.
+    QueryDef(
+      "a68_kendalls_w",
+      (s, d) => {
+        val per = tracked(docs(s, d).groupBy("source")
+          .agg(count(lit(1)).as("m1"),
+            sum(col("n_chars").cast("long")).as("m2"),
+            sum(graft.ext.TextAnalysis.tokenCount(col("text"))
+              .cast("long")).as("m3")))
+        def rk(metric: String, out: String)(df: DataFrame): DataFrame =
+          graft.ops.Rank.runningTotals(
+            df.withColumn("__one", lit(1L)),
+            Seq(col(metric), col("source")), Seq("__one" -> out),
+            tracked(_)).drop("__one")
+        val ranked = rk("m3", "r3")(rk("m2", "r2")(rk("m1", "r1")(per)))
+        val nS = ranked.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(nS))
+          .select(((col("r1") + col("r2") + col("r3")) * 2L
+            - lit(3L) * (col("n") + 1L)).as("dd"), col("n"))
+          .groupBy("n")
+          .agg(sum(col("dd") * col("dd")).as("s4"))
+          .select(col("n").as("n_sources"),
+            col("s4"),
+            round(lit(3.0d) * col("s4").cast("double")
+              / (lit(9.0d) * (col("n") * col("n") * col("n") - col("n"))
+                .cast("double")), 6).as("kendalls_w"))
+      },
+      Some("""WITH per AS (SELECT source,
+             |    CAST(count(*) AS BIGINT) AS m1,
+             |    CAST(sum(n_chars) AS BIGINT) AS m2,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS m3
+             |  FROM documents GROUP BY 1),
+             |rk AS (SELECT source,
+             |    CAST(row_number() OVER (ORDER BY m1, source) AS BIGINT)
+             |      AS r1,
+             |    CAST(row_number() OVER (ORDER BY m2, source) AS BIGINT)
+             |      AS r2,
+             |    CAST(row_number() OVER (ORDER BY m3, source) AS BIGINT)
+             |      AS r3
+             |  FROM per),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
+             |dd AS (SELECT ((r1 + r2 + r3) * 2
+             |    - 3 * ((SELECT n FROM nn) + 1)) AS d FROM rk)
+             |SELECT (SELECT n FROM nn) AS n_sources,
+             |  CAST(sum(d*d) AS BIGINT) AS s4,
+             |  round(3.0 * CAST(sum(d*d) AS DOUBLE)
+             |    / (9.0 * CAST((SELECT n FROM nn) * (SELECT n FROM nn)
+             |      * (SELECT n FROM nn) - (SELECT n FROM nn) AS DOUBLE)),
+             |    6) AS kendalls_w
+             |FROM dd""".stripMargin)),
+
   )
 }
