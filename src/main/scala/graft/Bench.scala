@@ -531,12 +531,7 @@ object Bench {
       // ~100 s/sample at 8× (the customer-key pair fan-out scales
       // linearly in copies but starts too heavy), the g7_ktruss
       // precedent applied before burning tier time.
-      .getOrElse(Seq("dedup_minhash_pairs", "dedup_simhash_pairs",
-        "pipeline_curation", "tx12_bigram_lm_score",
-        "dedup_embedding_lsh", "dedup_components",
-        "q3_top_order_revenue", "join_3way_region_rollup",
-        "q18_large_orders", "q13_cust_order_dist",
-        "g1_pagerank", "g3_kcore", "g3b_kcore_frontier"))
+      .getOrElse(stressDefault)
     val base = Files.createTempDirectory("graft_stress_bench")
     try {
       val dir = base.toString
@@ -731,18 +726,16 @@ object Bench {
   private def moversJson(fullDefaultRun: Boolean): String = {
     if (!fullDefaultRun) return ""
     val path = Paths.get("BENCH_TIMES.json")
-    val rex = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*([0-9.]+)".r
     val out = new StringBuilder
     try {
-      if (Files.exists(path)) {
-        val body = Files.readString(path)
-        val prev = rex.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val spreadRex =
-          "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\[([0-9.]+),([0-9.]+)\\]".r
-        val prevSpread = spreadRex.findAllMatchIn(body)
-          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
-          .toMap
+      val accepted = sys.env.get("SPARK_GRAFT_ACCEPT_MOVERS")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      val body = if (Files.exists(path)) Files.readString(path) else ""
+      val prev = BenchMirror.parseTimes(body)
+      val prevSpread = BenchMirror.parseSpreads(body)
+      val prevUnattr = BenchMirror.parseUnattributed(body)
+      if (body.nonEmpty) {
         val ratios = tierTimes.toSeq.collect {
           case (k, v) if prev.get(k).exists(_ > 0.0) => (k, v, prev(k), v / prev(k))
         }
@@ -750,34 +743,43 @@ object Bench {
         movers.foreach { case (k, nv, ov, r) =>
           System.err.println(f"[bench-times] top-mover $k $ov%.2f -> $nv%.2f s (x$r%.2f)")
         }
-        val alarms = ratios.filter { case (k, nv, _, r) =>
-          r >= 2.0 && nv >= 1.0 &&
-            prevSpread.get(k).forall { case (_, prevMax) => nv > prevMax }
+        val alarms = ratios.filter { case (k, nv, _, _) =>
+          BenchMirror.isAlarm(nv, prev(k), prevSpread.get(k))
         }
         alarms.foreach { case (k, nv, ov, r) =>
           System.err.println(f"[bench-times] REGRESSION ALARM $k $ov%.2f -> " +
             f"$nv%.2f s (x$r%.2f; threshold x2, >=1 s, above prev spread max)")
         }
+        val (mTimes, mSpreads, unattr) = BenchMirror.merge(
+          prev, prevSpread, prevUnattr, tierTimes.toSeq, tierSpreads.toMap,
+          accepted)
+        unattr.foreach(k => System.err.println(
+          s"[bench-times] UNATTRIBUTED $k — mirror holds pre-alarm baseline " +
+            "until a DevQueryAB attribution (SPARK_GRAFT_ACCEPT_MOVERS) or a " +
+            "clean re-measure clears it"))
         val moverJson = movers.map { case (k, nv, ov, r) =>
-          s""""${esc(k)}":{"prev":$ov,"now":$nv,"ratio":${"%.3f".format(r)}}"""
+          s""""${esc(k)}":{"prev":$ov,"now":$nv,"ratio":${BenchMirror.num(r)}}"""
         }.mkString("{", ",", "}")
+        val unattrJson = unattr.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
         val block =
           s"""{"threshold":{"ratio":2.0,"min_sec":1.0,"spread_guard":true},""" +
-            s""""alarms":${alarms.size},"top_movers":$moverJson}"""
+            s""""alarms":${alarms.size},"unattributed":$unattrJson,""" +
+            s""""top_movers":$moverJson}"""
         Files.writeString(Paths.get("bench_movers.json"), block)
         out ++= s""","movers":$block"""
+        Files.writeString(path, BenchMirror.render(mTimes, mSpreads, unattr, esc))
+      } else {
+        // first run: no baseline to compare or hold — seed the mirror
+        Files.writeString(path, BenchMirror.render(
+          tierTimes.toSeq, tierSpreads.toMap, Seq.empty, esc))
       }
-      // mirror for the NEXT run: medians, plus spreads as a sibling
-      // map so the next alarm has the band context
-      val timesJson = tierTimes
-        .map { case (k, v) => s""""${esc(k)}":${"%.3f".format(v)}""" }
-        .mkString("{", ",", "}")
-      val spreadJson = tierSpreads.toSeq.sortBy(_._1)
-        .map { case (k, (lo, hi)) => s""""${esc(k)}":[$lo,$hi]""" }
-        .mkString("{", ",", "}")
-      Files.writeString(path,
-        s"""{"times":$timesJson,"spreads":$spreadJson}""")
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // warn-only (the bench must not fail on timing bookkeeping),
+        // but NEVER silently: a dead mirror means a dead alarm
+        System.err.println(
+          s"[bench-times] WARNING mirror update failed: ${e.getClass.getName}: ${e.getMessage}")
+    }
     out.toString
   }
 
@@ -793,11 +795,66 @@ object Bench {
     * the g7_ktruss precedent argues against. sim22b rides along so
     * the exact-vs-LSH DBSCAN pair is regression-tracked TOGETHER.
     */
+  /** The heavy tier's pinned core: pairs whose RELATIVE cost is the
+    * signal (exact vs LSH DBSCAN) ride together regardless of rank.
+    */
+  private val heavyBase = Seq("g13_sssp", "tx41_decontamination",
+    "j13_item_cf", "sim22_dbscan", "sim22b_dbscan_lsh")
+
+  /** The stress tier's default list (kept here so the heavy promotion
+    * policy can see what that tier already regression-gates).
+    */
+  private val stressDefault = Seq("dedup_minhash_pairs",
+    "dedup_simhash_pairs", "pipeline_curation", "tx12_bigram_lm_score",
+    "dedup_embedding_lsh", "dedup_components", "q3_top_order_revenue",
+    "join_3way_region_rollup", "q18_large_orders", "q13_cust_order_dist",
+    "g1_pagerank", "g3_kcore", "g3b_kcore_frontier")
+
+  /** Cold tier default list (same reason). */
+  private val coldDefault = Seq("dedup_sparse_cosine",
+    "dedup_prefix_filter", "dedup_banding_recall", "tx7_canonical_dedup")
+
+  /** Heavy-tier auto-promotion POLICY (round-10 verdict ask 4): rounds
+    * 8 and 9 each found the registry's newest most-expensive query
+    * benched nowhere (g13 then g17) and fixed the LIST — this fixes the
+    * CLASS. Each full bench reads VERIFY_TIMES.json (the full-sweep
+    * per-query wall-clocks, rewritten only by full Verify sweeps),
+    * drops everything already covered by headline/stress/cold/heavy,
+    * and promotes the top-N survivors into the heavy tier. A new query
+    * that lands at the top of the verify cost table is therefore
+    * regression-benched on the NEXT bench run with no human in the
+    * loop; promoted names are published in the heavy block so the
+    * round-over-round movers stay attributable.
+    */
+  private def promotedHeavy(): Seq[String] = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_HEAVY_PROMOTE_N", "4").toInt
+    if (n <= 0) return Seq.empty
+    try {
+      val p = Paths.get("VERIFY_TIMES.json")
+      if (!Files.exists(p)) return Seq.empty
+      val times = BenchMirror.parseTimes(Files.readString(p))
+      val covered =
+        (SparkEntry.benchQueries ++ stressDefault ++ coldDefault ++ heavyBase).toSet
+      val known = SparkEntry.queries.keySet
+      times.toSeq
+        .collect { case (k, v) if !covered(k) && known(k) => (k, v) }
+        .sortBy { case (k, v) => (-v, k) }
+        .take(n).map(_._1)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[heavy] WARNING promotion policy failed: ${e.getMessage}")
+        Seq.empty
+    }
+  }
+
   def heavyBench(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
-    val names = sys.env.get("SPARK_GRAFT_HEAVY_QUERIES")
+    val explicit = sys.env.get("SPARK_GRAFT_HEAVY_QUERIES")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq("g13_sssp", "tx41_decontamination", "j13_item_cf",
-        "sim22_dbscan", "sim22b_dbscan_lsh"))
+    val promoted = if (explicit.isDefined) Seq.empty else promotedHeavy()
+    val names = explicit.getOrElse(heavyBase ++ promoted.filterNot(heavyBase.contains))
+    if (promoted.nonEmpty)
+      System.err.println(s"[heavy] promoted from VERIFY_TIMES: ${promoted.mkString(",")}")
     val nSamples = sys.env.getOrElse("SPARK_GRAFT_HEAVY_N", "3").toInt
     def releaseAll(): Unit = {
       graft.queries.DedupQueries.releaseSignatureCache()
@@ -836,7 +893,8 @@ object Bench {
       "\"" + esc(k) + s"""":[${s.min},${s.max}]"""
     }.mkString("{", ",", "}")
     val total = medians.collect { case (_, Right(t)) => t }.sum
-    s"""{"n":$nSamples,"stat":"median","total_sec":$total,"queries":$qs,"spread":$spreads$errJson,"failed":$nErr}"""
+    val promJson = promoted.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
+    s"""{"n":$nSamples,"stat":"median","total_sec":$total,"promoted":$promJson,"queries":$qs,"spread":$spreads$errJson,"failed":$nErr}"""
   }
 
   /** Cold-tier block (round-6 verdict item 2): a production dedup run
@@ -846,9 +904,10 @@ object Bench {
     * dedup_sparse_cosine (whose cost IS its signature-cache build)
     * was excluded from both, leaving the registry's slowest query
     * with zero regression tracking. No warm-up pass, tracked caches
-    * dropped before EVERY sample; n=2 with BOTH samples reported
-    * (first ≈ truly cold JIT+data, second ≈ warm-JIT/cold-data — the
-    * spread IS the signal, so no median is taken).
+    * dropped before EVERY sample; n=3 with ALL samples reported
+    * chronologically (first ≈ truly cold JIT+data, the rest ≈
+    * warm-JIT/cold-data — the first-vs-rest gap is the cold cost and
+    * the rest-vs-rest band is the steady state, so no median is taken).
     */
   def coldBench(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
     val names = sys.env.get("SPARK_GRAFT_COLD_QUERIES")
@@ -858,9 +917,12 @@ object Bench {
       // sparse cosine; round-8 verdict ask 6: banding recall builds
       // TWO candidate caches, canonical dedup builds the tf cache —
       // the top of VERIFY_TIMES, previously warm-only)
-      .getOrElse(Seq("dedup_sparse_cosine", "dedup_prefix_filter",
-        "dedup_banding_recall", "tx7_canonical_dedup"))
-    val nSamples = sys.env.getOrElse("SPARK_GRAFT_COLD_N", "2").toInt
+      .getOrElse(coldDefault)
+    // n=3 (round-10 verdict ask 6): tx7's 1.41 → 0.25 s chronological
+    // pair showed n=2 conflates first-touch JIT/cache state with the
+    // steady state it's contrasted against; the third sample separates
+    // "cold cost" (sample 1) from a stable steady band (samples 2..n)
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_COLD_N", "3").toInt
     val results = names.map { name =>
       name -> (try {
         val samples = (1 to nSamples).map { _ =>
@@ -949,9 +1011,15 @@ object Bench {
       // ANY failed sample marks the query failed — a flaky query must
       // never report a clean median-of-the-survivors (the round-1
       // "failures are not swallowed" contract applies per sample)
+      val ok = samples.collect { case Right(t) => t }
+      // record the headline band too — the movers alarm's spread guard
+      // was blind on this tier (r9: both fired alarms were headline
+      // entries with no [min,max] context in the mirror)
+      if (samples.forall(_.isRight) && ok.nonEmpty)
+        tierSpreads(s"headline/$name") = (ok.min, ok.max)
       name -> (samples.collectFirst { case Left(e) => e } match {
         case Some(e) => Left(e)
-        case None    => Right(median(samples.collect { case Right(t) => t }))
+        case None    => Right(median(ok))
       })
     }
     graft.queries.DedupQueries.releaseSignatureCache()

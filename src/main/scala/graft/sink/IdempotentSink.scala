@@ -76,6 +76,16 @@ object IdempotentSink {
     val hfs = fs(spark, cd)
     if (!hfs.exists(cd)) return None
     val ids = hfs.listStatus(cd).map(_.getPath.getName)
+    // a commit marker whose batch=<id> data dir is gone (manual
+    // cleanup, partial restore) means the sink is corrupted — name the
+    // missing batches instead of letting spark.read.parquet fail on
+    // the whole union with a path-not-found that identifies nothing
+    // (r9 ADVICE). Divergence is an error, not a silent skip: a sink
+    // reader that quietly drops committed batches would under-report.
+    val missing = ids.filterNot(id => hfs.exists(new Path(dir, s"batch=$id")))
+    require(missing.isEmpty,
+      s"IdempotentSink at $dir has commit markers with no data dir " +
+        s"(marker/data divergence) for batch ids: ${missing.sorted.mkString(",")}")
     if (ids.isEmpty) None
     else Some(spark.read.parquet(
       ids.map(id => new Path(dir, s"batch=$id").toString).toSeq: _*))

@@ -38,7 +38,13 @@ object StreamingDistinct {
   def bucketCounts(events: Dataset[(String, Long)]): Dataset[BucketCount] = {
     import events.sparkSession.implicits._
     events
-      .map { case (g, id) => (g, id / BucketBits, id % BucketBits) }
+      .map { case (g, id) =>
+        // fail fast with an actionable message: a negative id would
+        // make pos negative and crash inside the state function with
+        // an opaque executor ArrayIndexOutOfBoundsException (r9 ADVICE)
+        require(id >= 0, s"StreamingDistinct requires non-negative ids, got $id (group=$g)")
+        (g, id / BucketBits, id % BucketBits)
+      }
       .groupByKey { case (g, bkt, _) => (g, bkt) }
       .mapGroupsWithState[Array[Byte], BucketCount](
         GroupStateTimeout.NoTimeout) {

@@ -51,6 +51,25 @@ class IdempotentSinkSpec extends SparkSpec {
       .as[Int].collect().toSeq == Seq(42))
   }
 
+  test("commit marker with missing data dir names the diverged batch") {
+    val dir = tmp()
+    assert(IdempotentSink.writeBatch(Seq(1, 2).toDF("v"), dir, 0L))
+    assert(IdempotentSink.writeBatch(Seq(3).toDF("v"), dir, 1L))
+    // simulate manual cleanup / partial restore: data gone, marker kept
+    def rmr(p: java.nio.file.Path): Unit = {
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+      finally w.close()
+    }
+    rmr(java.nio.file.Paths.get(dir, "batch=1"))
+    val e = intercept[IllegalArgumentException] {
+      IdempotentSink.readCommitted(spark, dir)
+    }
+    assert(e.getMessage.contains("batch ids: 1"),
+      s"divergence error must name the batch: ${e.getMessage}")
+  }
+
   test("stream with double-invoked sink lands every row exactly once") {
     val dir = tmp()
     val input = MemoryStream[Int](spark)

@@ -49,6 +49,21 @@ class StreamingDistinctSpec extends SparkSpec {
     q.stop()
   }
 
+  test("negative id fails fast with an actionable message") {
+    // before the guard, a negative id crashed inside the state
+    // function with an opaque executor ArrayIndexOutOfBoundsException
+    // (bits((id % 32768) >> 3) with a negative index); the require in
+    // the map stage names the id and group instead
+    val e = intercept[Throwable] {
+      StreamingDistinct.bucketCounts(Seq("g" -> -5L).toDS()).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("non-negative ids"), s"got: $msgs")
+    assert(msgs.contains("-5"), s"got: $msgs")
+  }
+
   test("ids sharing a bucket set distinct bits (no collision undercount)") {
     val input = MemoryStream[(String, Long)](spark)
     val q = StreamingDistinct.bucketCounts(input.toDS())
