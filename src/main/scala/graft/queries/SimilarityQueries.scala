@@ -1658,11 +1658,14 @@ object SimilarityQueries {
     // the closest-to-threshold true pair is the 0.25↔0.75 clone pair
     // at cos ≈ 0.9216 (bit-agree p ≈ 0.872), so dedupSpec's 10×16
     // bank would miss it w.p. ~0.93% per pair — an expected ~1 miss
-    // per sweep at sf0.1. This bank (6 bits × 24 tables) misses it
-    // w.p. (1−0.872⁶)²⁴ ≈ 9·10⁻⁷ — recall 1.0 with real margin —
-    // paying background candidates ≈ 24·n²/2⁷ exact re-checks
-    // (≈10⁶ cheap dots at sf0.1; size nbits up with log₂ n per the
-    // lshCandidatePairs capacity law at scale).
+    // per sweep at sf0.1. The shipped bank is dbscanSpec = 16 bits ×
+    // 144 tables (see its scaladoc for the full capacity-law sizing):
+    // it misses the 0.872-pair w.p. (1−0.872¹⁶)¹⁴⁴ ≈ 4·10⁻⁸ — recall
+    // 1.0 with real margin — paying background candidates
+    // ≈ 144·n²/2¹⁷ exact re-checks. Background cost is MONOTONE
+    // decreasing in bits (∝ ln(1/δ)/(p^b·2^(b+1)), and 2p > 1
+    // always), which is why the 6×24 "low bits for recall" first cut
+    // measured 13× slower than exact at 8× corpus and was replaced.
     QueryDef(
       "sim22b_dbscan_lsh",
       (s, d) => {
@@ -1871,6 +1874,83 @@ object SimilarityQueries {
           .orderBy("nprobe")
       },
       Some(ivfNprobeCurveSql)),
+
+    // ----- INCREMENTAL IVF MAINTENANCE (round-10 verdict ask 7): the
+    // serving path for a GROWING corpus. IvfModel is a pinned offline
+    // fit; production keeps ingesting vectors after the fit, and what
+    // silently degrades recall is not the assignment of new vectors
+    // (that's just `assign` on arrival — modeled here as the fresh
+    // batch) but OCCUPANCY DRIFT: when new data stops matching the
+    // fitted cell geometry, hot cells grow past the nprobe/recall
+    // curve sim24 measured, and the index needs a refit (Lloyd's
+    // exact engine, sim9's loop) long before average recall visibly
+    // drops. This query is that trigger as an oracle-gated grid: a
+    // deterministic drifted arrival batch (each base vec_id % 3 == 0
+    // shifted 1.0 toward its rotation — strong enough to trip cells at
+    // every SF, so both gate branches are in every hash — the sim22b clone idiom, so
+    // the float math mirrors exactly), both eras assigned to the
+    // pinned centroids, per-cell expected-vs-actual occupancy compared
+    // CROSS-MULTIPLIED in BIGINT (n_new·TB vs n_base·TF — no division,
+    // no doubles), refit_flag = cell's new share exceeds 2× its fitted
+    // share. Output is the nlist-row spine (16 rows at ANY scale);
+    // the only shuffles are two nlist-key aggs; totals ride a 1-row
+    // broadcast. At 10⁹ vectors/day this runs as the ingest gauge:
+    // flags trip per-cell (pointing WHERE geometry broke), and
+    // IvfMaintenanceSpec proves the gate's both directions — a
+    // same-distribution batch trips nothing, the drifted one trips.
+    QueryDef(
+      "sim26_ivf_incremental",
+      (s, d) => {
+        val e = emb(s, d)
+        val rot = concat(slice(col("embedding"), 2, Dim - 1),
+          slice(col("embedding"), 1, 1))
+        val fresh = e.filter(col("vec_id") % 3 === 0)
+          .select((col("vec_id") + 5000000L).as("vec_id"),
+            zip_with(col("embedding"), rot,
+              (x, y) => (x.cast("double") + lit(1.0) * y.cast("double"))
+                .cast("float")).as("embedding"))
+        def cellCounts(df: DataFrame, cname: String): DataFrame =
+          df.select(graft.ext.IvfIndex.assign(col("embedding"),
+              graft.ext.IvfModel.centroids).as("cell"))
+            .groupBy("cell").agg(count(lit(1)).as(cname))
+        val spine = s.range(0, graft.ext.IvfModel.nlist.toLong)
+          .select(col("id").cast("int").as("cell"))
+        val occ = spine
+          .join(cellCounts(e, "n_base"), Seq("cell"), "left")
+          .join(cellCounts(fresh, "n_new"), Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+        val tot = occ.agg(sum("n_base").as("tb"), sum("n_new").as("tf"))
+        occ.crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_base"), col("n_new"),
+            (col("n_new") * col("tb") - col("n_base") * col("tf"))
+              .as("excess_x"),
+            when(col("n_new") * col("tb") > lit(2L) * col("n_base") * col("tf"),
+              1L).otherwise(0L).as("refit_flag"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              |fresh AS (SELECT vec_id + 5000000 AS vec_id,
+              |    list_transform(generate_series(1, $Dim),
+              |      j -> CAST(embedding[j]::DOUBLE
+              |        + 1.0 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT))::DOUBLE[] AS e
+              |  FROM embeddings WHERE vec_id % 3 = 0),
+              |db AS (SELECT ${graft.ext.IvfIndex.Sql.distListSql("e")} AS ds FROM base),
+              |dfr AS (SELECT ${graft.ext.IvfIndex.Sql.distListSql("e")} AS ds FROM fresh),
+              |ab AS (SELECT CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell FROM db),
+              |af AS (SELECT CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell FROM dfr),
+              |nb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_base FROM ab GROUP BY 1),
+              |nf AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new FROM af GROUP BY 1),
+              |spine AS (SELECT CAST(unnest(generate_series(0, ${graft.ext.IvfModel.nlist - 1})) AS INT) AS cell),
+              |occ AS (SELECT s.cell, coalesce(n_base, 0)::BIGINT AS n_base,
+              |    coalesce(n_new, 0)::BIGINT AS n_new
+              |  FROM spine s LEFT JOIN nb USING (cell) LEFT JOIN nf USING (cell)),
+              |tot AS (SELECT sum(n_base)::BIGINT AS tb, sum(n_new)::BIGINT AS tf FROM occ)
+              |SELECT cell, n_base, n_new,
+              |  (n_new * tb - n_base * tf)::BIGINT AS excess_x,
+              |  (CASE WHEN n_new * tb > 2 * n_base * tf THEN 1 ELSE 0 END)::BIGINT AS refit_flag
+              |FROM occ, tot ORDER BY cell""".stripMargin)),
   )
 
   /** DuckDB mirror for sim24: shared assignment CTEs + one candidate/
