@@ -4132,6 +4132,69 @@ object EventQueries {
       },
       Some(markovRemovalSql(8)),
       bench = true),
+
+    // ----- Friedman test across the five event types blocked by
+    // hour-of-day — the repeated-measures companion of a62's
+    // Kruskal-Wallis (KW asks "do the groups differ" pooling
+    // everything; Friedman asks it WITHIN each block, which is the
+    // right form when hours have their own level — exactly the
+    // diurnal confound t_cusum/t_autocorrelation document). Grid
+    // collapse FIRST (24×5 cells, exact cent-sums); ranks within
+    // each complete block via a PARTITIONED window with the pinned
+    // (cents, event_type) tie-break — ranks become permutations so
+    // the no-ties statistic is exact (the a68 move): Q = 12ΣRⱼ²/
+    // (nk(k+1)) − 3n(k+1), its numerator emitted as the exact
+    // integer 12ΣRⱼ² − 3n²k(k+1)², Q one pinned rounded division.
+    // Only complete blocks (all 5 types present) enter, mirroring
+    // the textbook requirement and keeping n deterministic.
+    QueryDef(
+      "a69_friedman",
+      (s, d) => {
+        val g = events(s, d)
+          .select(hour(col("ts")).cast("long").as("hod"),
+            col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+          .groupBy("hod", "event_type")
+          .agg(sum("cv").as("cents"))
+        val gc = tracked(g)
+        val cb = gc.groupBy("hod").agg(count(lit(1)).as("nt"))
+          .filter(col("nt") === 5).select("hod")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("hod").orderBy("cents", "event_type")
+        val rk = gc.join(cb, Seq("hod"), "left_semi")
+          .withColumn("r", row_number().over(w).cast("long"))
+        val rs = rk.groupBy("event_type")
+          .agg(sum("r").as("rj"), count(lit(1)).as("nb"))
+        rs.agg(max("nb").as("n"), count(lit(1)).as("k"),
+            sum(col("rj") * col("rj")).as("srj2"))
+          .select(col("n"), col("k"), col("srj2"),
+            (lit(12L) * col("srj2")
+              - lit(3L) * col("n") * col("n") * col("k")
+                * (col("k") + 1L) * (col("k") + 1L)).as("qnum_x"),
+            round(lit(12.0) * col("srj2").cast("double")
+              / (col("n") * col("k") * (col("k") + 1L)).cast("double")
+              - lit(3.0) * (col("n") * (col("k") + 1L)).cast("double"),
+              6).as("q"))
+      },
+      Some("""WITH g AS (SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             |    event_type,
+             |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+             |  FROM events GROUP BY 1, 2),
+             |cb AS (SELECT hod FROM g GROUP BY 1 HAVING count(*) = 5),
+             |rk AS (SELECT hod, event_type,
+             |    CAST(row_number() OVER (PARTITION BY hod
+             |      ORDER BY cents, event_type) AS BIGINT) AS r
+             |  FROM g WHERE hod IN (SELECT hod FROM cb)),
+             |rs AS (SELECT event_type, sum(r)::BIGINT AS rj,
+             |    count(*)::BIGINT AS nb FROM rk GROUP BY 1),
+             |s AS (SELECT max(nb)::BIGINT AS n, count(*)::BIGINT AS k,
+             |    sum(rj * rj)::BIGINT AS srj2 FROM rs)
+             |SELECT n, k, srj2,
+             |  12 * srj2 - 3 * n * n * k * (k + 1) * (k + 1) AS qnum_x,
+             |  round(12.0 * CAST(srj2 AS DOUBLE)
+             |    / CAST(n * k * (k + 1) AS DOUBLE)
+             |    - 3.0 * CAST(n * (k + 1) AS DOUBLE), 6) AS q
+             |FROM s""".stripMargin)),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for a51: identical journey extraction, then the

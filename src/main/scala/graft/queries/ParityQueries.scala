@@ -2371,6 +2371,71 @@ object ParityQueries {
              |FROM h LEFT JOIN h p ON p.b = h.b - 1
              |ORDER BY bucket""".stripMargin)),
 
+    // ----- Graph: degree ASSORTATIVITY (Newman's r) over the
+    // co-purchase graph — the mixing read g19's tail profile can't
+    // give: do hubs attach to hubs (r > 0, a clique-y core that one
+    // partition can hold) or to leaves (r < 0, hub-and-spoke — every
+    // hub's adjacency crosses partitions and the E27 salting rule is
+    // mandatory)? r = Pearson correlation of endpoint degrees over
+    // the SYMMETRIZED arc list; all sufficient statistics are exact
+    // integer sums (M, Σx, Σxy, Σx² — y-sums equal x-sums by
+    // symmetry, kept separate anyway so the formula is the textbook
+    // one), the covariance numerator M·Σxy − Σx·Σy is an exact
+    // BIGINT in the output (long-safe while M·deg² ≲ 2⁶³ — DECIMAL
+    // beyond), and r itself is one pinned rounded division. Plan:
+    // degree agg (uniform key) + one edges⇄degrees join — the g19
+    // scan shape plus a broadcast-able degree table; no window, no
+    // global sort.
+    QueryDef(
+      "g20_assortativity",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e0 = op.as("a").join(op.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").cast("long").as("u"),
+            col("b.pk").cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select("u", "v")
+        val edges = tracked(e0.unionAll(
+          e0.select(col("v").as("u"), col("u").as("v"))))
+        val deg = edges.groupBy(col("u").as("n"))
+          .agg(count(lit(1)).cast("long").as("dg"))
+        val j = edges
+          .join(deg.select(col("n").as("u"), col("dg").as("x")), Seq("u"))
+          .join(deg.select(col("n").as("v"), col("dg").as("y")), Seq("v"))
+        j.agg(count(lit(1)).cast("long").as("m"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("m"), col("sx"), col("sxy"),
+            (col("m") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+            round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                * sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+              6).as("r"))
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |e0 AS (SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
+             |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |ed AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+             |dg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
+             |j AS (SELECT du.dg AS x, dv.dg AS y
+             |  FROM ed JOIN dg du ON ed.u = du.n JOIN dg dv ON ed.v = dv.n),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             |    sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx,
+             |    sum(y*y)::BIGINT AS syy FROM j)
+             |SELECT m, sx, sxy, m*sxy - sx*sy AS cov_num,
+             |  round(CAST(m*sxy - sx*sy AS DOUBLE)
+             |    / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+             |      * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6) AS r
+             |FROM s""".stripMargin)),
+
     // ----- Graph: Newman MODULARITY of g5's LPA communities — the
     // QUALITY metric the community family was missing (g5 emits the
     // size histogram; modularity says whether the partition beats

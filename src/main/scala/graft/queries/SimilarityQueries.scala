@@ -1951,7 +1951,111 @@ object SimilarityQueries {
               |  (n_new * tb - n_base * tf)::BIGINT AS excess_x,
               |  (CASE WHEN n_new * tb > 2 * n_base * tf THEN 1 ELSE 0 END)::BIGINT AS refit_flag
               |FROM occ, tot ORDER BY cell""".stripMargin)),
+
+    // ----- IVF REFIT delta — the action sim26's gate triggers,
+    // closing the maintenance loop: warm-start Lloyd from the
+    // QUANTIZED pinned IvfModel centroids (floor(c·10⁴) — refitting
+    // from the serving geometry, not from scratch, is what makes an
+    // online refit cheap and keeps cell identities comparable), run 2
+    // exact integer update rounds over base ∪ the drifted arrival
+    // batch, and report the REASSIGNMENT delta per cell: n_before/
+    // n_after occupancy under old vs refit centroids and n_moved_out
+    // — the "how much of the index must be rewritten" number that
+    // prices the refit (IVF postings move only for reassigned
+    // vectors). Cross-engine exact by the sim9 recipe (integer
+    // quantization, floor-div updates, smaller-cell ties) with the
+    // warm start mirrored as a VALUES literal of the same quantized
+    // longs both engines derive from the same centroid strings; the
+    // oracle replays both assignment passes (a1 under c0, aF under
+    // c2). Spark: model state (16×64 longs) rides the driver between
+    // rounds; both final assignments are map-side in ONE scan of the
+    // cached quantized corpus; output = the 16-row spine.
+    QueryDef(
+      "sim27_ivf_refit",
+      (s, d) => {
+        val e = emb(s, d).select("vec_id", "embedding")
+        val rot = concat(slice(col("embedding"), 2, Dim - 1),
+          slice(col("embedding"), 1, 1))
+        val fresh = e.filter(col("vec_id") % 3 === 0)
+          .select((col("vec_id") + 5000000L).as("vec_id"),
+            zip_with(col("embedding"), rot,
+              (x, y) => (x.cast("double") + lit(1.0) * y.cast("double"))
+                .cast("float")).as("embedding"))
+        val qdf = tracked(Lloyd.quantized(e.unionAll(fresh)))
+        val c0: Seq[Seq[Long]] = graft.ext.IvfModel.centroidStrings
+          .map(_.map(cs => math.floor(cs.toDouble * Lloyd.Scale).toLong))
+        val c1 = Lloyd.update(qdf, c0)
+        val c2 = Lloyd.update(qdf, c1)
+        val assigned = qdf.select(
+          Lloyd.assignCell(col("qv"), c0).cast("long").as("co"),
+          Lloyd.assignCell(col("qv"), c2).cast("long").as("cn"))
+        val before = assigned.groupBy(col("co").as("cell"))
+          .agg(count(lit(1)).as("n_before"),
+            sum(when(col("co") =!= col("cn"), 1L).otherwise(0L))
+              .as("n_moved_out"))
+        val after = assigned.groupBy(col("cn").as("cell"))
+          .agg(count(lit(1)).as("n_after"))
+        val spine = s.range(0, graft.ext.IvfModel.nlist.toLong)
+          .select(col("id").as("cell"))
+        spine.join(before, Seq("cell"), "left")
+          .join(after, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("n_before"), lit(0L)).as("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"),
+            coalesce(col("n_moved_out"), lit(0L)).as("n_moved_out"))
+          .orderBy("cell")
+      },
+      Some(ivfRefitSql)),
   )
+
+  /** DuckDB mirror for sim27: drift-augmented quantized corpus, the
+    * warm-start c0 as a VALUES literal of the SAME quantized longs
+    * (both engines compute floor(centroidString·10⁴) from identical
+    * shortest-round-trip doubles), two Lloyd.Sql rounds, then both
+    * assignment passes and the per-cell delta.
+    */
+  private lazy val ivfRefitSql: String = {
+    val qc0 = graft.ext.IvfModel.centroidStrings
+      .map(_.map(cs => math.floor(cs.toDouble * Lloyd.Scale).toLong))
+    val values = qc0.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(",")}]::BIGINT[])" }
+      .mkString(",\n    ")
+    s"""WITH fresh AS (SELECT vec_id + 5000000 AS vec_id,
+       |    list_transform(generate_series(1, $Dim),
+       |      j -> CAST(embedding[j]::DOUBLE
+       |        + 1.0 * embedding[j % $Dim + 1]::DOUBLE AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 3 = 0),
+       |aug AS (SELECT vec_id, embedding::FLOAT[] AS embedding FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM fresh),
+       |q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |  x -> CAST(floor(x * ${Lloyd.Scale}.0) AS BIGINT)) AS qv FROM aug),
+       |dims AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+       |qd AS (SELECT vec_id, d, qv[d] AS v FROM q, dims),
+       |c0 AS (SELECT cell, d, qc[d] AS c FROM (VALUES
+       |    $values) t(cell, qc), dims),
+       |${Lloyd.Sql.round(1)},
+       |${Lloyd.Sql.round(2)},
+       |arf AS (SELECT vec_id, cell FROM (
+       |  SELECT qd.vec_id, c2.cell,
+       |    row_number() OVER (PARTITION BY qd.vec_id
+       |      ORDER BY sum((qd.v - c2.c)*(qd.v - c2.c)), c2.cell) AS rk
+       |  FROM qd JOIN c2 ON qd.d = c2.d GROUP BY 1, 2) WHERE rk = 1),
+       |delta AS (SELECT a1.vec_id, CAST(a1.cell AS BIGINT) AS co,
+       |    CAST(arf.cell AS BIGINT) AS cn
+       |  FROM a1 JOIN arf USING (vec_id)),
+       |bf AS (SELECT co AS cell, CAST(count(*) AS BIGINT) AS n_before,
+       |    CAST(sum(CASE WHEN co <> cn THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_moved_out
+       |  FROM delta GROUP BY 1),
+       |aft AS (SELECT cn AS cell, CAST(count(*) AS BIGINT) AS n_after
+       |  FROM delta GROUP BY 1),
+       |spine AS (SELECT CAST(unnest(generate_series(0, ${graft.ext.IvfModel.nlist - 1})) AS BIGINT) AS cell)
+       |SELECT s.cell, coalesce(bf.n_before, 0)::BIGINT AS n_before,
+       |  coalesce(aft.n_after, 0)::BIGINT AS n_after,
+       |  coalesce(bf.n_moved_out, 0)::BIGINT AS n_moved_out
+       |FROM spine s LEFT JOIN bf USING (cell) LEFT JOIN aft USING (cell)
+       |ORDER BY cell""".stripMargin
+  }
 
   /** DuckDB mirror for sim24: shared assignment CTEs + one candidate/
     * re-rank/hit-count arm per nprobe point, unioned (generated — the

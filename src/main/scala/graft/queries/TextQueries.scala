@@ -3320,5 +3320,104 @@ object TextQueries {
              |    6) AS kendalls_w
              |FROM dd""".stripMargin)),
 
+    // ----- Corpus NOVELTY curve: new distinct trigrams per doc-order
+    // decile — the crawl-saturation read (when fresh data stops
+    // contributing new n-grams, more of the same source buys no
+    // diversity; the fixture itself shows the curve falling 2523 →
+    // 970 new trigrams across deciles). Trigram construction is a
+    // PER-ROW array transform over the token list (no self-join on
+    // position — one explode, linear in tokens); "new" = trigram's
+    // MINIMUM doc_id (first occurrence — an agg, not a sort), decile
+    // = fst·10 / n_docs in integer division (both engines truncate
+    // non-negatives identically); the cumulative column rides a
+    // ≤10-row grid SELF-JOIN, not a window — the bounded-grid
+    // cumulative idiom that needs no whitelist entry in either plan
+    // lock. Shuffles: one trigram agg (the data-scale key), then
+    // ≤10-row arithmetic.
+    QueryDef(
+      "tx56_novelty_curve",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val tris = docs(s, d)
+          .select(col("doc_id"),
+            when(size(toks) >= 3,
+              transform(sequence(lit(1), size(toks) - lit(2)),
+                i => concat_ws(" ", element_at(toks, i),
+                  element_at(toks, i + 1), element_at(toks, i + 2))))
+              .otherwise(array().cast("array<string>")).as("tgs"))
+          .select(col("doc_id"), explode(col("tgs")).as("tg"))
+        val ft = tris.groupBy("tg").agg(min("doc_id").as("fst"))
+        val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+        val b = ft.crossJoin(broadcast(nd))
+          .select(call_function("div", col("fst") * 10, col("nd"))
+            .cast("long").as("decile"))
+          .groupBy("decile").agg(count(lit(1)).as("new_trigrams"))
+        val bc = tracked(b)
+        bc.as("a").join(bc.as("p"),
+            col("p.decile") <= col("a.decile"))
+          .groupBy(col("a.decile").as("decile"))
+          .agg(max(col("a.new_trigrams")).as("new_trigrams"),
+            sum(col("p.new_trigrams")).as("cum_trigrams"))
+          .orderBy("decile")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |tri AS (SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, len(t) - 2),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg
+             |  FROM tk),
+             |ft AS (SELECT tg, min(doc_id) AS fst FROM tri GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+             |b AS (SELECT CAST((fst * 10) // nd AS BIGINT) AS decile,
+             |    CAST(count(*) AS BIGINT) AS new_trigrams
+             |  FROM ft, n GROUP BY 1)
+             |SELECT a.decile, a.new_trigrams,
+             |  CAST(sum(p.new_trigrams) AS BIGINT) AS cum_trigrams
+             |FROM b a JOIN b p ON p.decile <= a.decile
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // ----- McNemar's paired test over two document-quality gates —
+    // the "is classifier B actually better than A on the SAME docs"
+    // read an eval pipeline needs before swapping filters (a paired
+    // test: marginal accuracy differences come ONLY from the
+    // discordant pairs; the concordant mass cancels). Gates are two
+    // deterministic rules (A: n_chars ≥ 300; B: token count ≥ 60)
+    // against the lang='en' target; b = A-right-B-wrong, c =
+    // A-wrong-B-right — exact integer counts; the continuity-
+    // corrected χ² = (|b−c|−1)²/(b+c) is one pinned rounded division
+    // with the b+c=0 guard. One full-scan agg, 1-row output.
+    QueryDef(
+      "a70_mcnemar",
+      (s, d) => {
+        val base = docs(s, d).select(
+          (col("lang") === "en").as("y"),
+          (col("n_chars") >= 300).as("pa"),
+          (size(split(col("text"), " ")) >= 60).as("pb"))
+        base.agg(
+            sum(when((col("pa") === col("y")) && !(col("pb") === col("y")),
+              1L).otherwise(0L)).as("b"),
+            sum(when(!(col("pa") === col("y")) && (col("pb") === col("y")),
+              1L).otherwise(0L)).as("c"))
+          .select(col("b"), col("c"),
+            ((col("b") - col("c")) * (col("b") - col("c"))).as("num_uncorr"),
+            when(col("b") + col("c") > 0L,
+              round(((abs(col("b") - col("c")) - 1L)
+                * (abs(col("b") - col("c")) - 1L)).cast("double")
+                / (col("b") + col("c")).cast("double"), 6))
+              .otherwise(lit(0.0)).as("chi2_cc"))
+      },
+      Some("""WITH d AS (SELECT lang = 'en' AS y, n_chars >= 300 AS pa,
+             |    len(string_split(text, ' ')) >= 60 AS pb
+             |  FROM documents),
+             |c AS (SELECT
+             |    CAST(sum(CASE WHEN (pa = y) AND NOT (pb = y) THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |    CAST(sum(CASE WHEN NOT (pa = y) AND (pb = y) THEN 1 ELSE 0 END) AS BIGINT) AS c
+             |  FROM d)
+             |SELECT b, c, (b - c) * (b - c) AS num_uncorr,
+             |  CASE WHEN b + c > 0 THEN
+             |    round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+             |      / CAST(b + c AS DOUBLE), 6)
+             |  ELSE 0.0 END AS chi2_cc
+             |FROM c""".stripMargin)),
+
   )
 }
