@@ -4195,6 +4195,178 @@ object EventQueries {
              |    / CAST(n * k * (k + 1) AS DOUBLE)
              |    - 3.0 * CAST(n * (k + 1) AS DOUBLE), 6) AS q
              |FROM s""".stripMargin)),
+
+    // ----- Interval UNION per user (total covered time + island
+    // count) — the coverage primitive behind session-time billing,
+    // SLA uptime, and dataset-freshness windows that the interval
+    // JOIN family (j6/j15, stream interval join) reads but never
+    // aggregates: overlapping [ts, ts+value·1s) activity intervals
+    // merge via gaps-and-islands — a running max(end) over the
+    // PER-USER ordered stream (partitioned window, lock-clean; the
+    // (s, event_id) tie-break is used in BOTH the running max and
+    // the island running sum so ties cannot split an island
+    // differently across engines), island = cumulative count of
+    // rows starting past every previous end, covered = Σ per-island
+    // max(end)−min(start). Everything integer epoch-millis
+    // (unix_millis ↔ epoch_ms; durations as exact rounded ms).
+    // Output rows = |users| (entity-bounded); shuffles: one window
+    // partition + one (user, island) agg.
+    QueryDef(
+      "j16_interval_union",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("st", "event_id")
+        val iv = events(s, d).filter(col("value") > 0)
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("st"),
+            (unix_millis(col("ts"))
+              + expr("CAST(round(value * 1000) AS BIGINT)")).as("en"))
+        val isl = iv
+          .withColumn("pmax", max("en").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+          .withColumn("island",
+            sum(when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+              .otherwise(0L))
+              .over(w.rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        isl.groupBy("user_id", "island")
+          .agg((max("en") - min("st")).as("cov"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"), sum("cov").as("covered_ms"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id, epoch_ms(ts)::BIGINT AS st,
+             |    epoch_ms(ts)::BIGINT + CAST(round(value * 1000) AS BIGINT) AS en
+             |  FROM events WHERE value > 0),
+             |w AS (SELECT user_id, event_id, st, en,
+             |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM iv),
+             |isl AS (SELECT user_id, st, en,
+             |    CAST(sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY st, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS island
+             |  FROM w),
+             |per AS (SELECT user_id, island, max(en) - min(st) AS cov
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, count(*)::BIGINT AS n_islands,
+             |  sum(cov)::BIGINT AS covered_ms
+             |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ----- Page's trend test (ordered alternatives) — a69's rank
+    // structure pointed at a DIRECTION: where Friedman asks "do the
+    // treatments differ at all", Page's L asks "do they increase
+    // along a hypothesized order" (pinned here as alphabetical
+    // event_type — the j-weights must be fixed a priori, never
+    // data-derived, or the test is circular). Same complete-block
+    // 24×5 grid, same permutation ranks; L = Σ j·Rⱼ exact integer,
+    // centered as the exact 4L − nk(k+1)² (E[L] cleared of its /4).
+    QueryDef(
+      "a71_page_trend",
+      (s, d) => {
+        val g = events(s, d)
+          .select(hour(col("ts")).cast("long").as("hod"),
+            col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+          .groupBy("hod", "event_type")
+          .agg(sum("cv").as("cents"))
+        val gc = tracked(g)
+        val cb = gc.groupBy("hod").agg(count(lit(1)).as("nt"))
+          .filter(col("nt") === 5).select("hod")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("hod").orderBy("cents", "event_type")
+        val rk = gc.join(cb, Seq("hod"), "left_semi")
+          .withColumn("r", row_number().over(w).cast("long"))
+        // treatment index j: alphabetical rank over the ≤5-row type
+        // grid via self-join counting (no unpartitioned window)
+        val types = rk.select("event_type").distinct()
+        val tj = types.as("a").join(types.as("b"),
+            col("b.event_type") <= col("a.event_type"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(count(lit(1)).as("j"))
+        val rs = rk.join(tj, Seq("event_type"))
+          .groupBy("event_type", "j")
+          .agg(sum("r").as("rj"), count(lit(1)).as("nb"))
+        rs.agg(max("nb").as("n"), count(lit(1)).as("k"),
+            sum(col("j") * col("rj")).as("l"))
+          .select(col("n"), col("k"), col("l"),
+            (lit(4L) * col("l")
+              - col("n") * col("k") * (col("k") + 1L) * (col("k") + 1L))
+              .as("lnum_x"))
+      },
+      Some("""WITH g AS (SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             |    event_type,
+             |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+             |  FROM events GROUP BY 1, 2),
+             |cb AS (SELECT hod FROM g GROUP BY 1 HAVING count(*) = 5),
+             |rk AS (SELECT hod, event_type,
+             |    CAST(row_number() OVER (PARTITION BY hod
+             |      ORDER BY cents, event_type) AS BIGINT) AS r
+             |  FROM g WHERE hod IN (SELECT hod FROM cb)),
+             |ty AS (SELECT DISTINCT event_type FROM rk),
+             |tj AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS j
+             |  FROM ty a JOIN ty b ON b.event_type <= a.event_type
+             |  GROUP BY 1),
+             |rs AS (SELECT rk.event_type, tj.j, sum(rk.r)::BIGINT AS rj,
+             |    count(*)::BIGINT AS nb
+             |  FROM rk JOIN tj USING (event_type) GROUP BY 1, 2),
+             |s AS (SELECT max(nb)::BIGINT AS n, count(*)::BIGINT AS k,
+             |    sum(j * rj)::BIGINT AS l FROM rs)
+             |SELECT n, k, l, 4 * l - n * k * (k + 1) * (k + 1) AS lnum_x
+             |FROM s""".stripMargin)),
+
+    // ----- Theil–Sen slope of the hourly cent-sum series — the
+    // ROBUST trend companion of a50's Mann-Kendall (MK gives trend
+    // SIGNIFICANCE from sign counts; Theil-Sen gives the MAGNITUDE,
+    // immune to the outlier hours that wreck an OLS slope): median
+    // over all pairwise slopes of the hourly grid. Grid-collapse
+    // FIRST (the series is the calendar-bounded hourly grid, ~9k
+    // rows/year, so the pair set is calendar²-bounded — wall-clock-
+    // bounded, not data-bounded; for multi-year spans drop to the
+    // monthly grid or pair-sample). Slopes are IEEE doubles rounded
+    // to 9 dp (identical division both engines), the median picks
+    // the two middle ranks exactly (upper+lower, averaged), and the
+    // hourly index + slope rank ride unpartitioned windows over
+    // DOMAIN-bounded frames — both whitelisted in Round9PlanSpec
+    // with their ceilings.
+    QueryDef(
+      "t_theil_sen",
+      (s, d) => {
+        val wh = org.apache.spark.sql.expressions.Window.orderBy("h")
+        val g = events(s, d)
+          .select(date_trunc("hour", col("ts")).as("h"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+          .groupBy("h").agg(sum("cv").as("y"))
+        val ix = tracked(g.select(
+          (row_number().over(wh) - 1).cast("long").as("x"), col("y")))
+        val pr = ix.as("a").join(ix.as("b"), col("b.x") > col("a.x"))
+          .select(round((col("b.y") - col("a.y")).cast("double")
+            / (col("b.x") - col("a.x")).cast("double"), 9).as("sl"))
+        val np = pr.agg(count(lit(1)).as("np"))
+        val ws = org.apache.spark.sql.expressions.Window.orderBy("sl")
+        pr.withColumn("rn", row_number().over(ws).cast("long"))
+          .crossJoin(broadcast(np))
+          .filter(col("rn") === expr("(np + 1) div 2")
+            || col("rn") === expr("(np + 2) div 2"))
+          .groupBy("np")
+          .agg(round(avg("sl"), 6).as("theil_sen"))
+          .select(col("np").as("n_pairs"), col("theil_sen"))
+      },
+      Some("""WITH g AS (SELECT date_trunc('hour', ts) AS h,
+             |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+             |  FROM events GROUP BY 1),
+             |ix AS (SELECT row_number() OVER (ORDER BY h) - 1 AS x, y FROM g),
+             |pr AS (SELECT round(CAST(b.y - a.y AS DOUBLE)
+             |      / CAST(b.x - a.x AS DOUBLE), 9) AS sl
+             |  FROM ix a JOIN ix b ON b.x > a.x),
+             |n AS (SELECT count(*)::BIGINT AS np FROM pr),
+             |srt AS (SELECT sl, row_number() OVER (ORDER BY sl) AS rn FROM pr)
+             |SELECT (SELECT np FROM n) AS n_pairs,
+             |  round(avg(sl), 6) AS theil_sen
+             |FROM srt, n
+             |WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+             |GROUP BY 1""".stripMargin)),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for a51: identical journey extraction, then the

@@ -3375,6 +3375,67 @@ object TextQueries {
              |FROM b a JOIN b p ON p.decile <= a.decile
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // ----- HLL cardinality OPERATING CURVE: the sketch rung between
+    // the exact-distinct ladder (a48) and the quantile sketches
+    // (a12b/est_quantile_sample) — raw HyperLogLog over the corpus's
+    // distinct trigrams at THREE register counts m ∈ {16,64,256},
+    // each row carrying the exact truth and its relative error, so
+    // the 1/√m error decay is an oracle-gated measurement (fixture:
+    // 1.51 → 0.19 → 0.075), which is the capacity read for sizing
+    // registers at 10¹² keys. Cross-engine exact because everything
+    // is integers: the shared poly_hash, bucket = h mod m, rho from
+    // the BIT LENGTH of h div m (the g19 log-free log₂; hash < 2³⁰
+    // pins the per-m rho width RW), registers = max rho, and the
+    // harmonic sum SCALED to the integer S = Σ 2^(RW+1−M_j) (empty
+    // register ⇒ 2^(RW+1)) via shifts — the only doubles are the
+    // three pinned α constants and one final division per arm,
+    // rounded. Deliberately NO small/large-range corrections (they'd
+    // drag in ln): m=16's visible overestimate at this n IS the
+    // curve's honest left edge, stated not patched. One distinct agg
+    // feeds all three arms (tracked); per-arm state is m registers.
+    QueryDef(
+      "est_hll_curve",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val tris = docs(s, d)
+          .select(when(size(toks) >= 3,
+            transform(sequence(lit(1), size(toks) - lit(2)),
+              i => concat_ws(" ", element_at(toks, i),
+                element_at(toks, i + 1), element_at(toks, i + 2))))
+            .otherwise(array().cast("array<string>")).as("tgs"))
+          .select(explode(col("tgs")).as("tg"))
+        val h = tracked(tris.distinct()
+          .select(graft.ext.NearDup.charHash(col("tg")).as("hv")))
+        val exact = h.agg(count(lit(1)).as("exact"))
+        val arms = Seq((16, 28, 0.673), (64, 25, 0.709), (256, 23, 0.718273))
+        val rows = arms.map { case (m, rw1, alpha) =>
+          val reg = h.select((col("hv") % m).as("bucket"),
+              when(expr(s"hv div $m") === 0L, lit(rw1.toLong))
+                .otherwise(lit(rw1.toLong)
+                  - length(bin(expr(s"hv div $m"))).cast("long")).as("rho"))
+            .groupBy("bucket").agg(max("rho").as("mx"))
+          val spine = s.range(0, m.toLong).select(col("id").as("bucket"))
+          spine.join(reg, Seq("bucket"), "left")
+            .select(coalesce(col("mx"), lit(0L)).as("mx"))
+            .agg(sum(expr(s"shiftleft(1L, CAST($rw1 - mx AS INT))"))
+                .as("ssum"),
+              sum(when(col("mx") === 0L, 1L).otherwise(0L)).as("v0"))
+            .select(lit(m.toLong).as("m"), col("ssum"), col("v0"),
+              lit(alpha).as("alpha"), lit(rw1.toLong).as("rw1"))
+        }
+        rows.reduce(_ unionAll _).crossJoin(broadcast(exact))
+          .select(col("m"), col("ssum"), col("v0"), col("exact"),
+            round(col("alpha") * col("m").cast("double") * col("m").cast("double")
+              * expr("shiftleft(1L, CAST(rw1 AS INT))").cast("double")
+              / col("ssum").cast("double")).cast("long").as("hll_est"),
+            round(abs(col("alpha") * col("m").cast("double") * col("m").cast("double")
+              * expr("shiftleft(1L, CAST(rw1 AS INT))").cast("double")
+              / col("ssum").cast("double") - col("exact").cast("double"))
+              / col("exact").cast("double"), 6).as("rel_err"))
+          .orderBy("m")
+      },
+      Some(hllCurveSql)),
+
     // ----- McNemar's paired test over two document-quality gates —
     // the "is classifier B actually better than A on the SAME docs"
     // read an eval pipeline needs before swapping filters (a paired
@@ -3420,4 +3481,40 @@ object TextQueries {
              |FROM c""".stripMargin)),
 
   )
+
+  /** DuckDB mirror for est_hll_curve: one distinct-trigram hash CTE
+    * feeds three generated per-m arms (registers via max rho, the
+    * scaled-integer harmonic sum via shifts), unioned and joined to
+    * the exact count. Constants (m, RW+1, α) are the same literals
+    * the Spark plan pins.
+    */
+  private lazy val hllCurveSql: String = {
+    val arms = Seq((16, 28, "0.673"), (64, 25, "0.709"), (256, 23, "0.718273"))
+    val armSql = arms.map { case (m, rw1, alpha) =>
+      s"""SELECT $m::BIGINT AS m, ssum, v0, $alpha AS alpha, $rw1 AS rw1 FROM (
+         |  WITH reg AS (SELECT hv % $m AS bucket,
+         |      max(CASE WHEN hv // $m = 0 THEN $rw1
+         |        ELSE $rw1 - length(bin(hv // $m)) END)::BIGINT AS mx
+         |    FROM h GROUP BY 1),
+         |  spine AS (SELECT unnest(generate_series(0, ${m - 1})) AS bucket),
+         |  fr AS (SELECT coalesce(reg.mx, 0)::BIGINT AS mx
+         |    FROM spine LEFT JOIN reg USING (bucket))
+         |  SELECT sum(1::BIGINT << ($rw1 - mx))::BIGINT AS ssum,
+         |    sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END)::BIGINT AS v0
+         |  FROM fr)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |tri AS (SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg FROM tk),
+       |dtg AS (SELECT DISTINCT tg FROM tri),
+       |h AS (SELECT ${graft.ext.NearDup.Sql.charHashSql("tg")} AS hv FROM dtg),
+       |ex AS (SELECT count(*)::BIGINT AS exact FROM dtg),
+       |arms AS ($armSql)
+       |SELECT m, ssum, v0, exact,
+       |  CAST(round(alpha * m * m * CAST(1::BIGINT << rw1 AS DOUBLE) / ssum)
+       |    AS BIGINT) AS hll_est,
+       |  round(abs(alpha * m * m * CAST(1::BIGINT << rw1 AS DOUBLE) / ssum
+       |    - exact) / exact, 6) AS rel_err
+       |FROM arms, ex ORDER BY m""".stripMargin
+  }
 }

@@ -41,7 +41,8 @@ class Round9PlanSpec extends SparkSpec {
     "a52_nelson_aalen" -> "distinct duration-hours grid (calendar-bounded)",
     "a37_logrank" -> "distinct duration-hours grid (calendar-bounded)",
     "tx31_skyline" -> "Pareto frontier of the (d1,d2) grid (quality-domain-bounded)",
-    "tx38_isotonic_calibration" -> "fixed 64-bucket score grid")
+    "tx38_isotonic_calibration" -> "fixed 64-bucket score grid",
+    "t_theil_sen" -> "hourly calendar grid index + calendar²-bounded pair-slope rank (~40M/yr² ceiling; monthly grid or pair-sampling past that)")
 
   test("registry-wide: unpartitioned Windows appear EXACTLY in the bounded-grid whitelist") {
     val names = SparkEntry.queries.keys.toSeq.sorted
