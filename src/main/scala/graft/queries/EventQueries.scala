@@ -4367,6 +4367,356 @@ object EventQueries {
              |FROM srt, n
              |WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
              |GROUP BY 1""".stripMargin)),
+    // ----- Wilcoxon signed-rank over the 24 paired hour-of-day cells
+    // (click vs purchase cent sums) — the PAIRED companion of a38's
+    // Mann-Whitney rank-sum: the two series share the diurnal level,
+    // so differencing per hour removes it before ranking (unpaired
+    // rank-sum would re-absorb the confound the pairing exists to
+    // kill). Zero differences drop (Wilcoxon convention); tied |d|
+    // take MIDRANKS kept exact by doubling — rank2 = 2·#{|d'|<|d|} +
+    // #{|d'|=|d|} + 1 via self-join counting on the ≤24-row grid (no
+    // unpartitioned window). W⁺ doubled is an exact integer; z from
+    // the normal approximation is one sqrt (IEEE-correctly-rounded,
+    // identical both engines). Scale: grid collapse first — the pair
+    // set is 24², constant at any data scale.
+    QueryDef(
+      "a72_wilcoxon_signed",
+      (s, d) => {
+        val g = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(hour(col("ts")).cast("long").as("hod"),
+            col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+          .groupBy("hod", "event_type").agg(sum("cv").as("cents"))
+        val p = g.groupBy("hod")
+          .agg(sum(when(col("event_type") === "click", col("cents"))
+              .otherwise(0L)).as("c1"),
+            sum(when(col("event_type") === "purchase", col("cents"))
+              .otherwise(0L)).as("c2"),
+            count(lit(1)).as("nt"))
+          .filter(col("nt") === 2L)
+          .select(col("hod"), (col("c1") - col("c2")).as("d"))
+        val nz = tracked(p.filter(col("d") =!= 0L)
+          .withColumn("ad", abs(col("d"))))
+        val rk = nz.as("a").crossJoin(broadcast(nz.as("b")))
+          .groupBy(col("a.hod").as("hod"), col("a.d").as("d"),
+            col("a.ad").as("ad"))
+          .agg((sum(when(col("b.ad") < col("a.ad"), 2L).otherwise(0L))
+            + sum(when(col("b.ad") === col("a.ad"), 1L).otherwise(0L)))
+            .as("r2"))
+        rk.agg(count(lit(1)).as("n"),
+            sum(when(col("d") > 0L, col("r2")).otherwise(0L)).as("wp2"))
+          .select(col("n"), col("wp2"),
+            round(((lit(2L) * col("wp2")
+                - col("n") * (col("n") + 1L)).cast("double") / 2.0)
+              / sqrt((col("n") * (col("n") + 1L)
+                * (lit(2L) * col("n") + 1L)).cast("double") / 6.0), 6)
+              .as("z"))
+      },
+      Some("""WITH g AS (
+             |  SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hod, event_type,
+             |         sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
+             |  FROM events WHERE event_type IN ('click','purchase')
+             |  GROUP BY 1,2),
+             |p AS (
+             |  SELECT hod,
+             |    sum(CASE WHEN event_type='click' THEN cents ELSE 0 END)::BIGINT -
+             |    sum(CASE WHEN event_type='purchase' THEN cents ELSE 0 END)::BIGINT AS d
+             |  FROM g GROUP BY 1 HAVING count(*) = 2),
+             |nz AS (SELECT hod, d, abs(d) AS ad FROM p WHERE d <> 0),
+             |rk AS (
+             |  SELECT a.hod, a.d,
+             |    (sum(CASE WHEN b.ad < a.ad THEN 2 ELSE 0 END)
+             |     + sum(CASE WHEN b.ad = a.ad THEN 1 ELSE 0 END))::BIGINT AS r2
+             |  FROM nz a JOIN nz b ON TRUE GROUP BY 1, 2),
+             |s AS (SELECT count(*)::BIGINT AS n,
+             |        sum(CASE WHEN d > 0 THEN r2 ELSE 0 END)::BIGINT AS wp2
+             |      FROM rk)
+             |SELECT n, wp2,
+             |  round((CAST(2*wp2 - n*(n+1) AS DOUBLE) / 2.0)
+             |    / sqrt(CAST(n*(n+1)*(2*n+1) AS DOUBLE)/6.0), 6) AS z
+             |FROM s""".stripMargin)),
+
+    // ----- Brown–Forsythe homogeneity-of-variance test across the 5
+    // event types — the GATE in front of every mean-comparison in the
+    // battery (Welch a54 assumes unequal variances; BF says whether
+    // plain ANOVA would even be admissible, and robustly: deviations
+    // from the MEDIAN, not the mean, so one heavy-tailed type cannot
+    // fake heteroscedasticity). Exactness ladder: per-type DOUBLED
+    // median (two middle order stats summed — exact integer even for
+    // even n), z2 = |2·cents − meddbl| exact integer per row, group
+    // sufficient stats (nj, Σz2, Σz2²) exact longs; the only doubles
+    // are one sj²/nj division per group ROUNDED to a scaled integer
+    // (×100) before the cross-group sum — so the sum order cannot
+    // matter — and the final F division. Ceiling: Σz2²·100 ≤ 9·10¹⁸
+    // holds through ~6·10⁶ rows at these cent magnitudes; scale the
+    // deviation units (cents → dollars) past that.
+    QueryDef(
+      "a73_brown_forsythe",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("c")
+        val x = tracked(events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type").as("g"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c")))
+        val o = x.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("g")))
+        val med = o.groupBy("g")
+          .agg((sum(when(col("rn") === expr("(n + 1) div 2"), col("c"))
+              .otherwise(0L))
+            + sum(when(col("rn") === expr("(n + 2) div 2"), col("c"))
+              .otherwise(0L))).as("meddbl"))
+        val z = x.join(med, Seq("g"))
+          .select(col("g"),
+            abs(lit(2L) * col("c") - col("meddbl")).as("z2"))
+        val st = z.groupBy("g")
+          .agg(count(lit(1)).as("nj"), sum("z2").as("sj"),
+            sum(col("z2") * col("z2")).as("qj"))
+        st.agg(sum("nj").as("n"), count(lit(1)).as("k"),
+            sum("sj").as("sg"), sum("qj").as("q"),
+            sum(expr("CAST(round(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)" +
+              " / CAST(nj AS DOUBLE) * 100.0) AS BIGINT)")).as("a"))
+          .select(col("k"), col("n"),
+            round((expr("CAST(a - CAST(round(CAST(sg AS DOUBLE)" +
+                " * CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) * 100.0)" +
+                " AS BIGINT) AS DOUBLE)") / (col("k") - 1L).cast("double"))
+              / (expr("CAST(100 * q - a AS DOUBLE)")
+                / (col("n") - col("k")).cast("double")), 6).as("f"))
+      },
+      Some("""WITH x AS (SELECT event_type AS g,
+             |    CAST(round(value*100) AS BIGINT) AS c
+             |  FROM events WHERE value IS NOT NULL),
+             |o AS (SELECT g, c,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY c) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM x),
+             |med AS (SELECT g,
+             |    (sum(CASE WHEN rn = (n+1)//2 THEN c ELSE 0 END)
+             |     + sum(CASE WHEN rn = (n+2)//2 THEN c ELSE 0 END))::BIGINT AS meddbl
+             |  FROM o GROUP BY 1),
+             |z AS (SELECT x.g, abs(2*x.c - med.meddbl) AS z2
+             |  FROM x JOIN med USING (g)),
+             |st AS (SELECT g, count(*)::BIGINT AS nj, sum(z2)::BIGINT AS sj,
+             |    sum(z2*z2)::BIGINT AS qj FROM z GROUP BY 1),
+             |agg AS (SELECT sum(nj)::BIGINT AS n, count(*)::BIGINT AS k,
+             |    sum(sj)::BIGINT AS sg, sum(qj)::BIGINT AS q,
+             |    sum(CAST(round(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+             |      / CAST(nj AS DOUBLE) * 100.0) AS BIGINT))::BIGINT AS a
+             |  FROM st)
+             |SELECT k, n,
+             |  round((CAST(a - CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+             |      / CAST(n AS DOUBLE) * 100.0) AS BIGINT) AS DOUBLE)
+             |      / CAST(k - 1 AS DOUBLE))
+             |    / (CAST(100 * q - a AS DOUBLE) / CAST(n - k AS DOUBLE)), 6) AS f
+             |FROM agg""".stripMargin)),
+
+    // ----- SPRT (sequential probability ratio test) on the purchase
+    // rate over the hourly grid — the EXPERIMENTER'S stopping read:
+    // "at which hour could this test have stopped, and which way".
+    // H₀: p = 0.15 vs H₁: p = 0.25, α = β = 0.05. Log-LR as a
+    // PINNED-INTEGER-CONSTANT ladder (the a66 move — no runtime
+    // transcendentals): per success +round(ln(p₁/p₀)·10⁹), per
+    // failure +round(ln(q₁/q₀)·10⁹), boundaries ±round(ln(19)·10⁹);
+    // cumulative counts are exact longs so the walk is exact in the
+    // lattice. Grid collapse FIRST: the cumulative window rides the
+    // hourly calendar grid (whitelisted), never rows. One row out:
+    // first crossing hour + decision (NULLs when the walk never
+    // leaves the continue band), anchored on the final-hour state so
+    // the no-crossing case still emits. Ceiling: cn·|L| ≤ 9·10¹⁸
+    // holds to ~10¹⁰ events.
+    QueryDef(
+      "a74_sprt",
+      (s, d) => {
+        val L1 = 510825624L   // round(ln(0.25/0.15)·1e9)
+        val L0 = -125163143L  // round(ln(0.75/0.85)·1e9)
+        val A9 = 2944438979L  // round(ln(0.95/0.05)·1e9)
+        val wh = org.apache.spark.sql.expressions.Window.orderBy("hr")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val g = events(s, d)
+          .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hr"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("sv"))
+        val l = tracked(g
+          .withColumn("cs", sum("sv").over(wh))
+          .withColumn("cn", sum("n").over(wh))
+          .select(col("hr"), col("cn"),
+            (col("cs") * L1 + (col("cn") - col("cs")) * L0).as("llr9")))
+        val first = l
+          .filter(col("llr9") >= A9 || col("llr9") <= -A9)
+          .orderBy("hr").limit(1)
+          .select(col("hr").as("cross_hr"),
+            when(col("llr9") >= A9, "accept_h1").otherwise("accept_h0")
+              .as("decision"),
+            col("cn").as("n_at_cross"), col("llr9").as("llr9_at_cross"))
+        val last = l.orderBy(col("hr").desc).limit(1)
+          .select(col("llr9").as("llr9_final"))
+        last.join(first, lit(true), "left")
+          .select(col("cross_hr"), col("decision"), col("n_at_cross"),
+            col("llr9_at_cross"), col("llr9_final"))
+      },
+      Some("""WITH g AS (
+             |  SELECT epoch_ms(date_trunc('hour', ts))::BIGINT AS hr,
+             |    count(*)::BIGINT AS n,
+             |    sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::BIGINT AS sv
+             |  FROM events GROUP BY 1),
+             |c AS (SELECT hr,
+             |    CAST(sum(sv) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+             |    CAST(sum(n) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+             |  FROM g),
+             |l AS (SELECT hr, cn,
+             |    cs*510825624 + (cn-cs)*(-125163143) AS llr9 FROM c),
+             |first AS (SELECT hr AS cross_hr,
+             |    CASE WHEN llr9 >= 2944438979 THEN 'accept_h1'
+             |         ELSE 'accept_h0' END AS decision,
+             |    cn AS n_at_cross, llr9 AS llr9_at_cross
+             |  FROM l WHERE llr9 >= 2944438979 OR llr9 <= -2944438979
+             |  ORDER BY hr LIMIT 1),
+             |last AS (SELECT llr9 AS llr9_final FROM l ORDER BY hr DESC LIMIT 1)
+             |SELECT f.cross_hr, f.decision, f.n_at_cross, f.llr9_at_cross,
+             |       l.llr9_final
+             |FROM last l LEFT JOIN first f ON TRUE""".stripMargin)),
+
+    // ----- Mantel–Haenszel pooled odds ratio across the 24 hour-of-
+    // day strata (exposure = user-id parity, the a22 assignment;
+    // outcome = purchase) — the STRATIFIED effect estimate that
+    // Simpson's paradox demands: a crude 2×2 OR mixes the diurnal
+    // composition into the effect; MH pools the per-stratum ORs with
+    // the canonical a·d/n weights. Per-stratum cells are exact longs
+    // collapsed first; each a·d·10⁶/n term is one integer division
+    // (both engines truncate toward zero on non-negatives — the
+    // measured r8 agreement), so the cross-stratum sums are exact
+    // integer sums and only the final ratio is a rounded double.
+    // Ceiling: a·d·10⁶ ≤ 9·10¹⁸ holds to ~3·10⁶ events/stratum.
+    QueryDef(
+      "a75_mantel_haenszel",
+      (s, d) => {
+        val cell = events(s, d)
+          .select(hour(col("ts")).cast("long").as("hod"),
+            (col("user_id") % 2).cast("long").as("e"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("y"))
+          .groupBy("hod")
+          .agg(sum(when(col("e") === 1L && col("y") === 1L, 1L)
+              .otherwise(0L)).as("a"),
+            sum(when(col("e") === 1L && col("y") === 0L, 1L)
+              .otherwise(0L)).as("b"),
+            sum(when(col("e") === 0L && col("y") === 1L, 1L)
+              .otherwise(0L)).as("c"),
+            sum(when(col("e") === 0L && col("y") === 0L, 1L)
+              .otherwise(0L)).as("d"))
+        cell.filter(col("a") + col("b") + col("c") + col("d") > 0L)
+          .select(
+            expr("(a * d * 1000000) div (a + b + c + d)").as("num6"),
+            expr("(b * c * 1000000) div (a + b + c + d)").as("den6"))
+          .agg(count(lit(1)).as("n_strata"), sum("num6").as("num6"),
+            sum("den6").as("den6"))
+          .select(col("n_strata"), col("num6"), col("den6"),
+            round(col("num6").cast("double") / col("den6").cast("double"),
+              6).as("or_mh"))
+      },
+      Some("""WITH t AS (SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             |    CAST(user_id % 2 AS BIGINT) AS e,
+             |    CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |cell AS (SELECT hod,
+             |    sum(CASE WHEN e=1 AND y=1 THEN 1 ELSE 0 END)::BIGINT AS a,
+             |    sum(CASE WHEN e=1 AND y=0 THEN 1 ELSE 0 END)::BIGINT AS b,
+             |    sum(CASE WHEN e=0 AND y=1 THEN 1 ELSE 0 END)::BIGINT AS c,
+             |    sum(CASE WHEN e=0 AND y=0 THEN 1 ELSE 0 END)::BIGINT AS d
+             |  FROM t GROUP BY 1),
+             |terms AS (SELECT
+             |    (a*d*1000000)//(a+b+c+d) AS num6,
+             |    (b*c*1000000)//(a+b+c+d) AS den6
+             |  FROM cell WHERE a+b+c+d > 0)
+             |SELECT count(*)::BIGINT AS n_strata, sum(num6)::BIGINT AS num6,
+             |  sum(den6)::BIGINT AS den6,
+             |  round(CAST(sum(num6) AS DOUBLE)/CAST(sum(den6) AS DOUBLE), 6)
+             |    AS or_mh
+             |FROM terms""".stripMargin)),
+
+    // ----- Ljung–Box portmanteau over the hourly count series — the
+    // WHITE-NOISE GATE t_autocorrelation's per-lag reads roll up to:
+    // one statistic saying whether ANY autocorrelation survives at
+    // lags 1..12 (the residual check after t_seasonal_residual /
+    // t_holt_forecast claim to have explained the structure). Per
+    // lag: the same six exact-long sufficient statistics as the ACF
+    // (Pearson over aligned pairs — row-lag on the observed grid),
+    // ρ_k one double division; each ρ_k²/(n−k) term is ROUNDED to a
+    // ×10¹⁵ integer before the cross-lag sum so the 12-term addition
+    // order cannot matter (the a73 move), and Q = n(n+2)·Σterm/10¹⁵
+    // is the single final rounding. Scale: collapse to the calendar-
+    // bounded hourly grid first; 12 window-lag passes over ≤9k rows.
+    QueryDef(
+      "t_ljung_box",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val ow = Window.orderBy("hr")
+        val lags = (1 to 12).toSeq
+        val withLags = tracked(hourly.select(
+          (col("cnt") +: lags.map(l =>
+            lag("cnt", l).over(ow).as(s"l$l"))): _*))
+        val nfull = hourly.agg(count(lit(1)).as("nf"))
+        val perLag = lags.map { l =>
+          withLags.filter(col(s"l$l").isNotNull)
+            .agg(lit(l.toLong).as("lag"), count(lit(1)).as("n"),
+              sum("cnt").as("sy"), sum(s"l$l").as("sx"),
+              sum(col("cnt") * col("cnt")).as("syy"),
+              sum(col(s"l$l") * col(s"l$l")).as("sxx"),
+              sum(col("cnt") * col(s"l$l")).as("sxy"))
+        }.reduce(_ unionAll _)
+        perLag.crossJoin(broadcast(nfull))
+          .withColumn("num",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+          .withColumn("dd",
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))
+          .withColumn("term15", expr(
+            "CAST(round(num / dd * (num / dd) / CAST(nf - lag AS DOUBLE)" +
+              " * 1000000000000000.0) AS BIGINT)"))
+          .agg(max("nf").as("n"), count(lit(1)).as("n_lags"),
+            sum("term15").as("sterm"))
+          .select(col("n"), col("n_lags"),
+            round((col("n") * (col("n") + 2L)).cast("double")
+              * col("sterm").cast("double") / 1.0e15, 6).as("q_lb"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |lags AS (SELECT unnest([1,2,3,4,5,6,7,8,9,10,11,12]) AS lag),
+             |pairs AS (SELECT l.lag, CAST(h.cnt AS BIGINT) AS y,
+             |    CAST(lag(h.cnt, l.lag)
+             |      OVER (PARTITION BY l.lag ORDER BY h.hr) AS BIGINT) AS x
+             |  FROM hourly h, lags l),
+             |nf AS (SELECT count(*)::BIGINT AS nf FROM hourly),
+             |st AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*x) AS BIGINT) AS sxx,
+             |    CAST(sum(y*x) AS BIGINT) AS sxy
+             |  FROM pairs WHERE x IS NOT NULL GROUP BY 1),
+             |terms AS (SELECT st.lag,
+             |    CAST(round(
+             |      (CAST(st.n*st.sxy - st.sx*st.sy AS DOUBLE)
+             |        / sqrt(CAST(st.n*st.sxx - st.sx*st.sx AS DOUBLE)
+             |             * CAST(st.n*st.syy - st.sy*st.sy AS DOUBLE)))
+             |      * (CAST(st.n*st.sxy - st.sx*st.sy AS DOUBLE)
+             |        / sqrt(CAST(st.n*st.sxx - st.sx*st.sx AS DOUBLE)
+             |             * CAST(st.n*st.syy - st.sy*st.sy AS DOUBLE)))
+             |      / CAST(nf.nf - st.lag AS DOUBLE)
+             |      * 1000000000000000.0) AS BIGINT) AS term15
+             |  FROM st, nf)
+             |SELECT (SELECT nf FROM nf) AS n, count(*)::BIGINT AS n_lags,
+             |  round(CAST((SELECT nf FROM nf) * ((SELECT nf FROM nf) + 2)
+             |      AS DOUBLE)
+             |    * CAST(sum(term15) AS DOUBLE) / 1e15, 6) AS q_lb
+             |FROM terms""".stripMargin)),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for a51: identical journey extraction, then the

@@ -42,7 +42,9 @@ class Round9PlanSpec extends SparkSpec {
     "a37_logrank" -> "distinct duration-hours grid (calendar-bounded)",
     "tx31_skyline" -> "Pareto frontier of the (d1,d2) grid (quality-domain-bounded)",
     "tx38_isotonic_calibration" -> "fixed 64-bucket score grid",
-    "t_theil_sen" -> "hourly calendar grid index + calendar²-bounded pair-slope rank (~40M/yr² ceiling; monthly grid or pair-sampling past that)")
+    "t_theil_sen" -> "hourly calendar grid index + calendar²-bounded pair-slope rank (~40M/yr² ceiling; monthly grid or pair-sampling past that)",
+    "a74_sprt" -> "hourly calendar grid cumulative walk (~9k rows/year)",
+    "t_ljung_box" -> "hourly calendar grid, 12 row-lag passes")
 
   test("registry-wide: unpartitioned Windows appear EXACTLY in the bounded-grid whitelist") {
     val names = SparkEntry.queries.keys.toSeq.sorted
