@@ -932,6 +932,84 @@ object ParityQueries {
            |FROM h8 GROUP BY 1 ORDER BY hfile""".stripMargin
       }),
 
+    // ----- Column ENCODING planner — the third leg of the layout
+    // family: zorder/hilbert decide ROW order across files,
+    // layout_skipping prices the scan; this prices the BYTES. For
+    // each column (event_type / value_cents / hour-of-day) under the
+    // user-clustered (user_id, ts, event_id) layout: ndv, RLE run
+    // count (runs = positions where the value changes within a
+    // user's run, summed — a partitioned lag, lock-clean), and the
+    // three estimator costs parquet's encoding chooser weighs —
+    // plain (n·8), dictionary (n·codebytes + ndv·8 with codebytes =
+    // ⌈bitlen(ndv−1)/8⌉, the bin()-length log-free log₂), RLE
+    // (runs·12) — plus the winner under the pinned plain<dict<rle
+    // tie order. Values canonicalized to VARCHAR so one long schema
+    // covers heterogeneous columns; everything integer. At 100 TB
+    // this is the OPTIMIZE/rewrite evidence: dict wins low-ndv
+    // columns, RLE wins only when clustering makes runs long, plain
+    // wins high-entropy measures — measured, not assumed.
+    QueryDef(
+      "layout_encoding",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("col", "user_id").orderBy("ts", "event_id")
+        val base = t(s, d, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"),
+          expr("CAST(CAST(round(value * 100) AS BIGINT) AS STRING)")
+            .as("c_value_cents"),
+          hour(col("ts")).cast("long").cast("string").as("c_hod"))
+        val long = base.select(col("user_id"), col("ts"), col("event_id"),
+            lit("event_type").as("col"), col("event_type").as("v"))
+          .unionAll(base.select(col("user_id"), col("ts"), col("event_id"),
+            lit("value_cents").as("col"), col("c_value_cents").as("v")))
+          .unionAll(base.select(col("user_id"), col("ts"), col("event_id"),
+            lit("hod").as("col"), col("c_hod").as("v")))
+        val st = long.withColumn("pv", lag("v", 1).over(w))
+          .groupBy("col")
+          .agg(count(lit(1)).as("n"), countDistinct("v").as("ndv"),
+            sum(when(col("pv").isNull || col("v") =!= col("pv"), 1L)
+              .otherwise(0L)).as("runs"))
+        st.select(col("col"), col("n"), col("ndv"), col("runs"),
+            (col("n") * 8L).as("bytes_plain"),
+            (col("n") * expr("(CASE WHEN ndv <= 1 THEN 1" +
+              " ELSE length(bin(ndv - 1)) END + 7) div 8")
+              + col("ndv") * 8L).as("bytes_dict"),
+            (col("runs") * 12L).as("bytes_rle"))
+          .withColumn("winner",
+            when(col("bytes_plain") <= col("bytes_dict")
+              && col("bytes_plain") <= col("bytes_rle"), "plain")
+              .when(col("bytes_dict") <= col("bytes_rle"), "dict")
+              .otherwise("rle"))
+          .orderBy("col")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS c_value_cents,
+             |    CAST(CAST(extract(hour FROM ts) AS BIGINT) AS VARCHAR) AS c_hod
+             |  FROM events),
+             |long AS (
+             |  SELECT user_id, ts, event_id, 'event_type' AS col, event_type AS v FROM base
+             |  UNION ALL SELECT user_id, ts, event_id, 'value_cents', c_value_cents FROM base
+             |  UNION ALL SELECT user_id, ts, event_id, 'hod', c_hod FROM base),
+             |runs AS (
+             |  SELECT col, v,
+             |    lag(v) OVER (PARTITION BY col, user_id ORDER BY ts, event_id) AS pv
+             |  FROM long),
+             |st AS (
+             |  SELECT col, count(*)::BIGINT AS n, count(DISTINCT v)::BIGINT AS ndv,
+             |    sum(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END)::BIGINT AS runs
+             |  FROM runs GROUP BY 1),
+             |est AS (
+             |  SELECT col, n, ndv, runs, n * 8 AS bytes_plain,
+             |    n * ((CASE WHEN ndv <= 1 THEN 1 ELSE length(bin(ndv - 1)) END + 7) // 8)
+             |      + ndv * 8 AS bytes_dict,
+             |    runs * 12 AS bytes_rle
+             |  FROM st)
+             |SELECT col, n, ndv, runs, bytes_plain, bytes_dict, bytes_rle,
+             |  CASE WHEN bytes_plain <= bytes_dict AND bytes_plain <= bytes_rle THEN 'plain'
+             |       WHEN bytes_dict <= bytes_rle THEN 'dict' ELSE 'rle' END AS winner
+             |FROM est ORDER BY col""".stripMargin)),
+
     // ----- Layout SKIPPING rates — the end-to-end "so what" for the
     // layout family: layout_zorder/layout_hilbert emit per-file
     // bounding boxes; this query runs a pinned 64-query 2-D range

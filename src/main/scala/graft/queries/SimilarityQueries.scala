@@ -2006,7 +2006,112 @@ object SimilarityQueries {
           .orderBy("cell")
       },
       Some(ivfRefitSql)),
+
+    // ----- MMR (maximal-marginal-relevance) diversified re-rank —
+    // the RETRIEVAL-SIDE dedup: a plain top-k (sim1) returns 8
+    // near-clones of the best hit; MMR greedily picks
+    // argmax λ·rel − (1−λ)·max_sim_to_selected, trading relevance
+    // for coverage (the RAG context-window read, and the curation
+    // "representative exemplars" read). Determinism ladder: rel and
+    // pairwise sims are the PINNED-op-order cosine rounded to ×10⁶
+    // integers, λ = 0.7 enters as integer weights (score =
+    // 7·rel6 − 3·maxsim6), ties break on vec_id — the greedy is
+    // exact integer argmax end to end, so the PATH is hash-verified.
+    // Scale split: candidate GEN is the distributed part (one corpus
+    // scan → top-32 TakeOrdered); the greedy runs on the CONSTANT
+    // 32-candidate / 32²-pair grid on the driver (the a51
+    // bounded-grid boundary — 8 unrolled relational rounds would be
+    // 8 re-planned joins for arithmetic on ≤1k integers). The
+    // mirror unrolls the same 8 greedy steps as a linear CTE chain
+    // carrying the picked set as a list (MATERIALIZED cand/pair so
+    // the chain is linear, not exponential).
+    QueryDef(
+      "sim28_mmr_rerank",
+      (s, d) => {
+        val k = 8
+        val nCand = 32
+        val e = emb(s, d)
+        val probe = e.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("pv"))
+        val cand = tracked(e.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"), col("embedding"),
+            round(Similarity.cosine(col("embedding"), col("pv")) * 1000000.0)
+              .cast("long").as("rel6"))
+          .orderBy(col("rel6").desc, col("vec_id")).limit(nCand))
+        val slim = cand.select("vec_id", "rel6", "embedding")
+        val pair = slim.as("a").crossJoin(broadcast(
+            slim.select(col("vec_id").as("jid"),
+              col("embedding").as("jemb"))))
+          .filter(col("vec_id") =!= col("jid"))
+          .select(col("vec_id").as("i"), col("jid").as("j"),
+            round(Similarity.cosine(col("embedding"), col("jemb"))
+              * 1000000.0).cast("long").as("sim6"))
+        val cs = cand.select("vec_id", "rel6").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val sim = pair.collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        val chosen = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var rk = 1L
+        while (rk <= k && chosen.size < cs.length) {
+          val best = cs.iterator.filterNot(c => chosen(c._1)).map {
+            case (id, rel6) =>
+              val ms =
+                if (chosen.isEmpty) 0L
+                else chosen.iterator.map(j => sim((id, j))).max
+              (id, rel6, 7L * rel6 - 3L * ms)
+          }.reduceLeft { (x, y) =>
+            if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+          }
+          picked += ((rk, best._1, best._2, best._3))
+          chosen += best._1
+          rk += 1
+        }
+        import s.implicits._
+        picked.toSeq.toDF("rk", "vec_id", "rel6", "score").orderBy("rk")
+      },
+      Some(mmrSql)),
   )
+
+  /** DuckDB mirror for sim28: the 8 greedy MMR steps unrolled as a
+    * LINEAR CTE chain — each step carries the picked set as a list
+    * and references only its predecessor; cand/pair MATERIALIZED so
+    * the chain cannot re-expand exponentially through CTE inlining
+    * (the first cut without MATERIALIZED re-evaluated the cosine
+    * join per step per referencing chain and never finished).
+    */
+  private def mmrSql: String = {
+    val steps = (2 to 8).map { st =>
+      s"""s$st AS (
+         |  SELECT list_append(s.picks, c.vec_id) AS picks, c.vec_id, c.rel6,
+         |    7*c.rel6 - 3*(SELECT max(p.sim6) FROM pair p
+         |                  WHERE p.i = c.vec_id
+         |                    AND list_contains(s.picks, p.j)) AS score,
+         |    CAST($st AS BIGINT) AS rk
+         |  FROM s${st - 1} s, cand c WHERE NOT list_contains(s.picks, c.vec_id)
+         |  ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 8)
+      .map(st => s"SELECT rk, vec_id, rel6, score FROM s$st")
+      .mkString(" UNION ALL ")
+    s"""WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, CAST(round(${cosSql("e", "p")} * 1000000) AS BIGINT) AS rel6
+       |  FROM embeddings e, probe p WHERE e.vec_id <> 0
+       |  ORDER BY rel6 DESC, e.vec_id LIMIT 32),
+       |pair AS MATERIALIZED (
+       |  SELECT a.vec_id AS i, b.vec_id AS j,
+       |    CAST(round(${cosSql("ea", "eb")} * 1000000) AS BIGINT) AS sim6
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |s1 AS (SELECT [vec_id] AS picks, vec_id, rel6, 7*rel6 AS score,
+       |         CAST(1 AS BIGINT) AS rk
+       |       FROM cand ORDER BY rel6 DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT rk, vec_id, rel6, score FROM ($union) ORDER BY rk""".stripMargin
+  }
 
   /** DuckDB mirror for sim27: drift-augmented quantized corpus, the
     * warm-start c0 as a VALUES literal of the SAME quantized longs
