@@ -4717,6 +4717,117 @@ object EventQueries {
              |      AS DOUBLE)
              |    * CAST(sum(term15) AS DOUBLE) / 1e15, 6) AS q_lb
              |FROM terms""".stripMargin)),
+    // ----- Hodges–Lehmann pseudomedian of the paired hour-of-day
+    // differences — the LOCATION estimate a72's signed-rank test is
+    // implicitly testing (the median of Walsh averages (dᵢ+dⱼ)/2,
+    // i ≤ j): robust like the plain median but ~1.5× more efficient
+    // at the normal, the canonical "how big is the paired effect"
+    // companion to "is there one". Exactness: Walsh averages kept
+    // DOUBLED (dᵢ+dⱼ exact longs), the median picks the two middle
+    // ranks exactly (t_theil_sen's move), one final /4 rounding.
+    // Scale: grid collapse first — the Walsh set is 24·25/2 = 300
+    // pairs, constant at any data scale (whitelisted rank window).
+    QueryDef(
+      "a76_hodges_lehmann",
+      (s, d) => {
+        val g = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(hour(col("ts")).cast("long").as("hod"),
+            col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+          .groupBy("hod", "event_type").agg(sum("cv").as("cents"))
+        val p = tracked(g.groupBy("hod")
+          .agg(sum(when(col("event_type") === "click", col("cents"))
+              .otherwise(0L)).as("c1"),
+            sum(when(col("event_type") === "purchase", col("cents"))
+              .otherwise(0L)).as("c2"),
+            count(lit(1)).as("nt"))
+          .filter(col("nt") === 2L)
+          .select(col("hod"), (col("c1") - col("c2")).as("d")))
+        val walsh = p.as("a").join(p.as("b"),
+            col("a.hod") <= col("b.hod"))
+          .select((col("a.d") + col("b.d")).as("w2"))
+        val np = walsh.agg(count(lit(1)).as("np"))
+        val wr = org.apache.spark.sql.expressions.Window.orderBy("w2")
+        walsh.withColumn("rn", row_number().over(wr).cast("long"))
+          .crossJoin(broadcast(np))
+          .filter(col("rn") === expr("(np + 1) div 2")
+            || col("rn") === expr("(np + 2) div 2"))
+          .groupBy("np")
+          .agg(round(avg("w2") / 2.0, 6).as("hl"))
+          .select(col("np").as("n_pairs"), col("hl"))
+      },
+      Some("""WITH g AS (
+             |  SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hod, event_type,
+             |         sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
+             |  FROM events WHERE event_type IN ('click','purchase')
+             |  GROUP BY 1,2),
+             |p AS (
+             |  SELECT hod,
+             |    sum(CASE WHEN event_type='click' THEN cents ELSE 0 END)::BIGINT -
+             |    sum(CASE WHEN event_type='purchase' THEN cents ELSE 0 END)::BIGINT AS d
+             |  FROM g GROUP BY 1 HAVING count(*) = 2),
+             |walsh AS (SELECT a.d + b.d AS w2 FROM p a JOIN p b ON a.hod <= b.hod),
+             |n AS (SELECT count(*)::BIGINT AS np FROM walsh),
+             |srt AS (SELECT w2, row_number() OVER (ORDER BY w2) AS rn FROM walsh)
+             |SELECT (SELECT np FROM n) AS n_pairs, round(avg(w2) / 2.0, 6) AS hl
+             |FROM srt, n WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+             |GROUP BY 1""".stripMargin)),
+
+    // ----- Backfill RANGES per event type — the pipeline-ops read on
+    // top of the calendar spine: t_gap_fill interpolates values over
+    // gaps; this emits the WORK ORDER — for every event type, the
+    // contiguous runs of hours with NO data (the partitions a
+    // backfill job must re-materialize), as [gap_start, gap_end]
+    // ranges with lengths. Missing = |types|×|calendar| grid
+    // anti-joined against observed (hr, type) pairs — both
+    // calendar-bounded; ranges via the hr − row_number island key
+    // over a PER-TYPE window (lock-clean). At 100 TB the observed
+    // set collapses to distinct (hour, type) at the first agg; the
+    // spine join is metadata-sized.
+    QueryDef(
+      "ops_backfill_ranges",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("hr")
+        val obs = tracked(events(s, d)
+          .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"), col("event_type"))
+          .distinct())
+        val spine = obs.agg(min("hr").as("__lo"), max("hr").as("__hi"))
+          .select(explode(sequence(col("__lo"), col("__hi"))).as("hr"))
+        val types = obs.select("event_type").distinct()
+        types.crossJoin(spine)
+          .join(obs, Seq("event_type", "hr"), "left_anti")
+          .withColumn("isl", col("hr") - row_number().over(w))
+          .groupBy("event_type", "isl")
+          .agg(min("hr").as("gap_start_hr"), max("hr").as("gap_end_hr"),
+            count(lit(1)).as("n_hours"))
+          .select(col("event_type"), col("gap_start_hr"),
+            col("gap_end_hr"), col("n_hours"))
+          .orderBy("event_type", "gap_start_hr")
+      },
+      Some("""WITH obs AS (
+             |  SELECT DISTINCT
+             |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |    event_type
+             |  FROM events),
+             |spine AS (SELECT unnest(generate_series(min(hr), max(hr))) AS hr
+             |          FROM obs),
+             |types AS (SELECT DISTINCT event_type FROM obs),
+             |missing AS (
+             |  SELECT t.event_type, s.hr
+             |  FROM types t CROSS JOIN spine s
+             |  LEFT JOIN obs o ON o.event_type = t.event_type AND o.hr = s.hr
+             |  WHERE o.hr IS NULL),
+             |isl AS (SELECT event_type, hr,
+             |    hr - row_number() OVER (PARTITION BY event_type ORDER BY hr)
+             |      AS isl
+             |  FROM missing)
+             |SELECT event_type, min(hr)::BIGINT AS gap_start_hr,
+             |  max(hr)::BIGINT AS gap_end_hr, count(*)::BIGINT AS n_hours
+             |FROM isl GROUP BY event_type, isl
+             |ORDER BY event_type, gap_start_hr""".stripMargin)),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for a51: identical journey extraction, then the

@@ -44,7 +44,8 @@ class Round9PlanSpec extends SparkSpec {
     "tx38_isotonic_calibration" -> "fixed 64-bucket score grid",
     "t_theil_sen" -> "hourly calendar grid index + calendar²-bounded pair-slope rank (~40M/yr² ceiling; monthly grid or pair-sampling past that)",
     "a74_sprt" -> "hourly calendar grid cumulative walk (~9k rows/year)",
-    "t_ljung_box" -> "hourly calendar grid, 12 row-lag passes")
+    "t_ljung_box" -> "hourly calendar grid, 12 row-lag passes",
+    "a76_hodges_lehmann" -> "24·25/2 = 300-pair Walsh grid rank (hod-grid-bounded)")
 
   test("registry-wide: unpartitioned Windows appear EXACTLY in the bounded-grid whitelist") {
     val names = SparkEntry.queries.keys.toSeq.sorted
