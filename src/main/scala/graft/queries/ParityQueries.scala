@@ -932,6 +932,64 @@ object ParityQueries {
            |FROM h8 GROUP BY 1 ORDER BY hfile""".stripMargin
       }),
 
+    // ----- Stress centrality from pinned pivots (Brandes–Pich
+    // sampling, integer-exact) — the "who carries the traffic" read
+    // the g-family lacked: g9's harmonic says who is CLOSE, stress
+    // says who sits ON the shortest paths. Classic betweenness
+    // accumulates σ-ratio dependencies (rationals — not
+    // hash-comparable); stress needs only σ PRODUCTS, so with
+    // ext/Stress's level-synchronized BFS the whole operator is
+    // exact longs: stress(v) = Σ over pivot pairs (s,t) of
+    // σ(s,v)·σ(v,t) where d(s,v)+d(v,t) = d(s,t). Pivots are the ≤7
+    // suppliers with key < 8 (PINNED — scale-invariant, the
+    // Brandes–Pich "few sources" estimator), horizon 4 edges (two
+    // bipartite hops each side). Scale: the path table is bounded by
+    // |pivots|·|V| rows, the pair join by |pivots|²·|V| — both
+    // linear in the graph with a 49× constant; one frontier shuffle
+    // per round. At sf0.001 the dense bipartite fixture puts all
+    // pivot pairs at distance 2 with unit σ — stress degenerates to
+    // common-neighbor counts (the honest small-graph read); sf0.1
+    // differentiates.
+    QueryDef(
+      "g21_stress_centrality",
+      (s, d) => {
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = edges.select(col("src").as("seed")).distinct()
+          .filter(col("seed") % 2 === 1 && col("seed") < 16L)
+        val p = tracked(graft.ext.Stress.sigmaTable(edges, seeds, 4,
+          tracked.track))
+        val dist = p
+          .filter(col("node") % 2 === 1 && col("node") < 16L
+            && col("node") > col("seed"))
+          .select(col("seed").as("s"), col("node").as("t"),
+            col("d").as("dst_d"))
+        p.as("a").join(p.as("b"),
+            col("a.node") === col("b.node")
+              && col("a.seed") < col("b.seed"))
+          .join(dist,
+            col("s") === col("a.seed") && col("t") === col("b.seed"))
+          .filter(col("a.d") + col("b.d") === col("dst_d")
+            && col("a.node") =!= col("a.seed")
+            && col("a.node") =!= col("b.seed"))
+          .groupBy(col("a.node").as("v"))
+          .agg(sum(col("a.sigma") * col("b.sigma")).as("stress"),
+            count(lit(1)).as("n_pairs"))
+          .select(
+            when(col("v") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("kind"),
+            call_function("div", col("v"), lit(2L)).as("key"),
+            col("stress"), col("n_pairs"))
+          .orderBy(col("stress").desc, col("kind"), col("key"))
+          .limit(20)
+      },
+      Some(stressSql)),
+
     // ----- Column ENCODING planner — the third leg of the layout
     // family: zorder/hilbert decide ROW order across files,
     // layout_skipping prices the scan; this prices the BYTES. For
@@ -7025,4 +7083,34 @@ object ParityQueries {
              |    AS cramers_v
              |FROM chi""".stripMargin)),
   )
+
+  /** DuckDB mirror for g21: identical bipartite edges + pinned pivot
+    * rule, then [[graft.ext.Stress.Sql.rounds]] unrolls the same 4
+    * level-synchronized σ-BFS rounds; the stress join replays the
+    * σ(s,v)·σ(v,t) pairing against the pivot-pair distances.
+    */
+  private def stressSql: String =
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+       |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |seeds AS (SELECT DISTINCT src AS seed FROM e
+       |  WHERE src % 2 = 1 AND src < 16),
+       |p0 AS MATERIALIZED (SELECT seed, seed AS node,
+       |  CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |${graft.ext.Stress.Sql.rounds(4)},
+       |dst AS (SELECT seed AS s, node AS t, d AS dst_d FROM p4
+       |  WHERE node % 2 = 1 AND node < 16 AND node > seed),
+       |stress AS (
+       |  SELECT a.node AS v, CAST(sum(a.sigma * b.sigma) AS BIGINT) AS stress,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM p4 a JOIN p4 b ON a.node = b.node AND a.seed < b.seed
+       |  JOIN dst ON dst.s = a.seed AND dst.t = b.seed
+       |  WHERE a.d + b.d = dst.dst_d AND a.node <> a.seed AND a.node <> b.seed
+       |  GROUP BY 1)
+       |SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  v // 2 AS key, stress, n_pairs
+       |FROM stress ORDER BY stress DESC, kind, key LIMIT 20""".stripMargin
 }
