@@ -4828,7 +4828,127 @@ object EventQueries {
              |  max(hr)::BIGINT AS gap_end_hr, count(*)::BIGINT AS n_hours
              |FROM isl GROUP BY event_type, isl
              |ORDER BY event_type, gap_start_hr""".stripMargin)),
+    // ----- PACF at lags 1..8 via Durbin–Levinson — the time-series
+    // triad closer (t_autocorrelation: which lags correlate;
+    // t_ljung_box: does ANY; PACF: which lags correlate DIRECTLY,
+    // with the shorter lags partialed out — the AR-order chooser: an
+    // AR(p) series cuts off after lag p in PACF while its ACF decays
+    // forever). Exactness ladder: the 6 exact-long sufficient
+    // statistics per lag (the ACF recipe), ρ_k rounded to 9 dp —
+    // identical doubles both engines — then the DL recursion
+    // (φ_kk = (ρ_k − Σⱼ φ_{k−1,j}·ρ_{k−j}) / v; φ update; v shrink)
+    // replayed with IDENTICAL op order: ascending-j left fold,
+    // (1 − pk·pk) parenthesization — Scala foldLeft here, a
+    // list_reduce(list_prepend(0.0, …)) fold in the mirror — every
+    // op IEEE-exact-rounded on identical inputs, so the outputs are
+    // bit-equal without any integer lattice. The recursion runs on
+    // the driver over the 8-value grid (bounded-constant — the a51
+    // boundary); everything data-sized is the distributed stats
+    // pass. Mirror: the same 8 DL steps as a linear CTE chain over
+    // list columns, rho MATERIALIZED so the chain cannot re-scan
+    // events per step.
+    QueryDef(
+      "t_pacf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val kMax = 8
+        val hourly = events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val ow = Window.orderBy("hr")
+        val lags = (1 to kMax).toSeq
+        val withLags = tracked(hourly.select(
+          (col("cnt") +: lags.map(l =>
+            lag("cnt", l).over(ow).as(s"l$l"))): _*))
+        val perLag = lags.map { l =>
+          withLags.filter(col(s"l$l").isNotNull)
+            .agg(lit(l.toLong).as("lag"), count(lit(1)).as("n"),
+              sum("cnt").as("sy"), sum(s"l$l").as("sx"),
+              sum(col("cnt") * col("cnt")).as("syy"),
+              sum(col(s"l$l") * col(s"l$l")).as("sxx"),
+              sum(col("cnt") * col(s"l$l")).as("sxy"))
+        }.reduce(_ unionAll _)
+        val rho = perLag
+          .select(col("lag"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")
+                * (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 9).as("r"))
+          .collect().map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
+        var phis = Map(1 -> rho(1))
+        var v = 1.0 - rho(1) * rho(1)
+        val out = scala.collection.mutable.ArrayBuffer((1L, rho(1)))
+        for (k <- 2 to kMax) {
+          val acc = (1 until k).foldLeft(0.0)((a, j) =>
+            a + phis(j) * rho(k - j))
+          val pk = (rho(k) - acc) / v
+          phis = (1 until k).map(j =>
+            j -> (phis(j) - pk * phis(k - j))).toMap + (k -> pk)
+          v = v * (1.0 - pk * pk)
+          out += ((k.toLong, pk))
+        }
+        import s.implicits._
+        out.toSeq.toDF("lag", "p")
+          .select(col("lag"), round(col("p"), 6).as("pacf"))
+          .orderBy("lag")
+      },
+      Some(pacfSql)),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
+
+  /** DuckDB mirror for t_pacf: the identical 9-dp ρ ladder, then the
+    * 8 Durbin–Levinson steps unrolled as a linear CTE chain over
+    * LIST columns — the inner Σⱼ as an ascending
+    * list_reduce(list_prepend(0.0, …)) fold matching the Scala
+    * foldLeft's op order exactly (every double op IEEE-exact-rounded
+    * on identical inputs ⇒ bit-equal φ_kk without integer lattices).
+    * `rl` is MATERIALIZED so the per-step chain cannot re-derive the
+    * stats scan.
+    */
+  private def pacfSql: String = {
+    val steps = (2 to 8).map { k =>
+      s"""t$k AS (SELECT rho, phis, v,
+         |    (rho[$k] - list_reduce(list_prepend(0.0,
+         |        list_transform(range(1, $k), j -> phis[j] * rho[$k-j])),
+         |      (a, b) -> a + b)) / v AS pk
+         |  FROM s${k - 1}),
+         |s$k AS (SELECT rho,
+         |    list_append(list_transform(range(1, $k),
+         |      j -> phis[j] - pk * phis[$k-j]), pk) AS phis,
+         |    v * (1.0 - pk * pk) AS v
+         |  FROM t$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (2 to 8)
+      .map(k => s"  UNION ALL SELECT $k, round((SELECT pk FROM t$k), 6)")
+      .mkString("\n")
+    s"""WITH hourly AS (
+       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1),
+       |lags AS (SELECT unnest([1,2,3,4,5,6,7,8]) AS lag),
+       |pairs AS (SELECT l.lag, CAST(h.cnt AS BIGINT) AS y,
+       |    CAST(lag(h.cnt, l.lag) OVER (PARTITION BY l.lag ORDER BY h.hr)
+       |      AS BIGINT) AS x
+       |  FROM hourly h, lags l),
+       |st AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*x) AS BIGINT) AS sxx,
+       |    CAST(sum(y*x) AS BIGINT) AS sxy
+       |  FROM pairs WHERE x IS NOT NULL GROUP BY 1),
+       |rho0 AS (SELECT lag, round(CAST(n*sxy - sx*sy AS DOUBLE)
+       |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+       |         * CAST(n*syy - sy*sy AS DOUBLE)), 9) AS r
+       |  FROM st),
+       |rl AS MATERIALIZED (SELECT list(r ORDER BY lag) AS rho FROM rho0),
+       |s1 AS (SELECT rho, [rho[1]] AS phis, 1.0 - rho[1]*rho[1] AS v FROM rl),
+       |$steps
+       |SELECT CAST(lag AS BIGINT) AS lag, pacf FROM (
+       |  SELECT 1 AS lag, round((SELECT rho[1] FROM rl), 6) AS pacf
+       |$union
+       |) ORDER BY lag""".stripMargin
+  }
 
   /** DuckDB mirror for a51: identical journey extraction, then the
     * 8 integer value-iteration rounds UNROLLED as CTEs (the

@@ -46,6 +46,11 @@ class Round9PlanSpec extends SparkSpec {
     "a74_sprt" -> "hourly calendar grid cumulative walk (~9k rows/year)",
     "t_ljung_box" -> "hourly calendar grid, 12 row-lag passes",
     "a76_hodges_lehmann" -> "24·25/2 = 300-pair Walsh grid rank (hod-grid-bounded)")
+  // t_pacf's lag windows run at CONSTRUCTION time (the ρ stats are
+  // collected before the driver-side DL recursion), so its final plan
+  // carries no Window — the walker sees the bounded calendar-grid
+  // passes only through t_autocorrelation/t_ljung_box, which share
+  // the identical formulation and ARE whitelisted.
 
   test("registry-wide: unpartitioned Windows appear EXACTLY in the bounded-grid whitelist") {
     val names = SparkEntry.queries.keys.toSeq.sorted
