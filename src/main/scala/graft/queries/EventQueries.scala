@@ -4896,6 +4896,151 @@ object EventQueries {
           .orderBy("lag")
       },
       Some(pacfSql)),
+    // ----- Five-number summary per event type with EXACT type-7
+    // quartiles (the boxplot contract: R/pandas default quantile
+    // semantics, not an approximation): h = (n−1)p + 1 lands on
+    // quarter fractions for p ∈ {¼,½,¾}, so 4·q = (4−r)·c⌊h⌋ +
+    // r·c⌈h⌉ is an EXACT integer — reported ×4 rather than divided
+    // (the doubled-median move, taken to quarters). a12's
+    // percentile_approx family gives the ε-approximate at-scale
+    // read; this is the exact one for bounded group counts: one
+    // partitioned rank window (lock-clean), a 3-quarter × |groups|
+    // position spine, and a rank-equijoin picks the two bracketing
+    // order statistics per quartile.
+    QueryDef(
+      "w18_five_number",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("c")
+        val x = events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type").as("g"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val o = tracked(x
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("g"))))
+        val gs = o.groupBy("g")
+          .agg(max("n").as("n"), min("c").as("mn"), max("c").as("mx"))
+        val qp = gs.crossJoin(broadcast(
+            s.range(1, 4).select(col("id").as("p"))))
+          .select(col("g"), col("p"),
+            expr("((n - 1) * p + 4) div 4").as("lo"),
+            expr("CASE WHEN ((n - 1) * p + 4) % 4 = 0" +
+              " THEN ((n - 1) * p + 4) div 4" +
+              " ELSE ((n - 1) * p + 4) div 4 + 1 END").as("hi"),
+            expr("((n - 1) * p + 4) % 4").as("r"))
+        val qv = qp.join(o,
+            qp("g") === o("g")
+              && (o("rn") === qp("lo") || o("rn") === qp("hi")))
+          .select(qp("g").as("g"), col("p"), col("lo"), col("hi"),
+            col("r"), col("rn"), col("c"))
+          .groupBy("g", "p")
+          .agg((sum(when(col("rn") === col("lo"),
+              (lit(4L) - col("r")) * col("c")).otherwise(0L))
+            + sum(when(col("rn") === col("hi") && col("r") > 0L,
+              col("r") * col("c")).otherwise(0L))).as("q4"))
+        gs.join(qv, Seq("g"))
+          .groupBy(col("g").as("event_type"), col("n"),
+            col("mn").as("min_cents"), col("mx").as("max_cents"))
+          .agg(sum(when(col("p") === 1L, col("q4")).otherwise(0L))
+              .as("q1_x4"),
+            sum(when(col("p") === 2L, col("q4")).otherwise(0L))
+              .as("med_x4"),
+            sum(when(col("p") === 3L, col("q4")).otherwise(0L))
+              .as("q3_x4"))
+          .orderBy("event_type")
+      },
+      Some("""WITH x AS (SELECT event_type AS g,
+             |    CAST(round(value*100) AS BIGINT) AS c
+             |  FROM events WHERE value IS NOT NULL),
+             |o AS (SELECT g, c,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY c) AS BIGINT) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM x),
+             |gs AS (SELECT g, max(n) AS n, min(c) AS mn, max(c) AS mx
+             |  FROM o GROUP BY 1),
+             |qp AS (SELECT g, n, p, ((n-1)*p + 4) // 4 AS lo,
+             |    CASE WHEN ((n-1)*p + 4) % 4 = 0 THEN ((n-1)*p + 4) // 4
+             |         ELSE ((n-1)*p + 4) // 4 + 1 END AS hi,
+             |    ((n-1)*p + 4) % 4 AS r
+             |  FROM gs, (SELECT unnest([1,2,3]) AS p)),
+             |qv AS (SELECT q.g, q.p,
+             |    sum(CASE WHEN o.rn = q.lo THEN (4 - q.r) * o.c ELSE 0 END)
+             |    + sum(CASE WHEN o.rn = q.hi AND q.r > 0 THEN q.r * o.c
+             |          ELSE 0 END) AS q4
+             |  FROM qp q JOIN o ON o.g = q.g AND (o.rn = q.lo OR o.rn = q.hi)
+             |  GROUP BY 1, 2)
+             |SELECT gs.g AS event_type, gs.n, gs.mn AS min_cents,
+             |  gs.mx AS max_cents,
+             |  CAST(sum(CASE WHEN p = 1 THEN q4 ELSE 0 END) AS BIGINT) AS q1_x4,
+             |  CAST(sum(CASE WHEN p = 2 THEN q4 ELSE 0 END) AS BIGINT) AS med_x4,
+             |  CAST(sum(CASE WHEN p = 3 THEN q4 ELSE 0 END) AS BIGINT) AS q3_x4
+             |FROM gs JOIN qv ON qv.g = gs.g
+             |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)),
+
+    // ----- Map-side COMBINE benefit per candidate aggregation key —
+    // the shuffle-planner gauge: partial (map-side) aggregation
+    // reduces a shuffle from n rows to Σ_partition ndv(key) rows, so
+    // the benefit is 1 − Σ_b ndv_b / n — near 1 for low-cardinality
+    // keys (event_type: combine collapses almost everything before
+    // the exchange), near 0 when the key is unique-per-row (combine
+    // is pure overhead; Spark's partialAggSkipping exists for this
+    // case). Measured over a pinned 32-bucket proxy partitioning
+    // (user_id % 32 — deterministic, engine-agnostic) for three
+    // candidate keys; ratio as one ×10⁶ integer division. At 100 TB
+    // this table IS the decision input for agg-heavy DAGs: it says
+    // which groupBys to leave to the partial-agg default and which
+    // to pre-bucket.
+    QueryDef(
+      "ops_combine_benefit",
+      (s, d) => {
+        val e = tracked(events(s, d)
+          .select(col("event_type"), col("user_id"),
+            (col("user_id") % 32).as("b")))
+        def arm(name: String,
+            groupsOf: DataFrame => org.apache.spark.sql.Column,
+            perBucket: DataFrame => DataFrame): DataFrame = {
+          val pg = perBucket(e).agg(sum("cnt").as("partial_groups"))
+          e.agg(count(lit(1)).as("n"), groupsOf(e).as("groups"))
+            .crossJoin(broadcast(pg))
+            .select(lit(name).as("key_name"), col("n"), col("groups"),
+              col("partial_groups"),
+              expr("((n - partial_groups) * 1000000) div n")
+                .as("combine_ratio6"))
+        }
+        val a1 = arm("event_type", _ => countDistinct(col("event_type")),
+          df => df.groupBy("b").agg(countDistinct(col("event_type")).as("cnt")))
+        val a2 = arm("user_id", _ => countDistinct(col("user_id")),
+          df => df.groupBy("b").agg(countDistinct(col("user_id")).as("cnt")))
+        val a3 = arm("user_id,event_type",
+          _ => countDistinct(col("user_id"), col("event_type")),
+          df => df.groupBy("b")
+            .agg(countDistinct(col("user_id"), col("event_type")).as("cnt")))
+        a1.unionAll(a2).unionAll(a3).orderBy("key_name")
+      },
+      Some("""WITH e AS (SELECT event_type, user_id, user_id % 32 AS b
+             |  FROM events),
+             |k AS (
+             |  SELECT 'event_type' AS key_name, count(*)::BIGINT AS n,
+             |    count(DISTINCT event_type)::BIGINT AS groups,
+             |    (SELECT sum(cnt)::BIGINT FROM (
+             |      SELECT count(DISTINCT event_type) AS cnt FROM e GROUP BY b))
+             |      AS partial_groups
+             |  FROM e
+             |  UNION ALL
+             |  SELECT 'user_id', count(*)::BIGINT, count(DISTINCT user_id)::BIGINT,
+             |    (SELECT sum(cnt)::BIGINT FROM (
+             |      SELECT count(DISTINCT user_id) AS cnt FROM e GROUP BY b))
+             |  FROM e
+             |  UNION ALL
+             |  SELECT 'user_id,event_type', count(*)::BIGINT,
+             |    count(DISTINCT (user_id, event_type))::BIGINT,
+             |    (SELECT sum(cnt)::BIGINT FROM (
+             |      SELECT count(DISTINCT (user_id, event_type)) AS cnt
+             |      FROM e GROUP BY b))
+             |  FROM e)
+             |SELECT key_name, n, groups, partial_groups,
+             |  ((n - partial_groups) * 1000000) // n AS combine_ratio6
+             |FROM k ORDER BY key_name""".stripMargin)),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for t_pacf: the identical 9-dp ρ ladder, then the
