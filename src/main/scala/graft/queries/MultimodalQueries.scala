@@ -485,6 +485,69 @@ object MultimodalQueries {
              |  round(ln(CAST(n_bytes AS DOUBLE))
              |    - sl / CAST(n_bytes AS DOUBLE), 6) AS entropy_nats
              |FROM e ORDER BY media_id""".stripMargin)),
+
+    // ----- Below-mean-energy RUN segmentation per clip — the
+    // voice-activity-detection shape on m7's block energies: a
+    // threshold detector flags blocks point-wise; the product a
+    // trimming/segmenting pipeline needs is RUNS — contiguous
+    // low-energy stretches (the candidate cut points / silence-ish
+    // spans). Threshold = the clip's own mean block energy, compared
+    // as the exact integer cross-product energy·n_blocks <
+    // total_energy (no division); runs via the block − row_number
+    // island key per clip (lock-clean). Decode happens ONCE in the
+    // same mapPartitions boundary as m7; everything after is
+    // metadata-sized (blocks, not samples). Output: per clip the
+    // segment count, longest run, and total low blocks.
+    QueryDef(
+      "m12_energy_dips",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("block")
+        val fr = Multimodal.extractAudioFrameFeatures(
+          Multimodal.mediaWithAudio(s,
+            graft.sources.Tables.table(s, d, "documents"))).toDF()
+        val tot = fr.groupBy("media_id")
+          .agg(count(lit(1)).as("nb"), sum("energy").as("te"))
+        fr.join(tot, Seq("media_id"))
+          .filter(col("energy") * col("nb") < col("te"))
+          .withColumn("isl", col("block") - row_number().over(w))
+          .groupBy("media_id", "isl")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_segments"), max("len").as("longest"),
+            sum("len").as("low_blocks"))
+          .orderBy("media_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id AS media_id,
+             |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             |    200 + doc_id % 800 AS n_frames
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |s AS (
+             |  SELECT media_id, channels,
+             |    unnest(range(0, n_frames * channels)) AS j
+             |  FROM a),
+             |v AS (SELECT media_id, channels, j,
+             |    (j // channels) // 256 AS k,
+             |    ((media_id * 1103515 + j * 40503) & 32767) - 16384 AS sv
+             |  FROM s),
+             |blk AS (SELECT media_id, CAST(k AS BIGINT) AS block,
+             |    CAST(sum(sv * sv) AS BIGINT) AS energy
+             |  FROM v GROUP BY media_id, k, channels),
+             |tot AS (SELECT media_id, count(*)::BIGINT AS nb,
+             |    sum(energy)::BIGINT AS te FROM blk GROUP BY 1),
+             |low AS (SELECT b.media_id, b.block
+             |  FROM blk b JOIN tot USING (media_id)
+             |  WHERE b.energy * tot.nb < tot.te),
+             |isl AS (SELECT media_id, block,
+             |    block - row_number() OVER (PARTITION BY media_id
+             |      ORDER BY block) AS isl
+             |  FROM low),
+             |seg AS (SELECT media_id, isl, count(*)::BIGINT AS len
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT media_id, count(*)::BIGINT AS n_segments,
+             |  max(len)::BIGINT AS longest, sum(len)::BIGINT AS low_blocks
+             |FROM seg GROUP BY 1 ORDER BY media_id""".stripMargin)),
   )
 }
 
