@@ -990,6 +990,72 @@ object ParityQueries {
       },
       Some(stressSql)),
 
+    // ----- Approximate neighborhood function (ANF / HyperBall) —
+    // "how many pairs are within r hops", the effective-diameter
+    // read, at the cost of |V| HLL sketches instead of |V| BFS runs:
+    // the web-graph technique (Palmer's ANF, Boldi-Vigna HyperBall)
+    // where per-node m=16 register sets propagate by elementwise MAX
+    // along edges (register union = ball union, the mergeability
+    // that makes the trick work), so round r's registers sketch
+    // |ball(v, r)| exactly as if the ball were hashed directly. The
+    // SKETCH ITSELF oracle-gates (the a41/count-min lesson):
+    // identical shared-poly-hash registers, rho via the integer CASE
+    // ladder sized for div-16 mantissas (K = 27 — a41's 25 was sized
+    // for div 64; a 2²⁴ lsb would fall off its ladder), per-node raw
+    // estimate one double expression ROUNDED to a ×10³ integer
+    // before the cross-node sum (no float-sum order anywhere).
+    // Scale: |V|·16 register rows, one max-groupBy shuffle per
+    // round — the 100 TB alternative to all-pairs BFS; N(r)
+    // flattening between r=2 and r=3 IS the effective-diameter
+    // answer. Raw m=16 HLL overestimates small balls (est_hll_curve's
+    // documented left edge) — the estimator is the point, not the
+    // bias correction.
+    QueryDef(
+      "g22_neighborhood_function",
+      (s, d) => {
+        val P = graft.ext.NearDup.P
+        val e0 = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = tracked(e0.unionAll(
+          e0.select(col("dst").as("src"), col("src").as("dst"))))
+        val nodes = tracked(edges.select(col("src").as("v")).distinct())
+        val h0 = graft.ext.NearDup.charHash(col("v").cast("string"))
+        val h = (lit(1103515245L) * h0 + lit(12345L)) % P
+        val withW = nodes.select(col("v"), (h % 16L).as("idx"),
+          call_function("div", h, lit(16L)).as("w"))
+          .withColumn("lsb", col("w").bitwiseAND(-col("w")))
+        val rho = (1 to 26).foldLeft(when(col("w") === 0L, 27L)) {
+          (acc, i) => acc.when(col("lsb") === (1L << (i - 1)), i.toLong)
+        }
+        var reg = withW.select(col("v"), col("idx"), rho.as("mx"))
+        def nf(r: Int, df: DataFrame): DataFrame = df
+          .groupBy("v")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - mx AS INT))"))
+            .as("s2"), count(lit(1)).as("nz"))
+          .select(expr("CAST(round(0.673 * 34359738368.0" +
+            " / CAST(s2 + (16 - nz) * 134217728 AS DOUBLE) * 1000.0)" +
+            " AS BIGINT)").as("e3"))
+          .agg(lit(r.toLong).as("r"), sum("e3").as("nf_est3"))
+        val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        for (r <- 1 to 3) {
+          val prop = reg.join(edges, col("v") === col("src"))
+            .select(col("dst").as("v"), col("idx"), col("mx"))
+          val (next, nextRdd) = graft.ext.Dedup.checkpointed(
+            reg.unionAll(prop).groupBy("v", "idx").agg(max("mx").as("mx")))
+          tracked.track(nextRdd)
+          reg = next
+          rounds += nf(r, next)
+        }
+        val n = nodes.agg(count(lit(1)).as("n_nodes"))
+        rounds.reduce(_ unionAll _).crossJoin(broadcast(n))
+          .select(col("r"), col("nf_est3"), col("n_nodes"))
+          .orderBy("r")
+      },
+      Some(anfSql)),
+
     // ----- Column ENCODING planner — the third leg of the layout
     // family: zorder/hilbert decide ROW order across files,
     // layout_skipping prices the scan; this prices the BYTES. For
@@ -7083,6 +7149,61 @@ object ParityQueries {
              |    AS cramers_v
              |FROM chi""".stripMargin)),
   )
+
+  /** DuckDB mirror for g22: identical register init (shared poly hash
+    * post-mixed, mod/div 16, the K = 27 rho ladder), then 3 unrolled
+    * max-merge propagation rounds (MATERIALIZED — each round is
+    * referenced by both the next round and its own estimate arm),
+    * per-node estimates rounded to ×10³ integers before the exact
+    * cross-node sums.
+    */
+  private def anfSql: String = {
+    val P = graft.ext.NearDup.P
+    val ladder = (1 to 26)
+      .map(i => s"WHEN ${1L << (i - 1)} THEN $i").mkString(" ")
+    val rounds = (1 to 3).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT v, idx, CAST(max(mx) AS BIGINT) AS mx FROM (
+         |    SELECT v, idx, mx FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, r.idx, r.mx FROM r${k - 1} r
+         |    JOIN e ON e.src = r.v)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val ests = (1 to 3).map { k =>
+      s"""est$k AS (SELECT v,
+         |    CAST(round(0.673 * 34359738368.0
+         |      / CAST(s2 + (16 - nz) * 134217728 AS DOUBLE) * 1000.0)
+         |      AS BIGINT) AS e3
+         |  FROM (SELECT v, CAST(sum(1::BIGINT << (27 - mx)) AS BIGINT) AS s2,
+         |          CAST(count(*) AS BIGINT) AS nz
+         |        FROM r$k GROUP BY 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+       |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT DISTINCT src AS v FROM e),
+       |h0 AS (SELECT v,
+       |  ${graft.ext.NearDup.Sql.charHashSql("CAST(v AS VARCHAR)")} AS h
+       |  FROM nodes),
+       |h1 AS (SELECT v, (1103515245::BIGINT * h + 12345) % $P AS h FROM h0),
+       |r0 AS MATERIALIZED (SELECT v, h % 16 AS idx,
+       |    CASE WHEN (h // 16) = 0 THEN 27
+       |         ELSE CASE (h // 16) & (-(h // 16)) $ladder END END AS mx
+       |  FROM h1),
+       |$rounds,
+       |$ests,
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes)
+       |SELECT r, nf_est3, n_nodes FROM (
+       |  SELECT CAST(1 AS BIGINT) AS r, CAST(sum(e3) AS BIGINT) AS nf_est3
+       |  FROM est1
+       |  UNION ALL SELECT 2, CAST(sum(e3) AS BIGINT) FROM est2
+       |  UNION ALL SELECT 3, CAST(sum(e3) AS BIGINT) FROM est3), n
+       |ORDER BY r""".stripMargin
+  }
 
   /** DuckDB mirror for g21: identical bipartite edges + pinned pivot
     * rule, then [[graft.ext.Stress.Sql.rounds]] unrolls the same 4
