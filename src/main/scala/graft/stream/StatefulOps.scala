@@ -133,4 +133,95 @@ object StatefulOps {
           m.iterator.map { case (t, c) => MgUpdate(shard, t, c, processed) }
       }
   }
+
+  // -------------------------------------------------------------------
+  // Streaming interval UNION (covered time + islands) per user — the
+  // streaming twin of the batch j16_interval_union query.
+  // -------------------------------------------------------------------
+
+  final case class IntervalEvent(user_id: Long, ts: Timestamp, dur_ms: Long)
+
+  /** `pending` holds only islands the watermark hasn't sealed yet
+    * (merged, disjoint, sorted by start — flattened as [s1,e1,s2,e2,…]
+    * since GroupState wants a product); `covered_ms`/`n_islands` are
+    * the finalized prefix. State is bounded by the watermark horizon:
+    * an island whose end < watermark can never merge with anything
+    * that can still arrive (Spark drops sub-watermark rows before the
+    * operator — the numRowsDroppedByWatermark metric — so every row
+    * the operator sees has ts ≥ the batch-start watermark), so it
+    * finalizes and leaves the state.
+    */
+  final case class CovState(pending: Seq[Long], covered_ms: Long,
+      n_islands: Long)
+
+  final case class CovUpdate(user_id: Long, covered_ms: Long,
+      n_islands: Long, pending_islands: Long, expired: Boolean)
+
+  /** Per-user union of [ts, ts+dur) activity intervals over an
+    * unbounded stream — total covered time and island count, the
+    * batch j16 semantics with O(horizon) state instead of a full
+    * re-sort: merge each arriving interval into the pending disjoint
+    * set, seal every island the watermark has passed, emit running
+    * totals per batch and a final `expired=true` row on inactivity
+    * timeout. Arrivals below the watermark never reach the operator
+    * (Spark's stateful late-row drop — surfaced by the engine's own
+    * numRowsDroppedByWatermark metric, which is where a pipeline
+    * monitors loss), so sealed islands are provably immutable. At
+    * 100 TB/day the state per user is the merged islands inside the
+    * watermark horizon only — for session-like data a handful of
+    * longs, never the stream's history.
+    */
+  def intervalCoverage(events: Dataset[IntervalEvent],
+      watermarkDelay: String, inactivityTimeoutMs: Long): Dataset[CovUpdate] = {
+    implicit val stateEnc = Encoders.product[CovState]
+    implicit val outEnc = Encoders.product[CovUpdate]
+
+    def merge(pending: Seq[(Long, Long)], iv: (Long, Long)): Seq[(Long, Long)] = {
+      val (before, rest) = pending.partition(_._2 < iv._1)
+      val (overlap, after) = rest.partition(_._1 <= iv._2)
+      val merged =
+        if (overlap.isEmpty) iv
+        else (math.min(iv._1, overlap.map(_._1).min),
+          math.max(iv._2, overlap.map(_._2).max))
+      before ++ (merged +: after)
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[CovState, CovUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[IntervalEvent], state: GroupState[CovState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val pend = s.pending.grouped(2).map(p => (p(0), p(1))).toSeq
+            Iterator.single(CovUpdate(userId,
+              s.covered_ms + pend.map(p => p._2 - p._1).sum,
+              s.n_islands + pend.size, 0L, expired = true))
+          } else {
+            val prev = state.getOption.getOrElse(CovState(Seq.empty, 0L, 0L))
+            var pending = prev.pending.grouped(2).map(p => (p(0), p(1))).toSeq
+            var lastTs = Long.MinValue
+            rows.foreach { e =>
+              val s0 = e.ts.getTime
+              lastTs = math.max(lastTs, s0)
+              pending = merge(pending, (s0, s0 + e.dur_ms))
+            }
+            val wm = state.getCurrentWatermarkMs()
+            val (done, open) = pending.partition(_._2 < wm)
+            val next = CovState(open.flatMap(p => Seq(p._1, p._2)),
+              prev.covered_ms + done.map(p => p._2 - p._1).sum,
+              prev.n_islands + done.size)
+            state.update(next)
+            state.setTimeoutTimestamp(math.max(
+              (if (lastTs == Long.MinValue) wm else lastTs) + inactivityTimeoutMs,
+              wm + 1))
+            Iterator.single(CovUpdate(userId,
+              next.covered_ms + open.map(p => p._2 - p._1).sum,
+              next.n_islands + open.size, open.size.toLong,
+              expired = false))
+          }
+      }
+  }
 }
