@@ -64,27 +64,42 @@ object Hits {
     val (e, eRdd) = Dedup.checkpointed(edges.select("hub", "auth"))
     var hubs = e.select(col("hub")).distinct().withColumn("score", lit(Scale))
     var auths: DataFrame = null
+    // per-HALF-ROUND lineage cut on the raw score vector (the
+    // KCore/Sssp discipline the edge cut alone does not buy): each
+    // normalization references its raw frame TWICE (the 1-row max agg
+    // + the rescale join), so an uncut chain re-executes the
+    // edge-join cascade 2^(2·rounds) times by the final action —
+    // measured 5.85 → 2.25 s cold median at sf0.1 for rounds = 2.
+    // The cut
+    // frames are |V|-row score vectors; superseded cuts release once
+    // the loop ends and the finals are materialized.
+    val interim = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
     for (_ <- 1 to rounds) {
-      val araw = e.join(hubs, Seq("hub"))
-        .groupBy("auth").agg(sum("score").as("raw"))
+      val (araw, arawRdd) = Dedup.checkpointed(e.join(hubs, Seq("hub"))
+        .groupBy("auth").agg(sum("score").as("raw")))
+      interim += arawRdd
       val amax = araw.agg(max("raw").as("mx"))
       auths = araw.crossJoin(broadcast(amax))
         .select(col("auth"),
           call_function("div", col("raw") * Scale, col("mx")).as("score"))
-      val hraw = e.join(auths, Seq("auth"))
-        .groupBy("hub").agg(sum("score").as("raw"))
+      val (hraw, hrawRdd) = Dedup.checkpointed(e.join(auths, Seq("auth"))
+        .groupBy("hub").agg(sum("score").as("raw")))
+      interim += hrawRdd
       val hmax = hraw.agg(max("raw").as("mx"))
       hubs = hraw.crossJoin(broadcast(hmax))
         .select(col("hub"),
           call_function("div", col("raw") * Scale, col("mx")).as("score"))
     }
     // materialize the final frames (one cut each), then release the
-    // edge blocks — without this the session pins them indefinitely
-    // (Truss/KCore unpersist per round; HITS has one shared input)
+    // edge blocks and the superseded per-round vectors — without this
+    // the session pins them indefinitely (Truss/KCore unpersist per
+    // round; HITS has one shared input)
     val (hOut, hRdd) = Dedup.checkpointed(hubs)
     val (aOut, aRdd) = Dedup.checkpointed(auths)
     track(hRdd)
     track(aRdd)
+    interim.foreach(_.unpersist(blocking = false))
     eRdd.unpersist(blocking = false)
     (hOut, aOut)
   }
