@@ -5135,6 +5135,77 @@ object EventQueries {
              |      AND tsm - p_ts <= n_ts - tsm) THEN p_val
              |    ELSE n_val END AS click_cents
              |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin)),
+    // ----- Two-sample Cramér–von Mises over the rounded-cents grid —
+    // the INTEGRATED-square companion of a30's KS (KS reads the max
+    // CDF gap and is blind to many small ones; CvM integrates the
+    // squared gap over the combined empirical measure, the shape-
+    // difference read a distribution-shift monitor wants when the
+    // shift is diffuse). Same grid discipline as a30: tie-collapse to
+    // distinct cents FIRST (domain-bounded, whitelisted cumulative),
+    // cumulative counts exact longs; each grid value's
+    // w·((cf·m − cg·n)/(nm))² term is two identical double divisions
+    // ROUNDED to a ×10⁹ integer before the cross-value sum (the a73
+    // move — cf·m squared would overflow longs at sf0.1), and
+    // T = nm/N²·Σ is the single final rounding.
+    QueryDef(
+      "a77_cramer_von_mises",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("c")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val grid = events(s, d)
+          .filter(col("event_type").isin("click", "purchase")
+            && col("value").isNotNull)
+          .select(col("event_type").as("g"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .groupBy("c")
+          .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("w1"),
+            sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("w2"))
+        val gc = tracked(grid)
+        val tot = gc.agg(sum("w1").as("n"), sum("w2").as("m"))
+        gc.withColumn("cf", sum("w1").over(w))
+          .withColumn("cg", sum("w2").over(w))
+          .crossJoin(broadcast(tot))
+          .select(expr("CAST(round(CAST(w1 + w2 AS DOUBLE)" +
+            " * (CAST(cf * m - cg * n AS DOUBLE) / CAST(n * m AS DOUBLE))" +
+            " * (CAST(cf * m - cg * n AS DOUBLE) / CAST(n * m AS DOUBLE))" +
+            " * 1000000000.0) AS BIGINT)").as("t9"),
+            col("n"), col("m"))
+          .groupBy("n", "m")
+          .agg(sum("t9").as("sum_t9"))
+          .select(col("n"), col("m"), col("sum_t9"),
+            round(col("n").cast("double") * col("m").cast("double")
+              / (col("n") + col("m")).cast("double")
+              / (col("n") + col("m")).cast("double")
+              * col("sum_t9").cast("double") / 1.0e9, 6).as("t_cvm"))
+      },
+      Some("""WITH x AS (SELECT event_type AS g,
+             |    CAST(round(value*100) AS BIGINT) AS c
+             |  FROM events
+             |  WHERE event_type IN ('click','purchase') AND value IS NOT NULL),
+             |grid AS (SELECT c,
+             |    sum(CASE WHEN g='click' THEN 1 ELSE 0 END)::BIGINT AS w1,
+             |    sum(CASE WHEN g='purchase' THEN 1 ELSE 0 END)::BIGINT AS w2
+             |  FROM x GROUP BY 1),
+             |tot AS (SELECT sum(w1)::BIGINT AS n, sum(w2)::BIGINT AS m
+             |  FROM grid),
+             |cum AS (SELECT c, w1 + w2 AS w,
+             |    sum(w1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)::BIGINT AS cf,
+             |    sum(w2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)::BIGINT AS cg
+             |  FROM grid),
+             |terms AS (SELECT CAST(round(CAST(w AS DOUBLE)
+             |    * (CAST(cf*(SELECT m FROM tot) - cg*(SELECT n FROM tot) AS DOUBLE)
+             |       / CAST((SELECT n FROM tot)*(SELECT m FROM tot) AS DOUBLE))
+             |    * (CAST(cf*(SELECT m FROM tot) - cg*(SELECT n FROM tot) AS DOUBLE)
+             |       / CAST((SELECT n FROM tot)*(SELECT m FROM tot) AS DOUBLE))
+             |    * 1000000000.0) AS BIGINT) AS t9
+             |  FROM cum)
+             |SELECT (SELECT n FROM tot) AS n, (SELECT m FROM tot) AS m,
+             |  CAST(sum(t9) AS BIGINT) AS sum_t9,
+             |  round(CAST((SELECT n FROM tot) AS DOUBLE) * (SELECT m FROM tot)
+             |    / ((SELECT n FROM tot) + (SELECT m FROM tot))
+             |    / ((SELECT n FROM tot) + (SELECT m FROM tot))
+             |    * CAST(sum(t9) AS DOUBLE) / 1e9, 6) AS t_cvm
+             |FROM terms""".stripMargin)),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for t_pacf: the identical 9-dp ρ ladder, then the

@@ -45,7 +45,8 @@ class Round9PlanSpec extends SparkSpec {
     "t_theil_sen" -> "hourly calendar grid index + calendar²-bounded pair-slope rank (~40M/yr² ceiling; monthly grid or pair-sampling past that)",
     "a74_sprt" -> "hourly calendar grid cumulative walk (~9k rows/year)",
     "t_ljung_box" -> "hourly calendar grid, 12 row-lag passes",
-    "a76_hodges_lehmann" -> "24·25/2 = 300-pair Walsh grid rank (hod-grid-bounded)")
+    "a76_hodges_lehmann" -> "24·25/2 = 300-pair Walsh grid rank (hod-grid-bounded)",
+    "a77_cramer_von_mises" -> "distinct rounded-cents grid (price domain)")
   // t_pacf's lag windows run at CONSTRUCTION time (the ρ stats are
   // collected before the driver-side DL recursion), so its final plan
   // carries no Window — the walker sees the bounded calendar-grid
