@@ -5206,6 +5206,118 @@ object EventQueries {
              |    / ((SELECT n FROM tot) + (SELECT m FROM tot))
              |    * CAST(sum(t9) AS DOUBLE) / 1e9, 6) AS t_cvm
              |FROM terms""".stripMargin)),
+    // ----- Seasonal Mann–Kendall (Hirsch–Slack) — a50's trend
+    // significance made diurnal-proof: the plain MK over an hourly
+    // series reads the day cycle itself as "trend"; the seasonal
+    // variant computes S within each hour-of-day season (same-season
+    // day pairs only) and sums across seasons, so only day-over-day
+    // movement at the SAME clock hour counts. S exact integer (sign
+    // counts over the calendar²-bounded per-season day-pair join,
+    // ≤365²·24/2 ≈ 1.6M pairs/year — a join, not a window); variance
+    // by the no-ties formula Σnⱼ(nⱼ−1)(2nⱼ+5)/18 (tie correction
+    // omitted — cent-sum ties are measure-zero and S itself is exact
+    // regardless), z one continuity-corrected sqrt.
+    QueryDef(
+      "a78_seasonal_mk",
+      (s, d) => {
+        val g = tracked(events(s, d)
+          .select(hour(col("ts")).cast("long").as("hod"),
+            date_trunc("day", col("ts")).as("day"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+          .groupBy("hod", "day").agg(sum("cv").as("c")))
+        val pairs = g.as("a").join(g.as("b"),
+            col("a.hod") === col("b.hod") && col("b.day") > col("a.day"))
+          .select(col("a.hod").as("hod"),
+            when(col("b.c") > col("a.c"), 1L)
+              .when(col("b.c") < col("a.c"), -1L).otherwise(0L).as("sg"))
+        val ss = pairs.groupBy("hod").agg(sum("sg").as("sv"))
+        val nn = g.groupBy("hod").agg(count(lit(1)).as("n"))
+        ss.join(nn, Seq("hod"))
+          .agg(count(lit(1)).as("k"), sum("sv").as("s_total"),
+            sum(expr("n * (n - 1) * (2 * n + 5)")).as("v18_total"))
+          .select(col("k"), col("s_total"), col("v18_total"),
+            round((col("s_total").cast("double")
+              - when(col("s_total") > 0L, 1.0)
+                .when(col("s_total") < 0L, -1.0).otherwise(0.0))
+              / sqrt(col("v18_total").cast("double") / 18.0), 6).as("z"))
+      },
+      Some("""WITH g AS (SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             |    date_trunc('day', ts) AS day,
+             |    sum(CAST(round(value*100) AS BIGINT))::BIGINT AS c
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.hod,
+             |    CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+             |         ELSE 0 END AS sg
+             |  FROM g a JOIN g b ON a.hod = b.hod AND b.day > a.day),
+             |ss AS (SELECT hod, sum(sg)::BIGINT AS sv FROM p GROUP BY 1),
+             |nn AS (SELECT hod, count(*)::BIGINT AS n FROM g GROUP BY 1),
+             |v AS (SELECT ss.hod, ss.sv, nn.n,
+             |    nn.n*(nn.n-1)*(2*nn.n+5) AS v18 FROM ss JOIN nn USING (hod))
+             |SELECT count(*)::BIGINT AS k, sum(sv)::BIGINT AS s_total,
+             |  sum(v18)::BIGINT AS v18_total,
+             |  round((CAST(sum(sv) AS DOUBLE) - CASE WHEN sum(sv) > 0 THEN 1.0
+             |      WHEN sum(sv) < 0 THEN -1.0 ELSE 0.0 END)
+             |    / sqrt(CAST(sum(v18) AS DOUBLE) / 18.0), 6) AS z
+             |FROM v""".stripMargin)),
+
+    // ----- Pettitt change-point test — the rank-based single
+    // change-point locator next to t_cusum (level-shift flags) and
+    // a47 (binary segmentation on means): Pettitt is
+    // distribution-free and integer-EXACT — U_t = Σ_{i≤t,j>t}
+    // sgn(x_i − x_j) reduces to 2·Σ_{i≤t} r_i − t(n+1) with r the
+    // midranks, so with DOUBLED midranks (the a72 move) both U and
+    // its max are exact longs and the argmax HOUR is hash-verified,
+    // not just the statistic. Midranks via self-join counting on the
+    // calendar-bounded hourly grid (≤9k²/yr² pairs); the running
+    // rank sum is one whitelisted grid window; argmax tie pinned to
+    // the earliest t.
+    QueryDef(
+      "t_pettitt",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wr = org.apache.spark.sql.expressions.Window.orderBy("hr")
+        val idx = tracked(events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("t", row_number().over(wr).cast("long")))
+        val nf = idx.agg(count(lit(1)).as("n"))
+        val rk = idx.as("a").crossJoin(broadcast(
+            idx.select(col("c").as("bc"))))
+          .groupBy(col("a.t").as("t"))
+          .agg((sum(when(col("bc") < col("a.c"), 2L).otherwise(0L))
+            + sum(when(col("bc") === col("a.c"), 1L).otherwise(0L)))
+            .as("r2"))
+        val u = tracked(rk.crossJoin(broadcast(nf))
+          .withColumn("cum", sum("r2").over(w))
+          .select(col("t"), col("n"),
+            (lit(2L) * col("cum") - lit(2L) * col("t") * (col("n") + 1L))
+              .as("u2")))
+        val mx = u.agg(max(abs(col("u2"))).as("k2"))
+        u.crossJoin(broadcast(mx))
+          .filter(abs(col("u2")) === col("k2"))
+          .groupBy("n", "k2").agg(min("t").as("t_star"))
+          .select(col("n"), col("k2"), col("t_star"))
+      },
+      Some("""WITH h AS (SELECT
+             |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT)//3600 AS hr,
+             |    count(*)::BIGINT AS c FROM events GROUP BY 1),
+             |idx AS (SELECT hr, c,
+             |    row_number() OVER (ORDER BY hr)::BIGINT AS t FROM h),
+             |n AS (SELECT count(*)::BIGINT AS n FROM idx),
+             |rk AS (SELECT a.t,
+             |    (sum(CASE WHEN b.c < a.c THEN 2 ELSE 0 END)
+             |     + sum(CASE WHEN b.c = a.c THEN 1 ELSE 0 END))::BIGINT AS r2
+             |  FROM idx a JOIN idx b ON TRUE GROUP BY 1),
+             |u AS (SELECT t,
+             |    2*CAST(sum(r2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) - 2*t*((SELECT n FROM n) + 1) AS u2
+             |  FROM rk)
+             |SELECT (SELECT n FROM n) AS n, max(abs(u2))::BIGINT AS k2,
+             |  (SELECT min(t) FROM u
+             |   WHERE abs(u2) = (SELECT max(abs(u2)) FROM u)) AS t_star
+             |FROM u""".stripMargin)),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for t_pacf: the identical 9-dp ρ ladder, then the
