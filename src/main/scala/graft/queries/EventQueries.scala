@@ -5318,6 +5318,51 @@ object EventQueries {
              |  (SELECT min(t) FROM u
              |   WHERE abs(u2) = (SELECT max(abs(u2)) FROM u)) AS t_star
              |FROM u""".stripMargin)),
+    // ----- Forecast-skill gauge (Theil's U2 shape) — the "is there
+    // exploitable structure" read in front of t_holt_forecast: MAE
+    // of the seasonal-naive forecaster (ŷ_t = y_{t−24}) against MAE
+    // of plain persistence (ŷ_t = y_{t−1}) over the SAME aligned
+    // hours (both lags non-null, so the comparison is paired, not
+    // coverage-confounded). skill < 1 ⇒ the 24 h cycle carries real
+    // signal a seasonal model should exploit; ≥ 1 ⇒ persistence is
+    // unbeaten and a seasonal model is decoration. All exact longs
+    // (Σ|Δ| sums on the calendar-bounded hourly grid, two row-lags
+    // over the whitelisted t_autocorrelation window), one rounded
+    // division.
+    QueryDef(
+      "t_forecast_skill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ow = Window.orderBy("hr")
+        val hourly = events(s, d)
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        hourly
+          .withColumn("l1", lag("cnt", 1).over(ow))
+          .withColumn("l24", lag("cnt", 24).over(ow))
+          .filter(col("l1").isNotNull && col("l24").isNotNull)
+          .agg(count(lit(1)).as("n"),
+            sum(abs(col("cnt") - col("l1"))).as("mae1_sum"),
+            sum(abs(col("cnt") - col("l24"))).as("mae24_sum"))
+          .select(col("n"), col("mae1_sum"), col("mae24_sum"),
+            round(col("mae24_sum").cast("double")
+              / col("mae1_sum").cast("double"), 6).as("skill_u2"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             |         count(*)::BIGINT AS cnt
+             |  FROM events GROUP BY 1),
+             |l AS (SELECT cnt,
+             |    lag(cnt, 1) OVER (ORDER BY hr) AS l1,
+             |    lag(cnt, 24) OVER (ORDER BY hr) AS l24
+             |  FROM hourly)
+             |SELECT count(*)::BIGINT AS n,
+             |  sum(abs(cnt - l1))::BIGINT AS mae1_sum,
+             |  sum(abs(cnt - l24))::BIGINT AS mae24_sum,
+             |  round(CAST(sum(abs(cnt - l24)) AS DOUBLE)
+             |    / CAST(sum(abs(cnt - l1)) AS DOUBLE), 6) AS skill_u2
+             |FROM l WHERE l1 IS NOT NULL AND l24 IS NOT NULL""".stripMargin)),
   ) :+ shapleyQuery :+ conformalQuery :+ medianOfMeansQuery
 
   /** DuckDB mirror for t_pacf: the identical 9-dp ρ ladder, then the

@@ -47,7 +47,8 @@ class Round9PlanSpec extends SparkSpec {
     "t_ljung_box" -> "hourly calendar grid, 12 row-lag passes",
     "a76_hodges_lehmann" -> "24·25/2 = 300-pair Walsh grid rank (hod-grid-bounded)",
     "a77_cramer_von_mises" -> "distinct rounded-cents grid (price domain)",
-    "t_pettitt" -> "hourly calendar grid index + running rank sum (~9k rows/year)")
+    "t_pettitt" -> "hourly calendar grid index + running rank sum (~9k rows/year)",
+    "t_forecast_skill" -> "hourly calendar grid, two row-lag passes")
   // t_pacf's lag windows run at CONSTRUCTION time (the ρ stats are
   // collected before the driver-side DL recursion), so its final plan
   // carries no Window — the walker sees the bounded calendar-grid
