@@ -4402,7 +4402,8 @@ object EventQueries {
           .groupBy(col("a.hod").as("hod"), col("a.d").as("d"),
             col("a.ad").as("ad"))
           .agg((sum(when(col("b.ad") < col("a.ad"), 2L).otherwise(0L))
-            + sum(when(col("b.ad") === col("a.ad"), 1L).otherwise(0L)))
+            + sum(when(col("b.ad") === col("a.ad"), 1L).otherwise(0L))
+            + lit(1L))
             .as("r2"))
         rk.agg(count(lit(1)).as("n"),
             sum(when(col("d") > 0L, col("r2")).otherwise(0L)).as("wp2"))
@@ -4427,7 +4428,8 @@ object EventQueries {
              |rk AS (
              |  SELECT a.hod, a.d,
              |    (sum(CASE WHEN b.ad < a.ad THEN 2 ELSE 0 END)
-             |     + sum(CASE WHEN b.ad = a.ad THEN 1 ELSE 0 END))::BIGINT AS r2
+             |     + sum(CASE WHEN b.ad = a.ad THEN 1 ELSE 0 END)
+             |     + 1)::BIGINT AS r2
              |  FROM nz a JOIN nz b ON TRUE GROUP BY 1, 2),
              |s AS (SELECT count(*)::BIGINT AS n,
              |        sum(CASE WHEN d > 0 THEN r2 ELSE 0 END)::BIGINT AS wp2
@@ -5287,7 +5289,8 @@ object EventQueries {
             idx.select(col("c").as("bc"))))
           .groupBy(col("a.t").as("t"))
           .agg((sum(when(col("bc") < col("a.c"), 2L).otherwise(0L))
-            + sum(when(col("bc") === col("a.c"), 1L).otherwise(0L)))
+            + sum(when(col("bc") === col("a.c"), 1L).otherwise(0L))
+            + lit(1L))
             .as("r2"))
         val u = tracked(rk.crossJoin(broadcast(nf))
           .withColumn("cum", sum("r2").over(w))
@@ -5308,7 +5311,8 @@ object EventQueries {
              |n AS (SELECT count(*)::BIGINT AS n FROM idx),
              |rk AS (SELECT a.t,
              |    (sum(CASE WHEN b.c < a.c THEN 2 ELSE 0 END)
-             |     + sum(CASE WHEN b.c = a.c THEN 1 ELSE 0 END))::BIGINT AS r2
+             |     + sum(CASE WHEN b.c = a.c THEN 1 ELSE 0 END)
+             |     + 1)::BIGINT AS r2
              |  FROM idx a JOIN idx b ON TRUE GROUP BY 1),
              |u AS (SELECT t,
              |    2*CAST(sum(r2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)

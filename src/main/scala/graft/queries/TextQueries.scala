@@ -3328,8 +3328,10 @@ object TextQueries {
     // PER-ROW array transform over the token list (no self-join on
     // position — one explode, linear in tokens); "new" = trigram's
     // MINIMUM doc_id (first occurrence — an agg, not a sort), decile
-    // = fst·10 / n_docs in integer division (both engines truncate
-    // non-negatives identically); the cumulative column rides a
+    // = least(fst·10 / n_docs, 9) in integer division (both engines
+    // truncate non-negatives identically; the least() clamp folds the
+    // fst == n_docs edge — a trigram first seen in the max doc_id —
+    // into decile 9 instead of an 11th bucket); the cumulative rides a
     // ≤10-row grid SELF-JOIN, not a window — the bounded-grid
     // cumulative idiom that needs no whitelist entry in either plan
     // lock. Shuffles: one trigram agg (the data-scale key), then
@@ -3349,8 +3351,8 @@ object TextQueries {
         val ft = tris.groupBy("tg").agg(min("doc_id").as("fst"))
         val nd = docs(s, d).agg(count(lit(1)).as("nd"))
         val b = ft.crossJoin(broadcast(nd))
-          .select(call_function("div", col("fst") * 10, col("nd"))
-            .cast("long").as("decile"))
+          .select(least(call_function("div", col("fst") * 10, col("nd"))
+            .cast("long"), lit(9L)).as("decile"))
           .groupBy("decile").agg(count(lit(1)).as("new_trigrams"))
         val bc = tracked(b)
         bc.as("a").join(bc.as("p"),
@@ -3367,7 +3369,7 @@ object TextQueries {
              |  FROM tk),
              |ft AS (SELECT tg, min(doc_id) AS fst FROM tri GROUP BY 1),
              |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
-             |b AS (SELECT CAST((fst * 10) // nd AS BIGINT) AS decile,
+             |b AS (SELECT least(CAST((fst * 10) // nd AS BIGINT), 9) AS decile,
              |    CAST(count(*) AS BIGINT) AS new_trigrams
              |  FROM ft, n GROUP BY 1)
              |SELECT a.decile, a.new_trigrams,
