@@ -562,6 +562,7 @@ object Bench {
       copied("nation", Seq.empty, 0L)
       copied("region", Seq.empty, 0L)
       val results = names.map { name =>
+        sampleControl(spark, sfDir, "stress8x") // load sentinel, sfDir corpus
         name -> (try {
           // one untimed warm-up run per query: DevCcBench attribution
           // showed the stress swing is JIT/codegen + page-cache
@@ -709,6 +710,42 @@ object Bench {
   private val tierTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
   private val tierSpreads = scala.collection.mutable.HashMap[String, (Double, Double)]()
 
+  /** The in-run load sentinel (round-11 verdict ask 2 — the jitter
+    * class burned a DevMoverAttrib cycle in r8/r9/r10): a pinned
+    * CONTROL query — q3_top_order_revenue, the same stable control
+    * DevMoverAttrib interleaves — is sampled inside every batch tier
+    * as it runs, always against the driver's sfDir corpus under the
+    * per-sample cold-data discipline, so its plan and workload never
+    * change across runs. A tier whose control median drifts ≥1.8×
+    * the mirror's cross-run control baseline is experiencing
+    * machine-level load, and alarms fired in that tier self-attribute
+    * as `run_level_load` at alarm time (BenchMirror.classifyAlarms)
+    * instead of shipping `unattributed` and costing a next-round
+    * attribution cycle. First-run seeding: the mirror's
+    * `headline/q3_top_order_revenue` median is the same protocol
+    * (median of cold-data samples of the same plan), so it serves as
+    * the baseline until a `control/...` entry exists.
+    */
+  private val ControlQuery = "q3_top_order_revenue"
+  private val controlSamples =
+    scala.collection.mutable.ArrayBuffer[(String, Double)]()
+
+  private def sampleControl(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, tier: String): Unit =
+    try {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(ControlQuery)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      controlSamples += tier -> (System.nanoTime() - t0) / 1e9
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a dead control must not kill the tier; classification just
+        // degrades to `unattributed` for this tier's alarms
+        System.err.println(
+          s"[bench-control] WARNING control sample failed in $tier: ${e.getMessage}")
+    }
+
   /** Bench regression alarm (round-8 verdict ask 4): ratio every
     * `tier/query` median of this run against the previous FULL run's
     * mirror (BENCH_TIMES.json at the repo root, the VERIFY_TIMES
@@ -723,7 +760,7 @@ object Bench {
     * make a spread-blind ratio gate fire on jitter. Warn-only: the
     * bench must not fail on timing.
     */
-  private def moversJson(fullDefaultRun: Boolean): String = {
+  private def moversJson(fullDefaultRun: Boolean, wallSec: Double): String = {
     if (!fullDefaultRun) return ""
     val path = Paths.get("BENCH_TIMES.json")
     val out = new StringBuilder
@@ -735,6 +772,21 @@ object Bench {
       val prev = BenchMirror.parseTimes(body)
       val prevSpread = BenchMirror.parseSpreads(body)
       val prevUnattr = BenchMirror.parseUnattributed(body)
+      val prevRunLoad = BenchMirror.parseRunLevelLoad(body)
+      val prevWall = BenchMirror.parseWall(body)
+      // the control sentinel's run-global median enters the mirror as
+      // its own entry, so the baseline is cross-run and the hold/
+      // auto-clear rules protect it from poisoning like any other
+      val controlKey = s"control/$ControlQuery"
+      val ctlByTier = controlSamples.toSeq.groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2) }
+      val ctlAll = controlSamples.toSeq.map(_._2)
+      if (ctlAll.nonEmpty)
+        tierTimes(controlKey) = ctlAll.sorted.apply(ctlAll.length / 2)
+      // baseline: the mirror's control entry; first-run fallback is the
+      // headline median of the same query (same plan, same protocol)
+      val ctlBaseline = prev.get(controlKey)
+        .orElse(prev.get(s"headline/$ControlQuery"))
       if (body.nonEmpty) {
         val ratios = tierTimes.toSeq.collect {
           case (k, v) if prev.get(k).exists(_ > 0.0) => (k, v, prev(k), v / prev(k))
@@ -750,28 +802,53 @@ object Bench {
           System.err.println(f"[bench-times] REGRESSION ALARM $k $ov%.2f -> " +
             f"$nv%.2f s (x$r%.2f; threshold x2, >=1 s, above prev spread max)")
         }
-        val (mTimes, mSpreads, unattr) = BenchMirror.merge(
+        val (loadAttr, _) = BenchMirror.classifyAlarms(
+          alarms.map(_._1), ctlByTier, ctlBaseline)
+        val (mTimes, mSpreads, unattr, runLoad) = BenchMirror.merge(
           prev, prevSpread, prevUnattr, tierTimes.toSeq, tierSpreads.toMap,
-          accepted)
+          accepted, prevRunLoad, loadAttr)
         unattr.foreach(k => System.err.println(
           s"[bench-times] UNATTRIBUTED $k — mirror holds pre-alarm baseline " +
             "until a DevQueryAB attribution (SPARK_GRAFT_ACCEPT_MOVERS) or a " +
             "clean re-measure clears it"))
+        runLoad.foreach(k => System.err.println(
+          s"[bench-times] RUN-LEVEL-LOAD $k — control sentinel drifted ≥1.8x " +
+            "in this alarm's tier; mirror holds pre-alarm baseline, a clean " +
+            "re-measure clears it"))
         val moverJson = movers.map { case (k, nv, ov, r) =>
           s""""${esc(k)}":{"prev":$ov,"now":$nv,"ratio":${BenchMirror.num(r)}}"""
         }.mkString("{", ",", "}")
-        val unattrJson = unattr.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
+        def arr(xs: Seq[String]) =
+          xs.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
+        val ctlTierJson = ctlByTier.toSeq.sortBy(_._1).map { case (t, xs) =>
+          s""""${esc(t)}":[${xs.map(BenchMirror.num).mkString(",")}]"""
+        }.mkString("{", ",", "}")
+        val ctlJson =
+          s""""control":{"name":"${esc(ControlQuery)}",""" +
+            s""""baseline":${ctlBaseline.map(BenchMirror.num).getOrElse("null")},""" +
+            s""""median":${tierTimes.get(controlKey).map(BenchMirror.num).getOrElse("null")},""" +
+            s""""drift_ratio":${(for {b <- ctlBaseline if b > 0.0; m <- tierTimes.get(controlKey)}
+              yield BenchMirror.num(m / b)).getOrElse("null")},""" +
+            s""""by_tier":$ctlTierJson}"""
+        val wallJson =
+          s""""wall_sec":${BenchMirror.num(wallSec)},""" +
+            s""""prev_wall_sec":${prevWall.map(BenchMirror.num).getOrElse("null")},""" +
+            s""""wall_ratio":${prevWall.filter(_ > 0.0)
+              .map(p => BenchMirror.num(wallSec / p)).getOrElse("null")}"""
         val block =
-          s"""{"threshold":{"ratio":2.0,"min_sec":1.0,"spread_guard":true},""" +
-            s""""alarms":${alarms.size},"unattributed":$unattrJson,""" +
+          s"""{"threshold":{"ratio":2.0,"min_sec":1.0,"spread_guard":true,"control_drift":1.8},""" +
+            s""""alarms":${alarms.size},"unattributed":${arr(unattr)},""" +
+            s""""run_level_load":${arr(runLoad)},$ctlJson,$wallJson,""" +
             s""""top_movers":$moverJson}"""
         Files.writeString(Paths.get("bench_movers.json"), block)
         out ++= s""","movers":$block"""
-        Files.writeString(path, BenchMirror.render(mTimes, mSpreads, unattr, esc))
+        Files.writeString(path, BenchMirror.render(mTimes, mSpreads, unattr, esc,
+          runLoad, Some(wallSec)))
       } else {
         // first run: no baseline to compare or hold — seed the mirror
         Files.writeString(path, BenchMirror.render(
-          tierTimes.toSeq, tierSpreads.toMap, Seq.empty, esc))
+          tierTimes.toSeq, tierSpreads.toMap, Seq.empty, esc,
+          Seq.empty, Some(wallSec)))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -855,7 +932,10 @@ object Bench {
     val names = explicit.getOrElse(heavyBase ++ promoted.filterNot(heavyBase.contains))
     if (promoted.nonEmpty)
       System.err.println(s"[heavy] promoted from VERIFY_TIMES: ${promoted.mkString(",")}")
-    val nSamples = sys.env.getOrElse("SPARK_GRAFT_HEAVY_N", "3").toInt
+    // n=5 (round-11 verdict ask 4): g17's r10 spread was [3.12, 18.88]
+    // — with the environment's roaming ~6x outliers, an n=3 median is
+    // one bad draw from BEING the outlier; n=5 survives two
+    val nSamples = sys.env.getOrElse("SPARK_GRAFT_HEAVY_N", "5").toInt
     def releaseAll(): Unit = {
       graft.queries.DedupQueries.releaseSignatureCache()
       graft.queries.SimilarityQueries.releaseCaches()
@@ -864,6 +944,7 @@ object Bench {
       graft.queries.TextQueries.releaseCaches()
     }
     val results = names.map { name =>
+      sampleControl(spark, sfDir, "heavy") // load sentinel
       name -> (try {
         releaseAll(); spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -924,6 +1005,7 @@ object Bench {
     // "cold cost" (sample 1) from a stable steady band (samples 2..n)
     val nSamples = sys.env.getOrElse("SPARK_GRAFT_COLD_N", "3").toInt
     val results = names.map { name =>
+      sampleControl(spark, sfDir, "cold") // load sentinel
       name -> (try {
         val samples = (1 to nSamples).map { _ =>
           graft.queries.DedupQueries.releaseSignatureCache()
@@ -964,6 +1046,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val wallT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
@@ -995,7 +1078,10 @@ object Bench {
     graft.queries.EventQueries.releaseCaches()
     graft.queries.TextQueries.releaseCaches()
     spark.catalog.clearCache()
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, i) =>
+      // load sentinel every 6th headline query (the tier's entries are
+      // sub-second, so per-query sampling would double the tier's wall)
+      if (i % 6 == 0) sampleControl(spark, sfDir, "headline")
       // One more untimed run IMMEDIATELY before the sample block (the
       // stress tier's protocol): the global pass above is ~80 query
       // executions old by the time late queries are measured, and the
@@ -1135,9 +1221,31 @@ object Bench {
           "SPARK_GRAFT_HEAVY_QUERIES", "SPARK_GRAFT_BENCH_QUERIES")
           .forall(k => !sys.env.contains(k)) &&
         sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "8") == "8"
-    val moversBlock = moversJson(fullDefaultRun)
+    val moversBlock = moversJson(fullDefaultRun,
+      (System.nanoTime() - wallT0) / 1e9)
+    // benched-at-HEAD check (round-11 verdict ask 5): registry queries
+    // absent from VERIFY_TIMES.json postdate the last full verify
+    // sweep and are therefore INVISIBLE to the heavy-tier promotion
+    // policy — a78_seasonal_mk landed top-5 of the r10 sweep yet was
+    // never benched that round because it was added after the
+    // close-out bench. The close-out discipline is: full sweep, then
+    // full bench, and this list must be EMPTY on the round's final
+    // bench line.
+    val neverBenched = try {
+      val vtPath = Paths.get("VERIFY_TIMES.json")
+      if (!Files.exists(vtPath)) Seq.empty[String]
+      else {
+        val vt = BenchMirror.parseTimes(Files.readString(vtPath)).keySet
+        (SparkEntry.queries.keySet -- vt).toSeq.sorted
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+    if (neverBenched.nonEmpty)
+      System.err.println(s"[bench] NEVER-BENCHED (absent from VERIFY_TIMES " +
+        s"— invisible to heavy promotion): ${neverBenched.mkString(",")}")
+    val neverJson = s""","never_benched":[${
+      neverBenched.map(k => "\"" + esc(k) + "\"").mkString(",")}]"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$streamStatefulJson$streamAnnJson$stressJson$heavyJson$coldJson$moversBlock,"sf":"${esc(sfDir)}","n":$nSamples,"stat":"median","failed":$nErr}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$streamBlock$streamDocsJson$streamStatefulJson$streamAnnJson$stressJson$heavyJson$coldJson$moversBlock$neverJson,"sf":"${esc(sfDir)}","n":$nSamples,"stat":"median","failed":$nErr}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
     spark.stop()

@@ -53,14 +53,66 @@ object BenchMirror {
       .toMap
 
   /** Names inside the mirror's `"unattributed":[...]` array. */
-  def parseUnattributed(body: String): Set[String] = {
-    val arr = "\"unattributed\"\\s*:\\s*\\[([^\\]]*)\\]".r
+  def parseUnattributed(body: String): Set[String] =
+    parseNameArray(body, "unattributed")
+
+  /** Names inside the mirror's `"run_level_load":[...]` array —
+    * alarms the in-run control sentinel attributed to machine-level
+    * load at alarm time (round-11 verdict ask 2). Same baseline-hold
+    * and auto-clear semantics as `unattributed`; the separate array
+    * exists so the attribution is recorded WITH the alarm instead of
+    * costing a next-round DevMoverAttrib cycle.
+    */
+  def parseRunLevelLoad(body: String): Set[String] =
+    parseNameArray(body, "run_level_load")
+
+  private def parseNameArray(body: String, field: String): Set[String] = {
+    val arr = ("\"" + field + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
     arr.findFirstMatchIn(body) match {
       case None => Set.empty
       case Some(m) =>
         "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
           .map(_.group(1)).toSet
     }
+  }
+
+  /** The previous full run's total wall seconds (`"wall_sec":N`). */
+  def parseWall(body: String): Option[Double] =
+    "\"wall_sec\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(body)
+      .map(_.group(1).toDouble)
+
+  /** Classify this run's fired alarms with the interleaved control
+    * sentinel (round-11 verdict ask 2 — the class that burned a
+    * DevMoverAttrib cycle in r8/r9/r10): a pinned control query is
+    * sampled INSIDE each tier as it runs; an alarm whose tier's
+    * control median drifted ≥ `driftThreshold`× its cross-run
+    * baseline is machine-level load by construction (the control's
+    * plan never changes), so it self-attributes as `run_level_load`
+    * at alarm time. A tier with no control samples falls back to the
+    * run-global control median; with no baseline or no samples at
+    * all, nothing can be attributed and every alarm stays
+    * `unattributed` (the conservative reading).
+    *
+    * @return (runLevelLoad, unattributed) partition of `alarms`
+    */
+  def classifyAlarms(
+      alarms: Seq[String],
+      controlByTier: Map[String, Seq[Double]],
+      controlBaseline: Option[Double],
+      driftThreshold: Double = 1.8): (Set[String], Set[String]) = {
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val global = controlByTier.values.flatten.toSeq
+    val loaded = controlBaseline match {
+      case Some(b) if b > 0.0 && global.nonEmpty =>
+        alarms.filter { k =>
+          val tier = k.takeWhile(_ != '/')
+          val samples = controlByTier.getOrElse(tier, Seq.empty)
+          val m = if (samples.nonEmpty) med(samples) else med(global)
+          m / b >= driftThreshold
+        }.toSet
+      case _ => Set.empty[String]
+    }
+    (loaded, alarms.toSet -- loaded)
   }
 
   /** The alarm predicate, shared by the report and the merge: ratio ≥ 2
@@ -81,11 +133,18 @@ object BenchMirror {
     * @param newTimes     this run's tier-qualified medians, in order
     * @param newSpreads   this run's bands
     * @param accepted     SPARK_GRAFT_ACCEPT_MOVERS names ("*" = all)
+    * @param prevRunLoad  names still flagged run_level_load in the mirror
+    * @param loadAttributed this run's alarms the control sentinel
+    *                     attributed to machine-level load
+    *                     ([[classifyAlarms]] first component)
     * @return (mirror times in order, mirror spreads, unattributed names
-    *         sorted) — alarmed-and-unaccepted entries keep the baseline
-    *         values; entries measured clean this run drop any stale
-    *         unattributed flag (recovery auto-clears); flagged entries
-    *         NOT measured this run carry both flag and baseline forward.
+    *         sorted, run_level_load names sorted) — alarmed-and-
+    *         unaccepted entries keep the baseline values regardless of
+    *         class (a load-attributed median is still not a steady
+    *         state); entries measured clean this run drop any stale
+    *         flag of either class (recovery auto-clears); flagged
+    *         entries NOT measured this run carry flag and baseline
+    *         forward in their own class.
     */
   def merge(
       prevTimes: Map[String, Double],
@@ -93,8 +152,11 @@ object BenchMirror {
       prevUnattr: Set[String],
       newTimes: Seq[(String, Double)],
       newSpreads: Map[String, (Double, Double)],
-      accepted: Set[String])
-      : (Seq[(String, Double)], Map[String, (Double, Double)], Seq[String]) = {
+      accepted: Set[String],
+      prevRunLoad: Set[String] = Set.empty,
+      loadAttributed: Set[String] = Set.empty)
+      : (Seq[(String, Double)], Map[String, (Double, Double)],
+         Seq[String], Seq[String]) = {
     val acceptAll = accepted.contains("*")
     def isAccepted(k: String): Boolean = acceptAll || accepted.contains(k)
     val hold = newTimes.collect {
@@ -109,26 +171,35 @@ object BenchMirror {
       (if (hold(k)) prevSpreads.get(k) else newSpreads.get(k)).map(k -> _)
     }.toMap
     val newKeys = newTimes.map(_._1).toSet
-    val carried = (prevUnattr -- accepted)
-      .filter(k => !acceptAll && !newKeys(k) && prevTimes.contains(k))
+    def carriedOf(prevFlags: Set[String]): Set[String] =
+      (prevFlags -- accepted)
+        .filter(k => !acceptAll && !newKeys(k) && prevTimes.contains(k))
+    val carriedU = carriedOf(prevUnattr)
+    val carriedL = carriedOf(prevRunLoad)
+    val carried = carriedU ++ carriedL
     val carriedTimes = carried.toSeq.sorted.map(k => k -> prevTimes(k))
     val carriedSpreads = carried.toSeq.flatMap(k => prevSpreads.get(k).map(k -> _))
     ((times ++ carriedTimes),
       spreads ++ carriedSpreads,
-      (hold ++ carried).toSeq.sorted)
+      ((hold -- loadAttributed) ++ carriedU).toSeq.sorted,
+      ((hold & loadAttributed) ++ carriedL).toSeq.sorted)
   }
 
   /** Serialize the mirror body (fixed shape the parsers above read). */
   def render(times: Seq[(String, Double)],
       spreads: Map[String, (Double, Double)],
       unattributed: Seq[String],
-      esc: String => String): String = {
+      esc: String => String,
+      runLevelLoad: Seq[String] = Seq.empty,
+      wall: Option[Double] = None): String = {
     val t = times.map { case (k, v) => s""""${esc(k)}":${num(v)}""" }
       .mkString("{", ",", "}")
     val s = spreads.toSeq.sortBy(_._1)
       .map { case (k, (lo, hi)) => s""""${esc(k)}":[${num(lo)},${num(hi)}]""" }
       .mkString("{", ",", "}")
-    val u = unattributed.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
-    s"""{"times":$t,"spreads":$s,"unattributed":$u}"""
+    def arr(xs: Seq[String]) = xs.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
+    val w = wall.map(v => s""","wall_sec":${num(v)}""").getOrElse("")
+    s"""{"times":$t,"spreads":$s,"unattributed":${arr(unattributed)}""" +
+      s""","run_level_load":${arr(runLevelLoad)}$w}"""
   }
 }

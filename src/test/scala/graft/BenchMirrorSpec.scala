@@ -7,6 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * otherwise a silent recovery never alarms (ratio 0.16 < 2) and a
   * real regression is ratioed against the inflated prev. Encoded
   * against the literal r9 incident numbers.
+  *
+  * Round-11 additions: the in-run load sentinel (verdict ask 2 — the
+  * jitter class fired in r8, r9, AND r10, each time costing a full
+  * DevMoverAttrib cycle). A pinned control query is interleaved
+  * through every tier; classifyAlarms marks an alarm whose tier's
+  * control median drifted ≥1.8× the cross-run baseline as
+  * `run_level_load` AT ALARM TIME — encoded against the literal r10
+  * incident (four alarms at a common ~4.4× in a run whose wall was
+  * itself 1.6× inflated).
   */
 class BenchMirrorSpec extends AnyFunSuite {
 
@@ -21,7 +30,7 @@ class BenchMirrorSpec extends AnyFunSuite {
       "headline/ok" -> 1.2)
     val spreads = Map("headline/t_dtw" -> (3.6, 3.7),
       "headline/cur" -> (3.0, 3.1), "headline/ok" -> (1.1, 1.3))
-    val (t, s, u) = BenchMirror.merge(prev, Map.empty, Set.empty, now,
+    val (t, s, u, _) = BenchMirror.merge(prev, Map.empty, Set.empty, now,
       spreads, Set.empty)
     val tm = t.toMap
     assert(tm("headline/t_dtw") == 0.585) // held, not poisoned
@@ -38,7 +47,7 @@ class BenchMirrorSpec extends AnyFunSuite {
     // next round: the query measures 0.6 s against the HELD 0.585
     // baseline -> no alarm -> flag cleared, baseline becomes 0.6
     val prev = Map("headline/t_dtw" -> 0.585)
-    val (t, _, u) = BenchMirror.merge(prev, Map.empty,
+    val (t, _, u, _) = BenchMirror.merge(prev, Map.empty,
       Set("headline/t_dtw"), Seq("headline/t_dtw" -> 0.61),
       Map("headline/t_dtw" -> (0.59, 0.64)), Set.empty)
     assert(t.toMap.apply("headline/t_dtw") == 0.61)
@@ -47,7 +56,7 @@ class BenchMirrorSpec extends AnyFunSuite {
 
   test("re-alarm against the held baseline stays unattributed") {
     val prev = Map("headline/t_dtw" -> 0.585)
-    val (t, _, u) = BenchMirror.merge(prev, Map.empty,
+    val (t, _, u, _) = BenchMirror.merge(prev, Map.empty,
       Set("headline/t_dtw"), Seq("headline/t_dtw" -> 3.5),
       Map.empty, Set.empty)
     assert(t.toMap.apply("headline/t_dtw") == 0.585)
@@ -57,12 +66,12 @@ class BenchMirrorSpec extends AnyFunSuite {
   test("acceptance via SPARK_GRAFT_ACCEPT_MOVERS adopts the new baseline") {
     val prev = Map("headline/t_dtw" -> 0.585, "headline/cur" -> 0.536)
     val now = Seq("headline/t_dtw" -> 3.655, "headline/cur" -> 3.047)
-    val (t, _, u) = BenchMirror.merge(prev, Map.empty, Set.empty, now,
+    val (t, _, u, _) = BenchMirror.merge(prev, Map.empty, Set.empty, now,
       Map.empty, Set("headline/t_dtw"))
     assert(t.toMap.apply("headline/t_dtw") == 3.655) // attributed: real cost
     assert(t.toMap.apply("headline/cur") == 0.536)   // still held
     assert(u == Seq("headline/cur"))
-    val (t2, _, u2) = BenchMirror.merge(prev, Map.empty, Set.empty, now,
+    val (t2, _, u2, _) = BenchMirror.merge(prev, Map.empty, Set.empty, now,
       Map.empty, Set("*"))
     assert(t2.toMap.apply("headline/cur") == 3.047)
     assert(u2.isEmpty)
@@ -72,7 +81,7 @@ class BenchMirrorSpec extends AnyFunSuite {
     // stress-tier roaming outliers (g3b 16-44 s in r8): ratio >= 2 but
     // inside the recorded band -> not an alarm, baseline moves
     val prev = Map("stress8x/g3b" -> 10.0)
-    val (t, _, u) = BenchMirror.merge(prev,
+    val (t, _, u, _) = BenchMirror.merge(prev,
       Map("stress8x/g3b" -> (8.0, 44.0)), Set.empty,
       Seq("stress8x/g3b" -> 33.0), Map.empty, Set.empty)
     assert(t.toMap.apply("stress8x/g3b") == 33.0)
@@ -81,25 +90,26 @@ class BenchMirrorSpec extends AnyFunSuite {
 
   test("flagged entry not measured this run carries flag and baseline forward") {
     val prev = Map("heavy/x" -> 1.0, "headline/ok" -> 0.5)
-    val (t, _, u) = BenchMirror.merge(prev, Map("heavy/x" -> (0.9, 1.1)),
+    val (t, _, u, _) = BenchMirror.merge(prev, Map("heavy/x" -> (0.9, 1.1)),
       Set("heavy/x"), Seq("headline/ok" -> 0.55), Map.empty, Set.empty)
     assert(t.toMap.apply("heavy/x") == 1.0)
     assert(u == Seq("heavy/x"))
   }
 
-  test("render/parse roundtrip is locale-proof and preserves unattributed") {
+  test("render/parse roundtrip is locale-proof and preserves flag arrays + wall") {
     val default = java.util.Locale.getDefault
     try {
       java.util.Locale.setDefault(java.util.Locale.GERMANY) // comma decimals
       val body = BenchMirror.render(
         Seq("a" -> 1.23456, "b" -> 0.0001), // 1e-4 must not go scientific
-        Map("a" -> (1.2, 1.3)), Seq("b"), esc)
-      assert(!body.contains(","+"}") || true)
+        Map("a" -> (1.2, 1.3)), Seq("b"), esc, Seq("a"), Some(1143.7))
       assert(body.contains("\"a\":1.235"))
       assert(!body.contains("1,2")) // no locale commas inside numbers
       assert(BenchMirror.parseTimes(body)("a") == 1.235)
       assert(BenchMirror.parseSpreads(body)("a") == (1.2, 1.3))
       assert(BenchMirror.parseUnattributed(body) == Set("b"))
+      assert(BenchMirror.parseRunLevelLoad(body) == Set("a"))
+      assert(BenchMirror.parseWall(body).contains(1143.7))
     } finally java.util.Locale.setDefault(default)
   }
 
@@ -109,5 +119,81 @@ class BenchMirrorSpec extends AnyFunSuite {
     assert(!BenchMirror.isAlarm(1.9, 1.0, None))  // under ratio
     assert(!BenchMirror.isAlarm(3.0, 1.0, Some((0.9, 3.5)))) // inside band
     assert(BenchMirror.isAlarm(4.0, 1.0, Some((0.9, 3.5))))
+  }
+
+  // ----- the round-11 load sentinel --------------------------------
+
+  test("inflated control marks its tier's alarms run-level-load") {
+    // the r10 incident shape: four alarms at ~4.4x across two tiers
+    // while the run's wall was 1.6x inflated — with an in-run control
+    // drifting the same way, every alarm self-attributes
+    val alarms = Seq("headline/dedup_minhash_pairs",
+      "headline/sim13_native_centroids", "stress8x/q13_cust_order_dist",
+      "stress8x/tx12_bigram_lm_score")
+    val control = Map(
+      "headline" -> Seq(2.7, 2.9, 2.5), // baseline 0.63 -> ~4.3x drift
+      "stress8x" -> Seq(2.6, 3.1))
+    val (load, unattr) = BenchMirror.classifyAlarms(alarms, control, Some(0.63))
+    assert(load == alarms.toSet)
+    assert(unattr.isEmpty)
+  }
+
+  test("clean control leaves alarms unattributed") {
+    val alarms = Seq("headline/x", "stress8x/y")
+    val control = Map("headline" -> Seq(0.61, 0.65, 0.60),
+      "stress8x" -> Seq(0.66, 0.63))
+    val (load, unattr) = BenchMirror.classifyAlarms(alarms, control, Some(0.63))
+    assert(load.isEmpty)
+    assert(unattr == alarms.toSet)
+  }
+
+  test("per-tier classification: only the loaded tier's alarms self-attribute") {
+    val alarms = Seq("headline/x", "stress8x/y")
+    val control = Map(
+      "headline" -> Seq(0.62, 0.64),       // clean
+      "stress8x" -> Seq(1.9, 2.2, 2.0))    // ~3.2x drift
+    val (load, unattr) = BenchMirror.classifyAlarms(alarms, control, Some(0.63))
+    assert(load == Set("stress8x/y"))
+    assert(unattr == Set("headline/x"))
+  }
+
+  test("tier without control samples falls back to the run-global median") {
+    val alarms = Seq("cold/z")
+    val control = Map("headline" -> Seq(2.5, 2.7), "stress8x" -> Seq(2.6))
+    val (load, _) = BenchMirror.classifyAlarms(alarms, control, Some(0.63))
+    assert(load == Set("cold/z"))
+  }
+
+  test("no baseline or no samples: everything stays unattributed (conservative)") {
+    val alarms = Seq("headline/x")
+    assert(BenchMirror.classifyAlarms(alarms, Map("headline" -> Seq(9.9)), None)
+      == (Set.empty, Set("headline/x")))
+    assert(BenchMirror.classifyAlarms(alarms, Map.empty, Some(0.63))
+      == (Set.empty, Set("headline/x")))
+  }
+
+  test("load-attributed alarms hold baseline and land in run_level_load") {
+    val prev = Map("headline/a" -> 0.6, "stress8x/b" -> 6.5)
+    val now = Seq("headline/a" -> 2.6, "stress8x/b" -> 28.3)
+    val (t, _, u, l) = BenchMirror.merge(prev, Map.empty, Set.empty, now,
+      Map.empty, Set.empty,
+      loadAttributed = Set("headline/a", "stress8x/b"))
+    assert(t.toMap.apply("headline/a") == 0.6)   // held, same as unattributed
+    assert(t.toMap.apply("stress8x/b") == 6.5)
+    assert(u.isEmpty)
+    assert(l == Seq("headline/a", "stress8x/b"))
+  }
+
+  test("run_level_load flag auto-clears on clean re-measure, carries when unmeasured") {
+    val prev = Map("headline/a" -> 0.6, "stress8x/b" -> 6.5)
+    // a measured clean -> cleared + baseline moves; b not measured ->
+    // flag and baseline carried forward in its own class
+    val (t, _, u, l) = BenchMirror.merge(prev, Map.empty, Set.empty,
+      Seq("headline/a" -> 0.63), Map.empty, Set.empty,
+      prevRunLoad = Set("headline/a", "stress8x/b"))
+    assert(t.toMap.apply("headline/a") == 0.63)
+    assert(t.toMap.apply("stress8x/b") == 6.5)
+    assert(u.isEmpty)
+    assert(l == Seq("stress8x/b"))
   }
 }
