@@ -54,7 +54,10 @@ object Bpe {
     while (round <= nRounds && !exhausted) {
       val toks = split(col("core"), "  ")
       val n = size(toks)
-      val top = corpus
+      // the per-round argmax pair: driver traffic is ONE row per
+      // round (query-reachable via tx8b — a bounded gauge, not a fit
+      // collect; the corpus-wide pair scan stays distributed)
+      val top = graft.ops.Grids.boundedRows(corpus
         .select(explode(zip_with(
           slice(toks, lit(1), greatest(n - 1, lit(0))),
           slice(toks, lit(2), greatest(n - 1, lit(0))),
@@ -62,8 +65,7 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
+        .limit(1), 1, "bpe_merge_argmax")
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))

@@ -71,10 +71,11 @@ object KCore {
           .select("u", "v"))
       val nRemoved = bad.count()
       val nEdges = next.count()
-      val nNodes = next.select(col("u").as("n"))
-        .unionAll(next.select(col("v").as("n")))
-        .agg(countDistinct(col("n")).as("n_nodes"))
-        .head().getLong(0)
+      val nNodes = graft.ops.Grids.boundedHead(
+        next.select(col("u").as("n"))
+          .unionAll(next.select(col("v").as("n")))
+          .agg(countDistinct(col("n")).as("n_nodes")),
+        "kcore_round_gauge").getLong(0)
       eRdd.unpersist(blocking = false)
       e = next; eRdd = nextRdd
       (r.toLong, nRemoved, nNodes, nEdges)

@@ -72,7 +72,8 @@ object Lloyd {
     * the pinned deterministic init.
     */
   def seeds(qdf: DataFrame, k: Int): Seq[Seq[Long]] =
-    qdf.orderBy("vec_id").limit(k).collect()
+    graft.ops.Grids.boundedRows(qdf.orderBy("vec_id").limit(k),
+        k, "lloyd_seeds")
       .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
 
   /** One Lloyd update: assign with `cents`, aggregate per-(cell,dim)
@@ -97,10 +98,12 @@ object Lloyd {
       .select(col("cell"), col("n"), posexplode(col("sv")).as(Seq("d", "s")))
       .withColumn("c", floorDiv(col("s"), col("n")))
       .select("cell", "d", "c")
-      .collect()
+    val model = graft.ops.Grids.boundedRows(sums,
+        cents.size * cents.headOption.map(_.size).getOrElse(1),
+        "lloyd_model_state")
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     cents.zipWithIndex.map { case (prev, cell) =>
-      prev.indices.map(d => sums.getOrElse((cell, d), prev(d)))
+      prev.indices.map(d => model.getOrElse((cell, d), prev(d)))
     }
   }
 

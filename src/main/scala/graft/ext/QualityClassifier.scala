@@ -93,14 +93,14 @@ object QualityClassifier {
     */
   def fit(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       epochs: Int = 400, lr: Double = 0.5): IndexedSeq[Double] = {
-    val rows = docs
+    val feats = docs
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol),
         size(col("__toks")).as("ntok"),
         size(array_distinct(col("__toks"))).as("ndis"),
         TextAnalysis.wordFreqs(col("__toks"), featureWords).as("freqs"),
         TextAnalysis.qualityScoreTokens(col("__toks")).as("q"))
-      .collect()
+    val rows = graft.ops.Grids.fitRows(feats, "quality_classifier_fit")
       .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong,
         r.getSeq[Long](3), r.getDouble(4)))
       .sortBy(_._1)

@@ -59,10 +59,11 @@ object Truss {
           .filter(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
           .select("u", "v"))
       val nEdges = next.count()
-      val nNodes = next.select(col("u").as("n"))
-        .unionAll(next.select(col("v").as("n")))
-        .agg(countDistinct(col("n")).as("n_nodes"))
-        .head().getLong(0)
+      val nNodes = graft.ops.Grids.boundedHead(
+        next.select(col("u").as("n"))
+          .unionAll(next.select(col("v").as("n")))
+          .agg(countDistinct(col("n")).as("n_nodes")),
+        "truss_round_gauge").getLong(0)
       eRdd.unpersist(blocking = false)
       e = next; eRdd = nextRdd
       (r.toLong, nEdgesPrev - nEdges, nNodes, nEdges)

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** The driver-materialization boundary (round-11 verdict ask 7 — the
+  * third registry-wide lock class, after windows (Round9PlanSpec) and
+  * interior global sorts (Round10PlanSpec)).
+  *
+  * A `.collect()`/`.head()` inside a query closure is the one plan
+  * property Catalyst cannot see: at 100 TB an unbounded collect is a
+  * driver OOM, and until this round the repo's bounded-grid
+  * boundaries (a51's transition matrix, t_pacf's ρ map, sim28's
+  * greedy grid, the Lloyd model state, the Rank per-partition
+  * offsets) were justified by in-code comments — convention, not
+  * enforcement. Every query-reachable driver materialization now
+  * routes through this object, which (a) enforces a stated per-tag
+  * row CEILING at runtime — the collect fails loudly the moment a
+  * "constant-size" grid stops being constant — and (b) records the
+  * observation in a registry Round11PlanSpec walks: the whitelist is
+  * two-direction (an unknown tag fails the lock, a stale whitelist
+  * entry fails the lock) with the ceiling itself pinned spec-side.
+  *
+  * Fit-time paths (QualityClassifier.fit, Bpe.fit) collect
+  * data-proportional state by design and are legal ONLY outside query
+  * closures (Dev* mains); they route through [[fitRows]], whose
+  * separate registry lets the spec prove no fit path is reachable
+  * from any registry query's construction.
+  */
+object Grids {
+
+  /** One observed bounded collect: rows actually materialized and the
+    * ceiling the call site stated.
+    */
+  final case class Obs(rows: Int, ceiling: Int)
+
+  private val observed =
+    new java.util.concurrent.ConcurrentHashMap[String, Obs]()
+  private val fitSeen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Snapshot of bounded-collect observations since the last reset —
+    * per tag, the MAX rows seen (an iterative gauge like the k-core
+    * round counter observes once per round; the lock cares about the
+    * worst case).
+    */
+  def observations: Map[String, Obs] = {
+    import scala.jdk.CollectionConverters._
+    observed.asScala.toMap
+  }
+
+  /** Fit-path tags observed since the last reset — must stay EMPTY
+    * during query construction.
+    */
+  def fitObserved: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    fitSeen.asScala.toSet
+  }
+
+  def reset(): Unit = { observed.clear(); fitSeen.clear() }
+
+  /** Max-merge on BOTH fields: an iterative gauge observes once per
+    * round (worst rows wins), and a shared helper like Lloyd.update is
+    * called with different model sizes (sim9's K=4 vs sim27's
+    * nlist=16 warm start) — the whitelist pins the LARGEST stated
+    * ceiling, order-independently.
+    */
+  private def record(tag: String, rows: Int, ceiling: Int): Unit =
+    observed.merge(tag, Obs(rows, ceiling),
+      (a, b) => Obs(math.max(a.rows, b.rows), math.max(a.ceiling, b.ceiling)))
+
+  /** Collect a frame the caller asserts is bounded by `ceiling` rows
+    * at ANY data scale (a constant-size grid: model state, a schema-
+    * bounded matrix, per-partition stats). Fails loudly past the
+    * ceiling — a silent driver-side blow-up is the failure mode this
+    * boundary exists to exclude.
+    */
+  def boundedRows(df: DataFrame, ceiling: Int, tag: String): Array[Row] = {
+    val rows = df.collect()
+    record(tag, rows.length, ceiling)
+    require(rows.length <= ceiling,
+      s"bounded-grid '$tag' materialized ${rows.length} rows > ceiling " +
+        s"$ceiling — this boundary must stay constant-size at any data " +
+        "scale; if the bound legitimately grew, restate it here AND in " +
+        "Round11PlanSpec's whitelist")
+    rows
+  }
+
+  /** One-row driver materialization (a scalar aggregate: max(ts), the
+    * per-round convergence gauge, a sketch blob). Always ≤ 1 row by
+    * construction; tracked so the lock's whitelist stays exhaustive.
+    */
+  def boundedHead(df: DataFrame, tag: String): Row = {
+    record(tag, 1, 1)
+    df.head()
+  }
+
+  /** Fit-time collect: data-proportional by design, legal only outside
+    * query closures. Recorded in its own registry so Round11PlanSpec
+    * can prove no registry query reaches a fit path.
+    */
+  def fitRows(df: DataFrame, tag: String): Array[Row] = {
+    fitSeen.add(tag)
+    df.collect()
+  }
+}

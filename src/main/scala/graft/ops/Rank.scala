@@ -68,10 +68,10 @@ object Rank {
     val s = p.sortWithinPartitions(sort: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-    val stats = s.groupBy("__pid")
-      .agg(count(lit(1)).as("__c"), min("__mid").as("__mn"),
-        max("__mid").as("__mx"))
-      .collect()
+    val stats = Grids.boundedRows(s.groupBy("__pid")
+        .agg(count(lit(1)).as("__c"), min("__mid").as("__mn"),
+          max("__mid").as("__mx")),
+        4096, "rank_partition_offsets")
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     if (stats.isEmpty) return df.withColumn(posCol, lit(1L))
@@ -126,8 +126,9 @@ object Rank {
       .withColumn("__pid", spark_partition_id())
     val aggCols =
       sums.map { case (src, _) => coalesce(sum(col(src)), lit(0L)).as(s"__t_$src") }
-    val stats = p.groupBy("__pid").agg(aggCols.head, aggCols.tail: _*)
-      .collect()
+    val stats = Grids.boundedRows(
+        p.groupBy("__pid").agg(aggCols.head, aggCols.tail: _*),
+        4096, "rank_running_totals")
       .map(r => (r.getInt(0), sums.indices.map(i => r.getLong(i + 1)).toArray))
       .sortBy(_._1)
     if (stats.isEmpty)

@@ -36,7 +36,8 @@ object Stats {
     * driver, safe at any scale.
     */
   def meanStddev(df: DataFrame, c: String): (Double, Double) = {
-    val row = df.agg(avg(col(c)), stddev(col(c))).head()
+    val row = Grids.boundedHead(
+      df.agg(avg(col(c)), stddev(col(c))), "stats_mean_stddev")
     val m = if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
     val s = if (row.isNullAt(1)) Double.NaN else row.getDouble(1)
     (m, s)

@@ -4085,7 +4085,8 @@ object EventQueries {
         // and the DuckDB mirror still replays the full unrolled
         // iteration relationally, so the hash gate also certifies
         // this driver loop.
-        val trRows = tr.select("src", "dst", "n", "tot").collect()
+        val trRows = graft.ops.Grids.boundedRows(
+            tr.select("src", "dst", "n", "tot"), 64, "a51_transition_matrix")
           .map(r => (r.getString(0), r.getString(1), r.getLong(2),
             r.getLong(3)))
         val channels = trRows.map(_._1).filter(_ != "__START__").distinct.sorted
@@ -4871,7 +4872,7 @@ object EventQueries {
               sum(col(s"l$l") * col(s"l$l")).as("sxx"),
               sum(col("cnt") * col(s"l$l")).as("sxy"))
         }.reduce(_ unionAll _)
-        val rho = perLag
+        val rhoFrame = perLag
           .select(col("lag"),
             round((col("n") * col("sxy") - col("sx") * col("sy"))
               .cast("double")
@@ -4879,7 +4880,8 @@ object EventQueries {
                 .cast("double")
                 * (col("n") * col("syy") - col("sy") * col("sy"))
                   .cast("double")), 9).as("r"))
-          .collect().map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
+        val rho = graft.ops.Grids.boundedRows(rhoFrame, kMax, "t_pacf_rho")
+          .map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
         var phis = Map(1 -> rho(1))
         var v = 1.0 - rho(1) * rho(1)
         val out = scala.collection.mutable.ArrayBuffer((1L, rho(1)))

@@ -364,7 +364,8 @@ object ParityQueries {
       "f4_time_range",
       (s, d) => {
         val ev = t(s, d, "events")
-        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val maxTs = graft.ops.Grids.boundedHead(
+          ev.agg(max(col("ts"))), "f4_max_ts").getTimestamp(0)
         Dashboard.timeRange(ev, "ts", lit(maxTs), Some(30))
           .groupBy("event_type").agg(count(lit(1)).as("cnt"))
           .orderBy("event_type")

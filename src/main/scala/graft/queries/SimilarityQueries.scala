@@ -2047,9 +2047,11 @@ object SimilarityQueries {
           .select(col("vec_id").as("i"), col("jid").as("j"),
             round(Similarity.cosine(col("embedding"), col("jemb"))
               * 1000000.0).cast("long").as("sim6"))
-        val cs = cand.select("vec_id", "rel6").collect()
+        val cs = graft.ops.Grids.boundedRows(cand.select("vec_id", "rel6"),
+            nCand, "sim28_candidates")
           .map(r => (r.getLong(0), r.getLong(1)))
-        val sim = pair.collect()
+        val sim = graft.ops.Grids.boundedRows(pair, nCand * nCand,
+            "sim28_pair_grid")
           .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
         val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
         val chosen = scala.collection.mutable.LinkedHashSet.empty[Long]

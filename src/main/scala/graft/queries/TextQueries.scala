@@ -1519,9 +1519,9 @@ object TextQueries {
         import s.implicits._
         val toks = docs(s, d)
           .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-        val bytes = toks
-          .agg(expr("count_min_sketch(token, 0.0001d, 0.99d, 42)"))
-          .head().getAs[Array[Byte]](0)
+        val bytes = graft.ops.Grids.boundedHead(toks
+          .agg(expr("count_min_sketch(token, 0.0001d, 0.99d, 42)")),
+          "cms_sketch_bytes").getAs[Array[Byte]](0)
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(bytes))
         val probes = Seq("join", "hash", "scan", "spark", "table", "query",

@@ -1,0 +1,126 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.{IvfModel, Lloyd}
+
+/** Online IVF index maintenance — the composition the round-10 verdict
+  * asked for (ask 6): sim26 GAUGES per-cell occupancy drift and sim27
+  * PRICES the warm-start refit, but serving
+  * ([[StreamingAnn.scoreIvf]]) held the immutable pinned model — no
+  * path consumed a refit while a stream was live. [[IvfServer]] closes
+  * the loop: serving goes through `foreachBatch`, which re-plans every
+  * micro-batch against whatever index version the server currently
+  * holds, so a [[IvfServer.swap]] between batches takes effect at
+  * exactly the next batch boundary — no mixed-version batch is
+  * possible (each batch reads the server state ONCE), which the
+  * version stamp on every emitted row makes checkable.
+  *
+  * Swap semantics (the FAISS "rebuild the coarse quantizer, rewrite
+  * only moved postings" deployment shape): the new centroids re-assign
+  * the (possibly extended) corpus; the returned [[SwapReport]] carries
+  * the reassignment delta — vectors whose cell CHANGED — because at
+  * scale that delta is the index-rewrite cost: postings files for
+  * unmoved vectors are byte-identical and need no IO. The old index
+  * stays persisted until the new one is materialized (swap is
+  * atomic-by-reference: a concurrent batch serves entirely old or
+  * entirely new), then unpersists.
+  *
+  * 100 TB shape: `assigned` here is a persisted DataFrame; on a
+  * cluster it is the bucketed postings table, `swap` is a partition
+  * overwrite of exactly the moved cells, and the version stamp is the
+  * manifest pointer flip. The batch-boundary atomicity argument is
+  * identical.
+  */
+object IvfHotSwap {
+
+  /** The reassignment delta a swap produces: `nShared` corpus vectors
+    * existed under both versions; `nMoved` of them changed cell
+    * (postings that must be rewritten); `movedOutByCell` splits the
+    * moves by their OLD cell — the per-postings-file rewrite bill.
+    */
+  final case class SwapReport(version: Int, nShared: Long, nMoved: Long,
+      movedOutByCell: Map[Long, Long])
+
+  private[stream] final case class State(version: Int,
+      centroids: Seq[Array[Double]], assigned: DataFrame)
+
+  /** The sim27 warm-start refit as a serving-side helper: quantize the
+    * (base ∪ arrivals) corpus, run `rounds` exact integer Lloyd
+    * updates from the QUANTIZED pinned centroids, return the refit
+    * centroids in the serving geometry (doubles, /Scale). Warm start
+    * keeps cell identities comparable across the swap — that is what
+    * makes the moved-postings delta meaningful.
+    */
+  def refitCentroids(corpus: DataFrame, rounds: Int = 2,
+      vecCol: String = "embedding"): Seq[Array[Double]] = {
+    val qdf = Lloyd.quantized(corpus.select(col("vec_id"), col(vecCol)
+      .as("embedding"))).persist()
+    try {
+      val c0: Seq[Seq[Long]] = IvfModel.centroidStrings
+        .map(_.map(cs => math.floor(cs.toDouble * Lloyd.Scale).toLong))
+      val refit = (1 to rounds).foldLeft(c0)((c, _) => Lloyd.update(qdf, c))
+      refit.map(_.map(_.toDouble / Lloyd.Scale).toArray)
+    } finally { qdf.unpersist(blocking = false); () }
+  }
+}
+
+/** Mutable serving-side index holder — see [[IvfHotSwap]]. Construct
+  * with the initial corpus + centroids, hand [[scoreBatch]] to a
+  * `foreachBatch` sink, call [[swap]] from the maintenance path.
+  */
+final class IvfServer(corpus: DataFrame,
+    initialCentroids: Seq[Array[Double]], nprobe: Int) {
+  import IvfHotSwap._
+
+  @volatile private var state: State = {
+    val assigned = StreamingAnn.assignCorpus(corpus, initialCentroids).persist()
+    assigned.count() // materialize before the first batch's clock
+    State(0, initialCentroids, assigned)
+  }
+
+  def version: Int = state.version
+
+  /** Score one micro-batch of probes against the CURRENT index. Reads
+    * the server state exactly once, so a batch is all-old or all-new
+    * around a concurrent swap; every row carries the index version it
+    * was served from.
+    */
+  def scoreBatch(probes: DataFrame): DataFrame = {
+    val s = state
+    StreamingAnn.scoreIvf(probes, s.assigned, s.centroids, nprobe)
+      .withColumn("index_version", lit(s.version))
+  }
+
+  /** Install refit centroids (and optionally an extended corpus — the
+    * arrival batch that triggered the refit joins the index in the
+    * same swap) at the next batch boundary. Returns the reassignment
+    * delta over vectors present under both versions.
+    */
+  def swap(newCentroids: Seq[Array[Double]],
+      newCorpus: Option[DataFrame] = None): SwapReport = {
+    val old = state
+    val base = newCorpus.getOrElse(old.assigned.drop("cell"))
+    val assigned = StreamingAnn.assignCorpus(base, newCentroids).persist()
+    val delta = old.assigned.select(col("vec_id"), col("cell").as("__co"))
+      .join(assigned.select(col("vec_id"), col("cell").as("__cn")),
+        Seq("vec_id"))
+    // nlist-row grids (the sim27 spine): bounded driver materialization
+    val shared = graft.ops.Grids.boundedRows(
+      delta.groupBy(col("__co").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__co") =!= col("__cn"), 1L).otherwise(0L))
+            .as("moved")),
+      IvfModel.nlist, "ivf_swap_delta")
+    val nShared = shared.map(_.getLong(1)).sum
+    val moved = shared.map(r => r.getLong(0) -> r.getLong(2))
+      .filter(_._2 > 0).toMap
+    state = State(old.version + 1, newCentroids, assigned)
+    old.assigned.unpersist(blocking = false)
+    SwapReport(old.version + 1, nShared, moved.values.sum, moved)
+  }
+
+  /** Release the persisted index (end of serving). */
+  def close(): Unit = { state.assigned.unpersist(blocking = false); () }
+}
