@@ -207,49 +207,60 @@ object KCore {
     * diverging from an oracle that stopped unrolling.
     */
   def peelEdgesConverged(edges: DataFrame, k: Int, maxRounds: Int,
-      track: org.apache.spark.rdd.RDD[_] => Unit): DataFrame = {
+      track: org.apache.spark.rdd.RDD[_] => Unit, batch: Int = 1): DataFrame = {
     var (e, eRdd) = Dedup.checkpointed(edges.select("u", "v"))
     // convergence = edge-count stability: every bad node is incident
-    // to ≥1 surviving edge (it appears in e), so a round with a
+    // to ≥1 surviving edge (it appears in e), so an iteration with a
     // non-empty bad set strictly shrinks the edge count — |next| ==
-    // |e| ⇔ the bad set was empty ⇔ fixpoint. Counting the
-    // ALREADY-MATERIALIZED checkpoint blocks costs ~nothing, so each
-    // round stays the ONE job the blind pinned-round peel pays (a
-    // first cut that materialized the bad set separately to test it
-    // ran 2 jobs/round and measured 3× the pinned peel's wall-clock;
-    // a per-round bad.count() without materialization was 4×).
-    // One peel iteration per checkpointed round. Variants MEASURED at
-    // sf0.01 (g17's chained ladder, DevQueryAB warmed medians): this
-    // shape ~9.0 s (one job + one cached count per round); a separate
-    // bad-set materialization before the count, 2 jobs/round, 12.7 s;
-    // batching 3 iterations per checkpoint 14.7 s — NOT a win because
-    // each un-checkpointed iteration references its predecessor 3×
-    // (two degree selects + the join input), so the batch re-executes
-    // the earlier iterations' subtrees ~3^batch times — the round-7
-    // 3^R lineage trap in execution-count form. The floor here is the
-    // CASCADE DEPTH itself: converged peeling at sf0.01 needs 18
-    // active rounds (k3 alone cascades 10), and each round is
-    // irreducibly one materialization.
+    // |e| ⇔ every iteration since the last checkpoint removed nothing
+    // ⇔ fixpoint. Counting the ALREADY-MATERIALIZED checkpoint blocks
+    // costs ~nothing (a first cut that materialized the bad set
+    // separately to test it ran 2 jobs/round and measured 3× the
+    // pinned peel's wall-clock; a per-round bad.count() without
+    // materialization was 4×).
+    //
+    // batch = iterations per checkpoint, DEFAULT 1 — measured, twice:
+    // the round-11 DevG17Profile localized g17's peel cost to CASCADE
+    // DEPTH × ~0.2 s/round of fixed stage overhead (the frames are
+    // 1-partition, ≤3.5k edges — data is irrelevant), which made
+    // batching look like the lever. It is not: each un-checkpointed
+    // iteration references its predecessor 3× (two degree selects +
+    // the join input), so a batch re-executes earlier iterations'
+    // subtrees ~3^(batch−1) times, and since each subtree carries a
+    // SHUFFLE (the degree agg), batching multiplies exactly the
+    // per-stage scheduling cost it was meant to amortize. DevQueryAB
+    // warmed medians, g17's full ladder: batch=1 9.26 s / batch=2
+    // 13.47 s at sf0.01; batch=1 4.45 s / batch=2 5.48 s at sf0.1;
+    // an earlier batch=3 cut measured 14.7 s. The per-round checkpoint
+    // was never the cost — the floor is the Seidman cascade depth
+    // itself (22 rounds at sf0.01), each round irreducibly one
+    // degree-shuffle stage. Iterations past the fixpoint are exact
+    // no-ops, so any batch value yields the identical converged set
+    // (the parameter stays for future re-measurement on real clusters,
+    // where per-stage latency vs shuffle volume trade differently).
     var nEdges = eRdd.count()
     var r = 0
-    var converged = false
+    var converged = nEdges == 0L // an empty frame is its own fixpoint
     while (!converged) {
-      r += 1
-      // the fixpoint PROOF round (the one that removes nothing) is
-      // the +1: active rounds are capped at maxRounds, matching the
-      // mirror's unroll depth
-      require(r <= maxRounds + 1,
-        s"k=$k peel exceeded $maxRounds rounds — raise the cap AND its SQL mirror unroll together")
-      val deg = e.select(col("u").as("n"))
-        .unionAll(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("dg"))
-      val bad = deg.filter(col("dg") < k).select("n")
-      val (next, nextRdd) = Dedup.checkpointed(
-        e.join(bad.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
+      r += batch
+      val stepped = (1 to batch).foldLeft(e) { (cur, _) =>
+        val deg = cur.select(col("u").as("n"))
+          .unionAll(cur.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val bad = deg.filter(col("dg") < k).select("n")
+        cur.join(bad.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
           .join(bad.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
-          .select("u", "v"))
+          .select("u", "v")
+      }
+      val (next, nextRdd) = Dedup.checkpointed(stepped)
       val nNext = nextRdd.count()
       converged = nNext == nEdges
+      // loud-failure cap, batched form: a batch that still REMOVED
+      // edges must end at r ≤ maxRounds (so active depth is provably
+      // ≤ the mirror's unroll); only the fixpoint-PROOF batch (which
+      // removes nothing) may overhang past it
+      require(converged || r <= maxRounds,
+        s"k=$k peel still active past $maxRounds rounds — raise the cap AND its SQL mirror unroll together")
       eRdd.unpersist(blocking = false)
       e = next; eRdd = nextRdd; nEdges = nNext
     }
