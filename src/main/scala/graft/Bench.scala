@@ -467,9 +467,64 @@ object Bench {
         val candPerSec = medSec.filter(_ > 0)
           .map(s => s""","candidates_per_sec":${(candScanned / s).toLong}""")
           .getOrElse("")
+        // hot-swap serving pass (round-11 verdict ask 6's bench leg):
+        // one AvailableNow run through the SAME probe backlog via
+        // foreachBatch serving, swapping to the sim27-recipe
+        // warm-start refit index after `swap_batch` completes — the
+        // maintenance loop exercised under bench conditions, with the
+        // swap batch, the postings-rewrite bill, and the end-to-end
+        // probes/s on the report. Own failure domain: a broken swap
+        // must not zero the main serving numbers.
+        val hotSwapJson = try {
+          import graft.stream.{IvfHotSwap, IvfServer}
+          val dim = emb.select(size(col("embedding"))).head().getInt(0)
+          val rot = concat(slice(col("embedding"), 2, dim - 1),
+            slice(col("embedding"), 1, 1))
+          val fresh = emb.filter(col("vec_id") % 3 === 0)
+            .select((col("vec_id") + 5000000L).as("vec_id"),
+              zip_with(col("embedding"), rot,
+                (x, y) => (x.cast("double") + lit(1.0) * y.cast("double"))
+                  .cast("float")).as("embedding"))
+          val extended = emb.select("vec_id", "embedding").unionAll(fresh)
+          val refit = IvfHotSwap.refitCentroids(extended)
+          val server = new IvfServer(
+            emb.select("vec_id", "embedding"), graft.ext.IvfModel.centroids, 4)
+          try {
+            val swapAfter = 1L // swap when batch 1 completes -> batch 2 serves v1
+            @volatile var report: Option[IvfHotSwap.SwapReport] = None
+            val stream = spark.readStream
+              .schema(spark.read.parquet(input).schema)
+              .option("maxFilesPerTrigger", filesPerBatch)
+              .parquet(input)
+            val t0 = System.nanoTime()
+            val q = stream.writeStream
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                server.scoreBatch(b).write.format("noop").mode("overwrite").save()
+                if (id == swapAfter && report.isEmpty)
+                  report = Some(server.swap(refit, Some(extended)))
+              }
+              .option("checkpointLocation", s"$base/ckpt_swap")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            val sec = (System.nanoTime() - t0) / 1e9
+            val rep = report.getOrElse(
+              sys.error("backlog finished before the swap batch"))
+            s""""hot_swap":{"swap_batch":${swapAfter + 1},""" +
+              s""""index_version_after":${rep.version},""" +
+              s""""postings_moved":${rep.nMoved},""" +
+              s""""postings_shared":${rep.nShared},""" +
+              s""""rows":$written,"elapsed_sec":$sec,""" +
+              s""""probes_per_sec":${written / sec}}"""
+          } finally server.close()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            s""""hot_swap_err":"${esc(Option(e.getMessage)
+              .getOrElse(e.getClass.getName).take(200))}""""
+        }
         inner.dropRight(1) +
           s""","candidates_scanned":$candScanned""" +
-          s""","candidates_per_probe":${if (written == 0) 0L else candScanned / written}$candPerSec}"""
+          s""","candidates_per_probe":${if (written == 0) 0L else candScanned / written}$candPerSec,$hotSwapJson}"""
       } finally assigned.unpersist(blocking = false)
     } finally deleteRecursively(base)
   }
