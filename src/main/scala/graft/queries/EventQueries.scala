@@ -4255,6 +4255,70 @@ object EventQueries {
              |  sum(cov)::BIGINT AS covered_ms
              |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    // ----- Interval INTERSECTION join — the pairwise-overlap leg of
+    // the interval family (j16 unions ONE set; attribution needs how
+    // much two sets co-occur): per user, every (click-interval,
+    // purchase-interval) pair with positive time overlap, with the
+    // overlap duration as the measure — the duration-weighted
+    // attribution read (was the purchase WINDOW inside the browsing
+    // WINDOW, not just a timestamp-after-timestamp). Intervals are
+    // [ts, ts + value minutes). The scale move is HOUR-BUCKETING:
+    // each interval explodes to the hour buckets it touches
+    // (bounded: len/1h + 1 buckets), pairs form ONLY inside a
+    // (user, bucket) equi-join — never a per-user cartesian, and at
+    // 100 TB the shuffle key (user, hour) is both time-prunable and
+    // skew-bounded. A pair spanning several shared buckets dedups by
+    // (user, click-id, purchase-id) DISTINCT before measuring; all
+    // arithmetic exact epoch-millis longs.
+    QueryDef(
+      "j18_interval_intersect",
+      (s, d) => {
+        val iv = events(s, d)
+          .filter(col("value") > 0
+            && col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("st"),
+            (unix_millis(col("ts"))
+              + expr("CAST(round(value * 60000) AS BIGINT)")).as("en"))
+        val b = tracked(iv.select(col("user_id"), col("event_id"),
+          col("event_type"), col("st"), col("en"),
+          explode(sequence(expr("st div 3600000"),
+            expr("(en - 1) div 3600000"))).as("bk")))
+        val pr = b.filter(col("event_type") === "click").as("c")
+          .join(b.filter(col("event_type") === "purchase").as("p"),
+            col("c.user_id") === col("p.user_id")
+              && col("c.bk") === col("p.bk"))
+          .select(col("c.user_id").as("user_id"),
+            col("c.event_id").as("ce"), col("p.event_id").as("pe"),
+            greatest(col("c.st"), col("p.st")).as("os"),
+            least(col("c.en"), col("p.en")).as("oe"))
+          .distinct()
+        pr.filter(col("oe") > col("os"))
+          .select(col("user_id"), col("ce"), col("pe"),
+            (col("oe") - col("os")).as("ms"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"), sum("ms").as("overlap_ms"),
+            max("ms").as("max_ms"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id, event_type,
+             |    epoch_ms(ts)::BIGINT AS st,
+             |    epoch_ms(ts)::BIGINT + CAST(round(value * 60000) AS BIGINT) AS en
+             |  FROM events
+             |  WHERE value > 0 AND event_type IN ('click', 'purchase')),
+             |b AS (SELECT user_id, event_id, event_type, st, en,
+             |    unnest(generate_series(st // 3600000, (en - 1) // 3600000)) AS bk
+             |  FROM iv),
+             |pr AS (SELECT DISTINCT c.user_id, c.event_id AS ce,
+             |    p.event_id AS pe,
+             |    greatest(c.st, p.st) AS os, least(c.en, p.en) AS oe
+             |  FROM b c JOIN b p ON c.user_id = p.user_id AND c.bk = p.bk
+             |   AND c.event_type = 'click' AND p.event_type = 'purchase'),
+             |ov AS (SELECT user_id, ce, pe, oe - os AS ms FROM pr WHERE oe > os)
+             |SELECT user_id, count(*)::BIGINT AS n_pairs,
+             |  sum(ms)::BIGINT AS overlap_ms, max(ms)::BIGINT AS max_ms
+             |FROM ov GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // ----- Page's trend test (ordered alternatives) — a69's rank
     // structure pointed at a DIRECTION: where Friedman asks "do the
     // treatments differ at all", Page's L asks "do they increase

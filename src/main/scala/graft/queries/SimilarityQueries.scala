@@ -2074,6 +2074,49 @@ object SimilarityQueries {
         picked.toSeq.toDF("rk", "vec_id", "rel6", "score").orderBy("rk")
       },
       Some(mmrSql)),
+
+    // ----- IVF recall-vs-nprobe OPERATING CURVE — the serving-knob
+    // companion of est_hll_curve (1/√m error decay) and tx57
+    // (hashing-trick collision mass): recall is BOUGHT with nprobe
+    // (the round-11 hot-swap spec measured 0.67 at nprobe 4 vs 0.90
+    // at 8 on this corpus), and this query makes that trade an
+    // oracle-gated measurement instead of folklore — per nprobe ∈
+    // {1,2,4,8}, |IVF top-k ∩ brute-force top-k| over the same 5
+    // probes, identical 6-dp cosines and (cos desc, vec_id)
+    // tie-breaks on both sides, so hits and the brute size are exact
+    // integers and recall is one rounded IEEE division. The sizing
+    // read at 10⁹ vectors: pick the leftmost nprobe on this curve
+    // that clears the product's recall floor — candidates scanned
+    // scale linearly in nprobe, so the curve IS the latency budget.
+    QueryDef(
+      "sim29_recall_curve",
+      (s, d) => {
+        val e = emb(s, d)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val brute = tracked(Similarity.rankTopK(
+          probes.crossJoin(e.select(col("vec_id"), col("embedding")))
+            .filter(col("probe_id") =!= col("vec_id"))
+            .select(col("probe_id"), col("vec_id"),
+              round(Similarity.cosine(col("probe_vec"), col("embedding")), 6)
+                .as("cos")), 5)
+          .select("probe_id", "vec_id"))
+        val nb = brute.agg(count(lit(1)).as("n_brute"))
+        val arms = Seq(1, 2, 4, 8).map { np =>
+          graft.ext.IvfIndex.topK(e, probes, graft.ext.IvfModel.centroids,
+              k = 5, nprobe = np)
+            .select("probe_id", "vec_id")
+            .join(brute, Seq("probe_id", "vec_id"))
+            .agg(coalesce(count(lit(1)), lit(0L)).as("hits"))
+            .select(lit(np.toLong).as("nprobe"), col("hits"))
+        }
+        arms.reduce(_ unionAll _).crossJoin(broadcast(nb))
+          .select(col("nprobe"), col("hits"), col("n_brute"),
+            round(col("hits").cast("double") / col("n_brute").cast("double"),
+              6).as("recall"))
+          .orderBy("nprobe")
+      },
+      Some(recallCurveSql)),
   )
 
   /** DuckDB mirror for sim28: the 8 greedy MMR steps unrolled as a
@@ -2113,6 +2156,58 @@ object SimilarityQueries {
        |       FROM cand ORDER BY rel6 DESC, vec_id LIMIT 1),
        |$steps
        |SELECT rk, vec_id, rel6, score FROM ($union) ORDER BY rk""".stripMargin
+  }
+
+  /** DuckDB mirror for sim29: brute-force top-k once, then the sim5
+    * IVF CTE shape instantiated per nprobe arm (suffixed CTE names),
+    * hits by equi-join against the brute set — the same pinned
+    * centroid literals, 6-dp cosines and tie-breaks as the Spark
+    * side, so the whole operating curve is hash-gated.
+    */
+  private lazy val recallCurveSql: String = {
+    val arms = Seq(1, 2, 4, 8)
+    val armCtes = arms.map { np =>
+      s"""pc$np AS (
+         |  SELECT probe_id, cell FROM (
+         |    SELECT vec_id AS probe_id,
+         |      unnest(generate_series(0, ${graft.ext.IvfModel.nlist - 1})) AS cell,
+         |      unnest(ds) AS dist
+         |    FROM dd WHERE vec_id < 5) x
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY dist, cell) <= $np),
+         |ivf$np AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT s.probe_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.probe_id
+         |        ORDER BY s.cos DESC, s.vec_id) AS rk
+         |    FROM (SELECT c.probe_id, c.vec_id,
+         |            round(${cosSql("pe", "e")}, 6) AS cos
+         |          FROM (SELECT p.probe_id, a.vec_id
+         |                FROM pc$np p JOIN asg a USING (cell)
+         |                WHERE a.vec_id <> p.probe_id) c
+         |          JOIN embeddings pe ON pe.vec_id = c.probe_id
+         |          JOIN embeddings e ON e.vec_id = c.vec_id) s)
+         |  WHERE rk <= 5),
+         |hit$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS hits
+         |  FROM ivf$np JOIN brute USING (probe_id, vec_id))""".stripMargin
+    }.mkString(",\n")
+    val union = arms.map(np => s"SELECT * FROM hit$np").mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |dd AS (SELECT vec_id, ${graft.ext.IvfIndex.Sql.distListSql("e")} AS ds FROM base),
+       |asg AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cell FROM dd),
+       |brute AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.vec_id AS probe_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY round(${cosSql("p", "e")}, 6) DESC, e.vec_id) AS rk
+       |    FROM embeddings e JOIN embeddings p
+       |      ON p.vec_id < 5 AND e.vec_id <> p.vec_id)
+       |  WHERE rk <= 5),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute),
+       |$armCtes
+       |SELECT nprobe, hits, n_brute,
+       |  round(CAST(hits AS DOUBLE) / n_brute, 6) AS recall
+       |FROM ($union), nb ORDER BY nprobe""".stripMargin
   }
 
   /** DuckDB mirror for sim27: drift-augmented quantized corpus, the

@@ -3438,6 +3438,42 @@ object TextQueries {
       },
       Some(hllCurveSql)),
 
+    // ----- Deterministic WEIGHTED sample without replacement —
+    // priority sampling (Duffield–Lund–Thorup) as the corpus
+    // downsampler: token-heavy documents deserve proportionally more
+    // selection mass when a 100 TB crawl is cut to a token budget,
+    // and the sample must be REPRODUCIBLE (resumable jobs, auditable
+    // membership) — so the uniform draw is the shared charHash of
+    // the doc_id string, not an RNG. Priority = w/u ⇔ rank ascending
+    // by key = (h+1)/w: ONE IEEE double division of exact longs per
+    // row (correctly rounded, so bit-identical cross-engine —
+    // division is the float op that IS deterministic; only
+    // cross-row addition order isn't), rounded 9dp, (key, doc_id)
+    // tie-break. Scale: key is map-side arithmetic on the scan, the
+    // only movement is TakeOrdered(k) — no shuffle of the corpus, no
+    // RNG state to coordinate across 1000 executors; inclusion of
+    // any doc is decidable from its own row, which is what makes the
+    // sample shardable and incrementally maintainable.
+    QueryDef(
+      "est_weighted_sample",
+      (s, d) => {
+        docs(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("w"),
+            graft.ext.NearDup.charHash(col("doc_id").cast("string")).as("h"))
+          .filter(col("w") > 0)
+          .select(col("doc_id"), col("w"),
+            round((col("h") + 1L).cast("double") / col("w").cast("double"), 9)
+              .as("key"))
+          .orderBy("key", "doc_id").limit(32)
+      },
+      Some(s"""SELECT doc_id, w, round(CAST(h + 1 AS DOUBLE) / w, 9) AS key
+              |FROM (SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+              |    ${graft.ext.NearDup.Sql.charHashSql("CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents)
+              |WHERE w > 0 ORDER BY key, doc_id LIMIT 32""".stripMargin)),
+
     // ----- McNemar's paired test over two document-quality gates —
     // the "is classifier B actually better than A on the SAME docs"
     // read an eval pipeline needs before swapping filters (a paired
