@@ -4280,6 +4280,12 @@ object EventQueries {
             unix_millis(col("ts")).as("st"),
             (unix_millis(col("ts"))
               + expr("CAST(round(value * 60000) AS BIGINT)")).as("en"))
+          // en > st guards the bucket range: a sub-half-ms value rounds
+          // to a ZERO-length interval, where Spark's sequence(a, a-1)
+          // would emit a DESCENDING phantom range while DuckDB's
+          // generate_series returns empty — the filter (identical both
+          // engines: en is the same exact long) excludes the case
+          .filter(col("en") > col("st"))
         val b = tracked(iv.select(col("user_id"), col("event_id"),
           col("event_type"), col("st"), col("en"),
           explode(sequence(expr("st div 3600000"),
@@ -4301,11 +4307,12 @@ object EventQueries {
             max("ms").as("max_ms"))
           .orderBy("user_id")
       },
-      Some("""WITH iv AS (SELECT user_id, event_id, event_type,
+      Some("""WITH iv AS (SELECT * FROM (SELECT user_id, event_id, event_type,
              |    epoch_ms(ts)::BIGINT AS st,
              |    epoch_ms(ts)::BIGINT + CAST(round(value * 60000) AS BIGINT) AS en
              |  FROM events
-             |  WHERE value > 0 AND event_type IN ('click', 'purchase')),
+             |  WHERE value > 0 AND event_type IN ('click', 'purchase'))
+             |  WHERE en > st),
              |b AS (SELECT user_id, event_id, event_type, st, en,
              |    unnest(generate_series(st // 3600000, (en - 1) // 3600000)) AS bk
              |  FROM iv),
