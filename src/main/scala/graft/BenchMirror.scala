@@ -45,7 +45,13 @@ object BenchMirror {
 
   def parseTimes(body: String): Map[String, Double] =
     timesRex.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      // the shape-agnostic regex also matches the top-level
+      // "wall_sec":N member render appends — a reserved key, not a
+      // query; without this filter every prev map carries a phantom
+      // 1143-second "query" any future mirror consumer would inherit
+      .filter(_._1 != "wall_sec")
+      .toMap
 
   def parseSpreads(body: String): Map[String, (Double, Double)] =
     spreadRex.findAllMatchIn(body)

@@ -258,7 +258,15 @@ object KCore {
       // loud-failure cap, batched form: a batch that still REMOVED
       // edges must end at r ≤ maxRounds (so active depth is provably
       // ≤ the mirror's unroll); only the fixpoint-PROOF batch (which
-      // removes nothing) may overhang past it
+      // removes nothing) may overhang past it. DELIBERATELY
+      // conservative under batch > 1: a change-batch ending past
+      // maxRounds fails even when the one active iteration inside it
+      // was ≤ maxRounds (the count can't tell which iteration
+      // removed), because the alternative — letting it pass — would
+      // admit depths the mirror's unroll does not replay and convert
+      // a loud failure into a silent hash divergence. Exact cap
+      // semantics need batch = 1 (the default); size maxRounds with
+      // batch−1 slack if ever benching batch > 1 near the cap.
       require(converged || r <= maxRounds,
         s"k=$k peel still active past $maxRounds rounds — raise the cap AND its SQL mirror unroll together")
       eRdd.unpersist(blocking = false)

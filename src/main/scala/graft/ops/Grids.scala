@@ -72,7 +72,13 @@ object Grids {
     * at ANY data scale (a constant-size grid: model state, a schema-
     * bounded matrix, per-partition stats). Fails loudly past the
     * ceiling — a silent driver-side blow-up is the failure mode this
-    * boundary exists to exclude.
+    * boundary exists to exclude. The check is a CORRECTNESS tripwire
+    * (the lock's registry walk runs at test scale), not runtime OOM
+    * protection — the collect has already happened when it fires; the
+    * protection at 100 TB is that the walk forced the bound to be a
+    * DOMAIN constant before the query ever shipped. The violation is
+    * recorded before the throw, deliberately: an over-ceiling tag in
+    * the registry is evidence, not noise.
     */
   def boundedRows(df: DataFrame, ceiling: Int, tag: String): Array[Row] = {
     val rows = df.collect()
@@ -88,10 +94,15 @@ object Grids {
   /** One-row driver materialization (a scalar aggregate: max(ts), the
     * per-round convergence gauge, a sketch blob). Always ≤ 1 row by
     * construction; tracked so the lock's whitelist stays exhaustive.
+    * Recorded only AFTER head() succeeds — a gauge whose frame throws
+    * (e.g. empty after a refactor) must not register as an observed
+    * boundary, or the lock's stale-entry direction reads tighter than
+    * it is.
     */
   def boundedHead(df: DataFrame, tag: String): Row = {
+    val row = df.head()
     record(tag, 1, 1)
-    df.head()
+    row
   }
 
   /** Fit-time collect: data-proportional by design, legal only outside

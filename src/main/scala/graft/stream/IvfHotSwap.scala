@@ -46,6 +46,25 @@ object IvfHotSwap {
   private[stream] final case class State(version: Int,
       centroids: Seq[Array[Double]], assigned: DataFrame)
 
+  /** The sim26/sim27 drifted-arrival recipe as ONE definition for the
+    * serving-side callers (IvfHotSwapSpec, the bench hot-swap pass):
+    * rotate-by-one summed copies of every third vector, ids shifted
+    * clear of the corpus range. sim26/sim27 keep their INLINE copies
+    * deliberately — each is locked line-for-line to its DuckDB mirror
+    * text, and routing them through a shared helper would let the
+    * helper drift from the mirrors unnoticed; this helper cites them
+    * as the oracle-gated originals instead.
+    */
+  def driftedArrivals(corpus: DataFrame, dim: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    val rot = concat(slice(col(vecCol), 2, dim - 1), slice(col(vecCol), 1, 1))
+    corpus.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 5000000L).as("vec_id"),
+        zip_with(col(vecCol), rot,
+          (x, y) => (x.cast("double") + lit(1.0) * y.cast("double"))
+            .cast("float")).as(vecCol))
+  }
+
   /** The sim27 warm-start refit as a serving-side helper: quantize the
     * (base ∪ arrivals) corpus, run `rounds` exact integer Lloyd
     * updates from the QUANTIZED pinned centroids, return the refit
@@ -69,15 +88,26 @@ object IvfHotSwap {
 /** Mutable serving-side index holder — see [[IvfHotSwap]]. Construct
   * with the initial corpus + centroids, hand [[scoreBatch]] to a
   * `foreachBatch` sink, call [[swap]] from the maintenance path.
+  *
+  * @param preAssigned an ALREADY persisted+materialized
+  *        [[StreamingAnn.assignCorpus]] frame over `corpus` under
+  *        `initialCentroids`, when the caller has one (the bench's
+  *        main serving pass does) — skips a redundant corpus-wide
+  *        assign job and a second cache-resident copy of the index.
+  *        Lifecycle transfers to the server: [[swap]]/[[close]]
+  *        unpersist it like any owned index version.
   */
 final class IvfServer(corpus: DataFrame,
-    initialCentroids: Seq[Array[Double]], nprobe: Int) {
+    initialCentroids: Seq[Array[Double]], nprobe: Int,
+    preAssigned: Option[DataFrame] = None) {
   import IvfHotSwap._
 
-  @volatile private var state: State = {
-    val assigned = StreamingAnn.assignCorpus(corpus, initialCentroids).persist()
-    assigned.count() // materialize before the first batch's clock
-    State(0, initialCentroids, assigned)
+  @volatile private var state: State = preAssigned match {
+    case Some(a) => State(0, initialCentroids, a)
+    case None =>
+      val assigned = StreamingAnn.assignCorpus(corpus, initialCentroids).persist()
+      assigned.count() // materialize before the first batch's clock
+      State(0, initialCentroids, assigned)
   }
 
   def version: Int = state.version

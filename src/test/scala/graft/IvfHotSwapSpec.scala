@@ -53,15 +53,9 @@ class IvfHotSwapSpec extends SparkSpec {
     import spark0.implicits._
     val base = graft.sources.Tables.table(spark, sf, "embeddings")
       .select("vec_id", "embedding").persist()
-    // the sim26 drifted-arrival recipe: rotated+summed copies, shifted ids
-    val dim = base.select(size(col("embedding"))).head().getInt(0)
-    val rot = concat(slice(col("embedding"), 2, dim - 1),
-      slice(col("embedding"), 1, 1))
-    val fresh = base.filter(col("vec_id") % 3 === 0)
-      .select((col("vec_id") + 5000000L).as("vec_id"),
-        zip_with(col("embedding"), rot,
-          (x, y) => (x.cast("double") + lit(1.0) * y.cast("double"))
-            .cast("float")).as("embedding"))
+    // the sim26 drifted-arrival recipe (shared serving-side definition)
+    val dim = IvfModel.centroids.head.length
+    val fresh = IvfHotSwap.driftedArrivals(base, dim)
     val extended = base.unionAll(fresh).persist()
     val refit = IvfHotSwap.refitCentroids(extended)
 
