@@ -92,17 +92,31 @@ object Grids {
   }
 
   /** One-row driver materialization (a scalar aggregate: max(ts), the
-    * per-round convergence gauge, a sketch blob). Always ≤ 1 row by
-    * construction; tracked so the lock's whitelist stays exhaustive.
-    * Recorded only AFTER head() succeeds — a gauge whose frame throws
-    * (e.g. empty after a refactor) must not register as an observed
-    * boundary, or the lock's stale-entry direction reads tighter than
-    * it is.
+    * per-round convergence gauge, a sketch blob). The caller asserts
+    * the frame is ≤ 1 row BY CONSTRUCTION — and unlike a bare
+    * `head()`, which silently returns the first row of a multi-row
+    * frame (order-nondeterministic: the exact silent wrongness this
+    * lock exists to exclude), the assertion is CHECKED: `take(2)` and
+    * fail loudly on a second row, mirroring [[boundedRows]]' contract.
+    * The violation is recorded (rows=2 against ceiling 1) before the
+    * throw, as evidence. An EMPTY frame throws without recording — a
+    * gauge whose frame broke (e.g. empty after a refactor) must not
+    * register as an observed boundary, or the lock's stale-entry
+    * direction reads tighter than it is.
     */
   def boundedHead(df: DataFrame, tag: String): Row = {
-    val row = df.head()
-    record(tag, 1, 1)
-    row
+    val rows = df.take(2)
+    if (rows.isEmpty)
+      throw new NoSuchElementException(
+        s"bounded-head '$tag': frame is empty — the 1-row gauge this " +
+          "boundary wraps must always produce its row")
+    record(tag, rows.length, 1)
+    require(rows.length == 1,
+      s"bounded-head '$tag' materialized ${rows.length}+ rows — this " +
+        "boundary is for 1-row-by-construction scalar gauges; a " +
+        "multi-row frame here is order-nondeterministic. Route it " +
+        "through boundedRows with a stated ceiling instead")
+    rows(0)
   }
 
   /** Fit-time collect: data-proportional by design, legal only outside

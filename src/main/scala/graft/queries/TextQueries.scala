@@ -3451,7 +3451,13 @@ object TextQueries {
     // Weyl stride is equidistributed over dense ids (measured mean
     // 0.500, full range — and the E395 HT estimator built on it
     // lands at the 1/√k accuracy priority sampling promises, the
-    // end-to-end proof the draw is sound). Priority = w/u ⇔ rank
+    // end-to-end proof the draw is sound). The id is reduced mod P
+    // BEFORE the stride multiply: (P−1)·2654435761 ≈ 2.65e18 fits a
+    // Long, where the raw doc_id·stride would wrap past doc_id ≈
+    // 3.47e9 — and wrap DIVERGENTLY (Spark wraps silently to a
+    // negative h, DuckDB raises on BIGINT overflow), breaking the
+    // cross-engine determinism exactly at the 100 TB id range the
+    // query is pitched for. Priority = w/u ⇔ rank
     // ascending by key = (h+1)/w: ONE IEEE double division of exact
     // longs per row (correctly rounded, so bit-identical
     // cross-engine — division is the float op that IS deterministic;
@@ -3467,7 +3473,8 @@ object TextQueries {
         docs(s, d)
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("w"),
-            ((col("doc_id") * 2654435761L + 104729L) % 1000000007L).as("h"))
+            (((col("doc_id") % 1000000007L) * 2654435761L + 104729L)
+              % 1000000007L).as("h"))
           .filter(col("w") > 0)
           .select(col("doc_id"), col("w"),
             round((col("h") + 1L).cast("double") / col("w").cast("double"), 9)
@@ -3477,7 +3484,7 @@ object TextQueries {
       Some("""SELECT doc_id, w, round(CAST(h + 1 AS DOUBLE) / w, 9) AS key
              |FROM (SELECT doc_id,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
-             |    (doc_id * 2654435761 + 104729) % 1000000007 AS h
+             |    ((doc_id % 1000000007) * 2654435761 + 104729) % 1000000007 AS h
              |  FROM documents)
              |WHERE w > 0 ORDER BY key, doc_id LIMIT 32""".stripMargin)),
 
@@ -3500,13 +3507,23 @@ object TextQueries {
         val keyed = tracked(docs(s, d)
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("w"),
-            ((col("doc_id") * 2654435761L + 104729L) % 1000000007L).as("h"))
+            (((col("doc_id") % 1000000007L) * 2654435761L + 104729L)
+              % 1000000007L).as("h"))
           .filter(col("w") > 0)
           .select(col("doc_id"), col("w"),
             round((col("h") + 1L).cast("double") / col("w").cast("double"), 9)
               .as("key")))
+        // n ≤ k guard: when ≤ 32 docs qualify, limit(33) returns the
+        // whole corpus and the 33rd priority does not exist — priority
+        // sampling prescribes the EXACT total there (every inclusion
+        // probability is 1), so τ collapses to 0 and max(w, τ) = w.
+        // Without it, τ = the in-sample minimum priority and the
+        // estimator overestimates. Unreachable at fixture SFs (> 32
+        // qualifying docs at all three); the guard is for the sharded
+        // / heavily-filtered invocations the scaladoc promises.
         val tau = keyed.orderBy("key", "doc_id").limit(33)
-          .agg((lit(1000000007.0) / max("key")).as("tau_w"))
+          .agg(when(count(lit(1)) < 33, lit(0.0))
+            .otherwise(lit(1000000007.0) / max("key")).as("tau_w"))
         val est = keyed.orderBy("key", "doc_id").limit(32)
           .crossJoin(broadcast(tau))
           .select(round(greatest(col("w").cast("double"), col("tau_w")) * 100)
@@ -3525,10 +3542,11 @@ object TextQueries {
              |    round(CAST(h + 1 AS DOUBLE) / w, 9) AS key
              |  FROM (SELECT doc_id,
              |      CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
-             |      (doc_id * 2654435761 + 104729) % 1000000007 AS h
+             |      ((doc_id % 1000000007) * 2654435761 + 104729) % 1000000007 AS h
              |    FROM documents)
              |  WHERE w > 0),
-             |tau AS (SELECT 1000000007.0 / max(key) AS tau_w FROM
+             |tau AS (SELECT CASE WHEN count(*) < 33 THEN 0.0
+             |    ELSE 1000000007.0 / max(key) END AS tau_w FROM
              |  (SELECT key FROM k ORDER BY key, doc_id LIMIT 33)),
              |s AS (SELECT w FROM k ORDER BY key, doc_id LIMIT 32),
              |est AS (SELECT

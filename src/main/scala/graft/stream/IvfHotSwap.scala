@@ -110,6 +110,18 @@ final class IvfServer(corpus: DataFrame,
       State(0, initialCentroids, assigned)
   }
 
+  /** The ORIGINAL corpus reference behind the current index version —
+    * what a centroids-only [[swap]] re-assigns. Deriving the new index
+    * from `old.assigned.drop("cell")` instead would chain its lineage
+    * through the version being unpersisted: any evicted partition of
+    * the new index then recomputes through the PRIOR version's plan,
+    * and repeated swaps grow that chain unboundedly (the foreachBatch
+    * analogue of the un-checkpointed iterative-lineage trap g17
+    * measured). Updated whenever a swap ships a new corpus, so the
+    * chain is always exactly one hop: source frame → current index.
+    */
+  private var baseCorpus: DataFrame = corpus
+
   def version: Int = state.version
 
   /** Score one micro-batch of probes against the CURRENT index. Reads
@@ -131,7 +143,7 @@ final class IvfServer(corpus: DataFrame,
   def swap(newCentroids: Seq[Array[Double]],
       newCorpus: Option[DataFrame] = None): SwapReport = {
     val old = state
-    val base = newCorpus.getOrElse(old.assigned.drop("cell"))
+    val base = newCorpus.getOrElse(baseCorpus)
     val assigned = StreamingAnn.assignCorpus(base, newCentroids).persist()
     val delta = old.assigned.select(col("vec_id"), col("cell").as("__co"))
       .join(assigned.select(col("vec_id"), col("cell").as("__cn")),
@@ -146,6 +158,12 @@ final class IvfServer(corpus: DataFrame,
     val nShared = shared.map(_.getLong(1)).sum
     val moved = shared.map(r => r.getLong(0) -> r.getLong(2))
       .filter(_._2 > 0).toMap
+    // The delta aggregation above already materialized every partition
+    // of `assigned`, and its lineage roots at baseCorpus/newCorpus (a
+    // source frame), not at old.assigned — so unpersisting the old
+    // version cannot strand an evicted new-index partition on a
+    // recompute through retired state.
+    newCorpus.foreach(c => baseCorpus = c)
     state = State(old.version + 1, newCentroids, assigned)
     old.assigned.unpersist(blocking = false)
     SwapReport(old.version + 1, nShared, moved.values.sum, moved)

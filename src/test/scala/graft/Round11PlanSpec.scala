@@ -119,8 +119,13 @@ class Round11PlanSpec extends SparkSpec {
     val base = java.nio.file.Paths.get("src/main/scala/graft")
     val scope = Set("queries", "ext", "ops", "read", "sources", "plans",
       "functions", "schema", "sink", "stream")
+    // `.take(` added round 12: boundedHead's guard is now a take(2),
+    // and a raw DataFrame.take(n) is a driver materialization the
+    // original pattern could not see. Collection .take in scoped files
+    // would false-positive here — acceptable: the scan is a tripwire,
+    // and a hit forces the review this lock exists to force.
     val raw = ("\\.collect\\(\\)|\\.head\\(\\)|\\.first\\(\\)" +
-      "|collectAsList|toLocalIterator").r
+      "|\\.take\\(|collectAsList|toLocalIterator").r
     // raw call-site count per repo-relative file, comments stripped
     val walk = java.nio.file.Files.walk(base)
     val counts = try {
