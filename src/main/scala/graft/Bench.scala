@@ -837,6 +837,8 @@ object Bench {
       val prevUnattr = BenchMirror.parseUnattributed(body)
       val prevRunLoad = BenchMirror.parseRunLevelLoad(body)
       val prevWall = BenchMirror.parseWall(body)
+      val prevHistory = BenchMirror.parseHistory(body)
+      val prevBest = BenchMirror.parseBest(body)
       // the control sentinel's run-global median enters the mirror as
       // its own entry, so the baseline is cross-run and the hold/
       // auto-clear rules protect it from poisoning like any other
@@ -875,9 +877,15 @@ object Bench {
         }
         val (loadAttr, _) = BenchMirror.classifyAlarms(
           alarms.map(_._1), ctlByTier, ctlBaseline)
-        val (mTimes, mSpreads, unattr, runLoad) = BenchMirror.merge(
+        val mr = BenchMirror.mergeWithHistory(
           prevG, prevSpread, prevUnattr, tierTimes.toSeq, tierSpreads.toMap,
-          accepted, prevRunLoad, loadAttr)
+          accepted, prevRunLoad, loadAttr, prevHistory, prevBest)
+        val (mTimes, mSpreads, unattr, runLoad) =
+          (mr.times, mr.spreads, mr.unattributed, mr.runLevelLoad)
+        mr.ratchetHeld.foreach(k => System.err.println(
+          s"[bench-times] RATCHET HOLD $k — drift ≥1.5x on a query with a " +
+            "jitter history; mirror holds the baseline (a clean re-measure " +
+            "rewrites it, SPARK_GRAFT_ACCEPT_MOVERS accepts a real change)"))
         unattr.foreach(k => System.err.println(
           s"[bench-times] UNATTRIBUTED $k — mirror holds pre-alarm baseline " +
             "until a DevQueryAB attribution (SPARK_GRAFT_ACCEPT_MOVERS) or a " +
@@ -907,19 +915,21 @@ object Bench {
             s""""wall_ratio":${prevWall.filter(_ > 0.0)
               .map(p => BenchMirror.num(wallSec / p)).getOrElse("null")}"""
         val block =
-          s"""{"threshold":{"ratio":2.0,"min_sec":1.0,"spread_guard":true,"control_drift":1.8},""" +
+          s"""{"threshold":{"ratio":2.0,"min_sec":1.0,"spread_guard":true,"control_drift":1.8,"ratchet":1.5},""" +
             s""""alarms":${alarms.size},"unattributed":${arr(unattr)},""" +
-            s""""run_level_load":${arr(runLoad)},$ctlJson,$wallJson,""" +
+            s""""run_level_load":${arr(runLoad)},""" +
+            s""""ratchet_held":${arr(mr.ratchetHeld)},$ctlJson,$wallJson,""" +
             s""""top_movers":$moverJson}"""
         Files.writeString(Paths.get("bench_movers.json"), block)
         out ++= s""","movers":$block"""
         Files.writeString(path, BenchMirror.render(mTimes, mSpreads, unattr, esc,
-          runLoad, Some(wallSec)))
+          runLoad, Some(wallSec), mr.ratchetHeld, mr.history, mr.best))
       } else {
         // first run: no baseline to compare or hold — seed the mirror
+        // (best seeds at the observed medians and only falls after)
         Files.writeString(path, BenchMirror.render(
           tierTimes.toSeq, tierSpreads.toMap, Seq.empty, esc,
-          Seq.empty, Some(wallSec)))
+          Seq.empty, Some(wallSec), Seq.empty, Seq.empty, tierTimes.toMap))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -43,20 +43,58 @@ object BenchMirror {
   private val spreadRex =
     "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\[([0-9.]+)\\s*,\\s*([0-9.]+)\\]".r
 
+  /** The `"field":{...}` object body, when present. The mirror's
+    * objects are flat (no nested braces), so the non-greedy scan is
+    * exact. Round 12: the `best` map holds the same key→number shape
+    * as `times`, so the shape-agnostic whole-body regexes would read
+    * best-ever values as baselines (and vice versa) — every map parse
+    * is now scoped to its named section, with the whole-body scan
+    * kept only as the fallback for pre-section bodies.
+    */
+  private def section(body: String, field: String): Option[String] =
+    ("\"" + field + "\"\\s*:\\s*\\{([^}]*)\\}").r
+      .findFirstMatchIn(body).map(_.group(1))
+
   def parseTimes(body: String): Map[String, Double] =
-    timesRex.findAllMatchIn(body)
+    timesRex.findAllMatchIn(section(body, "times").getOrElse(body))
       .map(m => m.group(1) -> m.group(2).toDouble)
-      // the shape-agnostic regex also matches the top-level
-      // "wall_sec":N member render appends — a reserved key, not a
-      // query; without this filter every prev map carries a phantom
-      // 1143-second "query" any future mirror consumer would inherit
+      // on the whole-body fallback the shape-agnostic regex also
+      // matches the top-level "wall_sec":N member render appends — a
+      // reserved key, not a query; without this filter every prev map
+      // carries a phantom 1143-second "query" any future mirror
+      // consumer would inherit
       .filter(_._1 != "wall_sec")
       .toMap
 
   def parseSpreads(body: String): Map[String, (Double, Double)] =
-    spreadRex.findAllMatchIn(body)
+    spreadRex.findAllMatchIn(section(body, "spreads").getOrElse(body))
       .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
       .toMap
+
+  /** Best-ever medians per key (`"best":{...}`) — the cumulative-creep
+    * gauge (round-12 verdict ask 3): the hold rules protect a baseline
+    * from single-run poisoning, but a baseline can still RATCHET
+    * upward through consecutive sub-threshold drifts, and once it has,
+    * the mirror has no memory of where the query started. `best` never
+    * rises, so baseline/best IS the total creep since the query's best
+    * known steady state, whatever path it took.
+    */
+  def parseBest(body: String): Map[String, Double] =
+    section(body, "best").map { s =>
+      timesRex.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+
+  /** Names inside `"jitter_history":[...]` — every key that has EVER
+    * been held (alarm or ratchet). Permanent: auto-clear removes the
+    * active flag, not the history — a query with a documented drift
+    * history is exactly the one whose baseline must not quietly move
+    * again (t_dtw_monthly alarmed as jitter in r9 AND r10, then
+    * silently rewrote its baseline 0.442 → 0.865 in r11 at ratio
+    * 1.957, a hair under the 2.0 alarm).
+    */
+  def parseHistory(body: String): Set[String] =
+    parseNameArray(body, "jitter_history")
 
   /** Names inside the mirror's `"unattributed":[...]` array. */
   def parseUnattributed(body: String): Set[String] =
@@ -163,6 +201,59 @@ object BenchMirror {
       loadAttributed: Set[String] = Set.empty)
       : (Seq[(String, Double)], Map[String, (Double, Double)],
          Seq[String], Seq[String]) = {
+    val r = mergeWithHistory(prevTimes, prevSpreads, prevUnattr, newTimes,
+      newSpreads, accepted, prevRunLoad, loadAttributed)
+    (r.times, r.spreads, r.unattributed, r.runLevelLoad)
+  }
+
+  /** Everything [[mergeWithHistory]] decides about one run. */
+  final case class MergeResult(
+      times: Seq[(String, Double)],
+      spreads: Map[String, (Double, Double)],
+      unattributed: Seq[String],
+      runLevelLoad: Seq[String],
+      ratchetHeld: Seq[String],
+      history: Seq[String],
+      best: Map[String, Double])
+
+  /** [[merge]] plus the drift-history ratchet gate and the best-ever
+    * column (round-12 verdict ask 3 — the sub-threshold creep class):
+    * the ≥2.0 alarm protects a baseline from a single big jump, but
+    * two consecutive 1.9× drifts compound to 3.8× with no alarm ever
+    * firing, because each rewrite resets the reference. The r11 run
+    * demonstrated it live: t_dtw_monthly — two PRIOR jitter flags —
+    * rewrote 0.442 → 0.865 (1.957×) in the very run that proved
+    * itself load-clean.
+    *
+    * Ratchet rule: an entry in `prevHistory` (ever held, either
+    * class) may rewrite its baseline only at ratio < `ratchetThresh`;
+    * at or past it the baseline HOLDS and the key is listed in
+    * `ratchetHeld` (warn-only, recomputed each run — the persistent
+    * memory is the history itself). A later run measuring back under
+    * the threshold rewrites normally (including DOWNWARD — recovery
+    * needs no accept); a real cost change is accepted exactly like an
+    * alarm, via SPARK_GRAFT_ACCEPT_MOVERS after a DevQueryAB
+    * attribution. With the gate, t_dtw's second 1.9× rise is judged
+    * against the ORIGINAL baseline and fires the real ≥2× alarm.
+    *
+    * History: permanent union of every held key (alarm or ratchet) —
+    * accept bypasses a hold for that run but does not erase the
+    * record. Best: per-key minimum over every run's POST-hold mirror
+    * value, so held inflations never lower it and baseline/best reads
+    * as total creep since the best known steady state.
+    */
+  def mergeWithHistory(
+      prevTimes: Map[String, Double],
+      prevSpreads: Map[String, (Double, Double)],
+      prevUnattr: Set[String],
+      newTimes: Seq[(String, Double)],
+      newSpreads: Map[String, (Double, Double)],
+      accepted: Set[String],
+      prevRunLoad: Set[String] = Set.empty,
+      loadAttributed: Set[String] = Set.empty,
+      prevHistory: Set[String] = Set.empty,
+      prevBest: Map[String, Double] = Map.empty,
+      ratchetThresh: Double = 1.5): MergeResult = {
     val acceptAll = accepted.contains("*")
     def isAccepted(k: String): Boolean = acceptAll || accepted.contains(k)
     val hold = newTimes.collect {
@@ -170,11 +261,18 @@ object BenchMirror {
           if !isAccepted(k) && prevTimes.get(k).exists(p =>
             isAlarm(v, p, prevSpreads.get(k))) => k
     }.toSet
+    val ratchetHold = newTimes.collect {
+      case (k, v)
+          if !isAccepted(k) && !hold(k) && prevHistory(k) &&
+            prevTimes.get(k).exists(p => p > 0.0 && v / p >= ratchetThresh)
+        => k
+    }.toSet
+    val anyHold = hold ++ ratchetHold
     val times = newTimes.map { case (k, v) =>
-      k -> (if (hold(k)) prevTimes(k) else v)
+      k -> (if (anyHold(k)) prevTimes(k) else v)
     }
     val spreads = newTimes.flatMap { case (k, _) =>
-      (if (hold(k)) prevSpreads.get(k) else newSpreads.get(k)).map(k -> _)
+      (if (anyHold(k)) prevSpreads.get(k) else newSpreads.get(k)).map(k -> _)
     }.toMap
     val newKeys = newTimes.map(_._1).toSet
     def carriedOf(prevFlags: Set[String]): Set[String] =
@@ -185,10 +283,17 @@ object BenchMirror {
     val carried = carriedU ++ carriedL
     val carriedTimes = carried.toSeq.sorted.map(k => k -> prevTimes(k))
     val carriedSpreads = carried.toSeq.flatMap(k => prevSpreads.get(k).map(k -> _))
-    ((times ++ carriedTimes),
+    val outTimes = times ++ carriedTimes
+    val best = outTimes.map { case (k, v) =>
+      k -> math.min(v, prevBest.getOrElse(k, v))
+    }.toMap
+    MergeResult(outTimes,
       spreads ++ carriedSpreads,
       ((hold -- loadAttributed) ++ carriedU).toSeq.sorted,
-      ((hold & loadAttributed) ++ carriedL).toSeq.sorted)
+      ((hold & loadAttributed) ++ carriedL).toSeq.sorted,
+      ratchetHold.toSeq.sorted,
+      (prevHistory ++ anyHold).toSeq.sorted,
+      best)
   }
 
   /** Serialize the mirror body (fixed shape the parsers above read). */
@@ -197,15 +302,23 @@ object BenchMirror {
       unattributed: Seq[String],
       esc: String => String,
       runLevelLoad: Seq[String] = Seq.empty,
-      wall: Option[Double] = None): String = {
+      wall: Option[Double] = None,
+      ratchetHeld: Seq[String] = Seq.empty,
+      history: Seq[String] = Seq.empty,
+      best: Map[String, Double] = Map.empty): String = {
     val t = times.map { case (k, v) => s""""${esc(k)}":${num(v)}""" }
       .mkString("{", ",", "}")
     val s = spreads.toSeq.sortBy(_._1)
       .map { case (k, (lo, hi)) => s""""${esc(k)}":[${num(lo)},${num(hi)}]""" }
       .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
+    val b = best.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":${num(v)}""" }
+      .mkString("{", ",", "}")
     val w = wall.map(v => s""","wall_sec":${num(v)}""").getOrElse("")
     s"""{"times":$t,"spreads":$s,"unattributed":${arr(unattributed)}""" +
-      s""","run_level_load":${arr(runLevelLoad)}$w}"""
+      s""","run_level_load":${arr(runLevelLoad)}""" +
+      s""","ratchet_held":${arr(ratchetHeld)}""" +
+      s""","jitter_history":${arr(history)},"best":$b$w}"""
   }
 }

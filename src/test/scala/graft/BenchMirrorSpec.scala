@@ -196,4 +196,111 @@ class BenchMirrorSpec extends AnyFunSuite {
     assert(u.isEmpty)
     assert(l == Seq("stress8x/b"))
   }
+
+  // ----- the round-12 ratchet gate + alarmed-spread semantics ------
+
+  test("r11 t_dtw shape: two sub-threshold 1.96x rises compound past 2x " +
+    "— the history ratchet holds the first and the second fires the alarm") {
+    // the live defect (round-11 verdict What's wrong #2): t_dtw_monthly,
+    // with jitter flags in r9 AND r10, rewrote its baseline 0.442 ->
+    // 0.865 (x1.957, a hair under the 2.0 alarm); a second 1.96x rise
+    // would land at 1.69 s — x3.8 total, and under the OLD rules no
+    // alarm ever fires because each rewrite resets the reference.
+    val key = "headline/t_dtw_monthly"
+    val hist = Set(key) // flagged r9 + r10, auto-cleared but remembered
+    // Run A: the r11 rise. Old behavior (no history): baseline rewrites.
+    val old = BenchMirror.mergeWithHistory(Map(key -> 0.442), Map.empty,
+      Set.empty, Seq(key -> 0.865), Map(key -> (0.8, 0.9)), Set.empty)
+    assert(old.times.toMap.apply(key) == 0.865) // the silent ratchet
+    assert(old.ratchetHeld.isEmpty)
+    // With the history gate: HELD at 0.442, warned, history retained.
+    val a = BenchMirror.mergeWithHistory(Map(key -> 0.442), Map.empty,
+      Set.empty, Seq(key -> 0.865), Map(key -> (0.8, 0.9)), Set.empty,
+      prevHistory = hist, prevBest = Map(key -> 0.442))
+    assert(a.times.toMap.apply(key) == 0.442)
+    assert(a.ratchetHeld == Seq(key))
+    assert(a.history == Seq(key))
+    assert(a.best(key) == 0.442) // a held inflation never lowers best
+    // Run B: the second 1.96x rise is judged against the ORIGINAL
+    // baseline -> x3.8 >= 2.0 AND >= 1 s -> the REAL alarm fires.
+    val b = BenchMirror.mergeWithHistory(
+      a.times.toMap, a.spreads, Set.empty, Seq(key -> 1.69),
+      Map.empty, Set.empty, prevHistory = a.history.toSet,
+      prevBest = a.best)
+    assert(b.times.toMap.apply(key) == 0.442)
+    assert(b.unattributed == Seq(key)) // alarm class, not just ratchet
+    // and recovery still needs no accept: a clean 0.45 rewrites
+    val c = BenchMirror.mergeWithHistory(
+      b.times.toMap, b.spreads, b.unattributed.toSet, Seq(key -> 0.45),
+      Map.empty, Set.empty, prevHistory = b.history.toSet, prevBest = b.best)
+    assert(c.times.toMap.apply(key) == 0.45)
+    assert(c.unattributed.isEmpty && c.ratchetHeld.isEmpty)
+    assert(c.history == Seq(key)) // permanent
+    assert(c.best(key) == 0.442)  // best remembers the true floor
+  }
+
+  test("ratchet gate applies only to history-flagged keys; accept bypasses it") {
+    val prev = Map("headline/flagged" -> 1.0, "headline/fresh" -> 1.0)
+    val now = Seq("headline/flagged" -> 1.6, "headline/fresh" -> 1.6)
+    val r = BenchMirror.mergeWithHistory(prev, Map.empty, Set.empty, now,
+      Map.empty, Set.empty, prevHistory = Set("headline/flagged"))
+    assert(r.times.toMap.apply("headline/flagged") == 1.0) // held
+    assert(r.times.toMap.apply("headline/fresh") == 1.6)   // no history: free
+    assert(r.ratchetHeld == Seq("headline/flagged"))
+    val acc = BenchMirror.mergeWithHistory(prev, Map.empty, Set.empty, now,
+      Map.empty, Set("headline/flagged"),
+      prevHistory = Set("headline/flagged"))
+    assert(acc.times.toMap.apply("headline/flagged") == 1.6) // attributed
+    assert(acc.ratchetHeld.isEmpty)
+    assert(acc.history == Seq("headline/flagged")) // accept keeps the record
+  }
+
+  test("r11 j13 shape: an alarmed entry's spread holds with its baseline, " +
+    "so the NEXT run is judged against the pre-alarm band") {
+    // BENCH_r11's alarm: heavy/j13_item_cf 3.509 -> 7.687 with the
+    // alarmed run's spread [3.60, 20.63]. If that spread were adopted,
+    // a next-run 8.0 s would hide INSIDE the inflated band (8.0 <
+    // 20.63 suppresses via the spread guard) — the alarm would never
+    // re-fire and the anomaly never be revisited.
+    val key = "heavy/j13_item_cf"
+    val prev = Map(key -> 3.509)
+    val preBand = Map(key -> (3.1, 4.0))
+    val a = BenchMirror.mergeWithHistory(prev, preBand, Set.empty,
+      Seq(key -> 7.687), Map(key -> (3.60, 20.63)), Set.empty)
+    assert(a.times.toMap.apply(key) == 3.509)
+    assert(a.spreads(key) == (3.1, 4.0)) // pre-alarm band held
+    assert(a.unattributed == Seq(key))
+    // next run at 8.0: against the held band -> above 4.0 max -> alarms;
+    // against the alarmed band it would have been suppressed
+    assert(BenchMirror.isAlarm(8.0, 3.509, a.spreads.get(key)))
+    assert(!BenchMirror.isAlarm(8.0, 3.509, Some((3.60, 20.63))))
+  }
+
+  test("best-ever column: falls on improvement, never rises, survives render/parse") {
+    val r1 = BenchMirror.mergeWithHistory(Map("h/q" -> 1.0), Map.empty,
+      Set.empty, Seq("h/q" -> 0.8), Map.empty, Set.empty,
+      prevBest = Map("h/q" -> 0.9))
+    assert(r1.best("h/q") == 0.8) // improvement lowers it
+    val r2 = BenchMirror.mergeWithHistory(Map("h/q" -> 0.8), Map.empty,
+      Set.empty, Seq("h/q" -> 1.4), Map.empty, Set.empty,
+      prevBest = r1.best)
+    assert(r2.times.toMap.apply("h/q") == 1.4) // sub-alarm move accepted
+    assert(r2.best("h/q") == 0.8)              // but best remembers
+    val body = BenchMirror.render(r2.times, r2.spreads, Seq.empty, esc,
+      Seq.empty, Some(100.0), r2.ratchetHeld, r2.history, r2.best)
+    assert(BenchMirror.parseBest(body)("h/q") == 0.8)
+    // section-scoped parse: best entries must NOT leak into times
+    assert(BenchMirror.parseTimes(body)("h/q") == 1.4)
+    assert(BenchMirror.parseHistory(body).isEmpty)
+  }
+
+  test("history array render/parse roundtrip") {
+    val body = BenchMirror.render(Seq("a" -> 1.0), Map.empty, Seq.empty,
+      esc, Seq.empty, Some(10.0), Seq("a"), Seq("a", "b"),
+      Map("a" -> 0.9))
+    assert(BenchMirror.parseHistory(body) == Set("a", "b"))
+    assert(BenchMirror.parseBest(body) == Map("a" -> 0.9))
+    assert(BenchMirror.parseTimes(body) == Map("a" -> 1.0))
+    assert(BenchMirror.parseWall(body).contains(10.0))
+  }
 }
