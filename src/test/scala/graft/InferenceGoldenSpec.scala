@@ -1,0 +1,575 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Published-value micro-goldens for the statistical-inference family
+  * (round-12 verdict ask 2).
+  *
+  * WHY THIS SPEC EXISTS: the DuckDB oracle gates cross-ENGINE
+  * divergence, not cross-DERIVATION error — both mirrors are written
+  * by the same hand from the same derivation, so a shared mistake is
+  * hash-green. Round 11 proved the class is real: a72_wilcoxon and
+  * t_pettitt shipped a doubled-midrank off-by-one and tx56 an 11th
+  * phantom decile, all three hash-green for a full round (fixed in
+  * commit 6f00c06). This spec breaks the single-author correlation
+  * two independent ways per test family:
+  *
+  *  1. PUBLISHED ANCHORS — each core statistic runs over a tiny
+  *     fixture whose expected value comes from a citable external
+  *     source: a published worked example (the Wikipedia Wilcoxon
+  *     pairs with W+ = 27, the Wikipedia Spearman IQ/TV data with
+  *     Σd² = 194) or a published structural theorem (Pettitt's
+  *     max-separation |U_t| = t(n−t); Friedman's perfect-concordance
+  *     ceiling χ²_F = n(k−1) ⇔ Kendall's W = 1; Page's maximal
+  *     L = n·Σj²; Mann-Whitney's complete-separation U = n₁n₂;
+  *     KS D = 1 on disjoint supports; Brown–Forsythe F = 0 under
+  *     exact homogeneity; Welch collapsing to Student's t at equal
+  *     n and variance).
+  *
+  *  2. DEFINITIONAL RECOMPUTATION — the spec recomputes each
+  *     statistic from its PRIMARY textbook definition in naive Scala
+  *     (explicit sorts, fractional midranks as doubles, O(n²) sign/
+  *     pair loops), a derivation path disjoint from the engine's
+  *     exact-integer reductions (doubled midranks via self-join
+  *     counting, window cumsums, sufficient-statistic folds). Every
+  *     one of the r11 bugs — the missing +1 in 2r = 2#{<} + #{=} + 1,
+  *     Pettitt's −2t shift — diverges from the definitional value on
+  *     these fixtures.
+  *
+  * The fixtures flow through the REAL query closures (a temp dir of
+  * parquet tables in the corpus schemas), so the plumbing each query
+  * builds on — hour-of-day pairing, cents pinning, the nt-complete
+  * filters, rank machinery — is exercised, not re-derived.
+  */
+class InferenceGoldenSpec extends SparkSpec {
+
+  // ----- fixture plumbing -------------------------------------------
+
+  /** Write fixture tables as parquet under a temp dir and return it.
+    * Spark-written timestamps arrive as TimestampType, which
+    * Tables.events passes through unchanged.
+    */
+  private def fixture(name: String, tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"golden_$name").toString
+    tables.foreach { case (t, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  /** Run a registry query on a fixture dir and release everything the
+    * run may have pinned (same discipline as Round11PlanSpec's walk).
+    */
+  private def run(q: String, dir: String): Array[Row] =
+    try SparkEntry.queries(q)(spark, dir).collect()
+    finally {
+      graft.queries.EventQueries.releaseCaches()
+      graft.queries.TextQueries.releaseCaches()
+      graft.queries.ParityQueries.releaseCaches()
+      PlanWindows.releaseAll()
+      spark.catalog.clearCache()
+    }
+
+  /** events rows: (event_id, "yyyy-MM-dd HH:mm:ss", user_id, type,
+    * value). Session TZ is pinned UTC, so string→timestamp→hour() is
+    * deterministic.
+    */
+  private def eventsDf(rows: Seq[(Long, String, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+  }
+
+  /** documents rows: (doc_id, text, lang, source, n_chars). */
+  private def docsDf(rows: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def words(k: Int): String = Seq.fill(k)("tok").mkString(" ")
+
+  // ----- definitional recomputations (naive, primary-source forms) --
+
+  /** Fractional midrank of |v| among |ds| (average of occupied
+    * positions — the definition midranks abbreviate).
+    */
+  private def midrank(ads: Seq[Long], v: Long): Double = {
+    val lo = ads.count(_ < v)
+    val eq = ads.count(_ == v)
+    lo + (eq + 1) / 2.0
+  }
+
+  /** Wilcoxon W⁺: drop zeros, midrank |d|, sum ranks of positive d
+    * (Wilcoxon 1945, the verbatim procedure).
+    */
+  private def wilcoxonWPlus(ds: Seq[Long]): Double = {
+    val nz = ds.filter(_ != 0L)
+    val ads = nz.map(math.abs)
+    nz.filter(_ > 0L).map(d => midrank(ads, math.abs(d))).sum
+  }
+
+  /** Pettitt's U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j) by the O(n²)
+    * definition (Pettitt 1979, eq. 2.1); returns (argmax t*, max
+    * |U_t|) with the earliest-t tie rule.
+    */
+  private def pettittK(xs: Seq[Long]): (Int, Long) = {
+    val n = xs.length
+    val us = (1 until n).map { t =>
+      t -> (for { i <- 0 until t; j <- t until n }
+        yield java.lang.Long.signum(xs(i) - xs(j)).toLong).sum
+    }
+    val k = us.map { case (_, u) => math.abs(u) }.max
+    (us.find { case (_, u) => math.abs(u) == k }.get._1, k)
+  }
+
+  /** Mann-Whitney U₁ by pair counting: #{x > y} + ½#{x = y}
+    * (Mann & Whitney 1947, the counting definition).
+    */
+  private def mwU1(xs: Seq[Long], ys: Seq[Long]): Double =
+    (for { x <- xs; y <- ys }
+      yield if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum
+
+  /** Two-sample KS D = max |F₁ − F₂| over the pooled support. */
+  private def ksD(xs: Seq[Long], ys: Seq[Long]): Double =
+    (xs ++ ys).distinct.map { v =>
+      math.abs(xs.count(_ <= v).toDouble / xs.length
+        - ys.count(_ <= v).toDouble / ys.length)
+    }.max
+
+  /** Friedman χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) from within-block
+    * ranks (Friedman 1937, eq. 3). `blocks(b)(j)` = treatment j's
+    * value in block b; ties assumed absent (fixture guarantees).
+    */
+  private def friedmanQ(blocks: Seq[Seq[Long]]): Double = {
+    val n = blocks.length
+    val k = blocks.head.length
+    val rj = (0 until k).map(j =>
+      blocks.map(b => b.count(_ < b(j)) + 1).sum.toLong)
+    12.0 * rj.map(r => r * r).sum / (n.toDouble * k * (k + 1)) -
+      3.0 * n * (k + 1)
+  }
+
+  /** Page's L = Σ_j j·R_j over the hypothesized treatment order
+    * (Page 1963). Same rank convention as friedmanQ.
+    */
+  private def pageL(blocks: Seq[Seq[Long]]): Long = {
+    val k = blocks.head.length
+    (0 until k).map { j =>
+      (j + 1).toLong * blocks.map(b => b.count(_ < b(j)) + 1).sum
+    }.sum
+  }
+
+  /** Spearman ρ = 1 − 6Σd²/(n(n²−1)) on tie-free ranks (the classic
+    * difference formula).
+    */
+  private def spearmanRho(xs: Seq[Long], ys: Seq[Long]): Double = {
+    def rk(vs: Seq[Long]): Seq[Int] = vs.map(v => vs.count(_ < v) + 1)
+    val d2 = rk(xs).zip(rk(ys)).map { case (a, b) => (a - b) * (a - b) }.sum
+    val n = xs.length
+    1.0 - 6.0 * d2 / (n.toDouble * (n * n - 1))
+  }
+
+  /** Mann-Kendall S = Σ_{i<j} sgn(x_j − x_i) (Mann 1945). */
+  private def mkS(xs: Seq[Long]): Long =
+    (for { i <- xs.indices; j <- i + 1 until xs.length }
+      yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+
+  /** Hodges-Lehmann one-sample estimator: median of the Walsh
+    * averages (d_i + d_j)/2 over i ≤ j (Hodges & Lehmann 1963).
+    */
+  private def hodgesLehmann(ds: Seq[Long]): Double = {
+    val w = (for { i <- ds.indices; j <- i until ds.length }
+      yield (ds(i) + ds(j)) / 2.0).sorted
+    (w((w.length - 1) / 2) + w(w.length / 2)) / 2.0
+  }
+
+  /** Kendall's W = 12S/(m²(n³−n)), S = Σ(R_i − m(n+1)/2)², from m
+    * judges' tie-free rankings (Kendall & Babington Smith 1939).
+    */
+  private def kendallW(judges: Seq[Seq[Long]]): Double = {
+    val n = judges.head.length
+    val m = judges.length
+    def rk(vs: Seq[Long]): Seq[Int] = vs.map(v => vs.count(_ < v) + 1)
+    val ri = judges.map(rk).transpose.map(_.sum.toDouble)
+    val s = ri.map(r => math.pow(r - m * (n + 1) / 2.0, 2)).sum
+    12.0 * s / (m.toDouble * m * (n.toLong * n * n - n))
+  }
+
+  // ===================================================================
+  // 1. Wilcoxon signed-rank — the published worked example
+  // ===================================================================
+
+  test("a72_wilcoxon_signed reproduces the published W+ = 27 worked example") {
+    // The classic paired sample reproduced across many texts (e.g. the
+    // Wikipedia 'Wilcoxon signed-rank test' worked example): pairs
+    // (125,110) (115,122) (130,125) (140,120) (140,140) (115,124)
+    // (140,123) (125,137) (140,135) (135,145); differences 15 −7 5 20
+    // 0 −9 17 −12 5 −10; the zero drops (n = 9), |5| ties share
+    // midrank 1.5, and W⁺ = 7 + 1.5 + 9 + 8 + 1.5 = 27 (W⁻ = 18;
+    // checksum W⁺ + W⁻ = n(n+1)/2 = 45). The engine emits doubled
+    // W⁺ (wp2 = 54) and z = (W⁺ − W⁻)/√(n(n+1)(2n+1)/6) = 9/√285.
+    // The r11 bug (midrank missing the +1) yields wp2 = 44 here.
+    val x = Seq(1.25, 1.15, 1.30, 1.40, 1.40, 1.15, 1.40, 1.25, 1.40, 1.35)
+    val y = Seq(1.10, 1.22, 1.25, 1.20, 1.40, 1.24, 1.23, 1.37, 1.35, 1.45)
+    val rows = x.indices.flatMap { h =>
+      Seq((2L * h, f"2026-01-05 $h%02d:10:00", 1L, "click", x(h)),
+        (2L * h + 1, f"2026-01-05 $h%02d:20:00", 1L, "purchase", y(h)))
+    }
+    val dir = fixture("a72", "events" -> eventsDf(rows))
+    val out = run("a72_wilcoxon_signed", dir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Long]("wp2") == 54L) // = 2·27, the published W+
+    assert(r.getAs[Double]("z") == BigDecimal(9.0 / math.sqrt(285.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // definitional recomputation agrees with the published anchor
+    val ds = x.zip(y).map { case (a, b) => math.round(a * 100) - math.round(b * 100) }
+    assert(wilcoxonWPlus(ds) == 27.0)
+  }
+
+  // ===================================================================
+  // 2. Pettitt — the max-separation theorem
+  // ===================================================================
+
+  test("t_pettitt attains the published maximum |U_t| = t(n−t) under complete separation") {
+    // Pettitt (1979): U_t is a sum of t(n−t) sign terms, so |U_t| ≤
+    // t(n−t) with equality iff every post-t value exceeds (or is
+    // exceeded by) every pre-t value. Series 1..5 then 10..14 over 10
+    // consecutive hours: K = max = 5·5 = 25 uniquely at t* = 5 (t=4
+    // and t=6 give 24). Engine emits doubled K (k2 = 50). The r11 bug
+    // (U_t shifted by −2t) breaks both the max and the argmax here.
+    val counts = Seq(1, 2, 3, 4, 5, 10, 11, 12, 13, 14)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i =>
+        ((h * 100 + i).toLong, f"2026-01-05 $h%02d:${10 + i}%02d:00", 1L,
+          "view", 1.0))
+    }
+    val dir = fixture("pettitt", "events" -> eventsDf(rows))
+    val out = run("t_pettitt", dir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("k2") == 50L) // = 2·25 = 2·t(n−t)
+    assert(r.getAs[Long]("t_star") == 5L)
+    // definitional O(n²) sign-sum recomputation
+    assert(pettittK(counts.map(_.toLong)) == (5, 25L))
+  }
+
+  // ===================================================================
+  // 3+4. Friedman + Page — the perfect-concordance ceilings
+  // ===================================================================
+
+  /** 4 blocks (hods) × 5 treatments (event types, alphabetical order
+    * click < error < purchase < signup < view), every block ranking
+    * the treatments identically in alphabetical order.
+    */
+  private lazy val concordantDir: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val rows = for {
+      h <- 0 until 4
+      (t, j) <- types.zipWithIndex
+    } yield ((h * 10 + j).toLong, f"2026-01-05 $h%02d:30:00", 1L, t,
+      (j + 1).toDouble)
+    fixture("concord", "events" -> eventsDf(rows))
+  }
+
+  test("a69_friedman attains the published perfect-concordance ceiling χ² = n(k−1)") {
+    // Friedman (1937) / Kendall & Babington Smith (1939): with every
+    // block ranking the k treatments identically, χ²_F attains its
+    // maximum n(k−1) (equivalently Kendall's W = 1). n = 4, k = 5:
+    // R_j = 4j, ΣR_j² = 880, χ² = 12·880/(4·5·6) − 3·4·6 = 16 = n(k−1).
+    val out = run("a69_friedman", concordantDir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("k") == 5L)
+    assert(r.getAs[Long]("srj2") == 880L)
+    assert(r.getAs[Long]("qnum_x") == 1920L)
+    assert(r.getAs[Double]("q") == 16.0)
+    val blocks = Seq.fill(4)(Seq(100L, 200L, 300L, 400L, 500L))
+    assert(friedmanQ(blocks) == 16.0)
+  }
+
+  test("a71_page_trend attains the published maximal L = n·Σj² under the hypothesized order") {
+    // Page (1963): L = Σ j·R_j is maximal exactly when every block's
+    // ranks follow the hypothesized treatment order, at L = n·Σj².
+    // n = 4, k = 5: L = 4·(1+4+9+16+25) = 220; the engine's scaled
+    // integer lnum_x = 4L − nk(k+1)² = 880 − 720 = 160.
+    val out = run("a71_page_trend", concordantDir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("k") == 5L)
+    assert(r.getAs[Long]("l") == 220L)
+    assert(r.getAs[Long]("lnum_x") == 160L)
+    assert(pageL(Seq.fill(4)(Seq(100L, 200L, 300L, 400L, 500L))) == 220L)
+  }
+
+  // ===================================================================
+  // 5. McNemar — Edwards' continuity-corrected χ² on known b, c
+  // ===================================================================
+
+  test("a70_mcnemar counts discordant pairs and applies Edwards' correction exactly") {
+    // McNemar (1947) with Edwards (1948) continuity correction:
+    // χ² = (|b−c|−1)²/(b+c). Fixture constructs b = 5 (gate A right,
+    // B wrong), c = 15 (A wrong, B right), plus 7 both-right and 3
+    // both-wrong docs that must cancel: χ² = (10−1)²/20 = 4.05.
+    val b = (1 to 5).map(i =>   // en, long chars (A right), short text (B wrong)
+      (i.toLong, words(10), "en", "s", 400L))
+    val c = (6 to 20).map(i =>  // en, short chars (A wrong), long text (B right)
+      (i.toLong, words(70), "en", "s", 100L))
+    val both = (21 to 27).map(i => // both right
+      (i.toLong, words(70), "en", "s", 400L))
+    val neither = (28 to 30).map(i => // lang≠en and both gates fire: both wrong
+      (i.toLong, words(70), "de", "s", 400L))
+    val dir = fixture("mcnemar", "documents" -> docsDf(b ++ c ++ both ++ neither))
+    val out = run("a70_mcnemar", dir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("b") == 5L)
+    assert(r.getAs[Long]("c") == 15L)
+    assert(r.getAs[Long]("num_uncorr") == 100L)
+    assert(r.getAs[Double]("chi2_cc") == 4.05) // (|5−15|−1)²/20 = 81/20
+  }
+
+  // ===================================================================
+  // 6. Mann-Whitney U — separation maximum + tied-midrank hand case
+  // ===================================================================
+
+  test("a38_mann_whitney: complete separation attains U = n1·n2; ties take midranks") {
+    // Mann & Whitney (1947): U₁ counts pairs with x > y (+½ per tie),
+    // so complete separation gives the published maximum U₁ = n₁n₂.
+    val sep = fixture("mw_sep", "events" -> eventsDf(Seq(
+      (1L, "2026-01-05 01:00:00", 1L, "click", 0.04),
+      (2L, "2026-01-05 02:00:00", 1L, "click", 0.05),
+      (3L, "2026-01-05 03:00:00", 1L, "click", 0.06),
+      (4L, "2026-01-05 04:00:00", 1L, "view", 0.01),
+      (5L, "2026-01-05 05:00:00", 1L, "view", 0.02),
+      (6L, "2026-01-05 06:00:00", 1L, "view", 0.03))))
+    val r1 = run("a38_mann_whitney", sep).head
+    assert(r1.getAs[Long]("u1_x2") == 18L) // = 2·n₁n₂ = 2·9
+    assert(mwU1(Seq(4L, 5L, 6L), Seq(1L, 2L, 3L)) == 9.0)
+
+    // Tied case: clicks {5,6,7}, views {1,2,5} cents. U₁ = 8.5 by the
+    // pair-counting definition (2.5 + 3 + 3); midranks make R₁ = 14.5
+    // (doubled r1x2 = 29, u1_x2 = 2U₁ = 17); the tie-corrected normal
+    // z = (U₁ − n₁n₂/2)/σ with σ² = n₁n₂[(n+1)n(n−1) − Σ(t³−t)]
+    // /(12n(n−1)) = 9·204/360 = 5.1 → z = 4/√5.1 (Siegel 1956 tie
+    // correction).
+    val tie = fixture("mw_tie", "events" -> eventsDf(Seq(
+      (1L, "2026-01-05 01:00:00", 1L, "click", 0.05),
+      (2L, "2026-01-05 02:00:00", 1L, "click", 0.06),
+      (3L, "2026-01-05 03:00:00", 1L, "click", 0.07),
+      (4L, "2026-01-05 04:00:00", 1L, "view", 0.01),
+      (5L, "2026-01-05 05:00:00", 1L, "view", 0.02),
+      (6L, "2026-01-05 06:00:00", 1L, "view", 0.05))))
+    val r2 = run("a38_mann_whitney", tie).head
+    assert(r2.getAs[Long]("n1") == 3L && r2.getAs[Long]("n2") == 3L)
+    assert(r2.getAs[Long]("u1_x2") == 17L)
+    assert(r2.getAs[Double]("z") == BigDecimal(4.0 / math.sqrt(5.1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(mwU1(Seq(5L, 6L, 7L), Seq(1L, 2L, 5L)) == 8.5)
+  }
+
+  // ===================================================================
+  // 7. Kolmogorov-Smirnov — disjoint supports give D = 1
+  // ===================================================================
+
+  test("a30_ks_test: D = 1 on disjoint supports; interleaved case matches the ECDF definition") {
+    // D = sup|F₁ − F₂| = 1 exactly when the supports are disjoint
+    // (the ECDFs are 1 and 0 at the lower sample's max) — the
+    // definitional ceiling.
+    val sep = fixture("ks_sep", "events" -> eventsDf(Seq(
+      (1L, "2026-01-05 01:00:00", 1L, "purchase", 0.01),
+      (2L, "2026-01-05 02:00:00", 1L, "purchase", 0.02),
+      (3L, "2026-01-05 03:00:00", 1L, "purchase", 0.03),
+      (4L, "2026-01-05 04:00:00", 1L, "click", 0.04),
+      (5L, "2026-01-05 05:00:00", 1L, "click", 0.05),
+      (6L, "2026-01-05 06:00:00", 1L, "click", 0.06))))
+    val r1 = run("a30_ks_test", sep).head
+    assert(r1.getAs[Long]("d_num") == 9L) // numerator n₁n₂·D
+    assert(r1.getAs[Long]("at_cents") == 3L)
+    assert(r1.getAs[Double]("ks_d") == 1.0)
+    assert(ksD(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)) == 1.0)
+
+    // Interleaved odds vs evens: D = 1/4, first attained at cents = 1
+    // (the engine's pinned earliest-argmax rule).
+    val mix = fixture("ks_mix", "events" -> eventsDf(
+      Seq(1L, 3L, 5L, 7L).zipWithIndex.map { case (c, i) =>
+        ((i + 1).toLong, f"2026-01-05 0$i:00:00", 1L, "purchase", c / 100.0)
+      } ++ Seq(2L, 4L, 6L, 8L).zipWithIndex.map { case (c, i) =>
+        ((i + 5).toLong, f"2026-01-05 0${i + 4}:00:00", 1L, "click", c / 100.0)
+      }))
+    val r2 = run("a30_ks_test", mix).head
+    assert(r2.getAs[Long]("d_num") == 4L)
+    assert(r2.getAs[Long]("at_cents") == 1L)
+    assert(r2.getAs[Double]("ks_d") == 0.25)
+    assert(ksD(Seq(1L, 3L, 5L, 7L), Seq(2L, 4L, 6L, 8L)) == 0.25)
+  }
+
+  // ===================================================================
+  // 8. Spearman — the published IQ/TV worked example (Σd² = 194)
+  // ===================================================================
+
+  test("a49_spearman reproduces the published ρ = 1 − 6·194/990 = −0.175758 example") {
+    // The Wikipedia 'Spearman's rank correlation coefficient' worked
+    // example: IQ (106,86,100,101,99,103,97,113,112,110) against
+    // weekly TV hours (7,0,27,50,28,29,20,12,6,17); Σd² = 194 →
+    // ρ = 1 − 6·194/(10·99) = −29/165 ≈ −0.175758. Customer i carries
+    // spend ranks = IQ ranks (order totals summing to IQ_i dollars
+    // exactly) and order-count ranks = TV ranks (ncnt = TV+1 — rank-
+    // preserving shift, since ρ only sees ranks).
+    val iq = Seq(106, 86, 100, 101, 99, 103, 97, 113, 112, 110)
+    val tv = Seq(7, 0, 27, 50, 28, 29, 20, 12, 6, 17)
+    import spark.implicits._
+    val customer = (1 to 10)
+      .map(i => (i.toLong, 0L, "SEG")).toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val orders = (0 until 10).flatMap { i =>
+      val ck = (i + 1).toLong
+      // one order of IQ−TV dollars + TV orders of 1.00: spend = IQ_i
+      ((iq(i) - tv(i)).toDouble +: Seq.fill(tv(i))(1.0))
+        .zipWithIndex.map { case (p, j) => (ck * 1000 + j, ck, p) }
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = fixture("spearman", "customer" -> customer, "orders" -> orders)
+    val out = run("a49_spearman", dir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("nk") == 0L)
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("rho") == -0.175758)
+    assert(BigDecimal(spearmanRho(iq.map(_.toLong), tv.map(_.toLong)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble == -0.175758)
+  }
+
+  // ===================================================================
+  // 9. Mann-Kendall — monotone trend attains S = n(n−1)/2, τ = 1
+  // ===================================================================
+
+  test("a50_mann_kendall: a strictly increasing series attains the published S = n(n−1)/2, tau = 1") {
+    // Mann (1945) / Kendall (1938): S counts concordant minus
+    // discordant pairs, so a strictly monotone series attains the
+    // ceiling S = n(n−1)/2 with τ_b = 1 exactly; the continuity-
+    // corrected z = (S−1)/√(n(n−1)(2n+5)/18) = 44/√125 at n = 10.
+    import spark.implicits._
+    val orders = (1 to 10).map { m =>
+      (m.toLong, 1L, "1-URGENT", f"2026-$m%02d-15", m.toDouble)
+    }.toDF("o_orderkey", "o_custkey", "o_orderpriority", "ods", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        to_date(col("ods")).as("o_orderdate"), col("o_totalprice"))
+    val dir = fixture("mk", "orders" -> orders)
+    val out = run("a50_mann_kendall", dir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("s") == 45L)
+    assert(r.getAs[Double]("tau_b") == 1.0)
+    assert(r.getAs[Double]("z") == BigDecimal(44.0 / math.sqrt(125.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(mkS((1 to 10).map(_.toLong * 100)) == 45L)
+  }
+
+  // ===================================================================
+  // 10. Welch — equal n, equal variance collapses to Student's t
+  // ===================================================================
+
+  test("a54_welch_ttest collapses to Student's t = −1, df = 8 at equal n and variance") {
+    // Welch (1947): with n₁ = n₂ = 5 and s₁² = s₂², the statistic
+    // equals Student's pooled t and Welch–Satterthwaite df = 2(n−1)
+    // = 8 exactly. Groups {1..5} and {2..6} dollars: s² = 2.5 each,
+    // t = (3−4)/√(2.5/5 + 2.5/5) = −1.
+    import spark.implicits._
+    val customer = ((1 to 5).map(i => (i.toLong, 0L, "AAA"))
+      ++ (6 to 10).map(i => (i.toLong, 0L, "BBB")))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val orders = ((1 to 5).map(i => (i.toLong, i.toLong, i.toDouble))
+      ++ (6 to 10).map(i => (i.toLong, i.toLong, (i - 4).toDouble)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = fixture("welch", "customer" -> customer, "orders" -> orders)
+    val out = run("a54_welch_ttest", dir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("s1") == "AAA" && r.getAs[String]("s2") == "BBB")
+    assert(r.getAs[Long]("n1") == 5L && r.getAs[Long]("n2") == 5L)
+    assert(r.getAs[Double]("t") == -1.0)
+    assert(r.getAs[Double]("df") == 8.0)
+  }
+
+  // ===================================================================
+  // 11. Brown-Forsythe — exact homogeneity gives F = 0
+  // ===================================================================
+
+  test("a73_brown_forsythe: identical deviation multisets give the published null F = 0") {
+    // Brown & Forsythe (1974): F is a one-way ANOVA on |x − median|,
+    // so groups whose deviation-from-median multisets are identical
+    // (three location-shifted copies of {1,2,4,5}) have zero
+    // between-group variance → F = 0 exactly. The fixture's nj = 4
+    // keeps every sj²/nj·100 term integral, so no rounding residue.
+    val base = Seq(1.0, 2.0, 4.0, 5.0)
+    val rows = Seq("click" -> 0.0, "view" -> 10.0, "purchase" -> 20.0)
+      .zipWithIndex.flatMap { case ((t, shift), g) =>
+        base.zipWithIndex.map { case (v, i) =>
+          ((g * 10 + i).toLong, f"2026-01-05 0$g:0$i:00", 1L, t, v + shift)
+        }
+      }
+    val dir = fixture("bf", "events" -> eventsDf(rows))
+    val out = run("a73_brown_forsythe", dir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n") == 12L)
+    assert(r.getAs[Double]("f") == 0.0)
+  }
+
+  // ===================================================================
+  // 12. Hodges-Lehmann — median of Walsh averages, by hand
+  // ===================================================================
+
+  test("a76_hodges_lehmann: the Walsh-average median of d = {10,20,40} is 22.5") {
+    // Hodges & Lehmann (1963): HL = median over i ≤ j of (d_i+d_j)/2.
+    // d = {10, 20, 40} cents → Walsh averages {10, 15, 25, 20, 30,
+    // 40}, sorted {10,15,20,25,30,40}, median (20+25)/2 = 22.5.
+    val rows = Seq((10, 0), (20, 1), (40, 2)).flatMap { case (d, h) =>
+      Seq((2L * h, f"2026-01-05 0$h:10:00", 1L, "click", (10 + d) / 100.0),
+        (2L * h + 1, f"2026-01-05 0$h:20:00", 1L, "purchase", 0.10))
+    }
+    val dir = fixture("hl", "events" -> eventsDf(rows))
+    val out = run("a76_hodges_lehmann", dir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Double]("hl") == 22.5)
+    assert(hodgesLehmann(Seq(10L, 20L, 40L)) == 22.5)
+  }
+
+  // ===================================================================
+  // 13. Kendall's W — perfect concordance gives W = 1
+  // ===================================================================
+
+  test("a68_kendalls_w: three concordant metrics over four sources give the published W = 1") {
+    // Kendall & Babington Smith (1939): W = 1 iff all m judges
+    // produce the same ranking. Source i carries i docs of 100i chars
+    // and 10i tokens each, so doc count, Σchars, Σtokens all rank
+    // sources identically: S = Σ(3i·2 − 3·5)² /4… engine scale:
+    // s4 = Σ(2ΣR − 3(n+1))² = 180, W = 3·180/(9·(4³−4)) = 1.
+    val rows = (1 to 4).flatMap { i =>
+      (1 to i).map(j =>
+        ((i * 10 + j).toLong, words(10 * i), "en", s"src$i", 100L * i))
+    }
+    val dir = fixture("kw", "documents" -> docsDf(rows))
+    val out = run("a68_kendalls_w", dir)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_sources") == 4L)
+    assert(r.getAs[Long]("s4") == 180L)
+    assert(r.getAs[Double]("kendalls_w") == 1.0)
+    val judges = Seq(
+      (1 to 4).map(_.toLong),              // m1 = doc count
+      (1 to 4).map(i => 100L * i * i),     // m2 = Σ n_chars
+      (1 to 4).map(i => 10L * i * i))      // m3 = Σ tokens
+    assert(kendallW(judges) == 1.0)
+  }
+}
