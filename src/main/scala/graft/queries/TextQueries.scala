@@ -3677,6 +3677,115 @@ object TextQueries {
              |    AS collided_frac
              |FROM s ORDER BY m""".stripMargin)),
 
+    // ----- Maximal duplicated-SPAN coverage — the exact-substring
+    // dedup metric (Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better"): the fraction of corpus tokens
+    // lying inside a MAXIMAL duplicated span of ≥ DupGramK tokens.
+    // tx22 counts duplicated gram POSITIONS, which double-counts every
+    // token under up to k overlapping grams; the published number is
+    // span-merged — anchor k-grams whose hash occurs ≥2 times anywhere
+    // in the corpus (cross-doc or a within-doc repeat, per the paper's
+    // "again in train" semantics) cover token interval [s, s+k−1], and
+    // overlapping/adjacent intervals merge into maximal spans whose
+    // union length is the covered-token count. Dup detection is on the
+    // shared charHash mod P (identical both engines; DupSpanGoldenSpec
+    // recomputes from raw gram STRINGS on the fixture, witnessing
+    // collision-freeness there). Scale shape: grams are N·n̄tok rows
+    // (same scan multiply as tx22); the dup-gram set is one uniform-
+    // key agg + an equi-join; the interval merge is a per-doc window
+    // (partition key doc_id — parallel, skew bounded by max doc
+    // length) whose running-max/running-sum frames are streaming
+    // (O(1) state per row, no buffered partitions). Synthetic +700000
+    // re-ingest of every 5th doc (tx22's convention) guarantees known
+    // cross-doc duplicates at every SF.
+    QueryDef(
+      "tx58_dup_span_coverage",
+      (s, d) => {
+        val base = docs(s, d).select("doc_id", "text")
+        val ingest = base.unionAll(
+          base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+        val pos = ingest
+          .select(col("doc_id"), graft.ext.NearDup.shingleHashList(
+            TextAnalysis.tokens(col("text")), DupGramK).as("gs"))
+          .select(col("doc_id"), posexplode(col("gs")).as(Seq("p0", "g")))
+          .select(col("doc_id"), (col("p0") + 1L).as("s"),
+            (col("p0") + lit(DupGramK.toLong)).as("e"), col("g"))
+        val dupG = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2L).select("g")
+        val anch = pos.join(dupG, Seq("g"))
+        val byDoc = Window.partitionBy("doc_id").orderBy("s")
+        val pmax = max("e")
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+        val marked = anch.select(col("doc_id"), col("s"), col("e"),
+          when(pmax.isNull || col("s") > pmax + 1L, 1L).otherwise(0L)
+            .as("ni"))
+        val isl = marked.select(col("doc_id"), col("s"), col("e"),
+          sum("ni").over(byDoc.rowsBetween(Window.unboundedPreceding, 0))
+            .as("island"))
+        val spans = isl.groupBy("doc_id", "island")
+          .agg((max("e") - min("s") + 1L).as("span_len"))
+        val perDoc = spans.groupBy("doc_id")
+          .agg(sum("span_len").as("covered"), count(lit(1)).as("n_spans"),
+            max("span_len").as("max_span"))
+        val alln = ingest.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        alln.join(perDoc, Seq("doc_id"), "left")
+          .select(col("n_tok"),
+            coalesce(col("covered"), lit(0L)).as("covered"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("max_span"), lit(0L)).as("max_span"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("covered") > 0L, 1L).otherwise(0L))
+              .as("docs_with_span"),
+            sum("n_spans").as("n_spans"),
+            sum("covered").as("covered_tokens"),
+            sum("n_tok").as("total_tokens"),
+            round(sum("covered").cast("double")
+              / sum("n_tok").cast("double"), 6).as("corpus_dup_frac"),
+            max("max_span").as("max_span_len"))
+      },
+      Some(s"""WITH ingest AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 5 = 0),
+              |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ingest),
+              |pos AS (SELECT doc_id,
+              |    unnest(range(1, len(toks) - ${DupGramK - 2})) AS s,
+              |    unnest(${graft.ext.NearDup.Sql.shingleHashList(DupGramK)}) AS g
+              |  FROM t),
+              |dupg AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+              |anch AS (SELECT doc_id, s, s + ${DupGramK - 1} AS e
+              |  FROM pos JOIN dupg USING (g)),
+              |w AS (SELECT doc_id, s, e,
+              |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+              |  FROM anch),
+              |isl AS (SELECT doc_id, s, e,
+              |    sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY s
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              |  FROM w),
+              |spans AS (SELECT doc_id, max(e) - min(s) + 1 AS span_len
+              |  FROM isl GROUP BY doc_id, island),
+              |perdoc AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS covered,
+              |    count(*)::BIGINT AS n_spans,
+              |    CAST(max(span_len) AS BIGINT) AS max_span
+              |  FROM spans GROUP BY doc_id),
+              |alln AS (SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              |  FROM ingest)
+              |SELECT count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN coalesce(covered, 0) > 0 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS docs_with_span,
+              |  CAST(sum(coalesce(n_spans, 0)) AS BIGINT) AS n_spans,
+              |  CAST(sum(coalesce(covered, 0)) AS BIGINT) AS covered_tokens,
+              |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              |  round(CAST(sum(coalesce(covered, 0)) AS DOUBLE)
+              |    / CAST(sum(n_tok) AS DOUBLE), 6) AS corpus_dup_frac,
+              |  CAST(max(coalesce(max_span, 0)) AS BIGINT) AS max_span_len
+              |FROM alln LEFT JOIN perdoc USING (doc_id)""".stripMargin)),
+
   )
 
   /** DuckDB mirror for est_hll_curve: one distinct-trigram hash CTE

@@ -572,4 +572,225 @@ class InferenceGoldenSpec extends SparkSpec {
       (1 to 4).map(i => 10L * i * i))      // m3 = Σ tokens
     assert(kendallW(judges) == 1.0)
   }
+
+  // ===================================================================
+  // Round-12 extension: five more families off the shared machinery
+  // (midranks/tie correction, trend sufficient statistics, central
+  // moments, stratified 2×2 folds, per-season sign pairs).
+  // ===================================================================
+
+  /** orders rows: (o_orderkey, o_custkey, o_totalprice,
+    * o_orderpriority).
+    */
+  private def ordersDf(rows: Seq[(Long, Long, Double, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+  }
+
+  /** Kruskal-Wallis by the definition (Kruskal & Wallis 1952, eq. 1.2
+    * with the eq. 4.4 tie correction): midrank everything, H =
+    * 12/(N(N+1))·ΣRᵢ²/nᵢ − 3(N+1), H_c = H/(1 − Σ(t³−t)/(N³−N)).
+    */
+  private def kruskalH(groups: Seq[Seq[Long]]): (Double, Double) = {
+    val all = groups.flatten
+    val n = all.length
+    def rank(v: Long): Double = {
+      val lo = all.count(_ < v); val eq = all.count(_ == v)
+      lo + (eq + 1) / 2.0
+    }
+    val h = 12.0 / (n * (n + 1.0)) * groups.map { g =>
+      val r = g.map(rank).sum; r * r / g.length
+    }.sum - 3.0 * (n + 1.0)
+    val ties = all.distinct.map(v => all.count(_ == v).toLong)
+      .map(t => t * t * t - t).sum
+    (h, h / (1.0 - ties.toDouble / (n.toLong * n * n - n)))
+  }
+
+  test("a62_kruskal_wallis: complete separation gives the published H = 27/7; " +
+    "ties take the 1952 correction") {
+    // Two segments, cents {1,2,3} vs {4,5,6}, no ties: R₁ = 6,
+    // R₂ = 15, H = 12/(6·7)·(36/3 + 225/3) − 3·7 = 27/7 ≈ 3.857143
+    // (Kruskal & Wallis 1952 eq. 1.2 — exact rational, hand-checked).
+    val custs = Seq((1L, "A"), (2L, "B")).map { case (k, s) => (k, s) }
+    import spark.implicits._
+    val cdf = custs.toDF("c_custkey", "c_mktsegment")
+    val sep = fixture("kw_sep",
+      "customer" -> cdf,
+      "orders" -> ordersDf(Seq(
+        (1L, 1L, 0.01, "1-URGENT"), (2L, 1L, 0.02, "1-URGENT"),
+        (3L, 1L, 0.03, "1-URGENT"), (4L, 2L, 0.04, "1-URGENT"),
+        (5L, 2L, 0.05, "1-URGENT"), (6L, 2L, 0.06, "1-URGENT"))))
+    val rs = run("a62_kruskal_wallis", sep)
+    assert(rs.length == 2)
+    val a = rs.find(_.getAs[String]("seg") == "A").get
+    val b = rs.find(_.getAs[String]("seg") == "B").get
+    assert(a.getAs[Double]("mean_rank") == 2.0)
+    assert(b.getAs[Double]("mean_rank") == 5.0)
+    assert(a.getAs[Double]("h_stat") == 3.857143) // 27/7
+    assert(a.getAs[Double]("h_tie_corrected") == 3.857143) // no ties
+    val (hs, hcs) = kruskalH(Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
+    assert(math.abs(hs - 27.0 / 7.0) < 1e-12 && hcs == hs)
+
+    // Cross-group tie block {2,2,2}: doubled midranks 2,6,6 / 6,10,12
+    // → H = 7/3, C = 31/35, H_c = 245/93 = 2.634409 (all exact
+    // rationals, hand-checked against the naive midrank recompute).
+    val tie = fixture("kw_tie",
+      "customer" -> cdf,
+      "orders" -> ordersDf(Seq(
+        (1L, 1L, 0.01, "1-URGENT"), (2L, 1L, 0.02, "1-URGENT"),
+        (3L, 1L, 0.02, "1-URGENT"), (4L, 2L, 0.02, "1-URGENT"),
+        (5L, 2L, 0.03, "1-URGENT"), (6L, 2L, 0.04, "1-URGENT"))))
+    val rt = run("a62_kruskal_wallis", tie)
+    val at = rt.find(_.getAs[String]("seg") == "A").get
+    assert(at.getAs[Double]("mean_rank") == 2.333333) // 14/6
+    assert(at.getAs[Double]("h_stat") == 2.333333)    // 7/3
+    assert(at.getAs[Double]("h_tie_corrected") == 2.634409) // 245/93
+    val (ht, hct) = kruskalH(Seq(Seq(1L, 2L, 2L), Seq(2L, 3L, 4L)))
+    assert(math.abs(ht - 7.0 / 3.0) < 1e-12)
+    assert(math.abs(hct - 245.0 / 93.0) < 1e-12)
+  }
+
+  /** Cochran-Armitage trend z by the Armitage (1955) p̄ form:
+    * z = Σwᵢ(xᵢ − p̄nᵢ) / sqrt(p̄(1−p̄)·(Σw²nᵢ − (Σwnᵢ)²/N)) —
+    * algebraically equal to the engine's sufficient-statistic form
+    * but assembled through a different factorization.
+    */
+  private def cochranZ(levels: Seq[(Long, Long, Long)]): Double = {
+    val nN = levels.map(_._2).sum.toDouble
+    val xX = levels.map(_._3).sum.toDouble
+    val p = xX / nN
+    val num = levels.map { case (w, n, x) => w * (x - p * n) }.sum
+    val swn = levels.map { case (w, n, _) => w * n }.sum.toDouble
+    val sw2n = levels.map { case (w, n, _) => w * w * n }.sum.toDouble
+    num / math.sqrt(p * (1 - p) * (sw2n - swn * swn / nN))
+  }
+
+  test("a63_cochran_armitage: flat response gives z = 0; the perfect-trend " +
+    "fixture gives the exact z = 2") {
+    import spark.implicits._
+    def li(returned: Seq[Long], kept: Seq[Long]): DataFrame =
+      (returned.map(k => (k, "R")) ++ kept.map(k => (k, "N")))
+        .toDF("l_orderkey", "l_returnflag")
+    // Flat: three levels w ∈ {0,1,2}, each n = 4, x = 2 → the trend
+    // numerator N·Σwx − X·Σwn = 12·6 − 6·12 = 0 → z = 0 exactly
+    // (Armitage 1955: the statistic is aimed at the ordering; equal
+    // proportions carry none).
+    val flatOrders = (1 to 12).map { i =>
+      val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")((i - 1) / 4)
+      (i.toLong, 1L, 1.0, pr)
+    }
+    val flat = fixture("ca_flat",
+      "orders" -> ordersDf(flatOrders),
+      "lineitem" -> li(Seq(1L, 2L, 5L, 6L, 9L, 10L),
+        Seq(3L, 4L, 7L, 8L, 11L, 12L)))
+    val rf = run("a63_cochran_armitage", flat)
+    assert(rf.length == 3)
+    assert(rf.forall(_.getAs[Double]("ca_z") == 0.0))
+    assert(rf.forall(_.getAs[Double]("rate") == 0.5))
+    assert(math.abs(cochranZ(Seq((0L, 4L, 2L), (1L, 4L, 2L), (2L, 4L, 2L)))) < 1e-12)
+
+    // Perfect trend, n = 2 per level, x = 0/1/2: num = 6·5 − 3·6 = 12,
+    // z = 12·√6 / √(9·(6·10 − 36)) = 12√6/(6√6) = 2 — exact by
+    // cancellation, hand-checked.
+    val trendOrders = (1 to 6).map { i =>
+      val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")((i - 1) / 2)
+      (i.toLong, 1L, 1.0, pr)
+    }
+    val trend = fixture("ca_trend",
+      "orders" -> ordersDf(trendOrders),
+      "lineitem" -> li(Seq(3L, 5L, 6L), Seq(1L, 2L, 4L)))
+    val rt = run("a63_cochran_armitage", trend)
+    assert(rt.length == 3)
+    assert(rt.forall(_.getAs[Double]("ca_z") == 2.0))
+    assert(math.abs(cochranZ(Seq((0L, 2L, 0L), (1L, 2L, 1L), (2L, 2L, 2L))) - 2.0) < 1e-12)
+  }
+
+  /** Central-moment Jarque-Bera from raw values (Jarque & Bera 1980:
+    * JB = n/6·(S² + (K−3)²/4) on the biased moment estimators).
+    */
+  private def jarqueBera(xs: Seq[Double]): (Double, Double, Double) = {
+    val n = xs.length.toDouble
+    val mu = xs.sum / n
+    def m(k: Int) = xs.map(x => math.pow(x - mu, k)).sum / n
+    val s = m(3) / math.pow(m(2), 1.5)
+    val k = m(4) / (m(2) * m(2))
+    (s, k, n / 6.0 * (s * s + (k - 3) * (k - 3) / 4.0))
+  }
+
+  test("a64_jarque_bera: a symmetric two-point sample attains the Pearson " +
+    "kurtosis floor K = 1, JB = n/6") {
+    // Six 1.00s and six 3.00s: skewness 0 by symmetry; kurtosis = 1
+    // is the PUBLISHED lower bound K ≥ S² + 1 (Pearson's inequality),
+    // attained exactly by the symmetric two-point law; JB collapses
+    // to n/6·(K−3)²/4 = 12/6·1 = 2 (Jarque & Bera 1980). All four
+    // outputs are exact in IEEE doubles (powers of ten throughout).
+    val rows = (1 to 6).map(i => (i.toLong, 1L, 1.00, "1-URGENT")) ++
+      (7 to 12).map(i => (i.toLong, 1L, 3.00, "1-URGENT"))
+    val dir = fixture("jb", "orders" -> ordersDf(rows))
+    val r = run("a64_jarque_bera", dir).head
+    assert(r.getAs[Long]("n") == 12L)
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("kurtosis") == 1.0)
+    assert(r.getAs[Double]("jb") == 2.0)
+    val (s, k, jb) = jarqueBera(Seq.fill(6)(100.0) ++ Seq.fill(6)(300.0))
+    assert(s == 0.0 && k == 1.0 && jb == 2.0)
+  }
+
+  test("a75_mantel_haenszel: identical strata give the common odds ratio " +
+    "(MH collapsibility), OR = 9 exactly") {
+    // Mantel & Haenszel (1959): OR_MH = Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ); with
+    // every stratum the same 2×2 it equals that table's ad/bc —
+    // the homogeneity-collapsibility anchor. Fixture: two hour-strata,
+    // each a=3 b=1 c=1 d=3 → OR = 9; n = 8 divides 10⁶, so the
+    // engine's ×10⁶ integer-div terms are exact (num6 = 1125000,
+    // den6 = 125000 per stratum).
+    def stratum(hh: String, base: Long) = Seq(
+      (base + 1, s"2026-01-05 $hh:01:00", 1L, "purchase", 0.01), // a
+      (base + 2, s"2026-01-05 $hh:02:00", 1L, "purchase", 0.01), // a
+      (base + 3, s"2026-01-05 $hh:03:00", 1L, "purchase", 0.01), // a
+      (base + 4, s"2026-01-05 $hh:04:00", 1L, "click", 0.01),    // b
+      (base + 5, s"2026-01-05 $hh:05:00", 2L, "purchase", 0.01), // c
+      (base + 6, s"2026-01-05 $hh:06:00", 2L, "click", 0.01),    // d
+      (base + 7, s"2026-01-05 $hh:07:00", 2L, "click", 0.01),    // d
+      (base + 8, s"2026-01-05 $hh:08:00", 2L, "click", 0.01))    // d
+    val dir = fixture("mh", "events" -> eventsDf(
+      stratum("01", 0L) ++ stratum("02", 10L)))
+    val r = run("a75_mantel_haenszel", dir).head
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("num6") == 2250000L)
+    assert(r.getAs[Long]("den6") == 250000L)
+    assert(r.getAs[Double]("or_mh") == 9.0)
+    // naive MH fold over the stratum tables
+    val tables = Seq((3L, 1L, 1L, 3L), (3L, 1L, 1L, 3L))
+    val num = tables.map { case (a, b, c, d) => a * d / (a + b + c + d).toDouble }.sum
+    val den = tables.map { case (a, b, c, d) => b * c / (a + b + c + d).toDouble }.sum
+    assert(num / den == 9.0)
+  }
+
+  test("a78_seasonal_mk: per-season monotone series attain S = Σ nₛ(nₛ−1)/2 " +
+    "(the Hirsch-Slack ceiling)") {
+    // Hirsch & Slack (1984): the seasonal statistic is the SUM of
+    // per-season Mann-Kendall S, so two 3-day seasons each strictly
+    // increasing give S = 2·3 = 6 (each season at its a50 ceiling
+    // n(n−1)/2) and Var = Σ n(n−1)(2n+5)/18 = 132/18; the
+    // continuity-corrected z = (6−1)/√(132/18).
+    def season(hh: String, v0: Int, base: Long) = (0 to 2).map { i =>
+      (base + i, s"2026-01-0${5 + i} $hh:00:00", 1L, "click",
+        (v0 + i) / 100.0)
+    }
+    val dir = fixture("smk", "events" -> eventsDf(
+      season("01", 1, 0L) ++ season("02", 2, 10L)))
+    val r = run("a78_seasonal_mk", dir).head
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("s_total") == 6L)
+    assert(r.getAs[Long]("v18_total") == 132L)
+    assert(r.getAs[Double]("z") == BigDecimal(5.0 / math.sqrt(132.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // naive per-season O(n²) sign pairs
+    def mkS(xs: Seq[Long]): Long = (for {
+      i <- xs.indices; j <- i + 1 until xs.length
+    } yield math.signum(xs(j) - xs(i)).toLong).sum
+    assert(mkS(Seq(1L, 2L, 3L)) + mkS(Seq(2L, 3L, 4L)) == 6L)
+  }
 }

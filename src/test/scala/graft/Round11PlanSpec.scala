@@ -35,32 +35,54 @@ class Round11PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** The whitelist: every bounded driver-materialization boundary in
-    * the registry, with its stated row ceiling. Each entry's bound is
-    * a DOMAIN constant (schema-bounded state space, model size,
-    * partition count), never a data-proportional quantity — that is
-    * the review criterion for adding one.
+  /** The legal bound classes — the review criterion, ENUMERATED
+    * (round-12: the verdict noted the domain-constant criterion lived
+    * only in a prose comment here; a future grid derived from a
+    * runtime config would sail past prose). Each class names WHY a
+    * ceiling cannot grow with the data. There is deliberately NO
+    * class for "config-derived" or "data-derived" bounds: a grid
+    * sized by a runtime config (a channel list, a tenant table) or by
+    * the data itself has no legal class and must not become a driver
+    * materialization — rewrite it distributed or route it as a fit
+    * path outside query closures.
     */
-  private val boundedGrids: Map[String, Int] = Map(
-    // 1-row scalar gauges
-    "cms_sketch_bytes" -> 1,       // one count-min sketch blob
-    "f4_max_ts" -> 1,              // max(ts) scalar
-    "kcore_round_gauge" -> 1,      // per-round |V| convergence scalar
-    "truss_round_gauge" -> 1,      // per-round |V| convergence scalar
-    "stats_mean_stddev" -> 1,      // W1's two batch scalars
-    "bpe_merge_argmax" -> 1,       // tx8b's per-round top-1 merge pair
-    // constant-size grids
-    "sim28_candidates" -> 32,      // MMR candidate pool (limit nCand)
-    "sim28_pair_grid" -> 1024,     // nCand² greedy pair grid
-    "a51_transition_matrix" -> 64, // channel-state space, schema-bounded
-    "t_pacf_rho" -> 8,             // kMax autocorrelation lags
+  private sealed trait BoundClass
+  /** ≤ 1 row by construction (a scalar aggregate / sketch blob). */
+  private case object ScalarGauge extends BoundClass
+  /** A column's declared value space (state machine, category set). */
+  private case object SchemaBounded extends BoundClass
+  /** A pinned hyper-parameter literal (K, K×D, kMax, nCand²). */
+  private case object ModelConstant extends BoundClass
+  /** \|partitions\|, never \|rows\| (per-partition offsets/totals). */
+  private case object PartitionCount extends BoundClass
+
+  /** The whitelist: every bounded driver-materialization boundary in
+    * the registry, with its stated row ceiling and its bound CLASS.
+    */
+  private val boundedGrids: Map[String, (Int, BoundClass)] = Map(
+    "cms_sketch_bytes" -> (1, ScalarGauge),   // one count-min sketch blob
+    "f4_max_ts" -> (1, ScalarGauge),          // max(ts) scalar
+    "kcore_round_gauge" -> (1, ScalarGauge),  // per-round |V| convergence
+    "truss_round_gauge" -> (1, ScalarGauge),  // per-round |V| convergence
+    "stats_mean_stddev" -> (1, ScalarGauge),  // W1's two batch scalars
+    "bpe_merge_argmax" -> (1, ScalarGauge),   // tx8b's per-round top-1 pair
+    "sim28_candidates" -> (32, ModelConstant),   // MMR pool (limit nCand)
+    "sim28_pair_grid" -> (1024, ModelConstant),  // nCand² greedy pair grid
+    "a51_transition_matrix" -> (64, SchemaBounded), // channel-state space
+    "t_pacf_rho" -> (8, ModelConstant),          // kMax autocorrelation lags
     // model state (K and K×D, pinned constants; the ceiling is the
     // LARGEST caller's — sim27's nlist=16 warm start over sim9's K=4)
-    "lloyd_seeds" -> 4,             // KmeansK
-    "lloyd_model_state" -> 1024,    // nlist × Dim
-    // per-partition stats (|partitions|, not |rows|)
-    "rank_partition_offsets" -> 4096,
-    "rank_running_totals" -> 4096)
+    "lloyd_seeds" -> (4, ModelConstant),         // KmeansK
+    "lloyd_model_state" -> (1024, ModelConstant), // nlist × Dim
+    "rank_partition_offsets" -> (4096, PartitionCount),
+    "rank_running_totals" -> (4096, PartitionCount))
+
+  test("whitelist self-consistency: scalar gauges are exactly the ceiling-1 entries") {
+    boundedGrids.foreach { case (tag, (ceiling, cls)) =>
+      assert((ceiling == 1) == (cls == ScalarGauge),
+        s"'$tag' ceiling=$ceiling class=$cls — ScalarGauge iff ceiling 1")
+    }
+  }
 
   test("negative control: a grid past its ceiling fails loudly at collect time") {
     import spark.implicits._
@@ -102,7 +124,7 @@ class Round11PlanSpec extends SparkSpec {
     assert(stale.isEmpty,
       "stale whitelist entries (boundary no longer reached — remove them " +
         s"so the lock stays tight): ${stale.toSeq.sorted.mkString(", ")}")
-    boundedGrids.foreach { case (tag, ceiling) =>
+    boundedGrids.foreach { case (tag, (ceiling, _)) =>
       assert(obs(tag).ceiling == ceiling,
         s"'$tag' states ceiling ${obs(tag).ceiling} at the call site but " +
           s"$ceiling in the whitelist — keep the two in sync")
@@ -142,7 +164,14 @@ class Round11PlanSpec extends SparkSpec {
     } finally walk.close()
     val allowed = Map(
       "ops/Grids.scala" -> 3,        // the helper's own implementation
-      "sink/SnapshotSink.scala" -> 1) // InMemorySnapshotSink, test-only
+      "sink/SnapshotSink.scala" -> 1, // InMemorySnapshotSink, test-only
+      // three Scala Seq.take on the (k+1)-bounded reservoir / its
+      // ≤(k+1)·nShards merge — collection ops on constant-size state
+      // inside flatMapGroupsWithState executor closures and
+      // driver-side merge helpers, not DataFrame materializations
+      // (the false-positive class the pattern comment anticipates;
+      // reviewed round 12)
+      "stream/PrioritySample.scala" -> 3)
     assert(counts == allowed,
       s"raw driver-materialization sites changed: found $counts, " +
         s"allowed $allowed — route new sites through graft.ops.Grids")
