@@ -382,7 +382,23 @@ object Bench {
             k = 16, nShards = 8, watermarkDelay = "10 minutes").toDF(),
           "heavy_hitters", rows.toLong, outputMode = "update")
       }
-      s"{$joinJson,$budgetJson,$fmgwsJson,$nearDupJson,$hittersJson}"
+      val prioJson = guarded("priority_sample") {
+        // the DLT reservoir over the docs backlog (n_tokens as the
+        // weight): state is (k+1)·nShards entries regardless of
+        // stream length, so the rate here is the per-row cost of the
+        // Weyl key + a bounded sorted-insert — the maintenance cost
+        // of keeping a 100 TB crawl's weighted sample current
+        import spark.implicits._
+        drive(graft.stream.PrioritySample.sample(
+            stream("docs").select(col("doc_id"),
+              timestamp_millis(lit(t0ms) + (col("doc_id") % 200000L) * 42L)
+                .as("ts"),
+              col("n_tokens").as("w"))
+              .as[graft.stream.PrioritySample.DocArrival],
+            k = 32, nShards = 8).toDF(),
+          "priority_sample", rows.toLong, outputMode = "update")
+      }
+      s"{$joinJson,$budgetJson,$fmgwsJson,$nearDupJson,$hittersJson,$prioJson}"
     } finally deleteRecursively(base)
   }
 

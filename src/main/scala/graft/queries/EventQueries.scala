@@ -976,13 +976,25 @@ object EventQueries {
     // ints), χ² = Σ(o−e)²/e over ≤ |types|·2 cells — the cell agg
     // collapses any event volume first, so the statistic is driver-
     // trivial at any scale; 6-dp pin absorbs the ≤10-element float
-    // sum order. dof from the observed margins.
+    // sum order. dof from the observed margins. The cell grid is the
+    // full row-margin × column-margin CROSS (observed cells left-
+    // joined in, absent cells o = 0): an EMPTY cell still contributes
+    // (0−e)²/e = e to χ² — groupBy alone would silently drop it and
+    // understate the statistic exactly when association is strongest
+    // (round-12 golden: the InferenceGolden2Spec ceiling fixtures; at
+    // the corpus SFs every type×arm cell is occupied, so this is a
+    // sparse-domain guard, not a value change).
     QueryDef(
       "a24_chi_square",
       (s, d) => {
-        val cells = events(s, d)
+        val obs = events(s, d)
           .groupBy(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"))
           .agg(count(lit(1)).as("o"))
+        val cells = obs.select("event_type").distinct()
+          .crossJoin(obs.select("arm").distinct())
+          .join(obs, Seq("event_type", "arm"), "left")
+          .select(col("event_type"), col("arm"),
+            coalesce(col("o"), lit(0L)).as("o"))
         val rows = cells.groupBy("event_type").agg(sum("o").as("rt"))
         val cols = cells.groupBy("arm").agg(sum("o").as("ct"))
         val tot = cells.agg(sum("o").as("n"),
@@ -998,8 +1010,13 @@ object EventQueries {
           .select(col("n"), round(col("chi2"), 6).as("chi2"),
             ((col("r") - 1) * (col("c") - 1)).as("dof"))
       },
-      Some("""WITH cells AS (SELECT event_type, user_id % 2 AS arm,
+      Some("""WITH obs AS (SELECT event_type, user_id % 2 AS arm,
              |    count(*) AS o FROM events GROUP BY 1, 2),
+             |cells AS (SELECT g.event_type, g.arm, coalesce(o, 0) AS o
+             |  FROM (SELECT event_type, arm
+             |        FROM (SELECT DISTINCT event_type FROM obs)
+             |        CROSS JOIN (SELECT DISTINCT arm FROM obs)) g
+             |  LEFT JOIN obs USING (event_type, arm)),
              |rw AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
              |  FROM cells GROUP BY 1),
              |cl AS (SELECT arm, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
@@ -1996,11 +2013,23 @@ object EventQueries {
              |  CAST(count(*) AS BIGINT) AS distinct_users
              |FROM uw GROUP BY w ORDER BY window_start""".stripMargin)),
 
-    // ----- Theil-Sen robust trend slope (the estimator a31's OLS is
+    // ----- Theil-Sen robust trend slope AND intercept of the hourly
+    // COUNT series (the estimator a31's OLS is
     // not: one corrupted hour drags a least-squares fit, but the
     // MEDIAN of all pairwise slopes has a 29% breakdown point — the
     // robust-trend read-out for dirty feeds, completing the robust
-    // family with w7's MAD and w10's trimmed mean). All pairwise
+    // family with w7's MAD and w10's trimmed mean). Distinct from
+    // the cent-sum `t_theil_sen` twin later in this registry: this
+    // one reads the VOLUME trend and ships the Sen intercept (median
+    // of y − slope·x over the original points — the full robust
+    // line, not just its direction). Round-12 note: the two
+    // definitions shared one name for several rounds, and since
+    // SparkEntry keys queries by name the LATER def shadowed this
+    // one — dead weight no sweep or bench ever saw. The golden spec
+    // that targeted this def's (slope, intercept) schema surfaced
+    // the shadowing; a duplicate-name guard now lives in
+    // SparkEntrySpec so a name collision fails the build instead of
+    // silently dropping a query. All pairwise
     // slopes (y_j−y_i)/(x_j−x_i) over the hourly series: numerator
     // and denominator are exact longs, ONE double division each —
     // identical IEEE op both engines, no accumulation — then two
@@ -2011,7 +2040,7 @@ object EventQueries {
     // trivial, a year is 38M — one shuffle-free broadcast self-join),
     // never on raw events.
     QueryDef(
-      "t_theil_sen",
+      "t_theil_sen_counts",
       (s, d) => {
         val hourly = events(s, d)
           .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)

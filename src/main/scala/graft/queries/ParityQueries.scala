@@ -7097,8 +7097,20 @@ object ParityQueries {
           .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("seg"),
             substring(col("o_orderpriority"), 1, 1).as("pri"))
-        val cells = tracked(x.groupBy("seg", "pri")
+        // full seg × pri grid (observed cells left-joined in): an
+        // EMPTY cell still contributes (0−e)²/e = e to χ², and
+        // dropping it understates χ² (and V) exactly when the
+        // association is strongest — the perfect-association ceiling
+        // V = 1 only holds with the zero cells in (InferenceGolden2-
+        // Spec). All 25 cells are occupied at the corpus SFs, so this
+        // is a sparse-domain guard, not a value change there.
+        val obs = tracked(x.groupBy("seg", "pri")
           .agg(count(lit(1)).as("nij")))
+        val cells = obs.select("seg").distinct()
+          .crossJoin(obs.select("pri").distinct())
+          .join(obs, Seq("seg", "pri"), "left")
+          .select(col("seg"), col("pri"),
+            coalesce(col("nij"), lit(0L)).as("nij"))
         val rT = cells.groupBy("seg").agg(sum("nij").as("ri"))
         val cT = cells.groupBy("pri").agg(sum("nij").as("cj"))
         val nT = cells.agg(sum("nij").as("nn"))
@@ -7126,8 +7138,13 @@ object ParityQueries {
       Some("""WITH x AS (SELECT c_mktsegment AS seg,
              |    substr(o_orderpriority, 1, 1) AS pri
              |  FROM orders JOIN customer ON o_custkey = c_custkey),
-             |cells AS (SELECT seg, pri, CAST(count(*) AS BIGINT) AS nij
+             |obs AS (SELECT seg, pri, CAST(count(*) AS BIGINT) AS nij
              |  FROM x GROUP BY 1, 2),
+             |cells AS (SELECT g.seg, g.pri,
+             |    CAST(coalesce(nij, 0) AS BIGINT) AS nij
+             |  FROM (SELECT seg, pri FROM (SELECT DISTINCT seg FROM obs)
+             |        CROSS JOIN (SELECT DISTINCT pri FROM obs)) g
+             |  LEFT JOIN obs USING (seg, pri)),
              |rt AS (SELECT seg, CAST(sum(nij) AS BIGINT) AS ri
              |  FROM cells GROUP BY 1),
              |ct AS (SELECT pri, CAST(sum(nij) AS BIGINT) AS cj

@@ -7,8 +7,17 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("query names are unique") {
-    val names = SparkEntry.queries.keys.toSeq
-    assert(names.size == names.distinct.size)
+    // over the DEF list, not the map keys: queries.keys is a Map's key
+    // set and is unique BY CONSTRUCTION, so the old form of this guard
+    // was vacuous — and the exact failure it existed for slipped
+    // through it (round 12: two QueryDefs named t_theil_sen; toMap
+    // kept the later, silently shadowing the count-series def out of
+    // every sweep and bench for rounds). orderedNames walks the raw
+    // Seq, so a collision fails here before it can hide a query.
+    val names = SparkEntry.orderedNames
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(names.size == names.distinct.size,
+      s"duplicate query names shadow earlier defs: ${dups.mkString(", ")}")
   }
 
   test("every registered query carries a DuckDB oracle (zero rows-only checks)") {
