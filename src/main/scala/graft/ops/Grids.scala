@@ -25,6 +25,18 @@ import org.apache.spark.sql.{DataFrame, Row}
   * closures (Dev* mains); they route through [[fitRows]], whose
   * separate registry lets the spec prove no fit path is reachable
   * from any registry query's construction.
+  *
+  * CEILING REVIEW CRITERION (promoted from a Round11PlanSpec comment
+  * — the round-11 verdict flagged that it lived only there): a
+  * ceiling is legitimate ONLY when it is a DOMAIN constant — a bound
+  * set by the problem's algebra (24 hours, 16 masks, a pinned k, a
+  * calendar span, cluster-config parallelism), never by the data.
+  * If a future boundary derives its grid from configuration (a
+  * channel list, a tenant set), the ceiling must be the CONFIG'S
+  * documented maximum, stated here and in the whitelist, not the
+  * current config's size — a config that can grow is data, and a
+  * grid keyed by data belongs in a distributed fold, not behind this
+  * boundary.
   */
 object Grids {
 
