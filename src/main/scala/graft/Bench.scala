@@ -633,6 +633,7 @@ object Bench {
       copied("region", Seq.empty, 0L)
       val results = names.map { name =>
         sampleControl(spark, sfDir, "stress8x") // load sentinel, sfDir corpus
+        recordQueryEvent("stress8x", name)
         name -> (try {
           // one untimed warm-up run per query: DevCcBench attribution
           // showed the stress swing is JIT/codegen + page-cache
@@ -738,6 +739,7 @@ object Bench {
           }))
           cosine ++ pq ++ sq8
         }
+      sampleControl(spark, sfDir, "stress8x") // trailing flank sentinel
       graft.queries.SimilarityQueries.releaseCaches()
       graft.queries.ParityQueries.releaseCaches()
       graft.queries.EventQueries.releaseCaches()
@@ -800,6 +802,23 @@ object Bench {
   private val controlSamples =
     scala.collection.mutable.ArrayBuffer[(String, Double)]()
 
+  /** Run-order event log, (tier, event): every control sample and
+    * every query block in execution order — the raw material for
+    * [[BenchMirror.classifyAlarmsNearest]]'s flank rule (round-12
+    * verdict ask 2: the tier-median classifier aggregated away the
+    * per-sample evidence that would have self-attributed all five
+    * BENCH_r12 headline alarms). Query events are appended at the
+    * START of a query's block, control events inside
+    * [[sampleControl]] — within a tier the relative order of a
+    * query and its flanking controls is what matters, and no control
+    * runs inside a query's own block.
+    */
+  private val runEvents =
+    scala.collection.mutable.ArrayBuffer[(String, BenchMirror.RunEvent)]()
+
+  private def recordQueryEvent(tier: String, name: String): Unit =
+    runEvents += tier -> Right(s"$tier/$name")
+
   /** One cold-DATA control sample. No per-sample JIT re-warm run (the
     * headline protocol's extra untimed pass): the control's plan is
     * JIT-warmed by the global headline warm-up (q3 is a headline
@@ -816,7 +835,9 @@ object Bench {
       val t0 = System.nanoTime()
       SparkEntry.queries(ControlQuery)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      controlSamples += tier -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      controlSamples += tier -> sec
+      runEvents += tier -> Left(sec)
     } catch {
       case scala.util.control.NonFatal(e) =>
         // a dead control must not kill the tier; classification just
@@ -891,8 +912,14 @@ object Bench {
           System.err.println(f"[bench-times] REGRESSION ALARM $k $ov%.2f -> " +
             f"$nv%.2f s (x$r%.2f; threshold x2, >=1 s, above prev spread max)")
         }
-        val (loadAttr, _) = BenchMirror.classifyAlarms(
-          alarms.map(_._1), ctlByTier, ctlBaseline)
+        // nearest-sample locality (round-12 verdict ask 2): classify
+        // against the alarm's flanking control samples in run order
+        // (plus the ≥2-elevated-samples tier-burst rule), not just the
+        // tier median that aggregated r12's per-sample evidence away
+        val evByTier = runEvents.toSeq.groupBy(_._1)
+          .map { case (t, xs) => t -> xs.map(_._2) }
+        val (loadAttr, _) = BenchMirror.classifyAlarmsNearest(
+          alarms.map(_._1), evByTier, ctlBaseline)
         val mr = BenchMirror.mergeWithHistory(
           prevG, prevSpread, prevUnattr, tierTimes.toSeq, tierSpreads.toMap,
           accepted, prevRunLoad, loadAttr, prevHistory, prevBest)
@@ -1006,10 +1033,44 @@ object Bench {
     try {
       val p = Paths.get("VERIFY_TIMES.json")
       if (!Files.exists(p)) return Seq.empty
-      val times = BenchMirror.parseTimes(Files.readString(p))
+      val body = Files.readString(p)
+      val times = BenchMirror.parseTimes(body)
       val covered =
         (SparkEntry.benchQueries ++ stressDefault ++ coldDefault ++ heavyBase).toSet
       val known = SparkEntry.queries.keySet
+      // membership pin on load-inflated sweeps (round-12 verdict ask
+      // 4): the r12 sweep ran ×1.54 under ambient load and rotated
+      // a19/layout_skipping/a18 in over g11/g21/t_pettitt purely on
+      // inflated numbers — tier membership derived from a sweep the
+      // sweep-total ratchet HELD is noise-driven churn. Rotation
+      // rule: membership only rotates on a sweep whose total sat
+      // inside the 1.5× ratchet; otherwise the previous promoted set
+      // (recoverable from the mirror's heavy/* entries minus the
+      // pinned core) carries forward unchanged.
+      def reRead(field: String): Option[Double] =
+        ("\"" + field + "\"\\s*:\\s*([0-9.]+)").r
+          .findFirstMatchIn(body).map(_.group(1).toDouble)
+      val inflated = (for {
+        held <- reRead("sweep_total_sec"); last <- reRead("sweep_total_last_sec")
+      } yield held > 0.0 && last / held >= 1.5).getOrElse(false)
+      if (inflated) {
+        val mirror = Paths.get("BENCH_TIMES.json")
+        val prevHeavy =
+          if (Files.exists(mirror))
+            BenchMirror.parseTimes(Files.readString(mirror)).toSeq
+              .collect {
+                case (k, v) if k.startsWith("heavy/") &&
+                  !heavyBase.contains(k.stripPrefix("heavy/")) &&
+                  known(k.stripPrefix("heavy/")) =>
+                  (k.stripPrefix("heavy/"), v)
+              }
+              .sortBy { case (k, v) => (-v, k) }.take(n).map(_._1)
+          else Seq.empty
+        System.err.println("[heavy] sweep-total ratchet held (load-" +
+          s"inflated sweep) — pinning previous promoted set: " +
+          prevHeavy.mkString(","))
+        return prevHeavy
+      }
       times.toSeq
         .collect { case (k, v) if !covered(k) && known(k) => (k, v) }
         .sortBy { case (k, v) => (-v, k) }
@@ -1042,6 +1103,7 @@ object Bench {
     }
     val results = names.map { name =>
       sampleControl(spark, sfDir, "heavy") // load sentinel
+      recordQueryEvent("heavy", name)
       name -> (try {
         releaseAll(); spark.catalog.clearCache()
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -1059,6 +1121,7 @@ object Bench {
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       })
     }
+    sampleControl(spark, sfDir, "heavy") // trailing flank sentinel
     releaseAll()
     val medians = results.map { case (k, r) =>
       k -> r.map(s => s.sorted.apply(s.length / 2))
@@ -1103,6 +1166,7 @@ object Bench {
     val nSamples = sys.env.getOrElse("SPARK_GRAFT_COLD_N", "3").toInt
     val results = names.map { name =>
       sampleControl(spark, sfDir, "cold") // load sentinel
+      recordQueryEvent("cold", name)
       name -> (try {
         val samples = (1 to nSamples).map { _ =>
           graft.queries.DedupQueries.releaseSignatureCache()
@@ -1126,6 +1190,7 @@ object Bench {
     graft.queries.ParityQueries.releaseCaches()
     graft.queries.EventQueries.releaseCaches()
     graft.queries.TextQueries.releaseCaches()
+    sampleControl(spark, sfDir, "cold") // trailing flank sentinel
     // the FIRST (truly cold) sample is this tier's metric; the spread
     // across samples gives the alarm its band
     results.collect { case (k, Right(s)) if s.nonEmpty =>
@@ -1179,6 +1244,7 @@ object Bench {
       // load sentinel every 6th headline query (the tier's entries are
       // sub-second, so per-query sampling would double the tier's wall)
       if (i % 6 == 0) sampleControl(spark, sfDir, "headline")
+      recordQueryEvent("headline", name)
       // One more untimed run IMMEDIATELY before the sample block (the
       // stress tier's protocol): the global pass above is ~80 query
       // executions old by the time late queries are measured, and the
@@ -1205,6 +1271,11 @@ object Bench {
         case None    => Right(median(ok))
       })
     }
+    // trailing sentinel: without it the tier's last ~5 queries have no
+    // FOLLOWING control sample and the flank rule is one-sided there
+    // (r12's a51 ran at position 25 of 26 — the burst rule caught it,
+    // but a trailing sample makes the flank evidence symmetric)
+    sampleControl(spark, sfDir, "headline")
     graft.queries.DedupQueries.releaseSignatureCache()
     graft.queries.SimilarityQueries.releaseCaches()
     graft.queries.ParityQueries.releaseCaches()

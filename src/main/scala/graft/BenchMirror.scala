@@ -159,6 +159,81 @@ object BenchMirror {
     (loaded, alarms.toSet -- loaded)
   }
 
+  /** One run-order event inside a tier: `Left(sec)` is a control
+    * sample, `Right(tierQualifiedKey)` is a query's measured block.
+    */
+  type RunEvent = Either[Double, String]
+
+  /** Nearest-sample control locality (round-12 verdict ask 2 — the
+    * envelope case BENCH_r12 demonstrated live): the headline tier's
+    * control samples were [1.112, 2.060, 0.633, 0.831, 0.769] against
+    * a 0.556 baseline — the first two elevated ×2.0/×3.7, flanking
+    * exactly the queries that alarmed — but [[classifyAlarms]]
+    * compares the TIER MEDIAN (0.831, drift 1.49 < 1.8), so all five
+    * alarms shipped `unattributed` and cost a round-13 DevMoverAttrib
+    * cycle. The per-SAMPLE evidence was in the artifact all along;
+    * this classifier consumes it.
+    *
+    * An alarm self-attributes as `run_level_load` when ANY of:
+    *  (a) FLANK — its nearest control sample before or after it in
+    *      the tier's run order drifted ≥ `driftThreshold`× the
+    *      cross-run baseline (the load burst overlapped the alarm's
+    *      own measurement window);
+    *  (b) TIER BURST — ≥2 of its tier's control samples drifted ≥
+    *      the threshold (the tier demonstrably experienced load even
+    *      if the alarm sat between clean samples: r12's a51 ran at
+    *      tier position 25 with a ×1.38 flank, in a tier whose first
+    *      two samples read ×2.0/×3.7 — one elevated sample could be
+    *      the control's own noise, two is a burst);
+    *  (c) TIER MEDIAN — the old [[classifyAlarms]] rule, kept as the
+    *      floor so the upgrade only ever ADDS attribution power.
+    * All three read single samples against the same 1.8× threshold
+    * the median rule uses: the r10 attribution table measured the
+    * control's cold-vs-warm margin at ~1.2×, so a single warm-kept
+    * sample clearing 1.8× is load, not protocol noise.
+    *
+    * Misattribution risk is bounded by the hold semantics: both
+    * classes hold the pre-alarm baseline until a clean re-measure, so
+    * a real regression mislabeled `run_level_load` still cannot move
+    * the mirror — it re-fires on every subsequent run until the cost
+    * is accepted, exactly like an `unattributed` one.
+    *
+    * @param eventsByTier per-tier run-order logs (controls + queries)
+    * @return (runLevelLoad, unattributed) partition of `alarms`
+    */
+  def classifyAlarmsNearest(
+      alarms: Seq[String],
+      eventsByTier: Map[String, Seq[RunEvent]],
+      controlBaseline: Option[Double],
+      driftThreshold: Double = 1.8): (Set[String], Set[String]) = {
+    val ctlByTier = eventsByTier.map { case (t, evs) =>
+      t -> evs.collect { case Left(s) => s }
+    }
+    val (medianLoaded, _) =
+      classifyAlarms(alarms, ctlByTier, controlBaseline, driftThreshold)
+    val loaded = controlBaseline match {
+      case Some(b) if b > 0.0 =>
+        alarms.filter { k =>
+          medianLoaded(k) || {
+            val tier = k.takeWhile(_ != '/')
+            val evs = eventsByTier.getOrElse(tier, Seq.empty)
+            val burst =
+              ctlByTier.getOrElse(tier, Seq.empty).count(_ / b >= driftThreshold) >= 2
+            val idx = evs.indexOf(Right(k): RunEvent)
+            val flank = idx >= 0 && {
+              val before =
+                evs.take(idx).reverse.collectFirst { case Left(s) => s }
+              val after = evs.drop(idx + 1).collectFirst { case Left(s) => s }
+              (before.toSeq ++ after.toSeq).exists(_ / b >= driftThreshold)
+            }
+            burst || flank
+          }
+        }.toSet
+      case _ => Set.empty[String]
+    }
+    (loaded, alarms.toSet -- loaded)
+  }
+
   /** The alarm predicate, shared by the report and the merge: ratio ≥ 2
     * vs the (possibly held) baseline, new median ≥ 1 s, and — where the
     * baseline recorded a spread — the new median clears its max (the

@@ -1,0 +1,255 @@
+package graft
+
+/** Golden-coverage gauge (round-12 verdict ask 3) — `never_benched`'s
+  * exact analog for the golden program.
+  *
+  * The oracle gates cross-ENGINE divergence; it is blind to
+  * cross-DERIVATION error (the same hand writing both mirrors). The
+  * golden program closes that blind spot and is two-for-two on real
+  * bugs (r11 shared-midrank, r12 χ² empty cells) — but until this
+  * round nothing enumerated WHICH registry queries still lack an
+  * independent anchor, so each part targeted "whatever felt risky"
+  * instead of what was measurably uncovered. This object is the
+  * explicit, auditable classification of every registry query:
+  *
+  *  - [[anchors]] — queries whose value semantics are pinned by an
+  *    independent anchor: a published worked example, a structural
+  *    theorem/ceiling, or an independent reimplementation (golden
+  *    specs), or a unit spec that re-derives the result by brute
+  *    force / plain-Scala replay / property law. The map value names
+  *    the spec and the anchor so the claim is checkable.
+  *  - [[declarative]] — queries whose Spark side composes BUILT-IN
+  *    relational operators (scan/filter/join/aggregate/window/pivot)
+  *    and whose oracle is the same declarative spec evaluated by an
+  *    independent engine (DuckDB). Engine diversity IS the anchor
+  *    there: a mirror-shared bug requires both engines to misread
+  *    the same SQL semantics the same way. Hand-rolled ALGORITHMS
+  *    (recursions, iterations, sketches, samplers, bit tricks) never
+  *    qualify, even when short — that is exactly the χ²-empty-cell
+  *    class.
+  *  - everything else — [[neverGoldened]], the published gap list.
+  *    GoldenCoverageSpec writes it to GOLDEN_COVERAGE.json and pins
+  *    the expected list, so a new unclassified query fails the build
+  *    and the list can only shrink deliberately (the never_benched
+  *    discipline applied to derivation coverage).
+  */
+object GoldenCoverage {
+
+  /** Query → the spec (and anchor kind) that independently pins it. */
+  val anchors: Map[String, String] = Map(
+    // ----- the golden program: published values / theorems /
+    // independent reimplementations through the REAL closures -----
+    "a30_ks_test" -> "InferenceGoldenSpec (KS D=1 ceiling + hand table)",
+    "a38_mann_whitney" -> "InferenceGoldenSpec (published U; midrank recompute)",
+    "a49_spearman" -> "InferenceGoldenSpec (published IQ/TV rho)",
+    "a50_mann_kendall" -> "InferenceGoldenSpec (S lattice hand values)",
+    "a54_welch_ttest" -> "InferenceGoldenSpec (published worked example)",
+    "a62_kruskal_wallis" -> "InferenceGoldenSpec (published H)",
+    "a63_cochran_armitage" -> "InferenceGoldenSpec (published trend Z)",
+    "a64_jarque_bera" -> "InferenceGoldenSpec (moment hand recompute)",
+    "a68_kendalls_w" -> "InferenceGoldenSpec (concordance ceiling W=1)",
+    "a69_friedman" -> "InferenceGoldenSpec (ceiling + published chi2)",
+    "a70_mcnemar" -> "InferenceGoldenSpec (discordant-pair hand values)",
+    "a71_page_trend" -> "InferenceGoldenSpec (Page L ceiling)",
+    "a72_wilcoxon_signed" -> "InferenceGoldenSpec (W+=27 published)",
+    "a73_brown_forsythe" -> "InferenceGoldenSpec (median-center recompute)",
+    "a75_mantel_haenszel" -> "InferenceGoldenSpec (published pooled OR)",
+    "a76_hodges_lehmann" -> "InferenceGoldenSpec (pairwise-median recompute)",
+    "a78_seasonal_mk" -> "InferenceGoldenSpec (per-season S hand values)",
+    "t_pettitt" -> "InferenceGoldenSpec (max|U_t| = t(n-t) theorem)",
+    "a24_chi_square" -> "InferenceGolden2Spec (V=1 ceiling family; caught the empty-cell bug)",
+    "a36_survival_km" -> "InferenceGolden2Spec (Freireich 1965 KM ladder)",
+    "a37_logrank" -> "InferenceGolden2Spec (Freireich log-rank chi2=16.793)",
+    "a39_wilson_ci" -> "InferenceGolden2Spec (Newcombe 1998 81/263)",
+    "a52_nelson_aalen" -> "InferenceGolden2Spec (hazard ladder hand values)",
+    "a59_energy_distance" -> "InferenceGolden2Spec (closed-form two-sample)",
+    "a67_cramers_v" -> "InferenceGolden2Spec (Cramer V=1 / V=0 ceilings)",
+    "a74_sprt" -> "InferenceGolden2Spec (Wald ln 19 lattice)",
+    "a77_cramer_von_mises" -> "InferenceGolden2Spec (Anderson rank form)",
+    "t_cusum_shift" -> "InferenceGolden3Spec (Page CUSUM zero + hand walk)",
+    "t_dtw_monthly" -> "InferenceGolden3Spec (Sakoe-Chiba DP reimplementation)",
+    "t_holt_forecast" -> "InferenceGolden3Spec (linear-trend invariance)",
+    "t_runs_test" -> "InferenceGolden3Spec (hand run counts)",
+    "t_stl_strength" -> "InferenceGolden3Spec (Hyndman F_s in {0,1})",
+    "t_theil_sen" -> "InferenceGolden3Spec (pairwise-slope median recompute)",
+    "t_theil_sen_counts" -> "InferenceGolden3Spec (un-shadowed by this golden)",
+    "a32_gini_spend" -> "InferenceGolden4Spec (two derivations agree)",
+    "a44_markov_stationary" -> "InferenceGolden4Spec (doubly-stochastic uniform law)",
+    "a53_shapley_attribution" -> "InferenceGolden4Spec (symmetry + efficiency axioms)",
+    "a56_median_of_means" -> "InferenceGolden4Spec (hand blocks)",
+    "a57_cuped" -> "InferenceGolden4Spec (variance-reduction identity)",
+    "a58_diff_in_diff" -> "InferenceGolden4Spec (2x2 closed form)",
+    "a22_ab_test" -> "InferenceGolden6Spec (two-proportion z hand values)",
+    "a33_bootstrap_ci" -> "InferenceGolden6Spec (constant fixed point)",
+    "a34_dispersion" -> "InferenceGolden6Spec (index hand values)",
+    "a40_bootstrap_median" -> "InferenceGolden6Spec (constant fixed point)",
+    "a47_changepoint_binseg" -> "InferenceGolden6Spec (argmax walk reimpl)",
+    "a66_power_mde" -> "InferenceGolden6Spec (z0.975+z0.8 = 2.801585)",
+    "t_ljung_box" -> "InferenceGolden6Spec (periodic rho^2 = 1)",
+    "a29_correlation" -> "InferenceGolden7Spec (Pearson +-1 ends)",
+    "a31_ols_hourly" -> "InferenceGolden7Spec (exact-plane recovery)",
+    "t_pacf" -> "InferenceGolden7Spec (Durbin-Levinson on pair-loop ACF)",
+    "t_burst_viterbi" -> "InferenceGolden8Spec (two-state Viterbi replay)",
+    "t_drift_mix" -> "InferenceGolden8Spec (Lin JSD ln 2 / TV 1 ends)",
+    "t_psi_drift" -> "InferenceGolden8Spec (PSI == 0 identity)",
+    "a19_assoc_rules" -> "InferenceGolden9Spec (lift scale exact ends)",
+    "a21_pareto_abc" -> "InferenceGolden9Spec (ABC integer boundary)",
+    "a43_max_drawdown" -> "InferenceGolden9Spec (hand path)",
+    "a16_funnel_stages" -> "InferenceGolden10Spec (hand funnel)",
+    "audit_k_anonymity" -> "InferenceGolden10Spec (k ceiling)",
+    "audit_l_diversity" -> "InferenceGolden10Spec (l ceiling)",
+    "audit_t_closeness" -> "InferenceGolden10Spec (t ceiling)",
+    "t_gap_fill" -> "InferenceGolden11Spec + SkylineSpec (interpolation definition)",
+    "w18_five_number" -> "InferenceGolden11Spec (Hyndman-Fan type-7 on R's fixture)",
+    "t_autocorrelation" -> "InferenceGolden12Spec (per-lag ACF hand values)",
+    "t_burstiness" -> "InferenceGolden12Spec (Goh-Barabasi B=-1 floor)",
+    "t_hour_uniformity" -> "InferenceGolden12Spec (uniformity ends)",
+    "t_record_breaks" -> "InferenceGolden12Spec (record-count ends)",
+    "tx9_repetition_filter" -> "InferenceGolden13Spec (hand ratios, float boundary)",
+    "tx10_tfidf_top_terms" -> "InferenceGolden13Spec (Sparck Jones zero-weight law)",
+    "w7_mad_outliers" -> "InferenceGolden14Spec (Iglewicz-Hoban 0.6745/3.5)",
+    "w10_trimmed_mean" -> "InferenceGolden14Spec (Tukey rank trim)",
+    "g1_pagerank" -> "GraphGoldenSpec (regular-graph uniformity) + PageRankSpec (integer replay)",
+    "g2_triangles" -> "GraphGoldenSpec (K6 census) + TrianglesSpec (known censuses)",
+    "g3_kcore" -> "GraphGoldenSpec (Seidman invariance) + KCoreSpec (hand peel)",
+    "g3b_kcore_frontier" -> "GraphGoldenSpec + KCoreSpec (converged-round contract)",
+    "g5_label_prop" -> "GraphGoldenSpec + LabelPropSpec (plain-Scala replay)",
+    "g6_hits" -> "GraphGoldenSpec (bipartite fixed point) + HitsSpec (replay)",
+    "g12_transitivity" -> "GraphGoldenSpec (clique/star ends)",
+    "g13_sssp" -> "GraphGoldenSpec (Bellman-Ford replay)",
+    "tx58_dup_span_coverage" -> "DupSpanGoldenSpec (Lee et al. metric, hand spans)",
+    // ----- unit specs that are independent anchors: brute force,
+    // plain-Scala replay, or a law the algorithm must satisfy -----
+    "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",
+    "tx8b_bpe_merges" -> "BpeSpec (brute-force reference, random-corpus property)",
+    "sim28_mmr_rerank" -> "MmrSpec (diversification strictly beats top-k; rank-1 argmax)",
+    "est_priority_ht" -> "PrioritySampleSpec (stream == batch; n<=k exact-total theorem)",
+    "est_weighted_sample" -> "PrioritySampleSpec (stream == batch equality)",
+    "sample_weighted_priority" -> "SkylineSpec (monotone consistency + size bias)",
+    "tx20_classifier_gate" -> "QualityClassifierSpec (refit determinism, gate contract)",
+    "tx31_skyline" -> "SkylineSpec (brute-force dominance skyline)",
+    "dedup_prefix_filter" -> "PrefixFilterSpec (all-pairs completeness, pigeonhole lemma)",
+    "t_ewma_burst" -> "PrefixFilterSpec (textbook EWMA recursion)",
+    "layout_compaction" -> "PrefixFilterSpec (packing fold vs sequential simulation)",
+    "g7_ktruss" -> "TrussSpec (independent peel replay)",
+    "g21_stress_centrality" -> "StressSpec (exact sigma fixtures + shortcut negative control)",
+    "dedup_components" -> "ConnectedComponentsSpec (driver-side union-find oracle)",
+    "j8c_entity_clusters" -> "ConnectedComponentsSpec (union-find oracle on the linkage graph)",
+    "merge_upsert" -> "MergeSpec (plain-Scala clause application)",
+    "diff_snapshots" -> "MergeSpec (merge(old, diff(old,new)) rebuilds new)",
+    "scd2_merge" -> "Scd2PropertySpec (incremental merge == full rebuild)",
+    "scd2_history" -> "Scd2PropertySpec (change-point contract)",
+    "skew_salted_count" -> "SkewSpec (salted == direct equivalence)",
+    "a46_heavy_hitters" -> "FreqAggSpec (Misra-Gries superset guarantee + error bound)",
+    "w16_topk_agg" -> "TopKAggSpec (native agg vs window formulation, tie/null/merge)",
+    "sim9_kmeans_lloyd" -> "LloydSpec (brute-force argmin; cluster recovery)",
+    "sim5_ivf_topk" -> "IvfSpec (recall vs brute force) + bench recall gate",
+    "sim26_ivf_incremental" -> "IvfMaintenanceSpec (drift gate both directions)",
+    "sim27_ivf_refit" -> "IvfMaintenanceSpec + IvfHotSwapSpec",
+    "sim10_pq_adc_topk" -> "PqSpec (recall vs exact integer L2) + bench recall gate",
+    "sim23_sq8_recall" -> "Sq8Spec (plain-Scala dot reference) + bench recall gate",
+    "sim11_ivfpq_topk" -> "IvfSpec + PqSpec + bench recall gate vs exact ground truth",
+    "sim4_lsh_topk" -> "NearDupSpec (collision laws) + bench recall gate",
+    "dedup_minhash_pairs" -> "NearDupSpec (band collision laws, jaccard tracking)",
+    "dedup_simhash_pairs" -> "NearDupSpec (simhash bit/Hamming semantics)",
+    "dedup_banding_recall" -> "NearDupSpec laws; the query itself measures recall vs exact pairs",
+    "dedup_ngram_jaccard" -> "NearDupSpec (jaccard_sorted vs array_intersect + known sets)",
+    "j2_asof_last_click" -> "AsofJoinSpec (brute-force argmax property)",
+    "j2b_asof_bucketed" -> "AsofJoinSpec (bucketed == plain on random data)",
+    "j2c_asof_native" -> "NativeAsofSpec (brute force; native == composition)",
+    "j3_range_join_sessions" -> "RangeJoinSpec (interval semantics incl. bucket boundaries)",
+    "tx19_shard_manifest" -> "ShardWriterSpec",
+    "dedup_embedding_near" -> "SimilaritySpec",
+    "a8_snapshot_reagg" -> "ReaggPropertySpec (partition-invariance property)",
+    "tx1_token_stats" -> "TextPropertySpec (tokenCount == split brute force)",
+    "tx5_regex_token_stats" -> "TextPropertySpec (brute-force token properties)",
+    "tx11_chunk_overlap" -> "TextPropertySpec (chunks == brute-force window slices)",
+    "s7_dsv2_pushdown" -> "DsV2SourceSpec (pushdown == unfiltered-read filter)",
+    "m1_binary_meta" -> "MultimodalSpec (binary + typed metadata contract)",
+    "m2_media_features" -> "MultimodalSpec (real JDK codec decode, deterministic)",
+    "m4_audio_features" -> "MultimodalSpec (real WAV decode, mono + stereo)",
+    "m5_image_pixel_dedup" -> "MultimodalSpec (lossless pixel round-trip premise)",
+    "m6_video_frames" -> "MultimodalSpec (AVI demux: DIB exact, MJPG real decode)",
+    "m9_video_keyframes" -> "MultimodalSpec (stride sampling, exact fingerprints)",
+  )
+
+  /** Queries whose Spark side is a composition of built-in relational
+    * operators and whose DuckDB oracle evaluates the same declarative
+    * spec in an independent engine — engine diversity is the anchor.
+    * Membership is deliberately conservative: anything with a
+    * hand-rolled recursion, sketch, hash mix, or bit trick on either
+    * side stays out and must earn an [[anchors]] entry instead.
+    */
+  val declarative: Set[String] = Set(
+    // TPC-H-shape relational queries (scan/filter/join/agg/window)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_order_revenue",
+    "q4_set_ops", "q4b_priority_semi", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_nation_trade", "q8_market_share",
+    "q9_product_profit", "q10_returned_revenue", "q11_important_stock",
+    "q12_late_lanes", "q13_cust_order_dist", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q20_excess_stock",
+    "q21_waiting_suppliers", "q22_dormant_customers", "q23_yoy_growth",
+    "q24_delivery_latency", "q25_supplier_reliability",
+    "sql_q6_discount_revenue", "sql_correlated_above_avg",
+    "join_3way_region_rollup", "set_ops_customer_orders",
+    // census parity (CASE ladders, pivots, epoch conversions)
+    "p2_age_group_dist", "p3_income_dist", "p4_work_hours_dist",
+    "p5_capital_category_dist", "p8_pivot_wide_counts", "p8b_pivot_api",
+    "p8c_unpivot_api", "p9_epoch_roundtrip", "p_json_props",
+    "f1_sql_predicate", "f4_time_range", "f5_membership_topk",
+    "f6_equality_filter", "o1_latest_snapshot", "o2_sort_timeseries",
+    "o4_categorical_sort",
+    // aggregation / OLAP built-ins
+    "a1_global_stats", "a4_two_key_count", "a7_group_multi_agg",
+    "a9_pct_high_income", "a11_topk_groups", "a12_quantiles",
+    "a13_rollup", "a14_cube", "a15_grouping_sets", "a17_cooccurrence",
+    "a18_cohort_retention", "a20_trending", "a23_attribution_models",
+    "a25_source_entropy", "a26_time_to_convert", "a27_rfm_segments",
+    "a28_mv_incremental",
+    // windows over built-in frames
+    "w1_zscore_outliers", "w2_percent_of_group", "w3_latest_per_group",
+    "w5_lag_lead_delta", "w6_moving_frame", "w9_time_weighted_avg",
+    "w11_rolling_range", "w12_daily_mode",
+    // joins expressible as equi/semi/anti/range compositions
+    "j1_argmax_join_back", "j4_bucketed_join", "j5_semi_anti",
+    "j9_bitemporal", "j10_overlap_join", "j10_association_rules",
+    "j11_min_gap", "j12_bloom_prune", "j14_mv_join_delta",
+    "j15_interp_join", "j18_interval_intersect",
+    // audits / ops that are predicate-and-count queries
+    "audit_referential", "audit_contracts", "audit_key_skew",
+    "decon_eval_overlap", "layout_skipping", "layout_encoding",
+    "est_join_size", "est_quantile_sample", "mixture_weighted",
+    "ops_backfill_ranges", "ops_combine_benefit",
+    // event-time bucketing / sessionization via built-ins
+    "t_tumbling_window", "t_sliding_window", "t_session_window",
+    "t_distinct_users", "t_cumulative_users", "t_multigrain_rollup",
+    "t_top_paths", "t_attribution_touch", "t_markov_transitions",
+    "t_transition_dwell", "t_stickiness", "t_time_to_convert",
+    "t_sliding_distinct", "t_session_gap_sweep", "t_incident_episodes",
+    // text queries that are split/explode/count compositions
+    "tx2_quality_hist", "tx6_vocab_topk", "tx15_oov_rate",
+    "tx39_vocab_growth",
+    // exact dedup: groupBy/window keep-rules
+    "dedup_exact_keep_first", "dedup_exact_summary",
+    "dedup_cluster_sizes", "dedup_keep_canonical",
+    "dedup_approx_distinct", "dedup_golden_record",
+    // map-typed metadata access (built-in element_at/map functions)
+    "m3_meta_map_access",
+  )
+
+  /** Registry queries with no independent anchor and no declarative
+    * justification — the enumerable golden-program gap.
+    */
+  def neverGoldened(registry: Seq[String]): Seq[String] =
+    registry.filterNot(n => anchors.contains(n) || declarative(n)).sorted
+
+  /** Classification entries that name no current registry query —
+    * stale claims that must fail the gauge (a renamed query must not
+    * keep phantom coverage).
+    */
+  def staleEntries(registry: Seq[String]): Seq[String] = {
+    val known = registry.toSet
+    ((anchors.keySet ++ declarative) -- known).toSeq.sorted
+  }
+}

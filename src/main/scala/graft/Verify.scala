@@ -59,7 +59,7 @@ object Verify {
     // outDir is ephemeral); sorted slowest-first in the mirror's
     // companion ranking for eyeballing
     val timesJson = times
-      .map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+      .map { case (k, v) => s"${q(k)}: ${BenchMirror.num(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_times.json"), timesJson)
     // mirror only on FULL sweeps AT THE DRIVER'S SF — a dev subset
@@ -102,13 +102,43 @@ object Verify {
           }
           val moverJson = movers.map { case (k, nv, ov, r) =>
             s"${q(k)}: {${q("prev")}: $ov, ${q("now")}: $nv, " +
-              s"${q("ratio")}: ${"%.3f".format(r)}}"
+              s"${q("ratio")}: ${BenchMirror.num(r)}}"
           }.mkString("{", ",", "}")
           Files.writeString(Paths.get(s"$outDir/verify_time_movers.json"),
             s"""{"threshold":{"ratio":3.0,"min_sec":1.0},"alarms":${alarms.size},"top_movers":$moverJson}""")
         }
       } catch { case scala.util.control.NonFatal(_) => () }
-      try Files.writeString(Paths.get("VERIFY_TIMES.json"), timesJson)
+      // sweep-total ratchet (round-12 verdict ask 4): the r12 sweep
+      // grew 334.8 → 517.2 s under the same ambient load that fired
+      // the bench alarms, and nothing held a baseline for it — the
+      // total was a mirror-less metric, and heavy-tier membership
+      // derived from the inflated per-query numbers silently rotated.
+      // Same discipline as BenchMirror's ratchet: the reserved key
+      // `sweep_total_sec` rewrites only at ratio < 1.5 vs its held
+      // baseline (including DOWNWARD — recovery needs no accept); at
+      // or past 1.5 the baseline HOLDS, the raw measurement ships as
+      // `sweep_total_last_sec`, and Bench's heavy-promotion policy
+      // treats the sweep as load-inflated (membership pins to the
+      // mirror's previous promoted set instead of rotating on it).
+      val newTotal = times.values.sum
+      val heldTotal = try {
+        val prevBody =
+          if (Files.exists(prevPath)) Files.readString(prevPath) else ""
+        val prevHeld = "\"sweep_total_sec\"\\s*:\\s*([0-9.]+)".r
+          .findFirstMatchIn(prevBody).map(_.group(1).toDouble)
+        prevHeld match {
+          case Some(b) if b > 0.0 && newTotal / b >= 1.5 =>
+            System.err.println(f"[verify-times] SWEEP-TOTAL HOLD " +
+              f"$b%.1f s held vs measured $newTotal%.1f s " +
+              f"(x${newTotal / b}%.2f >= 1.5) — load-inflated sweep")
+            b
+          case _ => newTotal
+        }
+      } catch { case scala.util.control.NonFatal(_) => newTotal }
+      val mirrorJson = timesJson.dropRight(1) +
+        s", ${q("sweep_total_sec")}: ${BenchMirror.num(heldTotal)}" +
+        s", ${q("sweep_total_last_sec")}: ${BenchMirror.num(newTotal)}}"
+      try Files.writeString(Paths.get("VERIFY_TIMES.json"), mirrorJson)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     spark.stop()

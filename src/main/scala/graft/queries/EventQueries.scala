@@ -987,9 +987,13 @@ object EventQueries {
     QueryDef(
       "a24_chi_square",
       (s, d) => {
-        val obs = events(s, d)
+        // cached (round-12 advice): `obs` is referenced three times in
+        // `cells` and `cells` four more times downstream — without the
+        // TrackedCache the events scan+groupBy re-executes per
+        // reference (a67's twin fix)
+        val obs = tracked(events(s, d)
           .groupBy(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"))
-          .agg(count(lit(1)).as("o"))
+          .agg(count(lit(1)).as("o")))
         val cells = obs.select("event_type").distinct()
           .crossJoin(obs.select("arm").distinct())
           .join(obs, Seq("event_type", "arm"), "left")
@@ -2028,7 +2032,8 @@ object EventQueries {
     // one — dead weight no sweep or bench ever saw. The golden spec
     // that targeted this def's (slope, intercept) schema surfaced
     // the shadowing; a duplicate-name guard now lives in
-    // SparkEntrySpec so a name collision fails the build instead of
+    // RegistrySpec (walking the raw def list, not a Map's key set)
+    // so a name collision fails the build instead of
     // silently dropping a query. All pairwise
     // slopes (y_j−y_i)/(x_j−x_i) over the hourly series: numerator
     // and denominator are exact longs, ONE double division each —

@@ -7111,9 +7111,16 @@ object ParityQueries {
           .join(obs, Seq("seg", "pri"), "left")
           .select(col("seg"), col("pri"),
             coalesce(col("nij"), lit(0L)).as("nij"))
+        // r and c derived from the OBSERVED margins (round-12 advice:
+        // the sparse-domain grid fix made χ² adapt to fewer observed
+        // segments/priorities while dof and the V denominator stayed
+        // hard-coded 4 — a24's discipline applied here: dof =
+        // (r−1)(c−1), V denominator min(r−1, c−1), both from the
+        // same distinct counts the grid itself is built from)
         val rT = cells.groupBy("seg").agg(sum("nij").as("ri"))
         val cT = cells.groupBy("pri").agg(sum("nij").as("cj"))
-        val nT = cells.agg(sum("nij").as("nn"))
+        val nT = cells.agg(sum("nij").as("nn"),
+          countDistinct("seg").as("r"), countDistinct("pri").as("c"))
         val terms = cells.join(rT, Seq("seg")).join(cT, Seq("pri"))
           .crossJoin(broadcast(nT))
           .select(col("seg"), col("pri"),
@@ -7123,16 +7130,18 @@ object ParityQueries {
                 .cast("double")
               / (col("ri").cast("double") * col("cj").cast("double")
                 * col("nn").cast("double"))).as("term"),
-            col("nn"))
-        terms.groupBy("nn")
+            col("nn"), col("r"), col("c"))
+        terms.groupBy("nn", "r", "c")
           .agg(aggregate(
             sort_array(collect_list(struct(col("seg"), col("pri"),
               col("term")))),
             lit(0.0d), (acc, e) => acc + e.getField("term")).as("chi2"))
-          .select(col("nn").as("n"), lit(4L).as("dof"),
+          .select(col("nn").as("n"),
+            ((col("r") - 1) * (col("c") - 1)).as("dof"),
             round(col("chi2"), 6).as("chi2"),
             round(sqrt(col("chi2")
-              / (col("nn").cast("double") * lit(4.0d))), 6)
+              / (col("nn").cast("double")
+                * least(col("r") - 1, col("c") - 1).cast("double"))), 6)
               .as("cramers_v"))
       },
       Some("""WITH x AS (SELECT c_mktsegment AS seg,
@@ -7149,21 +7158,24 @@ object ParityQueries {
              |  FROM cells GROUP BY 1),
              |ct AS (SELECT pri, CAST(sum(nij) AS BIGINT) AS cj
              |  FROM cells GROUP BY 1),
-             |nt AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells),
+             |nt AS (SELECT CAST(sum(nij) AS BIGINT) AS nn,
+             |    CAST(count(DISTINCT seg) AS BIGINT) AS r,
+             |    CAST(count(DISTINCT pri) AS BIGINT) AS c FROM cells),
              |terms AS (SELECT cells.seg, cells.pri,
              |    CAST(nij * nn - ri * cj AS DOUBLE)
              |      * CAST(nij * nn - ri * cj AS DOUBLE)
              |      / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
-             |        * CAST(nn AS DOUBLE)) AS term, nn
+             |        * CAST(nn AS DOUBLE)) AS term, nn, r, c
              |  FROM cells JOIN rt USING (seg) JOIN ct USING (pri)
              |  CROSS JOIN nt),
-             |chi AS (SELECT nn, list_reduce(list_prepend(
+             |chi AS (SELECT nn, r, c, list_reduce(list_prepend(
              |    CAST(0 AS DOUBLE),
              |    list(term ORDER BY seg, pri)), (a, b) -> a + b) AS chi2
-             |  FROM terms GROUP BY nn)
-             |SELECT nn AS n, CAST(4 AS BIGINT) AS dof,
+             |  FROM terms GROUP BY nn, r, c)
+             |SELECT nn AS n, (r - 1) * (c - 1) AS dof,
              |  round(chi2, 6) AS chi2,
-             |  round(sqrt(chi2 / (CAST(nn AS DOUBLE) * 4.0)), 6)
+             |  round(sqrt(chi2 / (CAST(nn AS DOUBLE)
+             |    * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
              |    AS cramers_v
              |FROM chi""".stripMargin)),
   )

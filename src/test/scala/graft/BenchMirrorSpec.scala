@@ -172,6 +172,93 @@ class BenchMirrorSpec extends AnyFunSuite {
       == (Set.empty, Set("headline/x")))
   }
 
+  // ----- round-12 ask 2: nearest-sample control locality -----------
+
+  /** The BENCH_r12 headline tier, reconstructed from the artifact:
+    * 26 queries in bench order, control sampled at positions 0, 6,
+    * 12, 18, 24 with the recorded values — the first two elevated
+    * ×2.00/×3.71 over the 0.556 cross-run baseline, flanking exactly
+    * the queries that alarmed, while the tier MEDIAN (0.831, drift
+    * 1.49) sat under the 1.8 threshold and shipped all five alarms
+    * `unattributed`.
+    */
+  private val r12HeadlineNames = Seq("a1_global_stats",
+    "w1_zscore_outliers", "w3_latest_per_group", "join_3way_region_rollup",
+    "q1_pricing_summary", "q3_top_order_revenue", "q5_local_supplier_volume",
+    "q21_waiting_suppliers", "t_dtw_monthly", "pipeline_curation",
+    "sim1_topk_bruteforce", "dedup_embedding_lsh", "sim7_label_centroids",
+    "sim4_lsh_topk", "sim10_pq_adc_topk", "sim13_native_centroids",
+    "sim21_pca_power", "dedup_minhash_pairs", "dedup_containment_pairs",
+    "dedup_simhash_pairs", "dedup_incremental", "t_tumbling_window",
+    "j2_asof_last_click", "j2c_asof_native", "w16_topk_agg",
+    "a51_markov_removal")
+
+  private def r12Events(ctl: Seq[Double]): Seq[BenchMirror.RunEvent] =
+    r12HeadlineNames.zipWithIndex.flatMap { case (n, i) =>
+      (if (i % 6 == 0) Seq(Left(ctl(i / 6)): BenchMirror.RunEvent)
+       else Seq.empty) :+ (Right(s"headline/$n"): BenchMirror.RunEvent)
+    }
+
+  private val r12Alarms = Seq("headline/q1_pricing_summary",
+    "headline/join_3way_region_rollup", "headline/a51_markov_removal",
+    "headline/q5_local_supplier_volume", "headline/q3_top_order_revenue")
+
+  test("r12 positive control: per-sample locality attributes all five " +
+      "alarms the tier median aggregated away") {
+    val ctl = Seq(1.112, 2.060, 0.633, 0.831, 0.769)
+    val base = Some(0.556)
+    // the old tier-median rule could not see the burst (median 0.831,
+    // drift 1.49 < 1.8) — exactly why r12 shipped five unattributed
+    val (oldLoad, _) =
+      BenchMirror.classifyAlarms(r12Alarms, Map("headline" -> ctl), base)
+    assert(oldLoad.isEmpty)
+    val (load, unattr) = BenchMirror.classifyAlarmsNearest(
+      r12Alarms, Map("headline" -> r12Events(ctl)), base)
+    assert(load == r12Alarms.toSet)
+    assert(unattr.isEmpty)
+    // a51 specifically: its flanks (0.769, none after) are clean —
+    // it attributes via the ≥2-elevated-samples tier-burst rule
+    val (a51Only, _) = BenchMirror.classifyAlarmsNearest(
+      Seq("headline/a51_markov_removal"),
+      Map("headline" -> r12Events(ctl)), base)
+    assert(a51Only == Set("headline/a51_markov_removal"))
+  }
+
+  test("r12 negative control: a clean run attributes nothing") {
+    val ctl = Seq(0.54, 0.57, 0.55, 0.58, 0.56) // all at baseline
+    val (load, unattr) = BenchMirror.classifyAlarmsNearest(
+      r12Alarms, Map("headline" -> r12Events(ctl)), Some(0.556))
+    assert(load.isEmpty)
+    assert(unattr == r12Alarms.toSet)
+  }
+
+  test("flank locality: one elevated sample attributes only its neighbors") {
+    // ctl#1 (position 6) elevated; exactly one elevated sample, so no
+    // tier burst — only alarms whose nearest flank IS that sample
+    // attribute; a distant alarm in the same tier stays unattributed
+    val ctl = Seq(0.55, 2.1, 0.56, 0.57, 0.54)
+    val alarms = Seq("headline/q5_local_supplier_volume", // flank = ctl#1
+      "headline/dedup_simhash_pairs") // flanks = ctl#3/ctl#4, clean
+    val (load, unattr) = BenchMirror.classifyAlarmsNearest(
+      alarms, Map("headline" -> r12Events(ctl)), Some(0.556))
+    assert(load == Set("headline/q5_local_supplier_volume"))
+    assert(unattr == Set("headline/dedup_simhash_pairs"))
+  }
+
+  test("nearest-sample keeps the tier-median rule as the floor") {
+    // an alarm with NO run-order entry (e.g. a tier logged without
+    // query events) still attributes when the tier median drifts —
+    // the upgrade only ever adds attribution power
+    val events: Seq[BenchMirror.RunEvent] = Seq(Left(2.5), Left(2.7))
+    val (load, _) = BenchMirror.classifyAlarmsNearest(
+      Seq("headline/x"), Map("headline" -> events), Some(0.63))
+    assert(load == Set("headline/x"))
+    // and with no baseline, everything stays unattributed
+    assert(BenchMirror.classifyAlarmsNearest(
+      Seq("headline/x"), Map("headline" -> events), None)
+      == (Set.empty, Set("headline/x")))
+  }
+
   test("load-attributed alarms hold baseline and land in run_level_load") {
     val prev = Map("headline/a" -> 0.6, "stress8x/b" -> 6.5)
     val now = Seq("headline/a" -> 2.6, "stress8x/b" -> 28.3)
