@@ -118,6 +118,15 @@ object GoldenCoverage {
     "g12_transitivity" -> "GraphGoldenSpec (clique/star ends)",
     "g13_sssp" -> "GraphGoldenSpec (Bellman-Ford replay)",
     "tx58_dup_span_coverage" -> "DupSpanGoldenSpec (Lee et al. metric, hand spans)",
+    "tx52_fleiss_kappa" -> "InferenceGolden15Spec (Fleiss 1971 textbook-route recompute; kappa=1 ceiling)",
+    "a42_kmv_distinct" -> "InferenceGolden15Spec (n<=k exactness theorem; independent hash replay of (k-1)P/h_k)",
+    "a48_bitmap_distinct" -> "InferenceGolden15Spec (OR-rollup == exact distinct; non-additivity gap)",
+    "w14_trimean" -> "InferenceGolden15Spec (Tukey hand quartiles incl. skewed shoulder)",
+    "w17_winsorized_mean" -> "InferenceGolden15Spec (hand order-statistic clamp, outlier leverage removed exactly)",
+    "tx35_weighted_median" -> "InferenceGolden15Spec (2cw>=W suffix rule hand-walked incl. exact-half boundary)",
+    "t_goertzel_power" -> "InferenceGolden15Spec (power == quarter-bin |DFT|^2 from the definition; zero at constant)",
+    "g15_link_prediction" -> "InferenceGolden15Spec (Zhou-Lu-Zhang RA hand graph; specialists beat generalists)",
+    "g18_modularity" -> "InferenceGolden15Spec (disjoint equal bicliques -> Q = 1/2 closed form)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The golden-coverage gauge (round-12 verdict ask 3): every registry
+  * query is classified in [[GoldenCoverage]] as independently ANCHORED,
+  * DECLARATIVE (engine diversity is the anchor), or listed here in the
+  * pinned never_goldened gap. The pin is the `never_benched`
+  * discipline applied to derivation coverage: a NEW query that lands
+  * unclassified fails this suite the round it lands, and the gap list
+  * can only shrink deliberately (anchor it or justify it — never
+  * silently). The artifact ships as GOLDEN_COVERAGE.json so the gap is
+  * observable the way bench coverage is.
+  */
+class GoldenCoverageSpec extends AnyFunSuite {
+
+  private val registry = SparkEntry.orderedNames
+
+  /** The accepted gap as of round 13 (123 queries). Part 15 targeted
+    * the largest families the first gauge run surfaced (agreement,
+    * sketch rungs, robust centers, targeted spectral power, link
+    * prediction, partition quality); the biggest remaining clusters
+    * are the sim* ANN variants (quality-gated by bench recall rather
+    * than value goldens), the hand-rolled tx* scoring family, and the
+    * m* multimodal formula tail.
+    */
+  private val expectedGap: Seq[String] = Seq(
+    "a12b_tdigest_quantiles",
+    "a41_hll_distinct",
+    "a45_kmv_overlap",
+    "a51_markov_removal",
+    "a55_conformal_interval",
+    "a60_permutation_test",
+    "a61_bh_fdr",
+    "audit_benford",
+    "audit_functional_deps",
+    "dedup_containment_pairs",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "dedup_incremental_near",
+    "dedup_semantic_cells",
+    "dedup_sparse_cosine",
+    "diff_merge3",
+    "diff_merkle_buckets",
+    "est_hll_curve",
+    "g10_assortativity",
+    "g11_rich_club",
+    "g14_hierarchy_rollup",
+    "g16_local_bridges",
+    "g17_core_decomposition",
+    "g19_degree_tail",
+    "g20_assortativity",
+    "g22_neighborhood_function",
+    "g4_ppr_seeds",
+    "g8_neighbor_jaccard",
+    "g9_seed_harmonic",
+    "j13_item_cf",
+    "j16_interval_union",
+    "j17_asof_nearest",
+    "j6_fuzzy_join",
+    "j6b_fuzzy_join_d2",
+    "j7_pit_join",
+    "j8_record_linkage",
+    "j8b_sorted_neighborhood",
+    "j8d_fellegi_sunter",
+    "layout_hilbert",
+    "layout_zorder",
+    "m10_byteslice_frames",
+    "m11_byte_entropy",
+    "m12_energy_dips",
+    "m7_audio_frame_energy",
+    "m8_image_dhash",
+    "pack_sequences",
+    "pipeline_curation",
+    "sample_allocation",
+    "sample_exact_k",
+    "sample_stratified",
+    "sim12_hybrid_rrf",
+    "sim13_native_centroids",
+    "sim14_mips_topk",
+    "sim15_matryoshka_recall",
+    "sim16_filtered_topk",
+    "sim16b_filtered_nprobe8",
+    "sim17_ranking_ndcg",
+    "sim18_centroid_drift",
+    "sim18_mutual_nn",
+    "sim19_ratio_test",
+    "sim1_topk_bruteforce",
+    "sim21_pca_power",
+    "sim22_dbscan",
+    "sim22b_dbscan_lsh",
+    "sim24_ivf_nprobe_curve",
+    "sim25_davies_bouldin",
+    "sim29_recall_curve",
+    "sim2_norm_stats",
+    "sim3_lsh_bucket_profile",
+    "sim6_l2_normalize",
+    "sim7_label_centroids",
+    "sim8_hard_negatives",
+    "sketch_cms_token_freq",
+    "split_group_aware",
+    "split_train_holdout",
+    "t_forecast_skill",
+    "t_rate_anomaly",
+    "t_rolling_corr",
+    "t_seasonal_residual",
+    "t_sequence_likelihood",
+    "t_trend_slope",
+    "tx12_bigram_lm_score",
+    "tx13_passage_dedup",
+    "tx14_pii_scrub",
+    "tx16_temperature_mixture",
+    "tx17_epoch_oversample",
+    "tx18_quality_curriculum",
+    "tx21_source_cap",
+    "tx22_dup_ngram_coverage",
+    "tx24_quantile_normalize",
+    "tx25_bpe_encode",
+    "tx26_bm25",
+    "tx27_textrank",
+    "tx28_eval_metrics",
+    "tx29_calibration",
+    "tx30_distinctive_terms",
+    "tx32_phrase_search",
+    "tx33_lexical_complexity",
+    "tx34_shingle_novelty",
+    "tx36_waterfill_budget",
+    "tx37_proximity_search",
+    "tx38_isotonic_calibration",
+    "tx3_lang_confusion",
+    "tx40_cohens_kappa",
+    "tx41_decontamination",
+    "tx42_sequence_packing",
+    "tx43_auc_exact",
+    "tx44_leakage_safe_split",
+    "tx45_pmi_collocations",
+    "tx46_style_distance",
+    "tx47_target_encoding",
+    "tx48_brier_decomp",
+    "tx49_gini_features",
+    "tx4_fingerprint_sample",
+    "tx50_unigram_viterbi",
+    "tx51_rake_keywords",
+    "tx53_lsh_param_sweep",
+    "tx55_dup_source_mix",
+    "tx56_novelty_curve",
+    "tx57_feature_hash",
+    "tx7_canonical_dedup",
+    "w13_gini_mean_diff",
+    "w15_equidepth_hist"
+  )
+
+  test("every classification entry names a live registry query") {
+    assert(GoldenCoverage.staleEntries(registry).isEmpty)
+  }
+
+  test("no query is both anchored and declarative") {
+    val both = GoldenCoverage.anchors.keySet & GoldenCoverage.declarative
+    assert(both.isEmpty, s"double-classified: $both")
+  }
+
+  test("the never_goldened gap matches the pinned list (classify every " +
+      "new query; shrink the gap deliberately)") {
+    val gap = GoldenCoverage.neverGoldened(registry)
+    val unexpected = gap.toSet -- expectedGap.toSet
+    val anchoredSince = expectedGap.toSet -- gap.toSet
+    assert(unexpected.isEmpty,
+      s"new queries missing a GoldenCoverage classification: $unexpected")
+    assert(anchoredSince.isEmpty,
+      s"queries anchored since the pin - remove from expectedGap: $anchoredSince")
+  }
+
+  test("GOLDEN_COVERAGE.json artifact reflects the classification") {
+    val gap = GoldenCoverage.neverGoldened(registry)
+    def arr(xs: Seq[String]) =
+      xs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"total":${registry.size},""" +
+        s""""anchored":${GoldenCoverage.anchors.size},""" +
+        s""""declarative":${GoldenCoverage.declarative.size},""" +
+        s""""never_goldened_count":${gap.size},""" +
+        s""""never_goldened":${arr(gap)}}"""
+    Files.writeString(Paths.get("GOLDEN_COVERAGE.json"), json)
+    assert(registry.size ==
+      GoldenCoverage.anchors.size + GoldenCoverage.declarative.size + gap.size)
+  }
+}
