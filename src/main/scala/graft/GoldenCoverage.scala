@@ -127,6 +127,18 @@ object GoldenCoverage {
     "t_goertzel_power" -> "InferenceGolden15Spec (power == quarter-bin |DFT|^2 from the definition; zero at constant)",
     "g15_link_prediction" -> "InferenceGolden15Spec (Zhou-Lu-Zhang RA hand graph; specialists beat generalists)",
     "g18_modularity" -> "InferenceGolden15Spec (disjoint equal bicliques -> Q = 1/2 closed form)",
+    "t_trend_slope" -> "InferenceGolden16Spec (exact-line recovery; single-hour NULL guard)",
+    "t_seasonal_residual" -> "InferenceGolden16Spec (strict 1.25x/0.75x boundaries pinned both sides)",
+    "t_rolling_corr" -> "InferenceGolden16Spec (Pearson +-1 ceilings; zero-variance frame pinned out)",
+    "audit_benford" -> "InferenceGolden16Spec (published log10(1+1/d) expectations vs hand shares)",
+    "w13_gini_mean_diff" -> "InferenceGolden16Spec (closed form == hand pair enumeration, ties included)",
+    "w15_equidepth_hist" -> "InferenceGolden16Spec (one-per-bucket spread; tie-straddle drift hand-pinned)",
+    "a45_kmv_overlap" -> "InferenceGolden16Spec (below-k exactness of the theta-sketch estimator chain)",
+    "sim2_norm_stats" -> "InferenceGolden16Spec (3-4-5 / 5-12-13 Pythagorean triangles)",
+    "sim6_l2_normalize" -> "InferenceGolden16Spec (renorm == 1 theorem; exact first components)",
+    "tx26_bm25" -> "InferenceGolden16Spec (Robertson/Zaragoza hand corpus, idf = ln 2 exactly)",
+    "tx45_pmi_collocations" -> "InferenceGolden16Spec (Church-Hanks hand corpus, PMI = ln 2 exactly)",
+    "tx50_unigram_viterbi" -> "InferenceGolden16Spec (independent imperative DP over the pinned piece table)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

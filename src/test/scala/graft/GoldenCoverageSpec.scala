@@ -17,10 +17,12 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (123 queries). Part 15 targeted
+  /** The accepted gap as of round 13 (111 queries). Parts 15-16 targeted
     * the largest families the first gauge run surfaced (agreement,
     * sketch rungs, robust centers, targeted spectral power, link
-    * prediction, partition quality); the biggest remaining clusters
+    * prediction, partition quality, the monitoring/series tail,
+    * sketch overlap, IR/stylometry scorers, optimizer statistics, and
+    * the embedding-prep pair); the biggest remaining clusters
     * are the sim* ANN variants (quality-gated by bench recall rather
     * than value goldens), the hand-rolled tx* scoring family, and the
     * m* multimodal formula tail.
@@ -28,12 +30,10 @@ class GoldenCoverageSpec extends AnyFunSuite {
   private val expectedGap: Seq[String] = Seq(
     "a12b_tdigest_quantiles",
     "a41_hll_distinct",
-    "a45_kmv_overlap",
     "a51_markov_removal",
     "a55_conformal_interval",
     "a60_permutation_test",
     "a61_bh_fdr",
-    "audit_benford",
     "audit_functional_deps",
     "dedup_containment_pairs",
     "dedup_embedding_lsh",
@@ -93,9 +93,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "sim24_ivf_nprobe_curve",
     "sim25_davies_bouldin",
     "sim29_recall_curve",
-    "sim2_norm_stats",
     "sim3_lsh_bucket_profile",
-    "sim6_l2_normalize",
     "sim7_label_centroids",
     "sim8_hard_negatives",
     "sketch_cms_token_freq",
@@ -103,10 +101,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "split_train_holdout",
     "t_forecast_skill",
     "t_rate_anomaly",
-    "t_rolling_corr",
-    "t_seasonal_residual",
     "t_sequence_likelihood",
-    "t_trend_slope",
     "tx12_bigram_lm_score",
     "tx13_passage_dedup",
     "tx14_pii_scrub",
@@ -117,7 +112,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "tx22_dup_ngram_coverage",
     "tx24_quantile_normalize",
     "tx25_bpe_encode",
-    "tx26_bm25",
     "tx27_textrank",
     "tx28_eval_metrics",
     "tx29_calibration",
@@ -134,21 +128,17 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "tx42_sequence_packing",
     "tx43_auc_exact",
     "tx44_leakage_safe_split",
-    "tx45_pmi_collocations",
     "tx46_style_distance",
     "tx47_target_encoding",
     "tx48_brier_decomp",
     "tx49_gini_features",
     "tx4_fingerprint_sample",
-    "tx50_unigram_viterbi",
     "tx51_rake_keywords",
     "tx53_lsh_param_sweep",
     "tx55_dup_source_mix",
     "tx56_novelty_curve",
     "tx57_feature_hash",
-    "tx7_canonical_dedup",
-    "w13_gini_mean_diff",
-    "w15_equidepth_hist"
+    "tx7_canonical_dedup"
   )
 
   test("every classification entry names a live registry query") {
