@@ -139,6 +139,17 @@ object GoldenCoverage {
     "tx26_bm25" -> "InferenceGolden16Spec (Robertson/Zaragoza hand corpus, idf = ln 2 exactly)",
     "tx45_pmi_collocations" -> "InferenceGolden16Spec (Church-Hanks hand corpus, PMI = ln 2 exactly)",
     "tx50_unigram_viterbi" -> "InferenceGolden16Spec (independent imperative DP over the pinned piece table)",
+    "j16_interval_union" -> "InferenceGolden17Spec (hand islands; strict touching-intervals merge rule)",
+    "j17_asof_nearest" -> "InferenceGolden17Spec (merge_asof nearest semantics by hand: tie->prior, same-ts, NULL)",
+    "j7_pit_join" -> "InferenceGolden17Spec (hand version visibility incl. on-date and before-first NULL)",
+    "split_train_holdout" -> "InferenceGolden17Spec (independent polynomial-hash replay; partition theorem)",
+    "split_group_aware" -> "InferenceGolden17Spec (group atomicity + independent group-hash replay)",
+    "sample_exact_k" -> "InferenceGolden17Spec (exactly-k theorem; kept SET replays the md5 ranking)",
+    "sample_stratified" -> "InferenceGolden17Spec (independent per-doc hash replay of the kept counts)",
+    "g8_neighbor_jaccard" -> "InferenceGolden17Spec (hand J values; J=1 niche > giants; hub prune)",
+    "g9_seed_harmonic" -> "InferenceGolden17Spec (hand depth-2 Rochat harmonic on a seed path)",
+    "g19_degree_tail" -> "InferenceGolden17Spec (bit-length buckets on a hand K5 co-purchase graph)",
+    "layout_zorder" -> "InferenceGolden17Spec (hand Morton codes incl. the 63->64 quadrant seam)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

@@ -17,12 +17,14 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (111 queries). Parts 15-16 targeted
+  /** The accepted gap as of round 13 (100 queries). Parts 15-17 targeted
     * the largest families the first gauge run surfaced (agreement,
     * sketch rungs, robust centers, targeted spectral power, link
     * prediction, partition quality, the monitoring/series tail,
     * sketch overlap, IR/stylometry scorers, optimizer statistics, and
-    * the embedding-prep pair); the biggest remaining clusters
+    * the embedding-prep pair, the interval/as-of join tail, the
+    * deterministic split/sample family, the graph-descriptive tail,
+    * and the Morton layout key); the biggest remaining clusters
     * are the sim* ANN variants (quality-gated by bench recall rather
     * than value goldens), the hand-rolled tx* scoring family, and the
     * m* multimodal formula tail.
@@ -49,23 +51,16 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "g14_hierarchy_rollup",
     "g16_local_bridges",
     "g17_core_decomposition",
-    "g19_degree_tail",
     "g20_assortativity",
     "g22_neighborhood_function",
     "g4_ppr_seeds",
-    "g8_neighbor_jaccard",
-    "g9_seed_harmonic",
     "j13_item_cf",
-    "j16_interval_union",
-    "j17_asof_nearest",
     "j6_fuzzy_join",
     "j6b_fuzzy_join_d2",
-    "j7_pit_join",
     "j8_record_linkage",
     "j8b_sorted_neighborhood",
     "j8d_fellegi_sunter",
     "layout_hilbert",
-    "layout_zorder",
     "m10_byteslice_frames",
     "m11_byte_entropy",
     "m12_energy_dips",
@@ -74,8 +69,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "pack_sequences",
     "pipeline_curation",
     "sample_allocation",
-    "sample_exact_k",
-    "sample_stratified",
     "sim12_hybrid_rrf",
     "sim13_native_centroids",
     "sim14_mips_topk",
@@ -97,8 +90,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "sim7_label_centroids",
     "sim8_hard_negatives",
     "sketch_cms_token_freq",
-    "split_group_aware",
-    "split_train_holdout",
     "t_forecast_skill",
     "t_rate_anomaly",
     "t_sequence_likelihood",
