@@ -150,6 +150,13 @@ object GoldenCoverage {
     "g9_seed_harmonic" -> "InferenceGolden17Spec (hand depth-2 Rochat harmonic on a seed path)",
     "g19_degree_tail" -> "InferenceGolden17Spec (bit-length buckets on a hand K5 co-purchase graph)",
     "layout_zorder" -> "InferenceGolden17Spec (hand Morton codes incl. the 63->64 quadrant seam)",
+    "sim1_topk_bruteforce" -> "InferenceGolden18Spec (hand cosines 1 / 1-over-sqrt2 / 0, tie-break pinned)",
+    "sim7_label_centroids" -> "InferenceGolden18Spec (hand element-wise means; norm sqrt(20))",
+    "sim13_native_centroids" -> "InferenceGolden18Spec (same hand centroid via the native aggregate path)",
+    "sim14_mips_topk" -> "InferenceGolden18Spec (hand integer dots; high norm beats better angle)",
+    "sim12_hybrid_rrf" -> "InferenceGolden18Spec (published 1/(60+rank) fusion replayed by hand)",
+    "sim21_pca_power" -> "InferenceGolden18Spec (one-axis variance recovers the axis, loading 1e6)",
+    "sim22_dbscan" -> "InferenceGolden18Spec (hand angle ladder: 4 cores / 1 border / 1 noise)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

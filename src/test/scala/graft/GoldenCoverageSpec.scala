@@ -17,7 +17,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (100 queries). Parts 15-17 targeted
+  /** The accepted gap as of round 13 (93 queries). Parts 15-18 targeted
     * the largest families the first gauge run surfaced (agreement,
     * sketch rungs, robust centers, targeted spectral power, link
     * prediction, partition quality, the monitoring/series tail,
@@ -69,9 +69,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "pack_sequences",
     "pipeline_curation",
     "sample_allocation",
-    "sim12_hybrid_rrf",
-    "sim13_native_centroids",
-    "sim14_mips_topk",
     "sim15_matryoshka_recall",
     "sim16_filtered_topk",
     "sim16b_filtered_nprobe8",
@@ -79,15 +76,11 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "sim18_centroid_drift",
     "sim18_mutual_nn",
     "sim19_ratio_test",
-    "sim1_topk_bruteforce",
-    "sim21_pca_power",
-    "sim22_dbscan",
     "sim22b_dbscan_lsh",
     "sim24_ivf_nprobe_curve",
     "sim25_davies_bouldin",
     "sim29_recall_curve",
     "sim3_lsh_bucket_profile",
-    "sim7_label_centroids",
     "sim8_hard_negatives",
     "sketch_cms_token_freq",
     "t_forecast_skill",
