@@ -157,6 +157,14 @@ object GoldenCoverage {
     "sim12_hybrid_rrf" -> "InferenceGolden18Spec (published 1/(60+rank) fusion replayed by hand)",
     "sim21_pca_power" -> "InferenceGolden18Spec (one-axis variance recovers the axis, loading 1e6)",
     "sim22_dbscan" -> "InferenceGolden18Spec (hand angle ladder: 4 cores / 1 border / 1 noise)",
+    "a51_markov_removal" -> "InferenceGolden19Spec (Anderl removal effect exact rationals: 3/4, 1/3, 1/2)",
+    "tx53_lsh_param_sweep" -> "InferenceGolden19Spec (S-curve exact ends: recall 1 at s=1, fp 0 at s=0)",
+    "tx36_waterfill_budget" -> "InferenceGolden19Spec (hand level, sum min(n,t) = B, remainder by name)",
+    "tx12_bigram_lm_score" -> "InferenceGolden19Spec (ln(c2/c1) replay; rare bigram crosses the gate)",
+    "tx7_canonical_dedup" -> "InferenceGolden19Spec (hand raw-vs-canonical counts; cross-doc collision)",
+    "m11_byte_entropy" -> "InferenceGolden19Spec (Shannon hand values: ln 2, 0, ln 4)",
+    "g20_assortativity" -> "InferenceGolden19Spec (star reads Newman r = -1 exactly)",
+    "a55_conformal_interval" -> "InferenceGolden19Spec (hand order statistic + hand coverage)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",
