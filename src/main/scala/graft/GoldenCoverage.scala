@@ -165,6 +165,11 @@ object GoldenCoverage {
     "m11_byte_entropy" -> "InferenceGolden19Spec (Shannon hand values: ln 2, 0, ln 4)",
     "g20_assortativity" -> "InferenceGolden19Spec (star reads Newman r = -1 exactly)",
     "a55_conformal_interval" -> "InferenceGolden19Spec (hand order statistic + hand coverage)",
+    "tx41_decontamination" -> "InferenceGolden20Spec (hand 5-gram overlap, counted once)",
+    "tx42_sequence_packing" -> "InferenceGolden20Spec (hand pack ids at B=2048 incl. exact boundary)",
+    "j13_item_cf" -> "InferenceGolden20Spec (hand basket cosines; support cut; skey tie by id)",
+    "t_sequence_likelihood" -> "InferenceGolden20Spec (hand matrix ln replay; improbable chain first)",
+    "dedup_containment_pairs" -> "InferenceGolden20Spec (C_max = 1 ceiling with exact intersection)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

@@ -17,7 +17,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (85 queries). Parts 15-19 targeted
+  /** The accepted gap as of round 13 (80 queries). Parts 15-20 targeted
     * the largest families the first gauge run surfaced (agreement,
     * sketch rungs, robust centers, targeted spectral power, link
     * prediction, partition quality, the monitoring/series tail,
@@ -35,7 +35,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "a60_permutation_test",
     "a61_bh_fdr",
     "audit_functional_deps",
-    "dedup_containment_pairs",
     "dedup_embedding_lsh",
     "dedup_incremental",
     "dedup_incremental_near",
@@ -51,7 +50,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "g17_core_decomposition",
     "g22_neighborhood_function",
     "g4_ppr_seeds",
-    "j13_item_cf",
     "j6_fuzzy_join",
     "j6b_fuzzy_join_d2",
     "j8_record_linkage",
@@ -81,7 +79,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "sketch_cms_token_freq",
     "t_forecast_skill",
     "t_rate_anomaly",
-    "t_sequence_likelihood",
     "tx13_passage_dedup",
     "tx14_pii_scrub",
     "tx16_temperature_mixture",
@@ -102,8 +99,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "tx38_isotonic_calibration",
     "tx3_lang_confusion",
     "tx40_cohens_kappa",
-    "tx41_decontamination",
-    "tx42_sequence_packing",
     "tx43_auc_exact",
     "tx44_leakage_safe_split",
     "tx46_style_distance",
