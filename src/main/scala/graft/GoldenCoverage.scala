@@ -170,6 +170,11 @@ object GoldenCoverage {
     "j13_item_cf" -> "InferenceGolden20Spec (hand basket cosines; support cut; skey tie by id)",
     "t_sequence_likelihood" -> "InferenceGolden20Spec (hand matrix ln replay; improbable chain first)",
     "dedup_containment_pairs" -> "InferenceGolden20Spec (C_max = 1 ceiling with exact intersection)",
+    "tx28_eval_metrics" -> "InferenceGolden21Spec (confusion-definition replay; van Rijsbergen F1)",
+    "tx40_cohens_kappa" -> "InferenceGolden21Spec (textbook (po-pe)/(1-pe) route on the replayed 2x2)",
+    "tx43_auc_exact" -> "InferenceGolden21Spec (brute-force Mann-Whitney pair counting, ties at 1/2)",
+    "tx29_calibration" -> "InferenceGolden21Spec (replayed decile bins, exact per-bin rates)",
+    "tx48_brier_decomp" -> "InferenceGolden21Spec (Murphy identity vs an independent binned Brier)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",
