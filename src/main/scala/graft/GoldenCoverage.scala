@@ -175,6 +175,14 @@ object GoldenCoverage {
     "tx43_auc_exact" -> "InferenceGolden21Spec (brute-force Mann-Whitney pair counting, ties at 1/2)",
     "tx29_calibration" -> "InferenceGolden21Spec (replayed decile bins, exact per-bin rates)",
     "tx48_brier_decomp" -> "InferenceGolden21Spec (Murphy identity vs an independent binned Brier)",
+    "t_rate_anomaly" -> "InferenceGolden22Spec (hand z = 10/sqrt(11); sd=0 degenerate pinned)",
+    "g16_local_bridges" -> "InferenceGolden22Spec (triangle-plus-pendant: only the pendant bridges)",
+    "tx3_lang_confusion" -> "InferenceGolden22Spec (hand marker argmax, confusion cell, und fallback)",
+    "tx14_pii_scrub" -> "InferenceGolden22Spec (planted address found once; zero-residual theorem)",
+    "tx30_distinctive_terms" -> "InferenceGolden22Spec (Dunning exclusive-term closed form 20 ln 2)",
+    "tx44_leakage_safe_split" -> "InferenceGolden22Spec (structural zero straddle; replayed naive leak)",
+    "audit_functional_deps" -> "InferenceGolden22Spec (hand violations; excess = sum(k-1) repair bound)",
+    "layout_hilbert" -> "InferenceGolden22Spec (canonical imperative xy2d agreement on scattered points)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",
