@@ -183,6 +183,11 @@ object GoldenCoverage {
     "tx44_leakage_safe_split" -> "InferenceGolden22Spec (structural zero straddle; replayed naive leak)",
     "audit_functional_deps" -> "InferenceGolden22Spec (hand violations; excess = sum(k-1) repair bound)",
     "layout_hilbert" -> "InferenceGolden22Spec (canonical imperative xy2d agreement on scattered points)",
+    "tx32_phrase_search" -> "InferenceGolden23Spec (hand postings intersection; reversed/gapped excluded)",
+    "tx33_lexical_complexity" -> "InferenceGolden23Spec (vowel-group heuristic: united=3, cat=1, xyz=0)",
+    "tx34_shingle_novelty" -> "InferenceGolden23Spec (hand df=1 fractions: 1/2, 1/2, 1)",
+    "tx13_passage_dedup" -> "InferenceGolden23Spec (planted re-crawl duplicates exactly its chunks)",
+    "tx22_dup_ngram_coverage" -> "InferenceGolden23Spec (clone pair's positions exactly; within-doc excluded)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

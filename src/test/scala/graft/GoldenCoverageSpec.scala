@@ -17,7 +17,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (67 queries). Parts 15-22 targeted
+  /** The accepted gap as of round 13 (62 queries). Parts 15-23 targeted
     * the largest families the first gauge run surfaced (agreement,
     * sketch rungs, robust centers, targeted spectral power, link
     * prediction, partition quality, the monitoring/series tail,
@@ -76,18 +76,13 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "sim8_hard_negatives",
     "sketch_cms_token_freq",
     "t_forecast_skill",
-    "tx13_passage_dedup",
     "tx16_temperature_mixture",
     "tx17_epoch_oversample",
     "tx18_quality_curriculum",
     "tx21_source_cap",
-    "tx22_dup_ngram_coverage",
     "tx24_quantile_normalize",
     "tx25_bpe_encode",
     "tx27_textrank",
-    "tx32_phrase_search",
-    "tx33_lexical_complexity",
-    "tx34_shingle_novelty",
     "tx37_proximity_search",
     "tx38_isotonic_calibration",
     "tx46_style_distance",
