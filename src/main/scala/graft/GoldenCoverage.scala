@@ -188,6 +188,10 @@ object GoldenCoverage {
     "tx34_shingle_novelty" -> "InferenceGolden23Spec (hand df=1 fractions: 1/2, 1/2, 1)",
     "tx13_passage_dedup" -> "InferenceGolden23Spec (planted re-crawl duplicates exactly its chunks)",
     "tx22_dup_ngram_coverage" -> "InferenceGolden23Spec (clone pair's positions exactly; within-doc excluded)",
+    "pack_sequences" -> "InferenceGolden24Spec (hand concat-and-chunk bins per source)",
+    "sample_allocation" -> "InferenceGolden24Spec (Hamilton largest-remainder; sum(alloc) = k exactly)",
+    "g14_hierarchy_rollup" -> "InferenceGolden24Spec (hand 3-level chain to true root/depth via doubling)",
+    "tx47_target_encoding" -> "InferenceGolden24Spec (out-of-fold complement identity on a hand table)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

@@ -17,7 +17,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (62 queries). Parts 15-23 targeted
+  /** The accepted gap as of round 13 (58 queries). Parts 15-24 targeted
     * the largest families the first gauge run surfaced (agreement,
     * sketch rungs, robust centers, targeted spectral power, link
     * prediction, partition quality, the monitoring/series tail,
@@ -45,7 +45,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "est_hll_curve",
     "g10_assortativity",
     "g11_rich_club",
-    "g14_hierarchy_rollup",
     "g17_core_decomposition",
     "g22_neighborhood_function",
     "g4_ppr_seeds",
@@ -58,9 +57,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "m12_energy_dips",
     "m7_audio_frame_energy",
     "m8_image_dhash",
-    "pack_sequences",
     "pipeline_curation",
-    "sample_allocation",
     "sim15_matryoshka_recall",
     "sim16_filtered_topk",
     "sim16b_filtered_nprobe8",
@@ -86,7 +83,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "tx37_proximity_search",
     "tx38_isotonic_calibration",
     "tx46_style_distance",
-    "tx47_target_encoding",
     "tx49_gini_features",
     "tx4_fingerprint_sample",
     "tx51_rake_keywords",
