@@ -192,6 +192,9 @@ object GoldenCoverage {
     "sample_allocation" -> "InferenceGolden24Spec (Hamilton largest-remainder; sum(alloc) = k exactly)",
     "g14_hierarchy_rollup" -> "InferenceGolden24Spec (hand 3-level chain to true root/depth via doubling)",
     "tx47_target_encoding" -> "InferenceGolden24Spec (out-of-fold complement identity on a hand table)",
+    "j6_fuzzy_join" -> "InferenceGolden25Spec (FastSS three match classes by hand via the variant join)",
+    "dedup_sparse_cosine" -> "InferenceGolden25Spec (cos=1 exact dot; 2-of-3 overlap pruned by absence)",
+    "tx16_temperature_mixture" -> "InferenceGolden25Spec (rate min(1,16/sqrt n) at n=400; hash replay)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

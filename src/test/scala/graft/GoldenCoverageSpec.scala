@@ -17,7 +17,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (58 queries). Parts 15-24 targeted
+  /** The accepted gap as of round 13 (55 queries). Parts 15-25 targeted
     * the largest families the first gauge run surfaced (agreement,
     * sketch rungs, robust centers, targeted spectral power, link
     * prediction, partition quality, the monitoring/series tail,
@@ -39,7 +39,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "dedup_incremental",
     "dedup_incremental_near",
     "dedup_semantic_cells",
-    "dedup_sparse_cosine",
     "diff_merge3",
     "diff_merkle_buckets",
     "est_hll_curve",
@@ -48,7 +47,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "g17_core_decomposition",
     "g22_neighborhood_function",
     "g4_ppr_seeds",
-    "j6_fuzzy_join",
     "j6b_fuzzy_join_d2",
     "j8_record_linkage",
     "j8b_sorted_neighborhood",
@@ -73,7 +71,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "sim8_hard_negatives",
     "sketch_cms_token_freq",
     "t_forecast_skill",
-    "tx16_temperature_mixture",
     "tx17_epoch_oversample",
     "tx18_quality_curriculum",
     "tx21_source_cap",
