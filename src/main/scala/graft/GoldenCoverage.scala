@@ -195,6 +195,9 @@ object GoldenCoverage {
     "j6_fuzzy_join" -> "InferenceGolden25Spec (FastSS three match classes by hand via the variant join)",
     "dedup_sparse_cosine" -> "InferenceGolden25Spec (cos=1 exact dot; 2-of-3 overlap pruned by absence)",
     "tx16_temperature_mixture" -> "InferenceGolden25Spec (rate min(1,16/sqrt n) at n=400; hash replay)",
+    "diff_merge3" -> "InferenceGolden26Spec (all eight resolution classes, id-sum pinned)",
+    "tx56_novelty_curve" -> "InferenceGolden26Spec (first-seen trigram deciles by hand; decile clamp)",
+    "tx49_gini_features" -> "InferenceGolden26Spec (CART gain replay over the score protocol)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

@@ -17,7 +17,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (55 queries). Parts 15-25 targeted
+  /** The accepted gap as of round 13 (52 queries). Parts 15-26 targeted
     * the largest families the first gauge run surfaced (agreement,
     * sketch rungs, robust centers, targeted spectral power, link
     * prediction, partition quality, the monitoring/series tail,
@@ -39,7 +39,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "dedup_incremental",
     "dedup_incremental_near",
     "dedup_semantic_cells",
-    "diff_merge3",
     "diff_merkle_buckets",
     "est_hll_curve",
     "g10_assortativity",
@@ -80,11 +79,9 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "tx37_proximity_search",
     "tx38_isotonic_calibration",
     "tx46_style_distance",
-    "tx49_gini_features",
     "tx4_fingerprint_sample",
     "tx51_rake_keywords",
     "tx55_dup_source_mix",
-    "tx56_novelty_curve",
     "tx57_feature_hash"
   )
 
