@@ -198,6 +198,8 @@ object GoldenCoverage {
     "diff_merge3" -> "InferenceGolden26Spec (all eight resolution classes, id-sum pinned)",
     "tx56_novelty_curve" -> "InferenceGolden26Spec (first-seen trigram deciles by hand; decile clamp)",
     "tx49_gini_features" -> "InferenceGolden26Spec (CART gain replay over the score protocol)",
+    "j8d_fellegi_sunter" -> "InferenceGolden27Spec (separable decision table: match/nonmatch closed-form ends)",
+    "a41_hll_distinct" -> "InferenceGolden27Spec (full independent Flajolet replay incl. the LC branch)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

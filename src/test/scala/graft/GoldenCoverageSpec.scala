@@ -17,7 +17,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (52 queries). Parts 15-26 targeted
+  /** The accepted gap as of round 13 (50 queries). Parts 15-27 targeted
     * the largest families the first gauge run surfaced (agreement,
     * sketch rungs, robust centers, targeted spectral power, link
     * prediction, partition quality, the monitoring/series tail,
@@ -32,7 +32,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     */
   private val expectedGap: Seq[String] = Seq(
     "a12b_tdigest_quantiles",
-    "a41_hll_distinct",
     "a60_permutation_test",
     "a61_bh_fdr",
     "dedup_embedding_lsh",
@@ -49,7 +48,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "j6b_fuzzy_join_d2",
     "j8_record_linkage",
     "j8b_sorted_neighborhood",
-    "j8d_fellegi_sunter",
     "m10_byteslice_frames",
     "m12_energy_dips",
     "m7_audio_frame_energy",
