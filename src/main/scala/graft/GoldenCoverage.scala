@@ -200,6 +200,9 @@ object GoldenCoverage {
     "tx49_gini_features" -> "InferenceGolden26Spec (CART gain replay over the score protocol)",
     "j8d_fellegi_sunter" -> "InferenceGolden27Spec (separable decision table: match/nonmatch closed-form ends)",
     "a41_hll_distinct" -> "InferenceGolden27Spec (full independent Flajolet replay incl. the LC branch)",
+    "tx25_bpe_encode" -> "InferenceGolden28Spec (pinned merge fuses by hand; unmatched words stay apart)",
+    "tx55_dup_source_mix" -> "InferenceGolden28Spec (single- vs cross-source clusters, hand purity)",
+    "est_hll_curve" -> "InferenceGolden28Spec (independent register replay across all three arms)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

@@ -17,7 +17,7 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (50 queries). Parts 15-27 targeted
+  /** The accepted gap as of round 13 (47 queries). Parts 15-28 targeted
     * the largest families the first gauge run surfaced (agreement,
     * sketch rungs, robust centers, targeted spectral power, link
     * prediction, partition quality, the monitoring/series tail,
@@ -39,7 +39,6 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "dedup_incremental_near",
     "dedup_semantic_cells",
     "diff_merkle_buckets",
-    "est_hll_curve",
     "g10_assortativity",
     "g11_rich_club",
     "g17_core_decomposition",
@@ -72,14 +71,12 @@ class GoldenCoverageSpec extends AnyFunSuite {
     "tx18_quality_curriculum",
     "tx21_source_cap",
     "tx24_quantile_normalize",
-    "tx25_bpe_encode",
     "tx27_textrank",
     "tx37_proximity_search",
     "tx38_isotonic_calibration",
     "tx46_style_distance",
     "tx4_fingerprint_sample",
     "tx51_rake_keywords",
-    "tx55_dup_source_mix",
     "tx57_feature_hash"
   )
 
