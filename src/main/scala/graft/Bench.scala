@@ -781,6 +781,12 @@ object Bench {
     */
   private val tierTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
   private val tierSpreads = scala.collection.mutable.HashMap[String, (Double, Double)]()
+  /** The heavy list the promotion policy actually produced this run
+    * (None when SPARK_GRAFT_HEAVY_QUERIES overrode the policy, so the
+    * mirror's recorded list carries forward unchanged — an explicit
+    * dev override must not erase the full-run record).
+    */
+  @volatile private var promotedThisRun: Option[Seq[String]] = None
 
   /** The in-run load sentinel (round-11 verdict ask 2 — the jitter
     * class burned a DevMoverAttrib cycle in r8/r9/r10): a pinned
@@ -965,14 +971,20 @@ object Bench {
             s""""top_movers":$moverJson}"""
         Files.writeString(Paths.get("bench_movers.json"), block)
         out ++= s""","movers":$block"""
+        // promoted heavy list: this run's policy output, or (when the
+        // policy didn't run) the previous full run's record verbatim
+        val promotedRec = promotedThisRun
+          .getOrElse(BenchMirror.parsePromotedHeavy(body))
         Files.writeString(path, BenchMirror.render(mTimes, mSpreads, unattr, esc,
-          runLoad, Some(wallSec), mr.ratchetHeld, mr.history, mr.best))
+          runLoad, Some(wallSec), mr.ratchetHeld, mr.history, mr.best,
+          promotedRec))
       } else {
         // first run: no baseline to compare or hold — seed the mirror
         // (best seeds at the observed medians and only falls after)
         Files.writeString(path, BenchMirror.render(
           tierTimes.toSeq, tierSpreads.toMap, Seq.empty, esc,
-          Seq.empty, Some(wallSec), Seq.empty, Seq.empty, tierTimes.toMap))
+          Seq.empty, Some(wallSec), Seq.empty, Seq.empty, tierTimes.toMap,
+          promotedThisRun.getOrElse(Seq.empty)))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -1055,9 +1067,17 @@ object Bench {
       } yield held > 0.0 && last / held >= 1.5).getOrElse(false)
       if (inflated) {
         val mirror = Paths.get("BENCH_TIMES.json")
+        val mirrorBody =
+          if (Files.exists(mirror)) Files.readString(mirror) else ""
+        // the explicitly recorded list from the last full run (round-13
+        // advice) — the value-sorted heavy/* inference below is only
+        // the fallback for mirrors written before the key existed
+        val stored = BenchMirror.parsePromotedHeavy(mirrorBody)
+          .filter(known).filterNot(heavyBase.contains).take(n)
         val prevHeavy =
-          if (Files.exists(mirror))
-            BenchMirror.parseTimes(Files.readString(mirror)).toSeq
+          if (stored.nonEmpty) stored
+          else if (mirrorBody.nonEmpty)
+            BenchMirror.parseTimes(mirrorBody).toSeq
               .collect {
                 case (k, v) if k.startsWith("heavy/") &&
                   !heavyBase.contains(k.stripPrefix("heavy/")) &&
@@ -1087,6 +1107,7 @@ object Bench {
     val explicit = sys.env.get("SPARK_GRAFT_HEAVY_QUERIES")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     val promoted = if (explicit.isDefined) Seq.empty else promotedHeavy()
+    promotedThisRun = if (explicit.isDefined) None else Some(promoted)
     val names = explicit.getOrElse(heavyBase ++ promoted.filterNot(heavyBase.contains))
     if (promoted.nonEmpty)
       System.err.println(s"[heavy] promoted from VERIFY_TIMES: ${promoted.mkString(",")}")
@@ -1207,7 +1228,30 @@ object Bench {
     s"""{"n":$nSamples,"stat":"samples_chronological","queries":$qs$errJson,"failed":${errs.size}}"""
   }
 
+  /** Entry: take the exclusive bench lock FIRST (round-13 verdict ask
+    * 2 — the double-bench collision made mechanical; see [[BenchLock]]),
+    * then run. The close-out chain relies on this: a second bench
+    * launched while one is running exits 3 with the holder's identity
+    * instead of silently cross-contaminating both runs' measurements.
+    */
   def main(args: Array[String]): Unit = {
+    val lockPath = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCK", BenchLock.DefaultName))
+    val holder = BenchLock.acquireOrDie(lockPath)
+    // the body ends in sys.exit on query failure, which skips finally
+    // blocks — a shutdown hook covers that path (and SIGTERM); stale
+    // PID detection covers kill -9
+    val hook = new Thread(() => BenchLock.release(lockPath, holder.pid))
+    Runtime.getRuntime.addShutdownHook(hook)
+    try benchMain(args)
+    finally {
+      BenchLock.release(lockPath, holder.pid)
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => () }
+    }
+  }
+
+  private def benchMain(args: Array[String]): Unit = {
     val wallT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

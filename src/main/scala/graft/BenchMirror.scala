@@ -110,6 +110,29 @@ object BenchMirror {
   def parseRunLevelLoad(body: String): Set[String] =
     parseNameArray(body, "run_level_load")
 
+  /** The promoted heavy-tier list, IN PROMOTION ORDER (round-13
+    * advice: the load-inflated-sweep membership pin used to
+    * RECONSTRUCT "the previous promoted set" from the value-sorted
+    * heavy-prefixed mirror entries — but the mirror also carries
+    * flagged heavy entries from earlier rotations, and held bench
+    * baselines are not the promotion metric (verify sweep cost), so
+    * the inferred set could differ from what actually ran. The list
+    * is now recorded explicitly by every full default run; the pin
+    * reads it back verbatim.)
+    */
+  def parsePromotedHeavy(body: String): Seq[String] =
+    parseNameArrayOrdered(body, "promoted_heavy")
+
+  private def parseNameArrayOrdered(body: String, field: String): Seq[String] = {
+    val arr = ("\"" + field + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+    arr.findFirstMatchIn(body) match {
+      case None => Seq.empty
+      case Some(m) =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSeq
+    }
+  }
+
   private def parseNameArray(body: String, field: String): Set[String] = {
     val arr = ("\"" + field + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
     arr.findFirstMatchIn(body) match {
@@ -380,7 +403,8 @@ object BenchMirror {
       wall: Option[Double] = None,
       ratchetHeld: Seq[String] = Seq.empty,
       history: Seq[String] = Seq.empty,
-      best: Map[String, Double] = Map.empty): String = {
+      best: Map[String, Double] = Map.empty,
+      promotedHeavy: Seq[String] = Seq.empty): String = {
     val t = times.map { case (k, v) => s""""${esc(k)}":${num(v)}""" }
       .mkString("{", ",", "}")
     val s = spreads.toSeq.sortBy(_._1)
@@ -394,6 +418,7 @@ object BenchMirror {
     s"""{"times":$t,"spreads":$s,"unattributed":${arr(unattributed)}""" +
       s""","run_level_load":${arr(runLevelLoad)}""" +
       s""","ratchet_held":${arr(ratchetHeld)}""" +
+      s""","promoted_heavy":${arr(promotedHeavy)}""" +
       s""","jitter_history":${arr(history)},"best":$b$w}"""
   }
 }

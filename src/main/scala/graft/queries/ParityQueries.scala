@@ -7139,9 +7139,15 @@ object ParityQueries {
           .select(col("nn").as("n"),
             ((col("r") - 1) * (col("c") - 1)).as("dof"),
             round(col("chi2"), 6).as("chi2"),
+            // degenerate guard (round-13 advice): a single observed
+            // segment or priority makes min(r−1, c−1) = 0 and chi2 = 0
+            // — 0/0 → NaN, whose bit pattern the two engines need not
+            // agree on. greatest(…, 1) pins the degenerate table to
+            // V = 0 (no association measurable) on BOTH mirrors.
             round(sqrt(col("chi2")
               / (col("nn").cast("double")
-                * least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+                * greatest(least(col("r") - 1, col("c") - 1), lit(1L))
+                  .cast("double"))), 6)
               .as("cramers_v"))
       },
       Some("""WITH x AS (SELECT c_mktsegment AS seg,
@@ -7175,7 +7181,7 @@ object ParityQueries {
              |SELECT nn AS n, (r - 1) * (c - 1) AS dof,
              |  round(chi2, 6) AS chi2,
              |  round(sqrt(chi2 / (CAST(nn AS DOUBLE)
-             |    * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+             |    * CAST(greatest(least(r - 1, c - 1), 1) AS DOUBLE))), 6)
              |    AS cramers_v
              |FROM chi""".stripMargin)),
   )

@@ -72,9 +72,14 @@ object Scd2Stream {
     @volatile private var standing: Option[DataFrame] = None
     @volatile private var handle: Option[org.apache.spark.rdd.RDD[_]] = None
 
-    /** The foreachBatch body. Synchronized: micro-batches arrive
-      * serially per query, but a concurrent history() read must see
-      * a consistent (standing, handle) pair.
+    /** The foreachBatch body. Synchronized so that merge/release
+      * updates to the (standing, handle) pair are atomic with each
+      * other. NOTE the frame-lifetime contract this does NOT cover:
+      * a DataFrame previously returned by [[changePoints]]/[[history]]
+      * is backed by the localCheckpoint RDD that THIS call unpersists
+      * — synchronization cannot make such a frame safe to execute
+      * after the next merge (a localCheckpointed plan cannot
+      * recompute its blocks). See the getter docs.
       */
     def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (!batch.isEmpty) {
@@ -89,13 +94,24 @@ object Scd2Stream {
       }
     }
 
-    /** Current standing change points (empty before the first batch). */
+    /** Current standing change points (empty before the first batch).
+      *
+      * LIFETIME: the returned frame is valid only until the next
+      * [[merge]]/[[release]] — it is backed by a localCheckpoint RDD
+      * that the next merge unpersists, and a localCheckpointed plan
+      * cannot recompute lost blocks. Execute (collect/write) it
+      * within the current micro-batch, or snapshot it first.
+      */
     def changePoints: Option[DataFrame] = standing
 
     /** The effective-dated history: identical to running
       * [[Scd2.build]] over the full change log consumed so far
       * (changePoints is idempotent, so build over the standing set
       * re-derives valid_to / version / is_current exactly).
+      *
+      * Same lifetime contract as [[changePoints]]: the frame reads
+      * the current standing checkpoint and is invalidated by the
+      * next [[merge]]/[[release]].
       */
     def history(): Option[DataFrame] =
       standing.map(st => Scd2.build(st, key, value, ts, seq))

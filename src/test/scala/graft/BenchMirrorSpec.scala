@@ -390,4 +390,17 @@ class BenchMirrorSpec extends AnyFunSuite {
     assert(BenchMirror.parseTimes(body) == Map("a" -> 1.0))
     assert(BenchMirror.parseWall(body).contains(10.0))
   }
+
+  test("promoted_heavy roundtrip preserves PROMOTION ORDER (round-13 advice)") {
+    // order matters: the pin replays the recorded list verbatim, and
+    // the policy's order is by verify cost, not alphabetical
+    val body = BenchMirror.render(Seq("a" -> 1.0), Map.empty, Seq.empty,
+      esc, Seq.empty, None, Seq.empty, Seq.empty, Map.empty,
+      Seq("zeta", "alpha", "mid"))
+    assert(BenchMirror.parsePromotedHeavy(body) == Seq("zeta", "alpha", "mid"))
+    // absent key (pre-r14 mirror): empty, not a crash
+    val old = BenchMirror.render(Seq("a" -> 1.0), Map.empty, Seq.empty, esc)
+    assert(BenchMirror.parsePromotedHeavy(old).isEmpty
+      || BenchMirror.parsePromotedHeavy(old) == Seq.empty)
+  }
 }

@@ -50,6 +50,7 @@ import org.apache.spark.sql.functions._
   * corpora, so session detection, censoring edges, the hourly grid,
   * and the cents pinning are exercised, not re-derived.
   */
+@graft.Golden
 class InferenceGolden2Spec extends SparkSpec {
 
   // ----- fixture plumbing (InferenceGoldenSpec's, self-contained) ---
@@ -332,6 +333,19 @@ class InferenceGolden2Spec extends SparkSpec {
     val r2 = run("a67_cramers_v", dir2).head
     assert(r2.getAs[Double]("chi2") == 0.0)
     assert(r2.getAs[Double]("cramers_v") == 0.0)
+  }
+
+  test("a67_cramers_v degenerate table (single observed segment): the " +
+      "round-13-advice guard pins V = 0 and dof = 0, never NaN") {
+    // all orders from customer 1 → r = 1, c = 3: min(r−1,c−1) = 0 and
+    // chi2 = 0 — without greatest(…,1) the V division is 0/0 → NaN,
+    // whose bit pattern the two engines need not agree on
+    val one = Seq((1L, 0), (1L, 1), (1L, 2), (1L, 1))
+    val r = run("a67_cramers_v", fixture("cramerv1", tpch(one): _*)).head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("dof") == 0L)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Double]("cramers_v") == 0.0)
   }
 
   // ===================================================================
