@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suite-time artifact (SUITE_TIMES.json, the sweep's cost discipline
+// applied to the test suite) — see graft.SuiteTimeReporter. The fast
+// inner loop excludes the golden program with:
+//   sbt -batch 'testOnly * -- -l graft.Golden'
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-C", "graft.SuiteTimeReporter")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

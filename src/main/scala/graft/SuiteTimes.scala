@@ -1,0 +1,86 @@
+package graft
+
+/** Suite-time artifact logic (round-13 verdict ask 4): the test
+  * suite under the verify sweep's cost discipline.
+  *
+  * Judge-side `sbt test` wall went 929 → 1650 s in one round with no
+  * gauge on it — the sweep has sweep_total_sec with a 1.5× ratchet
+  * (Verify.scala), the suite had nothing. SUITE_TIMES.json records
+  * per-suite wall seconds plus a held/last total pair with the same
+  * semantics: the held total rewrites freely DOWNWARD and on any
+  * clean (<1.5×) change, but a ≥1.5× jump records only
+  * `suite_total_last_sec` so the drift is visible without poisoning
+  * the baseline (ambient load inflates test wall exactly like it
+  * inflates the sweep).
+  *
+  * Full-run detection mirrors the Verify discipline (only FULL
+  * sweeps rewrite the repo-root mirror): a run that completed fewer
+  * suites than ~90% of the previous full run's count is a subset
+  * (`sbt testOnly`, the fast loop) — it updates the per-suite
+  * entries it actually measured but never the total pair, so a
+  * two-speed loop can't fake a suite-wide improvement.
+  *
+  * Pure functions; the ScalaTest side (SuiteTimeReporter, test
+  * classpath) feeds them and SuiteTimesSpec pins them.
+  */
+object SuiteTimes {
+
+  final case class State(
+      times: Map[String, Double],
+      heldTotal: Option[Double],
+      lastTotal: Option[Double],
+      fullSuiteCount: Int)
+
+  val Empty: State = State(Map.empty, None, None, 0)
+
+  def parse(body: String): State = {
+    val times = "\"suite/((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*([0-9.]+)".r
+      .findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    def num(field: String): Option[Double] =
+      ("\"" + field + "\"\\s*:\\s*([0-9.]+)").r
+        .findFirstMatchIn(body).map(_.group(1).toDouble)
+    State(times, num("suite_total_sec"), num("suite_total_last_sec"),
+      num("full_suite_count").map(_.toInt).getOrElse(times.size))
+  }
+
+  /** Fold one test run into the previous state.
+    *
+    * @param ran per-suite wall seconds this run actually completed
+    * @return (next state, wasFullRun, ratchetHeld)
+    */
+  def merge(prev: State, ran: Map[String, Double],
+      ratchet: Double = 1.5): (State, Boolean, Boolean) = {
+    if (ran.isEmpty) return (prev, false, false)
+    val full = prev.fullSuiteCount == 0 ||
+      ran.size >= math.ceil(prev.fullSuiteCount * 0.9).toInt
+    val times = prev.times ++ ran
+    if (!full) (prev.copy(times = times), false, false)
+    else {
+      val total = ran.values.sum
+      // a run covering >10% MORE suites than the recorded full count
+      // is a grown suite set — new suites are deliberate cost, not
+      // ambient drift, so the baseline RESEEDS (without this, a
+      // subset-seeded or pre-growth held total could never recover:
+      // the first bigger full run would ratchet-hold forever)
+      val grew = ran.size > math.ceil(prev.fullSuiteCount * 1.1).toInt
+      val ratchetHeld = !grew &&
+        prev.heldTotal.exists(h => h > 0.0 && total / h >= ratchet)
+      val held =
+        if (ratchetHeld) prev.heldTotal.get
+        else total
+      (State(times, Some(held), Some(total), ran.size), true, ratchetHeld)
+    }
+  }
+
+  def render(s: State): String = {
+    def num(v: Double) = BenchMirror.num(v)
+    val t = s.times.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""suite/${k.replace("\"", "")}":${num(v)}""" }
+      .mkString("{", ",", "}")
+    s"""{"times":$t""" +
+      s.heldTotal.map(v => s""","suite_total_sec":${num(v)}""").getOrElse("") +
+      s.lastTotal.map(v => s""","suite_total_last_sec":${num(v)}""").getOrElse("") +
+      s""","full_suite_count":${s.fullSuiteCount}}"""
+  }
+}

@@ -25,6 +25,7 @@ package graft
   * (union length, no double count), and exactly-adjacent spans
   * (s2 = e1 + 1) merge into one maximal span.
   */
+@graft.Golden
 class DupSpanGoldenSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"

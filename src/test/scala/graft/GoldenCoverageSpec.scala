@@ -17,52 +17,30 @@ class GoldenCoverageSpec extends AnyFunSuite {
 
   private val registry = SparkEntry.orderedNames
 
-  /** The accepted gap as of round 13 (47 queries). Parts 15-28 targeted
-    * the largest families the first gauge run surfaced (agreement,
-    * sketch rungs, robust centers, targeted spectral power, link
-    * prediction, partition quality, the monitoring/series tail,
-    * sketch overlap, IR/stylometry scorers, optimizer statistics, and
-    * the embedding-prep pair, the interval/as-of join tail, the
-    * deterministic split/sample family, the graph-descriptive tail,
-    * and the Morton layout key); the biggest remaining clusters
-    * are the pinned-index ANN variants (quality-gated by the per-run
-    * bench recall floor - a measured anchor the gauge does not yet
-    * count), the deterministic-generator m* tail, and the j8 record-
-    * linkage family.
+  /** The accepted gap as of round 14. Round 13 closed 132 → 47; round
+    * 14 closed the three verdict-named families (record-linkage
+    * blocking via part 29, incremental dedup via part 30, the
+    * deterministic-generator media tail via part 31), the graph-
+    * descriptive tail (part 32), and taught the gauge the MEASURED
+    * anchor class (the in-query exact-arm recall gauges, bench-
+    * floored every run). The remaining clusters are hand-rolled
+    * scoring/metric queries (NDCG, Davies-Bouldin, isotonic, RAKE,
+    * textrank, …) — each needs a real published/hand anchor.
     */
   private val expectedGap: Seq[String] = Seq(
     "a12b_tdigest_quantiles",
     "a60_permutation_test",
     "a61_bh_fdr",
     "dedup_embedding_lsh",
-    "dedup_incremental",
-    "dedup_incremental_near",
     "dedup_semantic_cells",
     "diff_merkle_buckets",
-    "g10_assortativity",
-    "g11_rich_club",
-    "g17_core_decomposition",
-    "g22_neighborhood_function",
-    "g4_ppr_seeds",
-    "j6b_fuzzy_join_d2",
-    "j8_record_linkage",
-    "j8b_sorted_neighborhood",
-    "m10_byteslice_frames",
-    "m12_energy_dips",
-    "m7_audio_frame_energy",
-    "m8_image_dhash",
     "pipeline_curation",
-    "sim15_matryoshka_recall",
-    "sim16_filtered_topk",
-    "sim16b_filtered_nprobe8",
     "sim17_ranking_ndcg",
     "sim18_centroid_drift",
     "sim18_mutual_nn",
     "sim19_ratio_test",
     "sim22b_dbscan_lsh",
-    "sim24_ivf_nprobe_curve",
     "sim25_davies_bouldin",
-    "sim29_recall_curve",
     "sim3_lsh_bucket_profile",
     "sim8_hard_negatives",
     "sketch_cms_token_freq",
@@ -84,9 +62,22 @@ class GoldenCoverageSpec extends AnyFunSuite {
     assert(GoldenCoverage.staleEntries(registry).isEmpty)
   }
 
-  test("no query is both anchored and declarative") {
-    val both = GoldenCoverage.anchors.keySet & GoldenCoverage.declarative
-    assert(both.isEmpty, s"double-classified: $both")
+  test("no query is classified in more than one class") {
+    val ad = GoldenCoverage.anchors.keySet & GoldenCoverage.declarative
+    val am = GoldenCoverage.anchors.keySet & GoldenCoverage.measured.keySet
+    val dm = GoldenCoverage.declarative & GoldenCoverage.measured.keySet
+    assert(ad.isEmpty && am.isEmpty && dm.isEmpty,
+      s"double-classified: ${ad ++ am ++ dm}")
+  }
+
+  test("every measured-class entry is an ANN/recall gauge whose value " +
+      "names its exact arm (the class is narrow by design)") {
+    GoldenCoverage.measured.foreach { case (q, why) =>
+      assert(q.startsWith("sim"), s"$q: measured class is for the " +
+        "in-query exact-arm recall gauges only")
+      assert(why.toLowerCase.contains("exact"),
+        s"$q: justification must name the exact ground-truth arm")
+    }
   }
 
   test("the never_goldened gap matches the pinned list (classify every " +
@@ -108,10 +99,12 @@ class GoldenCoverageSpec extends AnyFunSuite {
       s"""{"total":${registry.size},""" +
         s""""anchored":${GoldenCoverage.anchors.size},""" +
         s""""declarative":${GoldenCoverage.declarative.size},""" +
+        s""""measured":${GoldenCoverage.measured.size},""" +
         s""""never_goldened_count":${gap.size},""" +
         s""""never_goldened":${arr(gap)}}"""
     Files.writeString(Paths.get("GOLDEN_COVERAGE.json"), json)
     assert(registry.size ==
-      GoldenCoverage.anchors.size + GoldenCoverage.declarative.size + gap.size)
+      GoldenCoverage.anchors.size + GoldenCoverage.declarative.size +
+        GoldenCoverage.measured.size + gap.size)
   }
 }

@@ -34,6 +34,7 @@ import org.apache.spark.sql.functions._
   *  - LPA (Raghavan et al. 2007): on disjoint dense components the
   *    propagation converges to one label per component.
   */
+@graft.Golden
 class GraphGoldenSpec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
   *    +24 h and strict ordering means a click BEFORE the first view
   *    never counts — the boundary semantics off-by-one bugs live on.
   */
+@graft.Golden
 class InferenceGolden10Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

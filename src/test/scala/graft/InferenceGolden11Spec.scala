@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   *    where the division does NOT divide evenly (the floor, not the
   *    round, is the contract).
   */
+@graft.Golden
 class InferenceGolden11Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

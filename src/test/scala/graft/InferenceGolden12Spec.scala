@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
   *    and +1 at even lags exactly (every aligned pair lies on one
   *    line — the Cauchy-Schwarz equality case at each pinned lag).
   */
+@graft.Golden
 class InferenceGolden12Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

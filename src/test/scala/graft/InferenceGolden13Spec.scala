@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *    the stopword-suppression law the weighting exists for; a term
   *    exclusive to one source scores tf·ln(N/1) exactly.
   */
+@graft.Golden
 class InferenceGolden13Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

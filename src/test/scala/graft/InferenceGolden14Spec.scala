@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *    n < 10 the floor makes the trim a no-op and the plain mean
   *    returns.
   */
+@graft.Golden
 class InferenceGolden14Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -42,6 +42,7 @@ import org.apache.spark.sql.functions._
   *    min-label tie rule, and equal halves with no cross edges give
   *    Q = 1/2 exactly.
   */
+@graft.Golden
 class InferenceGolden15Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -37,6 +37,7 @@ import org.apache.spark.sql.functions._
   *    pinned piece table (derivation-disjoint from the aggregate-HOF
   *    fold and the DuckDB list_reduce), plus hand-walked words.
   */
+@graft.Golden
 class InferenceGolden16Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

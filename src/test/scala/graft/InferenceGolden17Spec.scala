@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions._
   *  - Z-order: hand Morton codes, including the 63 -> 64 quadrant
   *    seam (z(7,7) = 63, z(8,0) = 64) that defines the file split.
   */
+@graft.Golden
 class InferenceGolden17Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
   *    one noise point — the textbook core/border/noise trichotomy
   *    derived by hand from cos thresholds.
   */
+@graft.Golden
 class InferenceGolden18Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

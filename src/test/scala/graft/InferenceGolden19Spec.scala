@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
   *    statistic picked by hand from a crafted calibration set, and
   *    the measured test coverage from hand residuals.
   */
+@graft.Golden
 class InferenceGolden19Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *  - Containment: C_max = 1 for identical docs (the ceiling), with
   *    the exact shingle-intersection count.
   */
+@graft.Golden
 class InferenceGolden20Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

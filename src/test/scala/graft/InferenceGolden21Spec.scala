@@ -30,6 +30,7 @@ import graft.ext.{QualityClassifier, QualityClassifierModel}
   *    cum / U assembly the query folds (the r11 shared-midrank bug
   *    class, anchored at last).
   */
+@graft.Golden
 class InferenceGolden21Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

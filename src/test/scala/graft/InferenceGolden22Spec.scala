@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
   *    canonical published xy2d (rot/reflect per bit level) replayed
   *    imperatively, per-file aggregates compared on scattered points.
   */
+@graft.Golden
 class InferenceGolden22Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *    the clone pair's positions as cross-doc duplicated (within-doc
   *    repeats deliberately excluded).
   */
+@graft.Golden
 class InferenceGolden23Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *    label table — the leakage-free encoding every fold can verify
   *    excludes its own labels.
   */
+@graft.Golden
 class InferenceGolden24Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *    size (n = 400 -> rate 0.8), with the admitted count replayed
   *    through the independent polynomial hash.
   */
+@graft.Golden
 class InferenceGolden25Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

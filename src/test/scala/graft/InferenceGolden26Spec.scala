@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *    part-21 score/quality protocol (parent impurity minus the
   *    presence-weighted child impurities, same op order).
   */
+@graft.Golden
 class InferenceGolden26Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

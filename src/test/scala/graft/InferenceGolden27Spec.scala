@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *    small corpus (the LC branch) and a 200-user one (the raw
   *    branch).
   */
+@graft.Golden
 class InferenceGolden27Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

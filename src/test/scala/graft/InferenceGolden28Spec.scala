@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *    registers, scaled sums, and the rounded alpha*m^2*2^rw1/S
   *    estimate exactly.
   */
+@graft.Golden
 class InferenceGolden28Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

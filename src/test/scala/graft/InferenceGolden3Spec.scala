@@ -40,6 +40,7 @@ import org.apache.spark.sql.functions._
   *    O(n·m) banded DP recompute, a derivation path disjoint from
   *    the engine's nested higher-order-function fold.
   */
+@graft.Golden
 class InferenceGolden3Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

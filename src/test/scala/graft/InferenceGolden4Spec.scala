@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions._
   *    theory) — the engine's integer power iteration must hold the
   *    uniform mass exactly through all three rounds.
   */
+@graft.Golden
 class InferenceGolden4Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -32,6 +32,7 @@ import org.apache.spark.sql.functions._
   *    = 1.959964 + 0.841621 (the α = 0.05 / power = 0.80 planning
   *    standard); a two-point fixture recomputes MDE by hand.
   */
+@graft.Golden
 class InferenceGolden6Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *    identity φ₁₁ = ρ₁ (the lag-1 PACF IS the lag-1 ACF — the one
   *    value the recursion cannot disguise).
   */
+@graft.Golden
 class InferenceGolden7Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

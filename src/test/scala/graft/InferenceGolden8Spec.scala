@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *    when the per-hour emission saving exceeds the amortized switch
   *    cost, the path follows the level change exactly.
   */
+@graft.Golden
 class InferenceGolden8Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *    comparisons (cum·100 ≤ total·80) that a float-share
   *    implementation would leave to rounding luck.
   */
+@graft.Golden
 class InferenceGolden9Spec extends SparkSpec {
 
   private def fixture(name: String, tables: (String, DataFrame)*): String = {

@@ -42,6 +42,7 @@ import org.apache.spark.sql.functions._
   * builds on — hour-of-day pairing, cents pinning, the nt-complete
   * filters, rank machinery — is exercised, not re-derived.
   */
+@graft.Golden
 class InferenceGoldenSpec extends SparkSpec {
 
   // ----- fixture plumbing -------------------------------------------

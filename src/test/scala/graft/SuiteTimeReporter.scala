@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.Reporter
+import org.scalatest.events._
+
+/** ScalaTest `-C` reporter feeding [[SuiteTimes]] (round-13 verdict
+  * ask 4): collects per-suite wall seconds during the run and folds
+  * them into SUITE_TIMES.json at the end. The artifact write also
+  * hangs on a shutdown hook so an aborted run still records what it
+  * measured (the fold is idempotent per suite).
+  */
+class SuiteTimeReporter extends Reporter {
+
+  private val ran = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  private val written = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => write()))
+
+  override def apply(event: Event): Unit = event match {
+    case e: SuiteCompleted =>
+      val name = e.suiteClassName.getOrElse(e.suiteName)
+      e.duration.foreach(ms => ran.put(name, ms / 1000.0))
+    case _: RunCompleted | _: RunStopped | _: RunAborted => write()
+    case _ => ()
+  }
+
+  private def write(): Unit = if (written.compareAndSet(false, true)) {
+    try {
+      import scala.jdk.CollectionConverters._
+      val measured = ran.asScala.toMap
+      if (measured.nonEmpty) {
+        val path = Paths.get("SUITE_TIMES.json")
+        val prev =
+          if (Files.exists(path)) SuiteTimes.parse(Files.readString(path))
+          else SuiteTimes.Empty
+        val (next, full, held) = SuiteTimes.merge(prev, measured)
+        Files.writeString(path, SuiteTimes.render(next))
+        val total = measured.values.sum
+        if (held)
+          System.err.println(f"[suite-times] RATCHET HOLD: run total $total%.1f s " +
+            f"is >=1.5x the held ${prev.heldTotal.getOrElse(0.0)}%.1f s — " +
+            "held total unchanged (a clean re-run rewrites it)")
+        else if (full)
+          System.err.println(f"[suite-times] full run: ${measured.size} suites, " +
+            f"$total%.1f s (held total ${next.heldTotal.getOrElse(total)}%.1f s)")
+        else
+          System.err.println(f"[suite-times] subset run: ${measured.size} suites, " +
+            f"$total%.1f s — per-suite entries updated, total pair untouched")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[suite-times] WARNING artifact write failed: ${e.getMessage}")
+    }
+  }
+}
