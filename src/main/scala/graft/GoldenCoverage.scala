@@ -203,6 +203,20 @@ object GoldenCoverage {
     "tx25_bpe_encode" -> "InferenceGolden28Spec (pinned merge fuses by hand; unmatched words stay apart)",
     "tx55_dup_source_mix" -> "InferenceGolden28Spec (single- vs cross-source clusters, hand purity)",
     "est_hll_curve" -> "InferenceGolden28Spec (independent register replay across all three arms)",
+    "j8_record_linkage" -> "InferenceGolden29Spec (hand decision table, one pair per cell; band-straddle blocking miss pinned)",
+    "j8b_sorted_neighborhood" -> "InferenceGolden29Spec (hand w=2 windows; catches the pair banding misses)",
+    "j6b_fuzzy_join_d2" -> "InferenceGolden29Spec (lev 0/1/2 classes by hand; depth-2-only reachability; lev-3 never a candidate)",
+    "dedup_incremental" -> "InferenceGolden30Spec (history-wins keep-first by hand; within-batch dups both pass)",
+    "dedup_incremental_near" -> "InferenceGolden30Spec (asymmetric split: arrival-x-history only, jac=1 exact, min-history first_match)",
+    "m7_audio_frame_energy" -> "InferenceGolden31Spec (imperative PCM replay through the real WAV decode; 1-frame block boundary)",
+    "m12_energy_dips" -> "InferenceGolden31Spec (imperative threshold/island replay; single-block strict-< pin)",
+    "m8_image_dhash" -> "InferenceGolden31Spec (pixel-arithmetic dhash replay through real PNG/BMP decode; cross-codec theorem)",
+    "m10_byteslice_frames" -> "InferenceGolden31Spec (hand ASCII slices; max(1,n/10) length; empty-tail clamp)",
+    "g4_ppr_seeds" -> "InferenceGolden32Spec (3-round integer PPR hand trace; no-seed all-zero theorem)",
+    "g10_assortativity" -> "InferenceGolden32Spec (star r=-1 exactly; regular-graph empty guard)",
+    "g11_rich_club" -> "InferenceGolden32Spec (hand 20-node decile club, density 1 vs 28/380)",
+    "g17_core_decomposition" -> "InferenceGolden32Spec (hand Seidman peel: supported K4=3-core, pendant=1)",
+    "g22_neighborhood_function" -> "InferenceGolden32Spec (independent ANF replay: hash, rho ladder, max-merge balls, 0.673 m^2)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",
@@ -323,11 +337,33 @@ object GoldenCoverage {
     "m3_meta_map_access",
   )
 
-  /** Registry queries with no independent anchor and no declarative
-    * justification — the enumerable golden-program gap.
+  /** MEASURED anchors (round-13 verdict ask 3's third class): queries
+    * whose output IS a quality measurement of an approximate
+    * structure against an EXACT ground-truth arm computed in the
+    * same query (brute-force top-k — itself a declarative
+    * composition an independent engine replays), re-measured at
+    * full corpus scale on every bench run via the stress tier's
+    * recall floor. A cross-derivation bug in the approximate side
+    * cannot hide: it moves the measured overlap/recall, which the
+    * oracle hashes and the bench gates. Hand-rolled SCORING of the
+    * measurement itself (NDCG, Davies-Bouldin, …) never qualifies —
+    * those need a real [[anchors]] entry.
+    */
+  val measured: Map[String, String] = Map(
+    "sim15_matryoshka_recall" -> "overlap@5 + top-1 agreement of two EXACT brute-force rankings (full vs 32-dim prefix); both arms declarative, the measurement is the output",
+    "sim16_filtered_topk" -> "per-probe overlap + slot-fill of filtered IVF vs filtered EXACT brute-force top-5, in-query",
+    "sim16b_filtered_nprobe8" -> "same exact-arm overlap at nprobe 8 (the starvation remedy measured against the same exact truth)",
+    "sim24_ivf_nprobe_curve" -> "recall-vs-exact at nprobe 1..3 against brute-force top-10, in-query; bench floor on the sim5 family",
+    "sim29_recall_curve" -> "recall-vs-exact at nprobe 1/2/4/8 against brute-force top-5, in-query; bench recall floor 0.9 every run",
+  )
+
+  /** Registry queries with no independent anchor, no measured
+    * exact-arm gauge, and no declarative justification — the
+    * enumerable golden-program gap.
     */
   def neverGoldened(registry: Seq[String]): Seq[String] =
-    registry.filterNot(n => anchors.contains(n) || declarative(n)).sorted
+    registry.filterNot(n =>
+      anchors.contains(n) || declarative(n) || measured.contains(n)).sorted
 
   /** Classification entries that name no current registry query —
     * stale claims that must fail the gauge (a renamed query must not
@@ -335,6 +371,6 @@ object GoldenCoverage {
     */
   def staleEntries(registry: Seq[String]): Seq[String] = {
     val known = registry.toSet
-    ((anchors.keySet ++ declarative) -- known).toSeq.sorted
+    ((anchors.keySet ++ declarative ++ measured.keySet) -- known).toSeq.sorted
   }
 }
