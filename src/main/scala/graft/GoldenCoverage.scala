@@ -217,6 +217,11 @@ object GoldenCoverage {
     "g11_rich_club" -> "InferenceGolden32Spec (hand 20-node decile club, density 1 vs 28/380)",
     "g17_core_decomposition" -> "InferenceGolden32Spec (hand Seidman peel: supported K4=3-core, pendant=1)",
     "g22_neighborhood_function" -> "InferenceGolden32Spec (independent ANF replay: hash, rho ladder, max-merge balls, 0.673 m^2)",
+    "a61_bh_fdr" -> "InferenceGolden33Spec (full independent BH replay: randomization p, tie-broken ranks, 5c<=4r k*; identical pairs p=1)",
+    "t_forecast_skill" -> "InferenceGolden33Spec (hand ends: 24-periodic skill 0; anti-phase skill 24)",
+    "sim17_ranking_ndcg" -> "InferenceGolden33Spec (ceiling ndcg=mrr=1 through real IVF; hand DCG 9885074/10271927 miss case)",
+    "sim25_davies_bouldin" -> "InferenceGolden33Spec (imperative DB replay against the pinned Lloyd fit)",
+    "tx38_isotonic_calibration" -> "InferenceGolden33Spec (closed form == sequential Ayer PAV stack on bins with a real violator)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

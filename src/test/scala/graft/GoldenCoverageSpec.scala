@@ -30,28 +30,23 @@ class GoldenCoverageSpec extends AnyFunSuite {
   private val expectedGap: Seq[String] = Seq(
     "a12b_tdigest_quantiles",
     "a60_permutation_test",
-    "a61_bh_fdr",
     "dedup_embedding_lsh",
     "dedup_semantic_cells",
     "diff_merkle_buckets",
     "pipeline_curation",
-    "sim17_ranking_ndcg",
     "sim18_centroid_drift",
     "sim18_mutual_nn",
     "sim19_ratio_test",
     "sim22b_dbscan_lsh",
-    "sim25_davies_bouldin",
     "sim3_lsh_bucket_profile",
     "sim8_hard_negatives",
     "sketch_cms_token_freq",
-    "t_forecast_skill",
     "tx17_epoch_oversample",
     "tx18_quality_curriculum",
     "tx21_source_cap",
     "tx24_quantile_normalize",
     "tx27_textrank",
     "tx37_proximity_search",
-    "tx38_isotonic_calibration",
     "tx46_style_distance",
     "tx4_fingerprint_sample",
     "tx51_rake_keywords",
