@@ -222,6 +222,24 @@ object GoldenCoverage {
     "sim17_ranking_ndcg" -> "InferenceGolden33Spec (ceiling ndcg=mrr=1 through real IVF; hand DCG 9885074/10271927 miss case)",
     "sim25_davies_bouldin" -> "InferenceGolden33Spec (imperative DB replay against the pinned Lloyd fit)",
     "tx38_isotonic_calibration" -> "InferenceGolden33Spec (closed form == sequential Ayer PAV stack on bins with a real violator)",
+    "tx4_fingerprint_sample" -> "InferenceGolden34Spec (RFC 1321 md5 test-suite values; independent char-fold replay)",
+    "tx27_textrank" -> "InferenceGolden34Spec (2-word fixed point at Scale; star hub/leaf 3-round hand trace)",
+    "tx46_style_distance" -> "InferenceGolden34Spec (hand per-mille profiles; zero-filled one-sided vocab; L1 = 99999)",
+    "tx51_rake_keywords" -> "InferenceGolden34Spec (Rose et al. deg/freq by hand; long phrase beats frequent word)",
+    "tx57_feature_hash" -> "InferenceGolden34Spec (full replay: trigrams, poly hash, bucket fold, collided mass)",
+    "sketch_cms_token_freq" -> "InferenceGolden34Spec (hand exact counts; absent probe 0; Cormode bound everywhere)",
+    "tx17_epoch_oversample" -> "InferenceGolden34Spec (integer whole-epoch arithmetic; fractional gate hash-replayed)",
+    "tx21_source_cap" -> "InferenceGolden34Spec (all-tie keep-set: doc_id fallback, exact kept ids)",
+    "tx24_quantile_normalize" -> "InferenceGolden34Spec ((rank-1)/(n-1) decile boundary by hand; singleton pr = 0)",
+    "tx37_proximity_search" -> "InferenceGolden34Spec (hand positions: in-slop hit, over-slop miss, order requirement)",
+    "a60_permutation_test" -> "InferenceGolden35Spec (full independent randomization replay; identical-dist p = 1)",
+    "a12b_tdigest_quantiles" -> "InferenceGolden35Spec (hand type-7 quantiles on data-point-aligned counts; sketch bound)",
+    "diff_merkle_buckets" -> "InferenceGolden35Spec (Merkle locality: change/remove/add in exactly their buckets)",
+    "dedup_semantic_cells" -> "InferenceGolden35Spec (hand pair/drop fold over exact 1.0/0.0 cosines per pinned cell)",
+    "sim8_hard_negatives" -> "InferenceGolden35Spec (Pythagorean band edges incl. the strict 0.6 exclusion)",
+    "sim18_mutual_nn" -> "InferenceGolden35Spec (reciprocity by hand: one (a<b) pair; unreciprocated top-1 dropped)",
+    "sim19_ratio_test" -> "InferenceGolden35Spec (Lowe twins ambiguity vs imperative per-cell replay)",
+    "tx18_quality_curriculum" -> "InferenceGolden35Spec (ntile equal-fill remainder rule on the all-tie source)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",

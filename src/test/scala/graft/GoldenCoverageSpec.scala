@@ -28,29 +28,11 @@ class GoldenCoverageSpec extends AnyFunSuite {
     * textrank, …) — each needs a real published/hand anchor.
     */
   private val expectedGap: Seq[String] = Seq(
-    "a12b_tdigest_quantiles",
-    "a60_permutation_test",
     "dedup_embedding_lsh",
-    "dedup_semantic_cells",
-    "diff_merkle_buckets",
     "pipeline_curation",
     "sim18_centroid_drift",
-    "sim18_mutual_nn",
-    "sim19_ratio_test",
     "sim22b_dbscan_lsh",
-    "sim3_lsh_bucket_profile",
-    "sim8_hard_negatives",
-    "sketch_cms_token_freq",
-    "tx17_epoch_oversample",
-    "tx18_quality_curriculum",
-    "tx21_source_cap",
-    "tx24_quantile_normalize",
-    "tx27_textrank",
-    "tx37_proximity_search",
-    "tx46_style_distance",
-    "tx4_fingerprint_sample",
-    "tx51_rake_keywords",
-    "tx57_feature_hash"
+    "sim3_lsh_bucket_profile"
   )
 
   test("every classification entry names a live registry query") {
