@@ -240,6 +240,11 @@ object GoldenCoverage {
     "sim18_mutual_nn" -> "InferenceGolden35Spec (reciprocity by hand: one (a<b) pair; unreciprocated top-1 dropped)",
     "sim19_ratio_test" -> "InferenceGolden35Spec (Lowe twins ambiguity vs imperative per-cell replay)",
     "tx18_quality_curriculum" -> "InferenceGolden35Spec (ntile equal-fill remainder rule on the all-tie source)",
+    "sim22b_dbscan_lsh" -> "InferenceGolden36Spec (== sim22 AND the hand DBSCAN fold on identical clusters, where LSH completeness is a theorem)",
+    "sim3_lsh_bucket_profile" -> "InferenceGolden36Spec (signature determinism: identical vectors never split across buckets in any table)",
+    "dedup_embedding_lsh" -> "InferenceGolden36Spec (planted identical groups pair at cos 1.0 exactly; the %10 clone at the replayed rotation cosine; nothing else)",
+    "pipeline_curation" -> "InferenceGolden36Spec (dedup-compose idempotence: re-ingestion under fresh ids leaves every output column unchanged)",
+    "sim18_centroid_drift" -> "InferenceGolden36Spec (hand quantized means; floor-division-vs-truncation pinned on a negative odd sum)",
     // ----- unit specs that are independent anchors: brute force,
     // plain-Scala replay, or a law the algorithm must satisfy -----
     "tx8_bpe_pair_counts" -> "BpeSpec (brute-force greedy merge reference)",
