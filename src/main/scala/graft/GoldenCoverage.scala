@@ -306,6 +306,13 @@ object GoldenCoverage {
     * Membership is deliberately conservative: anything with a
     * hand-rolled recursion, sketch, hash mix, or bit trick on either
     * side stays out and must earn an [[anchors]] entry instead.
+    *
+    * Known shared-function dependency, anchored separately: several
+    * entries below (tx2_quality_hist and the tx18/tx21/tx24 windows)
+    * consume the hand-rolled TextAnalysis.qualityScoreTokens scorer —
+    * its FORMULA is pinned at every term boundary by
+    * InferenceGolden37Spec, so these rows' declarative status covers
+    * only their relational composition, as intended.
     */
   val declarative: Set[String] = Set(
     // TPC-H-shape relational queries (scan/filter/join/agg/window)
