@@ -10,6 +10,7 @@ Usage: python3 dev/check.py [sfDir] [outDir]
 """
 import json
 import sys
+import time
 
 import duckdb
 
@@ -33,9 +34,16 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
+    # per-query ORACLE wall (DuckDB execute+fetch) — the missing half of
+    # the sweep-cost decomposition: VERIFY_TIMES.json holds the Spark
+    # side, this holds the mirror-replay side, so a query whose cost is
+    # mirror ceremony (e.g. an over-unrolled CTE chain) is attributable
+    oracle_times = {}
     for name, sql in sorted(oracle.items()):
         try:
+            t0 = time.monotonic()
             exp = con.execute(sql).fetchdf()
+            oracle_times[name] = round(time.monotonic() - t0, 3)
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
             exp, got = norm(exp), norm(got)
@@ -66,7 +74,15 @@ def main():
         except Exception as e:
             print(f"ERROR {name}: {e}")
             n_fail += 1
-    print(f"\n{n_pass} passed, {n_fail} failed / {len(oracle)} total")
+    oracle_times["oracle_total_sec"] = round(sum(oracle_times.values()), 3)
+    with open(f"{out_dir}/oracle_times.json", "w") as f:
+        json.dump(oracle_times, f)
+    top = sorted((x for x in oracle_times.items()
+                  if x[0] != "oracle_total_sec"),
+                 key=lambda x: -x[1])[:8]
+    print(f"\noracle total {oracle_times['oracle_total_sec']:.1f} s; top: "
+          + ", ".join(f"{k} {v:.1f}s" for k, v in top))
+    print(f"{n_pass} passed, {n_fail} failed / {len(oracle)} total")
     sys.exit(1 if n_fail else 0)
 
 

@@ -69,10 +69,39 @@ object BenchLock {
         case Some(live) => Left(live)
         case None =>
           // stale (dead holder, our own pid, or unreadable): reclaim.
-          // Delete-then-create keeps the create atomic; if ANOTHER
-          // process wins the re-create race, refuse with its identity.
-          try Files.deleteIfExists(path) catch { case _: Exception => () }
-          if (tryCreate()) Right(mine)
+          // Round-14 advice closed the delete-then-create TOCTOU
+          // (between judging the holder stale and deleteIfExists, a
+          // third process could reclaim and our delete would remove
+          // the LIVE successor's lock): claim disposal rights with an
+          // atomic rename-aside — only one process can win the move —
+          // then re-check the moved file's content. If we accidentally
+          // moved a live successor's fresh lock aside, restore it
+          // (rename atomically replaces on POSIX) and refuse.
+          val aside = path.resolveSibling(s"${path.getFileName}.reclaim.$pid")
+          val claimed =
+            try {
+              Files.move(path, aside,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              true
+            } catch { case _: Exception => false } // already reclaimed/gone
+          val stolenLive = claimed && {
+            val h = try parse(Files.readString(aside))
+                    catch { case _: Exception => None }
+            h.filter(x => x.pid != pid && isAlive(x.pid)) match {
+              case Some(_) =>
+                try Files.move(aside, path,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                catch { case _: Exception =>
+                  try Files.deleteIfExists(aside) catch { case _: Exception => () }
+                }
+                true
+              case None =>
+                try Files.deleteIfExists(aside) catch { case _: Exception => () }
+                false
+            }
+          }
+          if (!stolenLive && tryCreate()) Right(mine)
           else Left(
             (try parse(Files.readString(path)) catch { case _: Exception => None })
               .getOrElse(Holder(-1L, 0L)))

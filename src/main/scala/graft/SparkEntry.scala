@@ -29,7 +29,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    registry.flatMap(q =>
+      q.oracleFn.map(f => q.name -> f())
+        .orElse(q.oracle.map(q.name -> _))).toMap
 
   /** Headline subset Bench runs at sf0.1 (full map runs in Verify). */
   def benchQueries: Seq[String] = registry.filter(_.bench).map(_.name)

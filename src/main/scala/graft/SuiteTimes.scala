@@ -54,7 +54,12 @@ object SuiteTimes {
     if (ran.isEmpty) return (prev, false, false)
     val full = prev.fullSuiteCount == 0 ||
       ran.size >= math.ceil(prev.fullSuiteCount * 0.9).toInt
-    val times = prev.times ++ ran
+    // a FULL run enumerates the whole current suite set, so any prev
+    // key it didn't measure is a deleted/renamed suite — drop it
+    // (round-14 advice: `prev.times ++ ran` alone let dead suites'
+    // entries linger in the artifact forever). Subset runs can't make
+    // that inference and keep merging over prev.
+    val times = if (full) ran else prev.times ++ ran
     if (!full) (prev.copy(times = times), false, false)
     else {
       val total = ran.values.sum

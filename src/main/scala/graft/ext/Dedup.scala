@@ -88,10 +88,14 @@ object Dedup {
     * `localCheckpoint` (an iterative plan otherwise grows
     * exponentially); on a cluster prefer reliable `checkpoint` so a
     * lost executor replays one round, not the whole history. Stops
-    * early the first round no label changes; `maxIter` bounds
-    * pathological chains (and is itself the documented diameter
-    * ceiling: a chain of near-identical docs longer than maxIter hops
-    * splits — raise maxIter or pre-cluster by exact fingerprint first).
+    * early the first round no label changes; from round `jumpFrom` on
+    * a pointer-jump shortcut (comp := min(comp, comp(comp))) halves
+    * remaining path lengths per round, so `maxIter` is an
+    * O(log diameter) bound, not a diameter ceiling. Exhausting
+    * `maxIter` without converging THROWS (round-14 advice): partial
+    * labels silently break the comp = min-member invariant that
+    * canonical-keep and the streaming cluster maintainer
+    * ([[graft.stream.DedupClusterStream]]) build on.
     *
     * Checkpoint blocks live OUTSIDE the CacheManager (clearCache never
     * frees them), so each superseded round is released by RDD handle —
@@ -127,7 +131,7 @@ object Dedup {
   }
 
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, jumpFrom: Int = 5): DataFrame = {
     val (sym, symRdd) = checkpointed(
       edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
         .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))))
@@ -148,12 +152,34 @@ object Dedup {
       val proposals = sym
         .join(state.filter(col("changed")).select(col("node").as("nbr"), col("comp")), "nbr")
         .groupBy("node").agg(min(col("comp")).as("cand"))
+      val withCand = labels.join(proposals, Seq("node"), "left")
+      // pointer-jump shortcut from round `jumpFrom` on: alongside the
+      // one-hop neighbor flood, every node also offers itself
+      // comp(comp) — its label's OWN current label (comp values are
+      // always member node ids, so the lookup is total). Path halving
+      // turns worst-case convergence from O(diameter) rounds into
+      // O(log diameter): distance-to-min covered doubles per jump
+      // round, so maxIter=20 converges chains ~2^15 hops long instead
+      // of 20. Gated to round >= jumpFrom because typical dup
+      // clusters converge in 2-4 rounds and the extra |V| join would
+      // be pure cost there; a round that is still unconverged at
+      // jumpFrom is evidence of a deep component, exactly where the
+      // shortcut pays. Still one action per round (the joins fold
+      // into the same checkpoint job).
+      val candidates =
+        if (iter + 1 < jumpFrom) withCand.select(col("node"), col("comp"),
+          col("cand").as("best"))
+        else withCand
+          .join(labels.select(col("node").as("__jn"), col("comp").as("__jc")),
+            col("comp") === col("__jn"), "left")
+          .select(col("node"), col("comp"),
+            least(col("cand"), col("__jc")).as("best"))
       val obs = org.apache.spark.sql.Observation()
       val (next, nextRdd) = checkpointed(
-        labels.join(proposals, Seq("node"), "left")
+        candidates
           .select(col("node"),
-            least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"),
-            (col("cand").isNotNull && col("cand") < col("comp")).as("changed"))
+            least(col("comp"), coalesce(col("best"), col("comp"))).as("comp"),
+            (col("best").isNotNull && col("best") < col("comp")).as("changed"))
           .observe(obs, sum(when(col("changed"), 1L)).as("n_changed")))
       converged = obs.get("n_changed") match {
         case n: java.lang.Long => n == 0L
@@ -165,6 +191,18 @@ object Dedup {
       iter += 1
     }
     symRdd.unpersist(blocking = false)
+    if (!converged) {
+      // partial labels would silently violate the comp = min-member
+      // invariant every consumer relies on (canonical-keep, the
+      // streaming cluster maintainer's star contraction) — fail loudly
+      // instead; with the pointer-jump shortcut the bound is only
+      // reachable on components deeper than ~2^(maxIter - jumpFrom).
+      stateRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+          "raising maxIter is safe (convergence is O(log diameter) past the " +
+          s"pointer-jump threshold jumpFrom=$jumpFrom)")
+    }
     labels
   }
 

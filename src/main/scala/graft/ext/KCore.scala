@@ -207,7 +207,8 @@ object KCore {
     * diverging from an oracle that stopped unrolling.
     */
   def peelEdgesConverged(edges: DataFrame, k: Int, maxRounds: Int,
-      track: org.apache.spark.rdd.RDD[_] => Unit, batch: Int = 1): DataFrame = {
+      track: org.apache.spark.rdd.RDD[_] => Unit, batch: Int = 1,
+      onRounds: Int => Unit = _ => ()): DataFrame = {
     var (e, eRdd) = Dedup.checkpointed(edges.select("u", "v"))
     // convergence = edge-count stability: every bad node is incident
     // to ≥1 surviving edge (it appears in e), so an iteration with a
@@ -272,6 +273,11 @@ object KCore {
       eRdd.unpersist(blocking = false)
       e = next; eRdd = nextRdd; nEdges = nNext
     }
+    // converged depth INCLUDING the fixpoint-proof round — a mirror
+    // unrolled to exactly this many rounds replays the identical
+    // fixpoint (round r itself removed nothing), so callers can size
+    // their SQL unroll to the measured depth instead of the cap
+    onRounds(r)
     track(eRdd)
     e
   }

@@ -995,7 +995,7 @@ object EventQueries {
           .groupBy(col("event_type"), pmod(col("user_id"), lit(2L)).as("arm"))
           .agg(count(lit(1)).as("o")))
         val cells = obs.select("event_type").distinct()
-          .crossJoin(obs.select("arm").distinct())
+          .crossJoin(broadcast(obs.select("arm").distinct()))
           .join(obs, Seq("event_type", "arm"), "left")
           .select(col("event_type"), col("arm"),
             coalesce(col("o"), lit(0L)).as("o"))

@@ -16,6 +16,13 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     bench: Boolean = false,
+    // Built at DUMP time instead of registry init, for the rare mirror
+    // whose cheapest correct form depends on a quantity the Spark run
+    // measures (g17 sizes its peel-CTE unroll to the measured converged
+    // depth — Verify dumps oracle_sql.json AFTER the sweep, so the
+    // measurement is always available; the builder must fall back to a
+    // conservative static form when the query hasn't run in this JVM).
+    oracleFn: Option[() => String] = None,
 )
 
 /** Releasable cache registry shared by the query surfaces (round-2
@@ -161,6 +168,17 @@ object ParityQueries {
          |    WHEN (y & $st) > 0 THEN 2 ELSE 3 END) AS d
          |  FROM $p)""".stripMargin
     }.mkString(",\n")
+
+  /** g17's measured converged peel depth per k, written by the query
+    * fn as the ladder runs (peelEdgesConverged's onRounds) and read by
+    * its oracleFn when Verify dumps the mirror AFTER the sweep —
+    * sizes the SQL unroll to the fixpoint instead of the 16-round cap
+    * (rounds past fixpoint are exact no-ops the oracle replay paid
+    * 64 materialized CTEs for). Keyed per k only: one g17 run per
+    * JVM/sfDir is the Verify contract, and a dev subset dump that
+    * never ran g17 falls back to the cap (always-correct, just slow).
+    */
+  private val g17Depths = scala.collection.concurrent.TrieMap.empty[Int, Int]
 
   /** Morton (Z-order) key of `__x0`/`__y0` — bit interleave, the
     * layout_zorder expression shared with layout_skipping.
@@ -2439,7 +2457,8 @@ object ParityQueries {
           (edges, List.empty[org.apache.spark.sql.DataFrame])) {
           case ((prev, acc), k) =>
             val e = graft.ext.KCore.peelEdgesConverged(prev, k,
-              maxRounds = 16, tracked.track(_))
+              maxRounds = 16, tracked.track(_),
+              onRounds = r => { g17Depths.put(k, r); () })
             val nk = e.select(col("u").as("n"))
               .unionAll(e.select(col("v").as("n")))
               .distinct().withColumn("k", lit(k.toLong))
@@ -2451,12 +2470,25 @@ object ParityQueries {
           .groupBy("core").agg(count(lit(1)).as("n_nodes"))
           .orderBy("core")
       },
-      Some {
-        val R = 16
+      None,
+      // mirror unroll sized to the MEASURED converged depth per k
+      // (round-14 verdict ask 1): the pinned R=16 unrolled 64
+      // materialized peel CTEs of which rounds past each k's fixpoint
+      // (measured k2:3, k3:10, k4:5 at sf0.01) were exact no-ops the
+      // oracle replay still paid for. peelEdgesConverged records its
+      // depth (incl. the fixpoint-proof round) as the sweep runs;
+      // Verify dumps oracle_sql.json AFTER the sweep, so the builder
+      // sees the depths for the SAME sfDir the oracle replays. The
+      // 16-round cap stays as the never-run fallback AND the loud
+      // Spark-side failure bound, so depth > 16 can never silently
+      // diverge — it throws in the query before any dump.
+      oracleFn = Some { () =>
+        def rk(k: Int): Int =
+          math.min(16, math.max(1, g17Depths.getOrElse(k, 16)))
         def peel(k: Int, src: String) =
           s"""(WITH e0 AS MATERIALIZED (SELECT u, v FROM $src),
-             |${graft.ext.KCore.Sql.roundsEdges(k, R)}
-             |SELECT u, v FROM e$R)""".stripMargin
+             |${graft.ext.KCore.Sql.roundsEdges(k, rk(k))}
+             |SELECT u, v FROM e${rk(k)})""".stripMargin
         s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
            |eb AS MATERIALIZED (SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
            |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk

@@ -51,6 +51,15 @@ object DedupClusterStream {
   /** One micro-batch fold: `standing` is (node, comp) with comp = min
     * member; `batch` carries new undirected similarity edges
     * (srcCol, dstCol). Returns the next (node, comp) standing set.
+    *
+    * The comp = min-member invariant this fold's star contraction
+    * builds on is GUARANTEED by [[Dedup.connectedComponents]]: since
+    * round 15 it throws instead of returning partial labels when a
+    * batch's merge graph is deeper than maxIter can flood (round-14
+    * advice — an unconverged assignment would corrupt the standing
+    * state permanently and compound across batches), and its
+    * pointer-jump shortcut makes the bound O(log diameter), so a
+    * legitimately deep first batch converges instead of throwing.
     */
   def mergeBatch(standing: DataFrame, batch: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {

@@ -123,12 +123,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  test("maxIter bounds the rounds (documented chain-split behavior)") {
+  test("unconverged at maxIter fails loudly (round-14 advice: no partial labels)") {
+    // 2 rounds flood the min label only ~2 hops down a 15-hop chain;
+    // returning that truncation would silently break comp = min-member
     val edges = (0L until 15L).map(i => (i, i + 1))
-    val truncated = Dedup.connectedComponents(
-        edges.toDF("a", "b"), "a", "b", maxIter = 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // 2 rounds flood the min label only ~2 hops: node 15 cannot be 0 yet
-    assert(truncated(15L) != 0L)
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+  }
+
+  test("pointer-jump: 200-hop chain converges inside default maxIter") {
+    // pure one-hop flooding needs ~200 rounds; path halving from round
+    // jumpFrom doubles covered distance per round (4, 8, 16, ... 256),
+    // so the default maxIter=20 must suffice
+    val edges = (0L until 200L).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got.values.toSet == Set(0L))
+    assert(got.keySet == (0L to 200L).toSet)
   }
 }

@@ -32,11 +32,36 @@ class SuiteTimeReporter extends Reporter {
       val measured = ran.asScala.toMap
       if (measured.nonEmpty) {
         val path = Paths.get("SUITE_TIMES.json")
-        val prev =
-          if (Files.exists(path)) SuiteTimes.parse(Files.readString(path))
-          else SuiteTimes.Empty
-        val (next, full, held) = SuiteTimes.merge(prev, measured)
-        Files.writeString(path, SuiteTimes.render(next))
+        // the two-speed loop invites a fast subset run finishing while
+        // a full run is still up — serialize the read-merge-write fold
+        // across processes with an OS lock on a sidecar (round-14
+        // advice: the bench side got bench.lock for this exact class;
+        // interleaved folds here would lose a run's entries or total)
+        val lockCh = java.nio.channels.FileChannel.open(
+          Paths.get("SUITE_TIMES.json.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val flock = lockCh.lock()
+        try {
+          val prev =
+            if (Files.exists(path)) SuiteTimes.parse(Files.readString(path))
+            else SuiteTimes.Empty
+          val (next, full, held) = SuiteTimes.merge(prev, measured)
+          Files.writeString(path, SuiteTimes.render(next))
+          report(measured, prev, next, full, held)
+        } finally {
+          flock.release()
+          lockCh.close()
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[suite-times] WARNING artifact write failed: ${e.getMessage}")
+    }
+  }
+
+  private def report(measured: Map[String, Double], prev: SuiteTimes.State,
+      next: SuiteTimes.State, full: Boolean, held: Boolean): Unit = {
         val total = measured.values.sum
         if (held)
           System.err.println(f"[suite-times] RATCHET HOLD: run total $total%.1f s " +
@@ -48,10 +73,5 @@ class SuiteTimeReporter extends Reporter {
         else
           System.err.println(f"[suite-times] subset run: ${measured.size} suites, " +
             f"$total%.1f s — per-suite entries updated, total pair untouched")
-      }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[suite-times] WARNING artifact write failed: ${e.getMessage}")
-    }
   }
 }

@@ -59,6 +59,23 @@ class SuiteTimesSpec extends AnyFunSuite {
     assert(held3 && s3.heldTotal.contains(100.0) && s3.lastTotal.contains(200.0))
   }
 
+  test("a full run drops stale per-suite keys (deleted/renamed suites); " +
+      "a subset run keeps merging over prev") {
+    // round-14 advice: `prev.times ++ ran` let a deleted suite's entry
+    // linger forever — a full run enumerates the whole suite set, so
+    // any prev key it didn't measure is provably dead
+    val (s1, _, _) = SuiteTimes.merge(SuiteTimes.Empty,
+      (1 to 10).map(i => s"S$i" -> 1.0).toMap)
+    // S10 renamed to T10: the next full run measures 10 suites again
+    val renamed = ((1 to 9).map(i => s"S$i" -> 1.0) :+ ("T10" -> 1.0)).toMap
+    val (s2, full, _) = SuiteTimes.merge(s1, renamed)
+    assert(full)
+    assert(!s2.times.contains("S10") && s2.times.contains("T10"))
+    // subset runs can't tell dead from unmeasured: prev keys survive
+    val (s3, full3, _) = SuiteTimes.merge(s2, Map("S1" -> 2.0))
+    assert(!full3 && s3.times.contains("T10") && s3.times("S1") == 2.0)
+  }
+
   test("render/parse roundtrip") {
     val (s1, _, _) = SuiteTimes.merge(SuiteTimes.Empty,
       Map("graft.FooSpec" -> 1.25, "graft.BarSpec" -> 0.5))
