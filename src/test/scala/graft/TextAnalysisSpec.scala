@@ -53,6 +53,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rs > ps)
   }
 
+  test("qualityScoreParts == qualityScoreTokens through the tx2/tx17 parts " +
+      "route (round-15 declarative audit: the en-block coupling pinned)") {
+    // the Parts callers (tx2_quality_hist, the tx17-family enrichment)
+    // feed stopHits = stopHitsFromFreqs(wordFreqs(toks, allMarkerWords))
+    // — the EN BLOCK of the 16-word marker freqs — relying on
+    // allMarkerWords' first four words being exactly qualityStopwords.
+    // InferenceGolden37Spec pins the Tokens formula; this pins the
+    // Parts route to it on texts exercising every term (stopword-rich,
+    // stopword-free, repetitive, >50-token saturation, other-language
+    // markers that must NOT count as stopHits).
+    val texts = Seq(
+      "the quick brown fox and a dog of great size",
+      "xyzzy qwerty plugh verdigris",
+      "x x x x x x x x",
+      Seq.fill(30)("the of a and").mkString(" "), // 120 tokens, saturated
+      "el gato y la casa de madera und der hund", // es/de markers, no en
+      "the the the the")
+    val df = texts.toDF("text")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    val both = df.select(
+      TextAnalysis.qualityScoreTokens(col("__toks")).as("tok"),
+      TextAnalysis.qualityScoreParts(
+        size(col("__toks")),
+        size(array_distinct(col("__toks"))),
+        TextAnalysis.stopHitsFromFreqs(
+          TextAnalysis.wordFreqs(col("__toks"), TextAnalysis.allMarkerWords)))
+        .as("parts"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   test("langId predicts by stopword hits with deterministic tie order") {
     assert(one("the cat sat on a mat of straw and wool", TextAnalysis.langId).getString(0) == "en")
     assert(one("el gato y la casa de madera", TextAnalysis.langId).getString(0) == "es")
