@@ -537,9 +537,58 @@ object Bench {
             s""""hot_swap_err":"${esc(Option(e.getMessage)
               .getOrElse(e.getClass.getName).take(200))}""""
         }
+        // fused curation pass (round-14 verdict ask 5's bench leg):
+        // ingest → dedup → index from ONE scan per micro-batch
+        // (stream/CurationStream — the IVF cell doubles as the dedup
+        // blocking key). Arrival stream = the corpus plus exact
+        // clones of every 7th vector under shifted ids, so real dup
+        // clusters form across batch boundaries; reports end-to-end
+        // ingest rows/s plus the standing-store evidence (postings
+        // count == arrivals, cluster assignment covering original +
+        // clone pairs). Own failure domain like the hot-swap pass.
+        val fusedJson = try {
+          val arrivals = emb.select(col("vec_id"), col("embedding"))
+            .unionAll(emb.filter(col("vec_id") % 7 === 0)
+              .select((col("vec_id") + 7000000L).as("vec_id"),
+                col("embedding")))
+          val aIn = s"$base/arrivals"
+          arrivals.repartition(nFiles).write.mode("overwrite").parquet(aIn)
+          val nArr = spark.read.parquet(aIn).count()
+          val m = new graft.stream.CurationStream.Maintainer(
+            graft.ext.IvfModel.centroids)
+          try {
+            val stream = spark.readStream
+              .schema(spark.read.parquet(aIn).schema)
+              .option("maxFilesPerTrigger", filesPerBatch)
+              .parquet(aIn)
+            val t0 = System.nanoTime()
+            val q = stream.writeStream
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                m.ingest(b, id)
+              }
+              .option("checkpointLocation", s"$base/ckpt_fused")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            val sec = (System.nanoTime() - t0) / 1e9
+            val nPostings = m.postings.map(_.count()).getOrElse(0L)
+            val clusterRows = m.clusters.map(
+              _.agg(count(lit(1)), countDistinct(col("comp"))).head())
+            val (nDupNodes, nClusters) = clusterRows
+              .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+            s""""fused_curation":{"rows":$nArr,"elapsed_sec":$sec,""" +
+              s""""rows_per_sec":${nArr / sec},""" +
+              s""""postings":$nPostings,"dup_nodes":$nDupNodes,""" +
+              s""""dup_clusters":$nClusters}"""
+          } finally m.release()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            s""""fused_curation_err":"${esc(Option(e.getMessage)
+              .getOrElse(e.getClass.getName).take(200))}""""
+        }
         inner.dropRight(1) +
           s""","candidates_scanned":$candScanned""" +
-          s""","candidates_per_probe":${if (written == 0) 0L else candScanned / written}$candPerSec,$hotSwapJson}"""
+          s""","candidates_per_probe":${if (written == 0) 0L else candScanned / written}$candPerSec,$hotSwapJson,$fusedJson}"""
       } finally assigned.unpersist(blocking = false)
     } finally deleteRecursively(base)
   }

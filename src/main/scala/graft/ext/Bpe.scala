@@ -137,14 +137,21 @@ object Bpe {
     * identical round by round.
     */
   def trainSql(nRounds: Int): String = {
+    // every CTE is AS MATERIALIZED — the same ~k^R inlining blow-up
+    // the KCore mirrors document: d_k references p_k in FOUR scalar
+    // subqueries plus d_{k-1}, and p_k itself is also read by the
+    // final union, so left inlined DuckDB re-evaluates the whole
+    // chain ~5^k times (measured: the 6-round mirror at sf0.01 was
+    // 265 s of the 434 s oracle total; materialized it is seconds —
+    // the round-15 Spark-vs-oracle decomposition's top find)
     val rounds = (1 to nRounds).map { k =>
       val prev = s"d${k - 1}"
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
          |  SELECT t[i] AS l, t[i+1] AS r, count(*) AS cnt FROM
          |    (SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM
          |      (SELECT string_split(core, '  ') AS t FROM $prev))
          |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
-         |d$k AS (
+         |d$k AS MATERIALIZED (
          |  SELECT substring(x, 2, len(x)-2) AS core FROM
          |    (SELECT replace(' ' || core || ' ',
          |       ' ' || (SELECT l FROM p$k) || '  ' || (SELECT r FROM p$k) || ' ',
@@ -154,7 +161,7 @@ object Bpe {
     val union = (1 to nRounds)
       .map(k => s"SELECT $k AS merge_round, l AS left_tok, r AS right_tok, cnt AS freq FROM p$k")
       .mkString("\nUNION ALL\n")
-    s"""WITH d0 AS (SELECT replace(text, ' ', '  ') AS core FROM documents),
+    s"""WITH d0 AS MATERIALIZED (SELECT replace(text, ' ', '  ') AS core FROM documents),
        |${rounds.mkString(",\n")}
        |$union
        |ORDER BY merge_round""".stripMargin

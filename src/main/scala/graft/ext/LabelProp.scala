@@ -70,16 +70,16 @@ object LabelProp {
 
     def rounds(n: Int): String = {
       val base =
-        s"""nodes AS (SELECT DISTINCT src AS node FROM edges),
-           |ev AS (SELECT src, dst FROM edges
+        s"""nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+           |ev AS MATERIALIZED (SELECT src, dst FROM edges
            |       UNION ALL SELECT node, node FROM nodes),
-           |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin
+           |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin
       val steps = (1 to n).map { k =>
         val p = k - 1
-        s"""c$k AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+        s"""c$k AS MATERIALIZED (SELECT e.dst AS node, l.label, count(*) AS cnt
            |  FROM ev e JOIN l$p l ON e.src = l.node GROUP BY 1, 2),
-           |m$k AS (SELECT node, max(cnt) AS mc FROM c$k GROUP BY 1),
-           |l$k AS (SELECT c.node, min(c.label) AS label
+           |m$k AS MATERIALIZED (SELECT node, max(cnt) AS mc FROM c$k GROUP BY 1),
+           |l$k AS MATERIALIZED (SELECT c.node, min(c.label) AS label
            |  FROM c$k c JOIN m$k m ON c.node = m.node AND c.cnt = m.mc
            |  GROUP BY 1)""".stripMargin
       }

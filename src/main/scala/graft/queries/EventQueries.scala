@@ -5534,9 +5534,14 @@ object EventQueries {
     * self-reference, so pinned-round iterations unroll).
     */
   private def markovRemovalSql(k: Int): String = {
+    // every CTE AS MATERIALIZED (round-15 oracle decomposition): the
+    // diffs/base tail references v_k multiple times and each v_i
+    // references tr, so left inlined DuckDB re-evaluated the full
+    // events window scan ~20× — 92 s of the 434 s oracle total;
+    // materialized the replay is ~2 s with identical longs.
     val Scale = "1000000000000"
     val rounds = (1 to k).map { i =>
-      s"""v$i AS (SELECT sc.scen, tr.src AS st,
+      s"""v$i AS MATERIALIZED (SELECT sc.scen, tr.src AS st,
          |    CASE WHEN sc.scen = tr.src THEN CAST(0 AS BIGINT) ELSE
          |      CAST(sum(tr.n * (CASE WHEN tr.dst = '__CONV__' THEN $Scale
          |        WHEN tr.dst = '__NULL__' THEN 0
@@ -5545,42 +5550,42 @@ object EventQueries {
          |  LEFT JOIN v${i - 1} vp ON vp.scen = sc.scen AND vp.st = tr.dst
          |  GROUP BY sc.scen, tr.src, tr.tot)""".stripMargin
     }.mkString(",\n")
-    s"""WITH seq AS (SELECT user_id, event_type,
+    s"""WITH seq AS MATERIALIZED (SELECT user_id, event_type,
        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
        |      AS rn
        |  FROM events),
-       |fp AS (SELECT user_id, min(rn) AS frn FROM seq
+       |fp AS MATERIALIZED (SELECT user_id, min(rn) AS frn FROM seq
        |  WHERE event_type = 'purchase' GROUP BY 1),
-       |tch AS (SELECT s.user_id, s.event_type, s.rn, fp.frn
+       |tch AS MATERIALIZED (SELECT s.user_id, s.event_type, s.rn, fp.frn
        |  FROM seq s LEFT JOIN fp USING (user_id)
        |  WHERE fp.frn IS NULL OR s.rn < fp.frn),
-       |eg AS (SELECT COALESCE(lag(event_type) OVER
+       |eg AS MATERIALIZED (SELECT COALESCE(lag(event_type) OVER
        |      (PARTITION BY user_id ORDER BY rn), '__START__') AS src,
        |    event_type AS dst FROM tch),
-       |term AS (SELECT t.event_type AS src,
+       |term AS MATERIALIZED (SELECT t.event_type AS src,
        |    CASE WHEN t.frn IS NOT NULL THEN '__CONV__'
        |         ELSE '__NULL__' END AS dst
        |  FROM tch t
        |  JOIN (SELECT user_id, max(rn) AS mrn FROM tch GROUP BY 1) lastt
        |    ON t.user_id = lastt.user_id AND t.rn = lastt.mrn),
-       |direct AS (SELECT '__START__' AS src, '__CONV__' AS dst
+       |direct AS MATERIALIZED (SELECT '__START__' AS src, '__CONV__' AS dst
        |  FROM fp LEFT JOIN (SELECT DISTINCT user_id FROM tch) tu
        |    USING (user_id)
        |  WHERE tu.user_id IS NULL),
-       |alle AS (SELECT src, dst FROM eg UNION ALL SELECT src, dst FROM term
+       |alle AS MATERIALIZED (SELECT src, dst FROM eg UNION ALL SELECT src, dst FROM term
        |  UNION ALL SELECT src, dst FROM direct),
-       |trc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |trc AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
        |  FROM alle GROUP BY 1, 2),
-       |tr AS (SELECT src, dst, n,
+       |tr AS MATERIALIZED (SELECT src, dst, n,
        |    CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS tot FROM trc),
-       |scen AS (SELECT '__base__' AS scen
+       |scen AS MATERIALIZED (SELECT '__base__' AS scen
        |  UNION ALL SELECT DISTINCT src FROM tr WHERE src <> '__START__'),
-       |v0 AS (SELECT sc.scen, tr2.src AS st, CAST(0 AS BIGINT) AS v
+       |v0 AS MATERIALIZED (SELECT sc.scen, tr2.src AS st, CAST(0 AS BIGINT) AS v
        |  FROM scen sc CROSS JOIN (SELECT DISTINCT src FROM tr) tr2),
        |$rounds,
-       |base AS (SELECT v AS vb FROM v$k
+       |base AS MATERIALIZED (SELECT v AS vb FROM v$k
        |  WHERE scen = '__base__' AND st = '__START__'),
-       |diffs AS (SELECT scen AS channel, vb, vb - v AS diff FROM v$k, base
+       |diffs AS MATERIALIZED (SELECT scen AS channel, vb, vb - v AS diff FROM v$k, base
        |  WHERE scen <> '__base__' AND st = '__START__')
        |SELECT channel, round(CAST(vb AS DOUBLE)/$Scale, 6) AS p_conv_base,
        |  round(CAST(diff AS DOUBLE)/CAST(vb AS DOUBLE), 6)

@@ -2245,10 +2245,10 @@ object ParityQueries {
           .orderBy(col("rank").desc, col("kind"), col("key"))
           .limit(20)
       },
-      Some(s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+      Some(s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
               |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-              |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+              |edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
               |${graft.ext.PageRank.Sql.rounds(3)}
               |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
               |  node // 2 AS key, rank
@@ -2288,10 +2288,10 @@ object ParityQueries {
           .orderBy(col("rank").desc, col("kind"), col("key"))
           .limit(20)
       },
-      Some(s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+      Some(s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
               |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-              |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+              |edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
               |${graft.ext.PageRank.Sql.personalizedRounds(3,
                   "node % 2 = 1 AND (node // 2) % 7 = 0")}
               |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
@@ -2538,11 +2538,11 @@ object ParityQueries {
           .groupBy("size").agg(count(lit(1)).as("n_communities"))
           .orderBy("size")
       },
-      Some(s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+      Some(s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
               |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               |  WHERE l_quantity > 47),
-              |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+              |edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
               |${graft.ext.LabelProp.Sql.rounds(3)}
               |SELECT size, count(*)::BIGINT AS n_communities
               |FROM (SELECT label, count(*)::BIGINT AS size FROM l3 GROUP BY 1)
@@ -2722,18 +2722,18 @@ object ParityQueries {
               / (col("m2").cast("double") * col("m2").cast("double")), 6)
               .as("modularity"))
       },
-      Some(s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+      Some(s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
               |    CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
               |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               |  WHERE l_quantity > 47),
-              |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+              |edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
               |${graft.ext.LabelProp.Sql.rounds(3)},
-              |arcs AS (SELECT ls.label AS ls, ld.label AS ld
+              |arcs AS MATERIALIZED (SELECT ls.label AS ls, ld.label AS ld
               |  FROM edges e
               |  JOIN l3 ls ON e.src = ls.node
               |  JOIN l3 ld ON e.dst = ld.node),
-              |m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM arcs),
-              |per AS (SELECT ls AS label, CAST(count(*) AS BIGINT) AS dc,
+              |m2t AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m2 FROM arcs),
+              |per AS MATERIALIZED (SELECT ls AS label, CAST(count(*) AS BIGINT) AS dc,
               |    CAST(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT)
               |      AS wc
               |  FROM arcs GROUP BY 1)

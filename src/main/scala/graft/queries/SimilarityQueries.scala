@@ -1515,46 +1515,46 @@ object SimilarityQueries {
           .orderBy(abs(col("loading")).desc, col("dim"))
           .limit(8)
       },
-      Some("""WITH q AS (SELECT vec_id,
+      Some("""WITH q AS MATERIALIZED (SELECT vec_id,
              |    list_transform(embedding, x ->
              |      CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
              |  FROM embeddings),
-             |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
-             |e AS (SELECT vec_id, unnest(qv) AS x,
+             |nv AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+             |e AS MATERIALIZED (SELECT vec_id, unnest(qv) AS x,
              |    unnest(generate_series(0, 63)) AS i FROM q),
-             |sx AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM e GROUP BY 1),
-             |cm AS (SELECT a.i AS i, b.i AS j,
+             |sx AS MATERIALIZED (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM e GROUP BY 1),
+             |cm AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
              |    CAST(sum(a.x * b.x) AS BIGINT) AS sxx
              |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-             |cc0 AS (SELECT cm.i, cm.j,
+             |cc0 AS MATERIALIZED (SELECT cm.i, cm.j,
              |    (SELECT n FROM nv) * sxx - sa.s * sb.s AS num,
              |    (SELECT n FROM nv) * (SELECT n FROM nv) AS den
              |  FROM cm JOIN sx sa ON cm.i = sa.i JOIN sx sb ON cm.j = sb.i),
-             |cc AS (SELECT i, j,
+             |cc AS MATERIALIZED (SELECT i, j,
              |    (num - ((num % den + den) % den)) // den AS c FROM cc0),
-             |v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v
+             |v0 AS MATERIALIZED (SELECT i AS j, CAST(1000000 AS BIGINT) AS v
              |  FROM (SELECT unnest(generate_series(0, 63)) AS i)),
-             |w1 AS (SELECT cc.i, CAST(sum(cc.c * v0.v) AS BIGINT) AS w
+             |w1 AS MATERIALIZED (SELECT cc.i, CAST(sum(cc.c * v0.v) AS BIGINT) AS w
              |  FROM cc JOIN v0 ON cc.j = v0.j GROUP BY 1),
-             |g1 AS (SELECT greatest(1,
+             |g1 AS MATERIALIZED (SELECT greatest(1,
              |    (SELECT CAST(max(abs(w)) AS BIGINT) FROM w1) // 1000000) AS g),
-             |v1 AS (SELECT i AS j,
+             |v1 AS MATERIALIZED (SELECT i AS j,
              |    (w - ((w % (SELECT g FROM g1) + (SELECT g FROM g1))
              |      % (SELECT g FROM g1))) // (SELECT g FROM g1) AS v
              |  FROM w1),
-             |w2 AS (SELECT cc.i, CAST(sum(cc.c * v1.v) AS BIGINT) AS w
+             |w2 AS MATERIALIZED (SELECT cc.i, CAST(sum(cc.c * v1.v) AS BIGINT) AS w
              |  FROM cc JOIN v1 ON cc.j = v1.j GROUP BY 1),
-             |g2 AS (SELECT greatest(1,
+             |g2 AS MATERIALIZED (SELECT greatest(1,
              |    (SELECT CAST(max(abs(w)) AS BIGINT) FROM w2) // 1000000) AS g),
-             |v2 AS (SELECT i AS j,
+             |v2 AS MATERIALIZED (SELECT i AS j,
              |    (w - ((w % (SELECT g FROM g2) + (SELECT g FROM g2))
              |      % (SELECT g FROM g2))) // (SELECT g FROM g2) AS v
              |  FROM w2),
-             |w3 AS (SELECT cc.i, CAST(sum(cc.c * v2.v) AS BIGINT) AS w
+             |w3 AS MATERIALIZED (SELECT cc.i, CAST(sum(cc.c * v2.v) AS BIGINT) AS w
              |  FROM cc JOIN v2 ON cc.j = v2.j GROUP BY 1),
-             |g3 AS (SELECT greatest(1,
+             |g3 AS MATERIALIZED (SELECT greatest(1,
              |    (SELECT CAST(max(abs(w)) AS BIGINT) FROM w3) // 1000000) AS g),
-             |v3 AS (SELECT i AS j,
+             |v3 AS MATERIALIZED (SELECT i AS j,
              |    (w - ((w % (SELECT g FROM g3) + (SELECT g FROM g3))
              |      % (SELECT g FROM g3))) // (SELECT g FROM g3) AS v
              |  FROM w3)
