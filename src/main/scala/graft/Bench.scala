@@ -577,6 +577,7 @@ object Bench {
             val (nDupNodes, nClusters) = clusterRows
               .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
             s""""fused_curation":{"rows":$nArr,"elapsed_sec":$sec,""" +
+              s""""batches":${(nFiles + filesPerBatch - 1) / filesPerBatch},""" +
               s""""rows_per_sec":${nArr / sec},""" +
               s""""postings":$nPostings,"dup_nodes":$nDupNodes,""" +
               s""""dup_clusters":$nClusters}"""

@@ -88,9 +88,9 @@ object DedupQueries {
     * on hashes, so even a P-collision merges identically cross-engine).
     */
   private val SqlBase =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |sets AS (SELECT doc_id, ${NearDup.Sql.shingleSet(ShingleK)} AS s FROM t),
-       |h AS (SELECT doc_id, list_distinct(${NearDup.Sql.hashSet}) AS hs FROM sets)""".stripMargin
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sets AS MATERIALIZED (SELECT doc_id, ${NearDup.Sql.shingleSet(ShingleK)} AS s FROM t),
+       |h AS MATERIALIZED (SELECT doc_id, list_distinct(${NearDup.Sql.hashSet}) AS hs FROM sets)""".stripMargin
 
   /** Banded-MinHash candidate pairs with both sides' hash sets bound —
     * ONE definition of the banding scheme (signature layout, the
@@ -143,19 +143,19 @@ object DedupQueries {
 
   /** Oracle CTE mirroring [[minhashPairs]] + threshold, as `pairs`. */
   private lazy val PairsSql =
-    s"""sig AS (SELECT doc_id, hs, ${NearDup.Sql.minhashCols(mhParams)} FROM h),
-       |pairs AS (
+    s"""sig AS MATERIALIZED (SELECT doc_id, hs, ${NearDup.Sql.minhashCols(mhParams)} FROM h),
+       |pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM sig a JOIN sig b
        |    ON a.doc_id < b.doc_id AND (${NearDup.Sql.bandEq(MinhashK, BandR)})
        |  WHERE round(${NearDup.Sql.jaccardSql("a.hs", "b.hs")}, 6) >= $JacThreshold),
-       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |edges AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM pairs
        |          UNION SELECT b_id, a_id FROM pairs),
        |reach(u, v) AS (
        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-       |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY 1)""".stripMargin
+       |comp AS MATERIALIZED (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY 1)""".stripMargin
 
   /** Exact-COMPLETE Jaccard ≥ 0.8 pairs via AllPairs prefix filtering
     * — the shared body of `dedup_prefix_filter` (which emits it) and

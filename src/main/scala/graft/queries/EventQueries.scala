@@ -1888,11 +1888,11 @@ object EventQueries {
             round(col("r.cnt").cast("double") - col("r.fc"), 6).as("resid"))
           .orderBy("hour")
       },
-      Some("""WITH RECURSIVE hourly AS (
+      Some("""WITH RECURSIVE hourly AS MATERIALIZED (
              |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
              |         count(*) AS cnt
              |  FROM events GROUP BY 1),
-             |ord AS (SELECT hr, cnt, row_number() OVER (ORDER BY hr) AS i
+             |ord AS MATERIALIZED (SELECT hr, cnt, row_number() OVER (ORDER BY hr) AS i
              |  FROM hourly),
              |holt AS (
              |  SELECT 1 AS i,
