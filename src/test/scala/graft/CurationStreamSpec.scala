@@ -124,6 +124,41 @@ class CurationStreamSpec extends SparkSpec {
     assert(gotPostings == expPostings)
   }
 
+  test("property: random corpora with planted clone groups match the " +
+      "batch twin under random batchings") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      // ~20 base vectors scattered around the three centroids, plus
+      // clones of a random subset (some cloned twice) under fresh ids
+      val base = (1 to 20).map { i =>
+        val c = cents(rnd.nextInt(cents.length))
+        Vec(i.toLong, Array((c(0) + rnd.nextInt(13) - 6).toFloat,
+          (c(1) + rnd.nextInt(13) - 6).toFloat))
+      }
+      val clones = base.filter(_ => rnd.nextBoolean()).zipWithIndex.flatMap {
+        case (v, j) =>
+          val twice = rnd.nextInt(3) == 0
+          Seq(Vec(100L + 2 * j, v.embedding)) ++
+            (if (twice) Seq(Vec(101L + 2 * j, v.embedding)) else Nil)
+      }
+      val vs = rnd.shuffle(base ++ clones)
+      // random batching: split points drawn uniformly
+      val batches = {
+        val out = Seq.newBuilder[Seq[Vec]]
+        var rest = vs
+        while (rest.nonEmpty) {
+          val k = 1 + rnd.nextInt(math.max(1, rest.length))
+          out += rest.take(k); rest = rest.drop(k)
+        }
+        out.result()
+      }
+      val (expPostings, expClusters) = batchTwin(vs)
+      val (gotPostings, gotClusters) = runStream(batches, s"cur_prop$trial")
+      assert(gotPostings == expPostings, s"trial $trial postings")
+      assert(gotClusters == expClusters, s"trial $trial clusters")
+    }
+  }
+
   test("serving parity: scoreIvf over the maintained postings == over " +
       "the one-shot batch index") {
     val m = new CurationStream.Maintainer(cents)
