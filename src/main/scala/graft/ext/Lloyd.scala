@@ -136,28 +136,28 @@ object Lloyd {
 
     /** `q` + `qd` + seed centroids `c0` (cell,d,c), 1-indexed d. */
     def base(k: Int, dim: Int): String =
-      s"""q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+      s"""q AS MATERIALIZED (SELECT vec_id, list_transform(embedding::DOUBLE[],
          |  x -> CAST(floor(x * $Scale.0) AS BIGINT)) AS qv FROM embeddings),
-         |dims AS (SELECT unnest(range(1, ${dim + 1})) AS d),
-         |qd AS (SELECT vec_id, d, qv[d] AS v FROM q, dims),
-         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv
+         |dims AS MATERIALIZED (SELECT unnest(range(1, ${dim + 1})) AS d),
+         |qd AS MATERIALIZED (SELECT vec_id, d, qv[d] AS v FROM q, dims),
+         |seeds AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv
          |  FROM q ORDER BY vec_id LIMIT $k),
-         |c0 AS (SELECT cell, d, qv[d] AS c FROM seeds, dims)""".stripMargin
+         |c0 AS MATERIALIZED (SELECT cell, d, qv[d] AS c FROM seeds, dims)""".stripMargin
 
     /** Assignment `a{r}` against centroids `c{prev}` + update
       * `s{r}`/`c{r}` (floor-div, empty cells keep `c{prev}`).
       */
     def round(r: Int): String = {
       val p = r - 1
-      s"""a$r AS (SELECT vec_id, cell FROM (
+      s"""a$r AS MATERIALIZED (SELECT vec_id, cell FROM (
          |  SELECT qd.vec_id, c$p.cell,
          |    row_number() OVER (PARTITION BY qd.vec_id
          |      ORDER BY sum((qd.v - c$p.c)*(qd.v - c$p.c)), c$p.cell) AS rk
          |  FROM qd JOIN c$p ON qd.d = c$p.d GROUP BY 1, 2) WHERE rk = 1),
-         |s$r AS (SELECT a$r.cell, qd.d, CAST(sum(qd.v) AS BIGINT) AS s,
+         |s$r AS MATERIALIZED (SELECT a$r.cell, qd.d, CAST(sum(qd.v) AS BIGINT) AS s,
          |    count(*)::BIGINT AS n
          |  FROM a$r JOIN qd USING (vec_id) GROUP BY 1, 2),
-         |c$r AS (SELECT c$p.cell, c$p.d,
+         |c$r AS MATERIALIZED (SELECT c$p.cell, c$p.d,
          |    COALESCE(${floorDiv("s", "n")}, c$p.c) AS c
          |  FROM c$p LEFT JOIN s$r ON c$p.cell = s$r.cell AND c$p.d = s$r.d)""".stripMargin
     }

@@ -683,22 +683,22 @@ object SimilarityQueries {
         val R = KmeansRounds
         s"""WITH ${Lloyd.Sql.base(KmeansK, Dim)},
            |${(1 to R + 1).map(Lloyd.Sql.round).mkString(",\n")},
-           |md AS (SELECT a${R + 1}.cell,
+           |md AS MATERIALIZED (SELECT a${R + 1}.cell,
            |    CAST(sum((qd.v - c$R.c) * (qd.v - c$R.c)) AS BIGINT) AS ss,
            |    CAST(count(DISTINCT a${R + 1}.vec_id) AS BIGINT) AS n
            |  FROM a${R + 1} JOIN qd USING (vec_id)
            |  JOIN c$R ON qd.d = c$R.d AND a${R + 1}.cell = c$R.cell
            |  GROUP BY 1),
-           |si AS (SELECT cell, n,
+           |si AS MATERIALIZED (SELECT cell, n,
            |    sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) AS s FROM md),
-           |dij AS (SELECT a.cell AS i, b.cell AS j,
+           |dij AS MATERIALIZED (SELECT a.cell AS i, b.cell AS j,
            |    sqrt(CAST(sum((a.c - b.c) * (a.c - b.c)) AS DOUBLE)) AS dd
            |  FROM c$R a JOIN c$R b ON a.d = b.d AND a.cell != b.cell
            |  GROUP BY 1, 2),
-           |rij AS (SELECT i, max((sa.s + sb.s) / dd) AS mr
+           |rij AS MATERIALIZED (SELECT i, max((sa.s + sb.s) / dd) AS mr
            |  FROM dij JOIN si sa ON dij.i = sa.cell
            |  JOIN si sb ON dij.j = sb.cell GROUP BY 1),
-           |db AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |db AS MATERIALIZED (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
            |    list(mr ORDER BY i)), (x, y) -> x + y)
            |    / CAST(count(*) AS DOUBLE) AS db FROM rij)
            |SELECT CAST(si.cell AS BIGINT) AS cell, si.n AS n_members,
