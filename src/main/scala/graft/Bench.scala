@@ -238,7 +238,7 @@ object Bench {
         case other    => sys.error(s"unknown SPARK_GRAFT_DOCS_STAGE '$other' " +
           "(expected raw|enrich|gate|full)")
       }
-      sampledStreamJson("docs_available_now", written, nStreamSamples) { i =>
+      val inner = sampledStreamJson("docs_available_now", written, nStreamSamples) { i =>
         val t0 = System.nanoTime()
         val q = flow.writeStream
           .format("noop")
@@ -248,6 +248,52 @@ object Bench {
         q.awaitTermination()
         ((System.nanoTime() - t0) / 1e9, Seq(q))
       }
+      // near-dup fused curation pass (round-15: NearDupCurationStream —
+      // the banding-keyed sibling of the ann block's fused_curation):
+      // the SAME doc backlog restricted to 2 copies (texts repeat
+      // across copies, so every original/copy pair is an exact
+      // near-dup the banding must catch) folds per micro-batch into
+      // the standing banded-signature store + dup clusters from one
+      // signature scan. Reports ingest rows/s + the standing evidence.
+      // Own failure domain — a broken fold must not zero docs_available_now.
+      val nearDupJson = try {
+        val ndIn = s"$base/nd_input"
+        spark.read.parquet(input)
+          .filter(col("doc_id") < 20000000L) // copies 0 and 1 only
+          .select("doc_id", "text")
+          .repartition(nFiles / 4).write.mode("overwrite").parquet(ndIn)
+        val nArr = spark.read.parquet(ndIn).count()
+        val m = new graft.stream.NearDupCurationStream.Maintainer(
+          jacThreshold = 0.8)
+        try {
+          val ndStream = spark.readStream
+            .schema(spark.read.parquet(ndIn).schema)
+            .option("maxFilesPerTrigger", math.max(1, filesPerBatch / 4))
+            .parquet(ndIn)
+          val t0 = System.nanoTime()
+          val q = ndStream.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              m.ingest(b, id)
+            }
+            .option("checkpointLocation", s"$base/ckpt_nd")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val nStore = m.bandIndex.map(_.count()).getOrElse(0L)
+          val (nDupNodes, nClusters) = m.clusters
+            .map(_.agg(count(lit(1)), countDistinct(col("comp"))).head())
+            .map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+          s""""neardup_curation":{"rows":$nArr,"elapsed_sec":$sec,""" +
+            s""""rows_per_sec":${nArr / sec},"store_rows":$nStore,""" +
+            s""""dup_nodes":$nDupNodes,"dup_clusters":$nClusters}"""
+        } finally m.release()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          s""""neardup_curation_err":"${esc(Option(e.getMessage)
+            .getOrElse(e.getClass.getName).take(200))}""""
+      }
+      inner.dropRight(1) + s",$nearDupJson}"
     } finally deleteRecursively(base)
   }
 

@@ -8,9 +8,14 @@ package graft
 object DevFusedSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val block = args.drop(1).headOption.getOrElse("ann")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
       "graft-dev-fused")
-    try println(Bench.streamingAnnBench(spark, sfDir))
+    try println(block match {
+      case "ann"  => Bench.streamingAnnBench(spark, sfDir)
+      case "docs" => Bench.docStreamingBench(spark, sfDir)
+      case other  => sys.error(s"unknown block '$other' (ann|docs)")
+    })
     finally spark.stop()
   }
 }
