@@ -130,11 +130,39 @@ object Dedup {
     (cp, rdd)
   }
 
+  /** [[checkpointed]] with the rows hash-partitioned + sorted on `key`
+    * FIRST, so the checkpoint leaf advertises
+    * `hashpartitioning(key, N) / key ASC` and every downstream
+    * equi-join or aggregation on `key` reuses the stored layout
+    * instead of re-exchanging and re-sorting the frame (the
+    * partition-once discipline for iterative operators whose rounds
+    * re-probe one big side each round — guide §2.4). The partition
+    * count is pinned to `spark.sql.shuffle.partitions` EXPLICITLY:
+    * a count-less `repartition(col)` is an AQE coalescing target,
+    * and a coalesced read no longer satisfies plain
+    * hashpartitioning, so the checkpoint would (correctly) demote
+    * the leaf to UnknownPartitioning and rounds would pay the
+    * exchange again. Scale note: N tracks the session conf, never a
+    * local-mode constant.
+    */
+  private[graft] def checkpointedKeyed(df: DataFrame, key: String)
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val (cp, rdd) =
+      checkpointed(df.repartition(n, col(key)).sortWithinPartitions(key))
+    // localCheckpoint demotes the leaf to UnknownPartitioning; rewrap
+    // it with the layout the two lines above just guaranteed
+    (org.apache.spark.sql.graftglue.Bridge.keyedCheckpointLeaf(cp, key), rdd)
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20, jumpFrom: Int = 5): DataFrame = {
-    val (sym, symRdd) = checkpointed(
+    // keyed on nbr — the proposals join probes sym on nbr every
+    // round, so the one-time layout replaces rounds × (exchange+sort)
+    val (sym, symRdd) = checkpointedKeyed(
       edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
-        .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))))
+        .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))),
+      "nbr")
     // one frame per round carries BOTH the full label set and the
     // changed flag; `labels`/`frontier` are projections of it, so each
     // round still checkpoints (= fires) exactly one action and holds

@@ -39,9 +39,13 @@ object LabelProp {
     */
   def labels(edges: DataFrame, rounds: Int): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct()
-    val (ev, evRdd) = Dedup.checkpointed(
+    // partitioned + sorted on the vote key before the cut
+    // ([[Dedup.checkpointedKeyed]]): every round's vote SortMergeJoin
+    // reuses the keyed leaf's layout instead of re-exchanging and
+    // re-sorting |E|+|V| rows (guide §2.4)
+    val (ev, evRdd) = Dedup.checkpointedKeyed(
       edges.select("src", "dst").unionAll(
-        nodes.select(col("node").as("src"), col("node").as("dst"))))
+        nodes.select(col("node").as("src"), col("node").as("dst"))), "src")
     var (l, lRdd) = Dedup.checkpointed(nodes.withColumn("label", col("node")))
     for (_ <- 1 to rounds) {
       val counts = ev

@@ -50,7 +50,12 @@ object PageRank {
     // reference it again — without the cut the caller's edge
     // construction (g1: orders⋈lineitem DISTINCT) re-executes per
     // reference inside the single final action
-    val (e, _) = Dedup.checkpointed(edges.select("src", "dst"))
+    // partitioned + sorted on the contribution key before the cut
+    // ([[Dedup.checkpointedKeyed]]): the checkpoint leaf advertises
+    // the layout, so every round's contribution SortMergeJoin and the
+    // deg/nodes aggregations (all keyed on src) skip the edge-side
+    // Exchange and Sort (rounds × (exchange+sort of E) → once)
+    val (e, _) = Dedup.checkpointedKeyed(edges.select("src", "dst"), "src")
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val nodes = e.select(col("src").as("node")).distinct()
     var r = nodes.withColumn("rank", lit(Scale))
@@ -82,8 +87,8 @@ object PageRank {
     */
   def personalizedRanks(edges: DataFrame, seedPred: Column,
       rounds: Int): DataFrame = {
-    // same lineage cut as [[ranks]]
-    val (e, _) = Dedup.checkpointed(edges.select("src", "dst"))
+    // same lineage cut + partition-once layout as [[ranks]]
+    val (e, _) = Dedup.checkpointedKeyed(edges.select("src", "dst"), "src")
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val nodes = e.select(col("src").as("node")).distinct()
       .withColumn("seed", when(seedPred, lit(1L)).otherwise(lit(0L)))

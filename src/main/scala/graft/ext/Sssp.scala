@@ -37,7 +37,12 @@ object Sssp {
     */
   def distances(edges: DataFrame, seed: DataFrame, rounds: Int,
       track: org.apache.spark.rdd.RDD[_] => Unit = _ => ()): DataFrame = {
-    val (e, eRdd) = Dedup.checkpointed(edges.select("u", "v", "w"))
+    // partition + sort by the relax key once, before the lineage cut
+    // ([[Dedup.checkpointedKeyed]]): the keyed leaf advertises the
+    // layout, so every round's relax SortMergeJoin skips the
+    // edge-side Exchange and Sort (rounds × (exchange+sort of E) →
+    // once; the Stress/Triangles discipline, guide §2.4)
+    val (e, eRdd) = Dedup.checkpointedKeyed(edges.select("u", "v", "w"), "u")
     var d = seed.select(col("node"), col("dist"))
     // per-round lineage cut (the KCore discipline): without it the
     // distance frame references itself twice per round (relax +

@@ -34,7 +34,13 @@ object Stress {
     */
   def sigmaTable(edges: DataFrame, seeds: DataFrame, rounds: Int,
       track: org.apache.spark.rdd.RDD[_] => Unit = _ => ()): DataFrame = {
-    val (e, eRdd) = Dedup.checkpointed(edges.select("src", "dst"))
+    // partition + sort the edge table by the probe key ONCE, before
+    // the lineage cut ([[Dedup.checkpointedKeyed]]): the keyed leaf
+    // advertises hashpartitioning(src)+ordering, so each round's
+    // frontier SortMergeJoin reuses the layout instead of re-exchanging
+    // and re-sorting |E| every round (guide §2.4 — establish the
+    // partitioning once; rounds × (exchange+sort of E) → once)
+    val (e, eRdd) = Dedup.checkpointedKeyed(edges.select("src", "dst"), "src")
     var p = seeds.select(col("seed"), col("seed").as("node"),
       lit(0L).as("d"), lit(1L).as("sigma"))
     var pRdd: Option[org.apache.spark.rdd.RDD[_]] = None

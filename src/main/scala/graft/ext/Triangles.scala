@@ -50,12 +50,19 @@ object Triangles {
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val (oriented, _) = Dedup.checkpointed(e
+    // partitioned + sorted on the wedge key before the lineage cut
+    // ([[Dedup.checkpointedKeyed]]): the keyed leaf advertises the
+    // layout, so the wedge self-join's two legs (both keyed on src)
+    // skip their Exchange AND Sort entirely — the SMJ degenerates to
+    // a merge over the stored order (guide §2.4; the 82M-row wedge
+    // OUTPUT was never shuffled anyway, it streams into the broadcast
+    // closing probe)
+    val (oriented, _) = Dedup.checkpointedKeyed(e
       .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst")))
+        when(fwd, col("v")).otherwise(col("u")).as("dst")), "src")
     val o1 = oriented.select(col("src").as("x"), col("dst").as("y"))
     val o2 = oriented.select(col("src").as("x"), col("dst").as("z"))
     val wedges = o1.join(o2, Seq("x")).filter(col("y") =!= col("z"))

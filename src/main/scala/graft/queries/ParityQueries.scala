@@ -1038,8 +1038,14 @@ object ParityQueries {
           .select((col("o_custkey").cast("long") * 2).as("src"),
             (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
           .distinct()
+        // cache the symmetrized edges already partitioned + sorted on
+        // the probe key: InMemoryTableScan advertises the cached
+        // child's partitioning/ordering, so all three propagate-round
+        // SortMergeJoins (and the nodes distinct) skip their edge-side
+        // Exchange AND Sort (guide §2.4)
         val edges = tracked(e0.unionAll(
-          e0.select(col("dst").as("src"), col("src").as("dst"))))
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src")).sortWithinPartitions("src"))
         val nodes = tracked(edges.select(col("src").as("v")).distinct())
         val h0 = graft.ext.NearDup.charHash(col("v").cast("string"))
         val h = (lit(1103515245L) * h0 + lit(12345L)) % P
@@ -1049,11 +1055,31 @@ object ParityQueries {
         val rho = (1 to 26).foldLeft(when(col("w") === 0L, 27L)) {
           (acc, i) => acc.when(col("lsb") === (1L << (i - 1)), i.toLong)
         }
-        var reg = withW.select(col("v"), col("idx"), rho.as("mx"))
+        // registers ride as ONE array<long>[16] row per node, not 16
+        // (v, idx, mx) rows: the per-round propagate join then emits
+        // |E| rows instead of 16·|E|, and the elementwise register
+        // union is 16 independent max() aggregates (partial map-side
+        // agg intact, all codegen built-ins). 0 encodes "register
+        // never hit" — rho is always ≥ 1, so no collision — and every
+        // register VALUE is bit-identical to the row form: max with
+        // extra 0s is the identity, so the estimator reads the exact
+        // same (s2, nz) per node and the oracle hash is untouched.
+        var reg = withW.select(col("v"),
+          array((0 until 16).map(i =>
+            when(col("idx") === i.toLong, rho).otherwise(lit(0L))): _*)
+            .as("arr"))
+        val regMax = (0 until 16).map(i => max(col("arr")(i)).as(s"m$i"))
+        val packed = array((0 until 16).map(i => col(s"m$i")): _*)
         def nf(r: Int, df: DataFrame): DataFrame = df
-          .groupBy("v")
-          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - mx AS INT))"))
-            .as("s2"), count(lit(1)).as("nz"))
+          .select((0 until 16).map(i =>
+            when(col("arr")(i) > 0L,
+              expr(s"shiftleft(CAST(1 AS BIGINT), CAST(27 - arr[$i] AS INT))"))
+              .otherwise(lit(0L)).as(s"p$i")) :+
+            (0 until 16).map(i =>
+              when(col("arr")(i) > 0L, 1L).otherwise(0L))
+              .reduce(_ + _).as("nz"): _*)
+          .select((0 until 16).map(i => col(s"p$i")).reduce(_ + _).as("s2"),
+            col("nz"))
           .select(expr("CAST(round(0.673 * 34359738368.0" +
             " / CAST(s2 + (16 - nz) * 134217728 AS DOUBLE) * 1000.0)" +
             " AS BIGINT)").as("e3"))
@@ -1061,9 +1087,10 @@ object ParityQueries {
         val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         for (r <- 1 to 3) {
           val prop = reg.join(edges, col("v") === col("src"))
-            .select(col("dst").as("v"), col("idx"), col("mx"))
+            .select(col("dst").as("v"), col("arr"))
           val (next, nextRdd) = graft.ext.Dedup.checkpointed(
-            reg.unionAll(prop).groupBy("v", "idx").agg(max("mx").as("mx")))
+            reg.unionAll(prop).groupBy("v").agg(regMax.head, regMax.tail: _*)
+              .select(col("v"), packed.as("arr")))
           tracked.track(nextRdd)
           reg = next
           rounds += nf(r, next)
@@ -4574,8 +4601,16 @@ object ParityQueries {
     QueryDef(
       "q21_waiting_suppliers",
       (s, d) => {
+        // cached partitioned + sorted on the self-join key: all three
+        // passes (late probe, EXISTS semi, NOT-EXISTS anti) equi-join
+        // on l_orderkey, and the cached layout survives filters, so
+        // the semi/anti SortMergeJoins reuse ONE exchange+sort of the
+        // fact instead of paying one each (guide §2.4)
+        val n21 = s.sessionState.conf.numShufflePartitions
         val lx = tracked(graft.sources.DerivedTables.lineitemExt(s, d)
-          .select("l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate"))
+          .select("l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate")
+          .repartition(n21, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
         val late = lx.filter(col("l_receiptdate") > col("l_commitdate"))
         val l1 = late
           .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
