@@ -14,16 +14,37 @@ import org.scalatest.events._
 class SuiteTimeReporter extends Reporter {
 
   private val ran = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  private val tests = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val written = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => write()))
 
+  // A tag-excluded run (`testOnly * -- -l graft.Golden`) still fires
+  // SuiteCompleted for EVERY discovered suite — the excluded ones at
+  // ~1 ms with zero test events. Counting those as "ran" made the
+  // fast loop look like a full run (115 suites >= 90% of 114) and
+  // let it rewrite the held total down to a subset number, exactly
+  // the fake improvement the full/subset split exists to prevent.
+  // A suite only counts as ran when >= 1 of its tests actually ran.
   override def apply(event: Event): Unit = event match {
+    case e: TestSucceeded => bump(e.suiteClassName.getOrElse(e.suiteName))
+    case e: TestFailed    => bump(e.suiteClassName.getOrElse(e.suiteName))
+    case e: TestCanceled  => bump(e.suiteClassName.getOrElse(e.suiteName))
     case e: SuiteCompleted =>
       val name = e.suiteClassName.getOrElse(e.suiteName)
-      e.duration.foreach(ms => ran.put(name, ms / 1000.0))
+      if (tests.getOrDefault(name, 0) > 0)
+        e.duration.foreach(ms => ran.put(name, ms / 1000.0))
     case _: RunCompleted | _: RunStopped | _: RunAborted => write()
     case _ => ()
+  }
+
+  private def bump(name: String): Unit =
+    tests.merge(name, 1, (a, b) => a + b)
+
+  /** Test seam: the suites this run counts as ran (SuiteTimesSpec). */
+  private[graft] def ranSnapshot: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    ran.asScala.toMap
   }
 
   private def write(): Unit = if (written.compareAndSet(false, true)) {

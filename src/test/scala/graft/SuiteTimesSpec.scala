@@ -91,4 +91,24 @@ class SuiteTimesSpec extends AnyFunSuite {
     val (s2, full, held) = SuiteTimes.merge(s1, Map.empty)
     assert(s2 == s1 && !full && !held)
   }
+
+  test("reporter ignores suites whose tests were all tag-excluded " +
+      "(a -l graft.Golden run must stay a SUBSET run)") {
+    // the r15 incident: tag exclusion still fires SuiteCompleted for
+    // every discovered suite (~1 ms, zero test events), so the fast
+    // loop looked like a full run and rewrote the held total down to
+    // a golden-less number. A suite counts only if >=1 test ran.
+    import org.scalatest.events._
+    val rep = new SuiteTimeReporter
+    val ord = new Ordinal(1)
+    def suiteDone(name: String, ms: Long) = SuiteCompleted(
+      ord, name, name, Some(name), Some(ms))
+    // GoldenSpec: discovered, completed, but zero tests ran
+    rep.apply(suiteDone("graft.GoldenSpec", 1L))
+    // FastSpec: one test actually ran
+    rep.apply(TestSucceeded(ord, "graft.FastSpec", "graft.FastSpec",
+      Some("graft.FastSpec"), "t1", "t1", Vector.empty))
+    rep.apply(suiteDone("graft.FastSpec", 1500L))
+    assert(rep.ranSnapshot == Map("graft.FastSpec" -> 1.5))
+  }
 }
