@@ -60,27 +60,39 @@ object KCore {
     */
   def peelStats(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var (e, eRdd) = Dedup.checkpointed(edges.select("u", "v"))
+    // The degree table is CHECKPOINTED once per round and every
+    // consumer reads the materialized blocks (round-15, guide §2.4):
+    // the first cut derived `bad` lazily, so the round's checkpoint
+    // job aggregated degrees once and `bad.count()` re-ran the same
+    // degree shuffle a second time, and n_nodes paid a THIRD shuffle
+    // (countDistinct over next). Materializing deg makes bad a block
+    // scan, and n_nodes is the next round's deg row count (a node has
+    // an edge in `next` ⇔ it has a deg row) — per round the three
+    // stats shuffles collapse into the one unavoidable degree agg.
+    // This is still the PINNED full-recompute peel (degrees of every
+    // edge re-aggregated each round — the frontier variant is
+    // [[peelStatsFrontier]]); only the duplicate evaluations went.
+    def degOf(f: DataFrame) = f.select(col("u").as("n"))
+      .unionAll(f.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    var (deg, degRdd) = Dedup.checkpointed(degOf(e))
     val rows = (1 to rounds).map { r =>
-      val deg = e.select(col("u").as("n"))
-        .unionAll(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("dg"))
       val bad = deg.filter(col("dg") < k).select("n")
+      val nRemoved = bad.count()
       val (next, nextRdd) = Dedup.checkpointed(
         e.join(bad.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
           .join(bad.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
           .select("u", "v"))
-      val nRemoved = bad.count()
-      val nEdges = next.count()
-      val nNodes = graft.ops.Grids.boundedHead(
-        next.select(col("u").as("n"))
-          .unionAll(next.select(col("v").as("n")))
-          .agg(countDistinct(col("n")).as("n_nodes")),
-        "kcore_round_gauge").getLong(0)
+      val nEdges = nextRdd.count()
+      val (nextDeg, nextDegRdd) = Dedup.checkpointed(degOf(next))
+      val nNodes = nextDegRdd.count()
       eRdd.unpersist(blocking = false)
-      e = next; eRdd = nextRdd
+      degRdd.unpersist(blocking = false)
+      e = next; eRdd = nextRdd; deg = nextDeg; degRdd = nextDegRdd
       (r.toLong, nRemoved, nNodes, nEdges)
     }
     eRdd.unpersist(blocking = false)
+    degRdd.unpersist(blocking = false)
     val spark = edges.sparkSession
     import spark.implicits._
     rows.toDF("round", "n_removed", "n_nodes", "n_edges")

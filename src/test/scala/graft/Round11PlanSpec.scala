@@ -62,7 +62,10 @@ class Round11PlanSpec extends SparkSpec {
   private val boundedGrids: Map[String, (Int, BoundClass)] = Map(
     "cms_sketch_bytes" -> (1, ScalarGauge),   // one count-min sketch blob
     "f4_max_ts" -> (1, ScalarGauge),          // max(ts) scalar
-    "kcore_round_gauge" -> (1, ScalarGauge),  // per-round |V| convergence
+    // (kcore_round_gauge retired round-15: peelStats now reads n_nodes
+    // off the next round's checkpointed degree table row count instead
+    // of a countDistinct collect — one fewer shuffle AND one fewer
+    // driver boundary per round)
     "truss_round_gauge" -> (1, ScalarGauge),  // per-round |V| convergence
     "stats_mean_stddev" -> (1, ScalarGauge),  // W1's two batch scalars
     "bpe_merge_argmax" -> (1, ScalarGauge),   // tx8b's per-round top-1 pair
