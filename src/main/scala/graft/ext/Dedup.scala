@@ -157,12 +157,18 @@ object Dedup {
 
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20, jumpFrom: Int = 5): DataFrame = {
-    // keyed on nbr — the proposals join probes sym on nbr every
-    // round, so the one-time layout replaces rounds × (exchange+sort)
-    val (sym, symRdd) = checkpointedKeyed(
+    // PLAIN checkpoint, deliberately NOT [[checkpointedKeyed]]
+    // (round-15, measured twice): the proposals join broadcasts the
+    // CHANGED-frontier side, so a stored nbr layout on sym never
+    // participates — keying it was a pure upfront repartition+sort of
+    // the full sym table. Same-corpus DevQueryAB medians: 8× stress
+    // 4.18 s plain vs 5.49 keyed; sf0.1 1.35 plain vs 1.43 keyed.
+    // (PageRank/Triangles DO benefit: their rounds SMJ-probe the
+    // keyed side and the final plans lose 20/4 Exchanges — the layout
+    // pays only where the plan proves the reuse.)
+    val (sym, symRdd) = checkpointed(
       edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
-        .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))),
-      "nbr")
+        .unionAll(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))))
     // one frame per round carries BOTH the full label set and the
     // changed flag; `labels`/`frontier` are projections of it, so each
     // round still checkpoints (= fires) exactly one action and holds
