@@ -104,6 +104,14 @@ object GraftFunctions {
         VecSumAgg(children.head)
       }),
     (
+      new FunctionIdentifier("vec_outer_sum_ll"),
+      new ExpressionInfo(classOf[VecOuterSumAgg].getName, "vec_outer_sum_ll"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "vec_outer_sum_ll expects exactly 1 argument")
+        VecOuterSumAgg(children.head)
+      }),
+    (
       new FunctionIdentifier("topk_ll"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_ll"),
       (children: Seq[Expression]) => {

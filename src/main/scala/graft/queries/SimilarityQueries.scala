@@ -1484,11 +1484,16 @@ object SimilarityQueries {
         val q = tracked(graft.ext.Lloyd.quantized(emb(s, d)))
         val nv = q.agg(count(lit(1)).as("__n"))
         val sums = q.agg(call_function("vec_sum_ll", col("qv")).as("sx"))
-        val outer = q.select(transform(sequence(lit(0), lit(4095)), k =>
-            element_at(col("qv"),
-              (call_function("div", k, lit(64)) + 1).cast("int")) *
-              element_at(col("qv"), ((k % 64) + 1).cast("int"))).as("op"))
-          .agg(call_function("vec_sum_ll", col("op")).as("sxx"))
+        // native Gram accumulator (round-15, guide §4): the prior
+        // per-row `transform(sequence(0, 4095), k -> qv[k/64+1] *
+        // qv[k%64+1])` + vec_sum_ll built a 4096-long array through an
+        // INTERPRETED HOF lambda per entry (CodegenFallback) — ~82 M
+        // lambda evals + a 32 KB allocation per row at sf0.1, the bulk
+        // of sim21's headline sample. vec_outer_sum_ll folds each row
+        // into the group buffer with a tight unboxed triangle loop —
+        // bit-identical output (long multiply-adds commute; the HOF
+        // form stays the semantic reference in VecOuterSumAggSpec)
+        val outer = q.agg(call_function("vec_outer_sum_ll", col("qv")).as("sxx"))
         val cc = tracked(outer.crossJoin(broadcast(sums))
           .crossJoin(broadcast(nv))
           .select(col("sx"), col("__n"),
